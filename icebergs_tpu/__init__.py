@@ -1,0 +1,26 @@
+"""icebergs_tpu: a TPU-native Lagrangian iceberg dynamics framework.
+
+A ground-up JAX/XLA re-design with the capabilities of NOAA-GFDL/icebergs
+("KID"): point & finite-extent bergs (Martin & Adcroft 2010, Stern et al
+2016/2017), bonded conglomerates and the iKID bonded-particle DEM with
+multiple time stepping (Huth et al 2022b), footloose calving (Huth et al
+2022a), thermodynamics, calving buckets, restarts and trajectories —
+re-architected as fixed-capacity structure-of-arrays state stepped by a
+single jit-compiled function, domain-decomposed with ``jax.sharding`` +
+``shard_map`` instead of MPI.
+"""
+
+from .config import IcebergsConfig, NCLASSES
+from .grid import Grid, make_uniform_grid
+from .state import BergState, empty_state, create_bergs
+from .forcing import Forcing, uniform_forcing, forcing_from_arrays
+from .model import make_step, step_dynamics, interp_to_bergs, StepDiags
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "IcebergsConfig", "NCLASSES", "Grid", "make_uniform_grid",
+    "BergState", "empty_state", "create_bergs",
+    "Forcing", "uniform_forcing", "forcing_from_arrays",
+    "make_step", "step_dynamics", "interp_to_bergs", "StepDiags",
+]

@@ -1,0 +1,362 @@
+"""Time stepping: Verlet / RK4 evolution and position bookkeeping.
+
+TPU-native port of ``evolve_icebergs`` / ``verlet_stepping`` /
+``Runge_Kutta_stepping`` / ``update_verlet_position`` /
+``adjust_index_and_ground`` (``src/icebergs.F90:7081-8100``).  The per-berg
+linked-list loops become slab-wide array ops; the bounded cell-walk in
+``adjust_index_and_ground`` becomes a fixed 4x unrolled masked update.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from . import constants as C
+from .config import IcebergsConfig
+from .grid import (Grid, apply_modulo_around_point, cell_to_pos,
+                   convert_from_meters_to_grid)
+from .ops.accel import accel
+from .ops.interp import interp_flds, Env
+
+POSN_EPS = 0.05  # pushback after a coast bounce (icebergs.F90:7836)
+
+
+# --------------------------------------------------------------------------
+# position bookkeeping
+# --------------------------------------------------------------------------
+
+def _frac_coords(grid: Grid, cfg: IcebergsConfig, lon, lat):
+    """Global fractional cell coordinates on the regular grid."""
+    Lx = cfg.Lx if cfg.grid_is_latlon else -1.0
+    cx = apply_modulo_around_point(
+        lon, grid.lon0 + 0.5 * grid.dlon * grid.nx, Lx)
+    fx = (cx - grid.lon0) / grid.dlon
+    fy = (lat - grid.lat0) / grid.dlat
+    return fx, fy
+
+
+def adjust_index_and_ground(grid: Grid, cfg: IcebergsConfig, lon, lat, i, j):
+    """Re-localize bergs after motion, bouncing off land cells.
+
+    Port of ``adjust_index_and_ground`` (icebergs.F90:7819-8100), regular
+    grid path: walk at most 4 cells from the old cell toward the new
+    position; where the walk would enter a land cell, clamp the position
+    just inside the current cell (posn_eps pushback).
+
+    Returns (lon, lat, i, j, xi, yj, bounced).
+    """
+    msk = grid.msk
+    dtype = lon.dtype
+    bounced = jnp.zeros(lon.shape, bool)
+
+    fx, fy = _frac_coords(grid, cfg, lon, lat)
+
+    for _ in range(4):  # icount<4 walk (icebergs.F90:7941)
+        xi = fx - i.astype(dtype)
+        yj = fy - j.astype(dtype)
+        in_cell = (xi >= 0.) & (xi < 1.) & (yj >= 0.) & (yj < 1.)
+
+        # x-direction walk / bounce
+        move_w = xi < 0.
+        move_e = xi >= 1.
+        ti = jnp.clip(i - move_w.astype(jnp.int32) + move_e.astype(jnp.int32),
+                      0, grid.nx - 1)
+        ocean_x = msk[ti + 1, j + 1] > 0.
+        stepped_x = (~in_cell) & (move_w | move_e)
+        b_x = stepped_x & ((~ocean_x) | (ti == i))
+        i = jnp.where(stepped_x & ocean_x, ti, i)
+
+        # y-direction walk / bounce (uses the updated i, like the reference)
+        move_s = yj < 0.
+        move_n = yj >= 1.
+        tj = jnp.clip(j - move_s.astype(jnp.int32) + move_n.astype(jnp.int32),
+                      0, grid.ny - 1)
+        ocean_y = msk[i + 1, tj + 1] > 0.
+        stepped_y = (~in_cell) & (move_s | move_n)
+        b_y = stepped_y & ((~ocean_y) | (tj == j))
+        j = jnp.where(stepped_y & ocean_y, tj, j)
+
+        newly_bounced = b_x | b_y
+        bounced = bounced | newly_bounced
+
+        # after a bounce, clamp intra-cell coords and move the berg there
+        xi = fx - i.astype(dtype)
+        yj = fy - j.astype(dtype)
+        xi_c = jnp.clip(xi, POSN_EPS, 1. - POSN_EPS)
+        yj_c = jnp.clip(yj, POSN_EPS, 1. - POSN_EPS)
+        blon, blat = cell_to_pos(grid, i, j, xi_c, yj_c)
+        lon = jnp.where(newly_bounced, blon, lon)
+        lat = jnp.where(newly_bounced, blat, lat)
+        fx = jnp.where(newly_bounced, i.astype(dtype) + xi_c, fx)
+        fy = jnp.where(newly_bounced, j.astype(dtype) + yj_c, fy)
+
+    # final safety clamp (icebergs.F90:8058-8066)
+    xi = fx - i.astype(dtype)
+    yj = fy - j.astype(dtype)
+    bad = (xi < 0.) | (xi >= 1.) | (yj <= 0.) | (yj > 1.)
+    xi_c = jnp.clip(xi, POSN_EPS, 1. - POSN_EPS)
+    yj_c = jnp.clip(yj, POSN_EPS, 1. - POSN_EPS)
+    clon, clat = cell_to_pos(grid, i, j, xi_c, yj_c)
+    lon = jnp.where(bad, clon, lon)
+    lat = jnp.where(bad, clat, lat)
+    xi = jnp.where(bad, xi_c, xi)
+    yj = jnp.where(bad, yj_c, yj)
+    return lon, lat, i, j, xi, yj, bounced
+
+
+# --------------------------------------------------------------------------
+# tangential-plane transforms near the pole (icebergs.F90:7767-7818)
+# --------------------------------------------------------------------------
+
+def rotpos_to_tang(lon, lat, Rearth):
+    colat = 90. - lat
+    r = Rearth * (colat * C.PI_180)
+    return r * jnp.cos(lon * C.PI_180), r * jnp.sin(lon * C.PI_180)
+
+
+def rotpos_from_tang(x, y, Rearth):
+    r = jnp.sqrt(x * x + y * y)
+    lat = 90. - (C.R180_PI * r / Rearth)
+    lon = C.R180_PI * jnp.arccos(jnp.clip(x / jnp.maximum(r, 1e-30), -1., 1.)) \
+        * jnp.sign(y)
+    return lon, lat
+
+
+def rotvec_to_tang(lon, u, v):
+    clon = jnp.cos(lon * C.PI_180)
+    slon = jnp.sin(lon * C.PI_180)
+    return -slon * u - clon * v, clon * u - slon * v
+
+
+def rotvec_from_tang(lon, xdot, ydot):
+    clon = jnp.cos(lon * C.PI_180)
+    slon = jnp.sin(lon * C.PI_180)
+    return -slon * xdot + clon * ydot, -clon * xdot - slon * ydot
+
+
+def _advance_position(grid, cfg, lon, lat, u, v, dt):
+    """Position update with tangential-plane handling near the pole."""
+    dxdl, dydl = convert_from_meters_to_grid(lat, cfg.grid_is_latlon,
+                                             cfg.Rearth)
+    lonn = lon + dt * u * dxdl
+    latn = lat + dt * v * dydl
+    if cfg.grid_is_latlon:
+        on_tang = lat > 89.
+        x1, y1 = rotpos_to_tang(lon, lat, cfg.Rearth)
+        xd, yd = rotvec_to_tang(lon, u, v)
+        tlon, tlat = rotpos_from_tang(x1 + dt * xd, y1 + dt * yd, cfg.Rearth)
+        lonn = jnp.where(on_tang, tlon, lonn)
+        latn = jnp.where(on_tang, tlat, latn)
+    return lonn, latn
+
+
+# --------------------------------------------------------------------------
+# steppers
+# --------------------------------------------------------------------------
+
+class EvolveOut(NamedTuple):
+    state: object
+    tickets: jnp.ndarray   # number of speeding tickets this step
+    bounced: jnp.ndarray   # number of coast bounces this step
+
+
+def _loc_dx(grid: Grid, i, j):
+    """min(dx, dy) around the berg cell (icebergs.F90:2313)."""
+    I, J = i + 1, j + 1
+    return jnp.minimum(0.5 * (grid.dx[I, J] + grid.dx[I, J - 1]),
+                       0.5 * (grid.dy[I, J] + grid.dy[I - 1, J]))
+
+
+def _berg_kwargs(st):
+    return dict(lat=st.lat, mass=st.mass, thickness=st.thickness,
+                width=st.width, length=st.length, n_bonds=st.n_bonds)
+
+
+def _cached_env(st) -> Env:
+    return Env(uo=st.uo, vo=st.vo, ui=st.ui, vi=st.vi, ua=st.ua, va=st.va,
+               ssh_x=st.ssh_x, ssh_y=st.ssh_y, sst=st.sst, sss=st.sss,
+               cn=st.cn, hi=st.hi, od=st.od)
+
+
+def verlet_step(st, grid: Grid, frc, cfg: IcebergsConfig, ia_fn=None):
+    """Velocity-Verlet step (verlet_stepping + update_verlet_position).
+
+    Port of icebergs.F90:7203-7330 and 7684-7766; see Stern et al 2017
+    Appendix B for the explicit/implicit acceleration split.
+    """
+    dt = cfg.dt
+    dt_2 = 0.5 * dt
+    env = _cached_env(st)
+    loc_dx = _loc_dx(grid, st.ine, st.jne)
+
+    uvel1, vvel1 = st.uvel, st.vvel
+    axn_p, ayn_p = st.axn, st.ayn           # previous-step explicit accel
+    uvel_prev = uvel1 - dt_2 * st.bxn        # (icebergs.F90:7258)
+    vvel_prev = vvel1 - dt_2 * st.byn
+
+    out = accel(cfg, grid, **_berg_kwargs(st), env=env,
+                uvel=uvel1, vvel=vvel1, uvel0=uvel1, vvel0=vvel1, dt=dt,
+                axn_in=axn_p, ayn_in=ayn_p, loc_dx=loc_dx, ia_fn=ia_fn)
+
+    # V_{n+1} = u* + dt*ax (Stern et al 2017 Eq B5)
+    uveln = (uvel1 + dt_2 * axn_p) + dt * out.ax
+    vveln = (vvel1 + dt_2 * ayn_p) + dt * out.ay
+    if cfg.override_iceberg_velocities:
+        uveln = jnp.full_like(uveln, cfg.u_override)
+        vveln = jnp.full_like(vveln, cfg.v_override)
+
+    moving = st.alive & (st.static_berg < 0.5)
+
+    def sel(new, old):
+        return jnp.where(moving, new, old)
+
+    st = st.replace(
+        axn=sel(out.axn, st.axn), ayn=sel(out.ayn, st.ayn),
+        bxn=sel(out.bxn, st.bxn), byn=sel(out.byn, st.byn),
+        uvel=sel(uveln, st.uvel), vvel=sel(vveln, st.vvel),
+        uvel_prev=sel(uvel_prev, st.uvel_prev),
+        vvel_prev=sel(vvel_prev, st.vvel_prev))
+
+    # position update (update_verlet_position, icebergs.F90:7684-7766):
+    # X_{n+1} = X_n + dt*(V_{n+1} + dt/2*(a_{n+1}+b_{n+1}))
+    uvel2 = st.uvel + dt_2 * (st.axn + st.bxn)
+    vvel2 = st.vvel + dt_2 * (st.ayn + st.byn)
+    lonn, latn = _advance_position(grid, cfg, st.lon, st.lat, uvel2, vvel2, dt)
+    lonn, latn, i, j, xi, yj, bounced = adjust_index_and_ground(
+        grid, cfg, lonn, latn, st.ine, st.jne)
+
+    st = st.replace(
+        lon=sel(lonn, st.lon), lat=sel(latn, st.lat),
+        ine=jnp.where(moving, i, st.ine), jne=jnp.where(moving, j, st.jne),
+        xi=sel(xi, st.xi), yj=sel(yj, st.yj))
+
+    tickets = jnp.sum((out.tickets & moving).astype(jnp.int32))
+    nbounce = jnp.sum((bounced & moving).astype(jnp.int32))
+    return EvolveOut(st, tickets, nbounce)
+
+
+def rk4_step(st, grid: Grid, frc, cfg: IcebergsConfig, ia_fn=None):
+    """4th-order Runge-Kutta step (Runge_Kutta_stepping, icebergs.F90:7331).
+
+    With the default ``old_interp_flds_order=False`` every stage uses the
+    environment cached at the step start (the reference's accel reads
+    ``berg%uo`` etc.); with the flag set, fields are re-interpolated at each
+    stage position.
+    """
+    dt = cfg.dt
+    dt_2, dt_6 = 0.5 * dt, dt / 6.
+    env1 = _cached_env(st)
+
+    lon1, lat1 = st.lon, st.lat
+    uvel1, vvel1 = st.uvel, st.vvel
+    i1, j1 = st.ine, st.jne
+    axn_p, ayn_p = st.axn, st.ayn
+    moving = st.alive & (st.static_berg < 0.5)
+
+    def metric(lat):
+        return convert_from_meters_to_grid(lat, cfg.grid_is_latlon, cfg.Rearth)
+
+    def stage_env(lon, lat, i, j, xi, yj):
+        if cfg.old_interp_flds_order:
+            return interp_flds(grid, frc, cfg, lon, lat, i, j, xi, yj)
+        return env1
+
+    def call_accel(envk, i, j, u, v, dtk):
+        return accel(cfg, grid, **_berg_kwargs(st), env=envk,
+                     uvel=u, vvel=v, uvel0=uvel1, vvel0=vvel1, dt=dtk,
+                     axn_in=axn_p, ayn_in=ayn_p,
+                     loc_dx=_loc_dx(grid, i, j), ia_fn=ia_fn)
+
+    # stage 1: A1 = A(X1)
+    dxdl1, dydl = metric(lat1)
+    u1, v1 = uvel1 * dxdl1, vvel1 * dydl
+    o1 = call_accel(env1, i1, j1, uvel1, vvel1, dt_2)
+
+    # stage 2: X2 = X1 + dt/2 V1 ; V2 = V1 + dt/2 A1
+    lon2, lat2 = _advance_position(grid, cfg, lon1, lat1, uvel1, vvel1, dt_2)
+    uvel2, vvel2 = uvel1 + dt_2 * o1.ax, vvel1 + dt_2 * o1.ay
+    lon2, lat2, i2, j2, xi2, yj2, b2 = adjust_index_and_ground(
+        grid, cfg, lon2, lat2, i1, j1)
+    dxdl2, _ = metric(lat2)
+    u2, v2 = uvel2 * dxdl2, vvel2 * dydl
+    o2 = call_accel(stage_env(lon2, lat2, i2, j2, xi2, yj2),
+                    i2, j2, uvel2, vvel2, dt_2)
+
+    # stage 3: X3 = X1 + dt/2 V2 ; V3 = V1 + dt/2 A2
+    lon3, lat3 = _advance_position(grid, cfg, lon1, lat1, uvel2, vvel2, dt_2)
+    uvel3, vvel3 = uvel1 + dt_2 * o2.ax, vvel1 + dt_2 * o2.ay
+    lon3, lat3, i3, j3, xi3, yj3, b3 = adjust_index_and_ground(
+        grid, cfg, lon3, lat3, i1, j1)
+    dxdl3, _ = metric(lat3)
+    u3, v3 = uvel3 * dxdl3, vvel3 * dydl
+    o3 = call_accel(stage_env(lon3, lat3, i3, j3, xi3, yj3),
+                    i3, j3, uvel3, vvel3, dt)
+
+    # stage 4: X4 = X1 + dt V3 ; V4 = V1 + dt A3
+    lon4, lat4 = _advance_position(grid, cfg, lon1, lat1, uvel3, vvel3, dt)
+    uvel4, vvel4 = uvel1 + dt * o3.ax, vvel1 + dt * o3.ay
+    lon4, lat4, i4, j4, xi4, yj4, b4 = adjust_index_and_ground(
+        grid, cfg, lon4, lat4, i1, j1)
+    dxdl4, _ = metric(lat4)
+    u4, v4 = uvel4 * dxdl4, vvel4 * dydl
+    o4 = call_accel(stage_env(lon4, lat4, i4, j4, xi4, yj4),
+                    i4, j4, uvel4, vvel4, dt)
+
+    # combine: Xn = X1 + dt(V1+2V2+2V3+V4)/6 ; Vn = V1 + dt(A1+2A2+2A3+A4)/6
+    lonn = lon1 + dt_6 * ((u1 + u4) + 2. * (u2 + u3))
+    latn = lat1 + dt_6 * ((v1 + v4) + 2. * (v2 + v3))
+    uveln = uvel1 + dt_6 * ((o1.ax + o4.ax) + 2. * (o2.ax + o3.ax))
+    vveln = vvel1 + dt_6 * ((o1.ay + o4.ay) + 2. * (o2.ay + o3.ay))
+    axn = ((o1.axn + o4.axn) + 2. * (o2.axn + o3.axn)) / 6.
+    ayn = ((o1.ayn + o4.ayn) + 2. * (o2.ayn + o3.ayn)) / 6.
+    bxn = (((o1.ax + o4.ax) + 2. * (o2.ax + o3.ax)) / 6.) - axn / 2.
+    byn = (((o1.ay + o4.ay) + 2. * (o2.ay + o3.ay)) / 6.) - ayn / 2.
+
+    if cfg.override_iceberg_velocities:
+        uveln = jnp.full_like(uveln, cfg.u_override)
+        vveln = jnp.full_like(vveln, cfg.v_override)
+
+    lonn, latn, i, j, xi, yj, bn = adjust_index_and_ground(
+        grid, cfg, lonn, latn, i1, j1)
+
+    def sel(new, old):
+        return jnp.where(moving, new, old)
+
+    st = st.replace(
+        axn=sel(axn, st.axn), ayn=sel(ayn, st.ayn),
+        bxn=sel(bxn, st.bxn), byn=sel(byn, st.byn),
+        uvel=sel(uveln, st.uvel), vvel=sel(vveln, st.vvel),
+        lon=sel(lonn, st.lon), lat=sel(latn, st.lat),
+        ine=jnp.where(moving, i, st.ine), jne=jnp.where(moving, j, st.jne),
+        xi=sel(xi, st.xi), yj=sel(yj, st.yj))
+
+    tickets = jnp.sum(((o1.tickets | o2.tickets | o3.tickets | o4.tickets)
+                       & moving).astype(jnp.int32))
+    nbounce = jnp.sum(((b2 | b3 | b4 | bn) & moving).astype(jnp.int32))
+    return EvolveOut(st, tickets, nbounce)
+
+
+def evolve_icebergs(st, grid: Grid, frc, cfg: IcebergsConfig, ia_fn=None):
+    """One dynamics step for all bergs (evolve_icebergs, icebergs.F90:7081).
+
+    After stepping, the order-invariance copies (uvel_old/lon_old...) are
+    refreshed in a second pass exactly like the reference (7185-7198).
+    """
+    if cfg.Runge_not_Verlet:
+        out = rk4_step(st, grid, frc, cfg, ia_fn=ia_fn)
+    else:
+        out = verlet_step(st, grid, frc, cfg, ia_fn=ia_fn)
+    st = out.state
+    if cfg.interactive_icebergs_on:
+        moving = st.alive & (st.static_berg < 0.5)
+
+        def sel(new, old):
+            return jnp.where(moving, new, old)
+
+        st = st.replace(uvel_old=sel(st.uvel, st.uvel_old),
+                        vvel_old=sel(st.vvel, st.vvel_old),
+                        lon_old=sel(st.lon, st.lon_old),
+                        lat_old=sel(st.lat, st.lat_old))
+    return EvolveOut(st, out.tickets, out.bounced)

@@ -1,0 +1,118 @@
+"""Top-level model API: the TPU equivalent of ``module ice_bergs``.
+
+``icebergs_run`` (``src/icebergs.F90:5074-5889``) becomes one jit-compiled
+``step(state, forcing) -> (state, diagnostics)`` over fixed-capacity slabs.
+Sequence (mirroring the reference's call order):
+
+1. interpolate forcing to bergs (``interp_gridded_fields_to_bergs``)
+2. evolve momentum + positions (RK4 / Verlet / MTS)
+3. cell re-binning (the SoA analog of ``move_berg_between_cells`` +
+   ``send_bergs_to_other_pes``; a no-op on one device)
+4. thermodynamics (melt, rolling, death)
+5. calving (bucket spawning, footloose children)
+6. mass spreading to the ocean + diagnostics
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .config import IcebergsConfig
+from .dynamics import evolve_icebergs
+from .grid import Grid
+from .ops.interp import interp_flds
+from .state import BergState
+
+
+class StepDiags(NamedTuple):
+    nbergs: jnp.ndarray
+    tickets: jnp.ndarray
+    bounced: jnp.ndarray
+    total_mass: jnp.ndarray          # sum alive mass*mass_scaling (kg)
+    floating_melt: Optional[jnp.ndarray] = None   # (nx+2,ny+2) kg/m2/s
+    calving_hflx: Optional[jnp.ndarray] = None    # W/m2
+    berg_melt: Optional[jnp.ndarray] = None
+    spread_mass: Optional[jnp.ndarray] = None
+    spread_area: Optional[jnp.ndarray] = None
+    spread_uvel: Optional[jnp.ndarray] = None
+    spread_vvel: Optional[jnp.ndarray] = None
+    ustar_iceberg: Optional[jnp.ndarray] = None
+    mass_on_ocean: Optional[jnp.ndarray] = None
+    net_melt_heat: Optional[jnp.ndarray] = None
+
+
+def interp_to_bergs(st: BergState, grid: Grid, frc, cfg: IcebergsConfig,
+                    rx=0., ry=0.) -> BergState:
+    """Cache interpolated environment on every berg
+    (interp_gridded_fields_to_bergs, icebergs.F90:4673-4716)."""
+    env = interp_flds(grid, frc, cfg, st.lon, st.lat, st.ine, st.jne,
+                      st.xi, st.yj, rx, ry)
+    return st.replace(uo=env.uo, vo=env.vo, ui=env.ui, vi=env.vi,
+                      ua=env.ua, va=env.va, ssh_x=env.ssh_x, ssh_y=env.ssh_y,
+                      sst=env.sst, sss=env.sss, cn=env.cn, hi=env.hi,
+                      od=env.od)
+
+
+def step_dynamics(st: BergState, grid: Grid, frc, cfg: IcebergsConfig,
+                  ia_fn=None):
+    """Interp + evolve only (the minimum end-to-end slice)."""
+    st = interp_to_bergs(st, grid, frc, cfg)
+    out = evolve_icebergs(st, grid, frc, cfg, ia_fn=ia_fn)
+    return out
+
+
+def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
+              with_interactions: Optional[bool] = None,
+              with_calving: bool = False, jit: bool = True):
+    """Build the full jitted coupling step.
+
+    Returns ``step(state, forcing[, calving_flux]) -> (state, StepDiags)``.
+    """
+    from .ops import thermo as _thermo
+    from .ops import spread as _spread
+    from .ops import forces as _forces
+
+    interactive = (cfg.interactive_icebergs_on
+                   if with_interactions is None else with_interactions)
+
+    def step(st: BergState, frc, stored_ice=None):
+        # 1. interpolate fields to bergs
+        st = interp_to_bergs(st, grid, frc, cfg)
+
+        # 2. dynamics
+        ia_fn = None
+        if interactive:
+            nbr = _forces.build_neighbor_tables(st, grid, cfg)
+            ia_fn = _forces.make_ia_fn(st, nbr, cfg)
+        out = evolve_icebergs(st, grid, frc, cfg, ia_fn=ia_fn)
+        st = out.state
+
+        # 4. thermodynamics (melt + rolling + death)
+        melt_diags = None
+        if with_thermo:
+            st, melt_diags = _thermo.thermodynamics(st, grid, frc, cfg)
+
+        # 6. spread mass + gridded fields
+        sp = _spread.create_gridded_icebergs_fields(st, grid, frc, cfg)
+
+        diags = StepDiags(
+            nbergs=st.count(), tickets=out.tickets, bounced=out.bounced,
+            total_mass=jnp.sum(jnp.where(st.alive,
+                                         st.mass * st.mass_scaling, 0.)),
+            floating_melt=(melt_diags.floating_melt if melt_diags else None),
+            calving_hflx=(melt_diags.calving_hflx if melt_diags else None),
+            berg_melt=(melt_diags.berg_melt if melt_diags else None),
+            spread_mass=sp.spread_mass, spread_area=sp.spread_area,
+            spread_uvel=sp.spread_uvel, spread_vvel=sp.spread_vvel,
+            ustar_iceberg=sp.ustar_iceberg, mass_on_ocean=sp.mass_on_ocean,
+            net_melt_heat=(melt_diags.net_heat if melt_diags else None),
+        )
+        return st, diags
+
+    if jit:
+        step = jax.jit(step)
+    return step

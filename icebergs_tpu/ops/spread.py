@@ -1,0 +1,235 @@
+"""Mass spreading of bergs onto the ocean grid + derived gridded fields.
+
+TPU-native port of ``spread_mass_across_ocean_cells`` /
+``spread_variable_across_cells`` / ``calculate_mass_on_ocean`` /
+``sum_up_spread_fields`` / ``create_gridded_icebergs_fields``
+(``src/icebergs.F90:3390-3491, 3895-4243, 4970-5013, 6077-6152``).
+
+The reference accumulates each berg's 9-point footprint into per-cell
+9-slot buffers and halo-reduces them with MPI; here each berg scatter-adds
+its 9 weights directly into the halo-padded field (the halo ring is folded
+by the multi-device layer when sharded).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from .. import constants as C
+from ..config import IcebergsConfig
+from .thermo import fl_bits_dimensions
+from .hexagon import hexagon_into_quadrants_using_triangles
+
+
+class SpreadDiags(NamedTuple):
+    spread_mass: jnp.ndarray     # (nx+2, ny+2) kg/m2
+    spread_area: jnp.ndarray     # area fraction
+    spread_uvel: jnp.ndarray
+    spread_vvel: jnp.ndarray
+    ustar_iceberg: jnp.ndarray
+    mass_on_ocean: jnp.ndarray   # kg per cell (not divided by area)
+    u_iceberg: jnp.ndarray
+    v_iceberg: jnp.ndarray
+
+
+def spread_weights(st, grid, cfg: IcebergsConfig, *, Tn=None, Area=None):
+    """Per-berg 3x3 spreading weights (yDxL..yUxR order -> (9,N)).
+
+    Rectangle model (default, icebergs.F90:3960-4001) or hexagon model
+    (icebergs.F90:4003-4090).  Returns (weights[9, N], I_fraction_used).
+    Weight order: (dj, di) in row-major over dj in (-1,0,1), di in (-1,0,1).
+    """
+    x, y = st.xi, st.yj
+    i, j = st.ine, st.jne
+    I, J = i + 1, j + 1
+    msk = grid.msk
+    if Area is None:
+        Area = st.length * st.width
+    area_cell = grid.area[I, J]
+
+    m = {}
+    for dj in (-1, 0, 1):
+        for di in (-1, 0, 1):
+            m[(di, dj)] = msk[I + di, J + dj]
+
+    if not cfg.hexagonal_icebergs:
+        L = jnp.where(area_cell > 0.,
+                      jnp.minimum(jnp.sqrt(Area / jnp.maximum(area_cell, 1e-30)),
+                                  1.0), 1.0)
+        if cfg.use_old_spreading:
+            xL = jnp.minimum(0.5, jnp.maximum(0., 0.5 - x))
+            xR = jnp.minimum(0.5, jnp.maximum(0., x - 0.5))
+            yD = jnp.minimum(0.5, jnp.maximum(0., 0.5 - y))
+            yU = jnp.minimum(0.5, jnp.maximum(0., y - 0.5))
+        else:
+            Ls = jnp.maximum(L, 1e-30)
+            xL = jnp.minimum(0.5, jnp.maximum(0., 0.5 - x / Ls))
+            xR = jnp.minimum(0.5, jnp.maximum(0., x / Ls + (0.5 - 1. / Ls)))
+            yD = jnp.minimum(0.5, jnp.maximum(0., 0.5 - y / Ls))
+            yU = jnp.minimum(0.5, jnp.maximum(0., y / Ls + (0.5 - 1. / Ls)))
+        xC = jnp.maximum(0., 1. - (xL + xR))
+        yC = jnp.maximum(0., 1. - (yD + yU))
+
+        yDxL = yD * xL * m[(-1, -1)]
+        yDxC = yD * xC * m[(0, -1)]
+        yDxR = yD * xR * m[(1, -1)]
+        yCxL = yC * xL * m[(-1, 0)]
+        yCxR = yC * xR * m[(1, 0)]
+        yUxL = yU * xL * m[(-1, 1)]
+        yUxC = yU * xC * m[(0, 1)]
+        yUxR = yU * xR * m[(1, 1)]
+        yCxC = 1. - (((yDxL + yUxR) + (yDxR + yUxL))
+                     + ((yCxL + yCxR) + (yDxC + yUxC)))
+        I_frac = jnp.ones_like(x)
+    else:
+        # hexagonal elements: exact quadrant areas around the nearest corner
+        orientation = jnp.full_like(x, cfg.initial_orientation)
+        # (rotate_icebergs_for_mass_spreading via bonds handled by caller)
+        H = jnp.where(area_cell > 0.,
+                      jnp.minimum(jnp.sqrt(Area / (2. * math.sqrt(3.)))
+                                  / jnp.sqrt(jnp.maximum(area_cell, 1e-30)), 1.),
+                      (math.sqrt(3.) / 2.) * 0.49)
+        origin_x = jnp.where(x < 0.5, 0., 1.)
+        origin_y = jnp.where(y < 0.5, 0., 1.)
+        x0 = x - origin_x
+        y0 = y - origin_y
+        Area_hex, Q1, Q2, Q3, Q4 = hexagon_into_quadrants_using_triangles(
+            x0, y0, H, orientation)
+        Ah = jnp.maximum(Area_hex, 1e-30)
+        Q1, Q2, Q3, Q4 = Q1 / Ah, Q2 / Ah, Q3 / Ah, Q4 / Ah
+
+        right = x >= 0.5
+        top = y >= 0.5
+        z = jnp.zeros_like(x)
+        # quadrant -> cell assignment by nearest-vertex quadrant
+        # (icebergs.F90:4043-4064)
+        yUxR = jnp.where(right & top, Q1, z)
+        yUxC = jnp.where(right & top, Q2, jnp.where(~right & top, Q1, z))
+        yUxL = jnp.where(~right & top, Q2, z)
+        yCxL = jnp.where(~right & top, Q3, jnp.where(~right & ~top, Q2, z))
+        yCxC = jnp.where(right & top, Q3,
+                         jnp.where(~right & top, Q4,
+                                   jnp.where(~right & ~top, Q1, Q2)))
+        yCxR = jnp.where(right & top, Q4, jnp.where(right & ~top, Q1, z))
+        yDxL = jnp.where(~right & ~top, Q3, z)
+        yDxC = jnp.where(~right & ~top, Q4, jnp.where(right & ~top, Q3, z))
+        yDxR = jnp.where(right & ~top, Q4, z)
+
+        frac = (yDxL * m[(-1, -1)] + yDxC * m[(0, -1)] + yDxR * m[(1, -1)]
+                + yCxL * m[(-1, 0)] + yCxR * m[(1, 0)] + yUxL * m[(-1, 1)]
+                + yUxC * m[(0, 1)] + yUxR * m[(1, 1)]
+                + yCxC ** m[(0, 0)])   # NOTE: '**' reproduces yCxC**msk
+        frac = jnp.where(st.static_berg == 1., 1., frac)
+        I_frac = 1. / jnp.maximum(frac, 1e-30)
+
+    w = jnp.stack([yDxL, yDxC, yDxR, yCxL, yCxC, yCxR, yUxL, yUxC, yUxR])
+    return w, I_frac
+
+
+def _scatter9(grid, st, w, I_frac, values, alive):
+    """Scatter-add 9-point weighted values into a padded field."""
+    out = jnp.zeros((grid.nx + 2, grid.ny + 2), values.dtype)
+    I, J = st.ine + 1, st.jne + 1
+    k = 0
+    for dj in (-1, 0, 1):
+        for di in (-1, 0, 1):
+            contrib = jnp.where(alive, values * w[k] * I_frac, 0.)
+            out = out.at[I + di, J + dj].add(contrib)
+            k += 1
+    return out
+
+
+def berg_spread_mass(st, grid, frc, cfg: IcebergsConfig, *, Mberg=None,
+                     Mbits=None, scaling=None, Area=None, Tn=None,
+                     addfootloose=True):
+    """Per-berg total mass to spread (incl. grounding trim & clipping).
+
+    Port of the preamble of ``spread_mass_across_ocean_cells``
+    (icebergs.F90:3929-3958).  NOTE the reference shadows rho_seawater with
+    1035 inside this routine; reproduced here.
+    """
+    rho_sw = 1035.0
+    if Mberg is None:
+        Mberg = st.mass
+    if Mbits is None:
+        Mbits = st.mass_of_bits
+    if scaling is None:
+        scaling = st.mass_scaling
+    if Tn is None:
+        Tn = st.thickness
+    I, J = st.ine + 1, st.jne + 1
+
+    Mfl = st.mass_of_fl_bits if addfootloose else jnp.zeros_like(Mberg)
+    Mbits_fl = st.mass_of_fl_bergy_bits if addfootloose \
+        else jnp.zeros_like(Mberg)
+
+    Mass_berg = Mberg
+    if cfg.grounding_fraction > 0.:
+        Hocean = cfg.grounding_fraction * (grid.ocean_depth[I, J]
+                                           + frc.ssh[I, J])
+        Dn = (cfg.rho_bergs / rho_sw) * Tn
+        trim = jnp.minimum(1., Hocean / jnp.maximum(Dn, 1e-30))
+        Mass_berg = jnp.where(Dn > Hocean, Mass_berg * trim, Mass_berg)
+        Lfl, Wfl, Tfl = fl_bits_dimensions(cfg, st.thickness)
+        Dnf = (cfg.rho_bergs / rho_sw) * Tfl
+        trimf = jnp.minimum(1., Hocean / jnp.maximum(Dnf, 1e-30))
+        Mfl = jnp.where((Mfl > 0.) & (Dnf > Hocean), Mfl * trimf, Mfl)
+
+    Mass = (Mass_berg + Mfl + Mbits + Mbits_fl) * scaling
+    if cfg.clipping_depth > 0.:
+        Mass = jnp.minimum(Mass, cfg.clipping_depth * grid.area[I, J] * rho_sw)
+    return Mass
+
+
+def calculate_mass_on_ocean(st, grid, frc, cfg: IcebergsConfig):
+    """Scatter mass/area/momentum onto the grid
+    (calculate_mass_on_ocean, icebergs.F90:4970-5013)."""
+    alive = st.alive
+    w, I_frac = spread_weights(st, grid, cfg)
+    Mass = berg_spread_mass(st, grid, frc, cfg)
+    Area = st.length * st.width
+    mass_on_ocean = _scatter9(grid, st, w, I_frac, Mass, alive)
+    area_on_ocean = _scatter9(grid, st, w, I_frac, Area * st.mass_scaling,
+                              alive)
+    U_on_ocean = _scatter9(grid, st, w, I_frac,
+                           st.uvel * Area * st.mass_scaling, alive)
+    V_on_ocean = _scatter9(grid, st, w, I_frac,
+                           st.vvel * Area * st.mass_scaling, alive)
+    return mass_on_ocean, area_on_ocean, U_on_ocean, V_on_ocean
+
+
+def create_gridded_icebergs_fields(st, grid, frc, cfg: IcebergsConfig):
+    """Derive spread_mass/area/uvel/vvel and gridded ustar
+    (create_gridded_icebergs_fields, icebergs.F90:3390-3491)."""
+    mass_on, area_on, U_on, V_on = calculate_mass_on_ocean(st, grid, frc, cfg)
+    area_g = jnp.maximum(grid.area, 1e-30)
+    spread_mass = mass_on / area_g * (grid.msk > 0.)
+    spread_area = area_on / area_g * (grid.msk > 0.)
+    asafe = jnp.maximum(area_on, 1e-30)
+    spread_uvel = jnp.where(area_on > 0., U_on / asafe, 0.)
+    spread_vvel = jnp.where(area_on > 0., V_on / asafe, 0.)
+
+    # gridded friction velocity under bergs (icebergs.F90:3459-3469)
+    # corner B-grid uo/vo averaged to centers for the relative speed
+    uo_c = 0.25 * (frc.uo[:-1, :-1] + frc.uo[1:, :-1] + frc.uo[:-1, 1:]
+                   + frc.uo[1:, 1:])
+    vo_c = 0.25 * (frc.vo[:-1, :-1] + frc.vo[1:, :-1] + frc.vo[:-1, 1:]
+                   + frc.vo[1:, 1:])
+    uo_p = jnp.zeros_like(spread_mass).at[1:-1, 1:-1].set(uo_c)
+    vo_p = jnp.zeros_like(spread_mass).at[1:-1, 1:-1].set(vo_c)
+    dvo = jnp.sqrt((spread_uvel - uo_p) ** 2 + (spread_vvel - vo_p) ** 2)
+    ustar = jnp.sqrt(cfg.cdrag_icebergs * (dvo ** 2 + cfg.utide_icebergs ** 2))
+    ustar_h = jnp.maximum(cfg.ustar_icebergs_bg, ustar)
+    ustar_iceberg = jnp.where(spread_area == 0., 0., ustar_h)
+
+    # mass-weighted mean berg velocity (u_iceberg diagnostics)
+    u_ice = jnp.where(mass_on > 0., U_on / jnp.maximum(mass_on, 1e-30), 0.)
+    v_ice = jnp.where(mass_on > 0., V_on / jnp.maximum(mass_on, 1e-30), 0.)
+
+    return SpreadDiags(spread_mass=spread_mass, spread_area=spread_area,
+                       spread_uvel=spread_uvel, spread_vvel=spread_vvel,
+                       ustar_iceberg=ustar_iceberg, mass_on_ocean=mass_on,
+                       u_iceberg=u_ice, v_iceberg=v_ice)

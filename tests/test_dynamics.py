@@ -1,0 +1,132 @@
+"""Single-berg dynamics validation: drift relaxation, inertial circles,
+slope-driven acceleration, coast bounce.
+
+These are the analytic anchors the reference validates by eye with its
+stand-alone driver (driver/icebergs_driver.F90 constant-forcing modes).
+"""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import icebergs_tpu as ibt
+from icebergs_tpu import constants as C
+from icebergs_tpu.grid import pos_to_cell
+
+
+def make_world(nx=20, ny=20, dxy=5000.0, latlon=False, **cfg_kw):
+    cfg = ibt.IcebergsConfig(grid_is_latlon=latlon, Lx=-1.0 if not latlon else 360.,
+                             **cfg_kw)
+    grid = ibt.make_uniform_grid(nx, ny, 0.0, 0.0, dxy, dxy,
+                                 grid_is_latlon=latlon, Rearth=cfg.Rearth)
+    return cfg, grid
+
+
+def place(grid, cfg, lon, lat, capacity=8, **kw):
+    st = ibt.create_bergs(capacity, lon=np.atleast_1d(lon),
+                          lat=np.atleast_1d(lat), **kw)
+    i, j, xi, yj = pos_to_cell(grid, st.lon, st.lat,
+                               cfg.Lx if cfg.grid_is_latlon else -1.0)
+    return st.replace(ine=i, jne=j, xi=xi, yj=yj)
+
+
+def run_steps(st, grid, frc, cfg, n):
+    import jax
+    step = jax.jit(lambda s: ibt.step_dynamics(s, grid, frc, cfg).state)
+    for _ in range(n):
+        st = step(st)
+    return st
+
+
+@pytest.mark.parametrize("runge", [True, False])
+def test_relaxation_to_ocean_velocity(runge):
+    """A berg in a uniform current relaxes toward the water velocity."""
+    cfg, grid = make_world(latlon=False, Runge_not_Verlet=runge,
+                           use_f_plane=True, lat_ref=0.0, dt=600.0)
+    frc = ibt.uniform_forcing(grid.nx, grid.ny, uo=0.5, vo=0.0)
+    st = place(grid, cfg, 50000.0, 50000.0, mass=1e8, thickness=10.,
+               width=30., length=30.)
+    st = run_steps(st, grid, frc, cfg, 400)
+    u = float(st.uvel[0])
+    assert 0.3 < u <= 0.55, u
+    # still inside the domain
+    assert 0.0 < float(st.lon[0]) < 20 * 5000.0
+
+
+@pytest.mark.parametrize("runge", [True, False])
+def test_inertial_rotation(runge):
+    """On an f-plane with no forcing, the velocity vector rotates clockwise
+    (NH) at the inertial frequency."""
+    lat0 = 45.0
+    f = 2 * C.OMEGA * math.sin(math.radians(lat0))
+    cfg, grid = make_world(nx=40, ny=40, dxy=2000.0, latlon=False,
+                           Runge_not_Verlet=runge, use_f_plane=True,
+                           lat_ref=lat0, dt=120.0)
+    frc = ibt.uniform_forcing(grid.nx, grid.ny)
+    # huge berg => negligible drag
+    st = place(grid, cfg, 40000.0, 40000.0, uvel=0.2, vvel=0.0,
+               mass=1e12, thickness=200., width=800., length=800.)
+    # integrate a quarter inertial period
+    T4 = (2 * math.pi / f) / 4.0
+    n = int(round(T4 / cfg.dt))
+    st = run_steps(st, grid, frc, cfg, n)
+    u, v = float(st.uvel[0]), float(st.vvel[0])
+    ang = math.degrees(math.atan2(v, u))
+    # expected: rotated from 0 deg to about -90 deg
+    assert -110.0 < ang < -70.0, ang
+    speed = math.hypot(u, v)
+    assert 0.1 < speed <= 0.25, speed
+
+
+def test_ssh_slope_acceleration():
+    """-g grad(ssh) drives the berg downslope (plus Coriolis deflection)."""
+    cfg, grid = make_world(nx=20, ny=20, dxy=5000.0, latlon=False,
+                           use_f_plane=True, lat_ref=0.0, dt=60.0,
+                           Runge_not_Verlet=True)
+    # ssh sloping down to the east: eta = -s * x
+    s = 1e-6
+    x_centers = (np.arange(22) - 0.5) * 5000.0
+    ssh = np.tile((-s * x_centers)[:, None], (1, 22)).astype(np.float32)
+    frc = ibt.uniform_forcing(grid.nx, grid.ny)
+    frc = frc.replace(ssh=jnp.asarray(ssh))
+    st = place(grid, cfg, 50000.0, 50000.0, mass=1e9, thickness=50.,
+               width=100., length=100.)
+    st = run_steps(st, grid, frc, cfg, 5)
+    # du/dt ~ g*s => after 5 steps u ~ 5*60*9.8*1e-6 = 2.9e-3 (minus drag)
+    u = float(st.uvel[0])
+    assert u > 1e-3, u
+
+
+def test_coast_bounce():
+    """A berg pushed at a land cell bounces instead of entering it."""
+    nx = ny = 10
+    msk = np.ones((nx, ny))
+    msk[6, :] = 0.0   # wall of land at i=6
+    cfg = ibt.IcebergsConfig(grid_is_latlon=False, Lx=-1.0, use_f_plane=True,
+                             lat_ref=0.0, dt=600.0, Runge_not_Verlet=True)
+    grid = ibt.make_uniform_grid(nx, ny, 0.0, 0.0, 1000.0, 1000.0,
+                                 grid_is_latlon=False, msk=msk)
+    frc = ibt.uniform_forcing(nx, ny, uo=1.0)
+    st = place(grid, cfg, 5200.0, 5500.0, mass=1e7, thickness=10.,
+               width=20., length=20.)
+    st = run_steps(st, grid, frc, cfg, 50)
+    # berg must stay west of the wall
+    assert float(st.lon[0]) < 6000.0
+    assert int(st.ine[0]) <= 5
+
+
+def test_latlon_metric():
+    """Motion in degrees uses the spherical metric."""
+    cfg, grid = make_world(nx=20, ny=20, dxy=0.5, latlon=True, dt=3600.0,
+                           Runge_not_Verlet=True)
+    frc = ibt.uniform_forcing(grid.nx, grid.ny, uo=1.0)
+    st = place(grid, cfg, 5.0, 5.0, uvel=1.0, mass=1e7, thickness=10.,
+               width=20., length=20.)
+    lon_before = float(st.lon[0])
+    st = run_steps(st, grid, frc, cfg, 10)
+    dlon = float(st.lon[0]) - lon_before
+    # ~1 m/s for 10h at 5N: ddeg = 36000 / (pi/180*Re*cos(5deg))
+    expected = 36000.0 / (C.PI_180 * cfg.Rearth * math.cos(math.radians(5.0)))
+    assert abs(dlon - expected) / expected < 0.15, (dlon, expected)
