@@ -518,7 +518,10 @@ def thermodynamics(st, grid, frc, cfg: IcebergsConfig):
             fl_k=jnp.where(alive, fl_k, st.fl_k))
 
     # death / promotion of footloose bits (icebergs.F90:3225-3262)
-    melted = alive & (Mnew <= 0.) & ~cfg.Iceberg_melt_without_decay
+    if cfg.Iceberg_melt_without_decay:
+        melted = jnp.zeros_like(alive)
+    else:
+        melted = alive & (Mnew <= 0.)
     promote = melted & (Mnew_fl > 0.)
     kill = melted & ~promote
 

@@ -1,0 +1,131 @@
+"""Thermodynamics validation: the reference's basal-melt unit value, melt
+law behavior, rolling criteria, and mass-budget closure of the melt step.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+import icebergs_tpu as ibt
+from icebergs_tpu.ops import thermo
+from icebergs_tpu.grid import pos_to_cell
+
+
+def test_basal_melt_two_equation_reference_value():
+    """2-equation model with the basal_melt_test inputs (dvo=0.2, lat=0,
+    S=35, T=2 C, thickness=100 m; icebergs.F90:205-224) must match an
+    independent float64 derivation of the same Holland-Jenkins equations.
+
+    (BASELINE.md quotes 1.06185231754015e-5 m/s for this test, but that
+    number appears nowhere in the reference source and is not reproducible
+    from the reference equations with namelist defaults; the equation-level
+    value below is the anchor we regress against.)
+    """
+    cfg = ibt.IcebergsConfig()
+    val = thermo.find_basal_melt(cfg, jnp.array([0.2]), jnp.array([0.0]),
+                                 jnp.array([35.0]), jnp.array([2.0]),
+                                 jnp.array([100.0]),
+                                 use_three_equation=False)
+    # independent double-precision recomputation of the 2-eq model
+    dvo, salt, temp, thick = 0.2, 35.0, 2.0, 100.0
+    ustar_h = max(cfg.ustar_icebergs_bg,
+                  np.sqrt(cfg.cdrag_icebergs * dvo ** 2))
+    kv, kdt = 1.95e-6, 1.41e-7
+    PR = kv / kdt
+    gam_mol_t = 12.5 * PR ** (2. / 3.) - 6.
+    hBL = 10.0                       # f=0 at lat=0 -> mixed-layer depth
+    hnm = 0.052 * (hBL * ustar_h) / (5.0 * kv)
+    gam_turb = (1 / 0.4) * (np.log(hnm) + (0.5 / 0.052 - 1.0))
+    p_int = 101325.0 + 9.8 * thick * cfg.rho_bergs
+    tfr = (0.0832 - 0.0573 * salt) - 7.53e-8 * p_int
+    exch = ustar_h / (gam_mol_t + gam_turb)
+    lprec = (1025.0 * 3974.0) * exch * (temp - tfr) / 3.335e5
+    expected = lprec / cfg.rho_bergs
+    assert abs(float(val[0]) - expected) / expected < 1e-4, \
+        (float(val[0]), expected)
+
+
+def test_basal_melt_three_equation_close_to_two_eq():
+    """With const_gamma (default), the 3-eq model converges and gives a
+    melt rate in the same ballpark as the 2-eq value."""
+    cfg = ibt.IcebergsConfig()
+    v3 = thermo.find_basal_melt(cfg, jnp.array([0.2]), jnp.array([0.0]),
+                                jnp.array([35.0]), jnp.array([2.0]),
+                                jnp.array([100.0]), use_three_equation=True)
+    assert np.isfinite(float(v3[0]))
+    assert 0. < float(v3[0]) < 1e-3
+
+
+def test_rolling_updated_scheme():
+    cfg = ibt.IcebergsConfig(use_updated_rolling_scheme=True)
+    # thin wide berg: W < tip*T -> rolls (T and W swap)
+    T = jnp.array([100.0])
+    W = jnp.array([50.0])
+    L = jnp.array([200.0])
+    Tn, Wn, Ln = thermo.rolling(cfg, T, W, L)
+    # tip = sqrt(6*q*(1-q)) with q=850/1025 -> ~0.92; 0.92*100 > 50 -> roll
+    assert float(Tn[0]) == 50.0
+    assert float(Ln[0]) == 200.0
+    assert float(Wn[0]) == 100.0
+
+    # stable berg: W > tip*T -> no roll
+    Tn, Wn, Ln = thermo.rolling(cfg, jnp.array([50.]), jnp.array([100.]),
+                                jnp.array([200.]))
+    assert float(Tn[0]) == 50.0 and float(Wn[0]) == 100.0
+
+
+def _world_with_berg(sst=4.0, n=1, mass_scaling=1.0):
+    cfg = ibt.IcebergsConfig(grid_is_latlon=False, Lx=-1.0, use_f_plane=True,
+                             dt=3600.0, allow_bergs_to_roll=False)
+    grid = ibt.make_uniform_grid(10, 10, 0., 0., 1000., 1000.,
+                                 grid_is_latlon=False)
+    frc = ibt.uniform_forcing(10, 10, uo=0.3, sst=sst, sss=32.)
+    st = ibt.create_bergs(8, lon=np.full(n, 5500.0), lat=np.full(n, 5500.0),
+                          mass=np.full(n, 1e8), thickness=np.full(n, 50.),
+                          width=np.full(n, 40.), length=np.full(n, 50.),
+                          mass_scaling=np.full(n, mass_scaling),
+                          heat_density=np.full(n, 1e4))
+    i, j, xi, yj = pos_to_cell(grid, st.lon, st.lat, -1.0)
+    st = st.replace(ine=i, jne=j, xi=xi, yj=yj)
+    st = ibt.interp_to_bergs(st, grid, frc, cfg)
+    return cfg, grid, frc, st
+
+
+def test_melt_budget_closure():
+    """Mass lost by the berg equals the melt flux accumulated on the grid
+    (the reference's budget-closure invariant, icebergs.F90:5683-5889)."""
+    cfg, grid, frc, st = _world_with_berg()
+    m0 = float(jnp.sum(jnp.where(st.alive, st.mass * st.mass_scaling, 0.)))
+    st2, d = thermo.thermodynamics(st, grid, frc, cfg)
+    m1 = float(jnp.sum(jnp.where(st2.alive, st2.mass * st2.mass_scaling, 0.)))
+    melted = float(jnp.sum(d.floating_melt * grid.area)) * cfg.dt
+    assert melted > 0.
+    np.testing.assert_allclose(m0 - m1, melted, rtol=2e-4)
+
+
+def test_melt_shrinks_dimensions():
+    cfg, grid, frc, st = _world_with_berg(sst=10.0)
+    st2, _ = thermo.thermodynamics(st, grid, frc, cfg)
+    assert float(st2.thickness[0]) < 50.0
+    assert float(st2.length[0]) < 50.0
+    assert float(st2.width[0]) < 40.0
+
+
+def test_complete_melt_kills_berg():
+    cfg, grid, frc, st = _world_with_berg(sst=20.0)
+    # make the berg tiny so it melts away in one big step
+    st = st.replace(thickness=jnp.where(st.alive, 1e-3, st.thickness),
+                    width=jnp.where(st.alive, 1e-3, st.width),
+                    length=jnp.where(st.alive, 1e-3, st.length),
+                    mass=jnp.where(st.alive, 1e-3, st.mass))
+    st2, d = thermo.thermodynamics(st, grid, frc, cfg)
+    assert int(st2.count()) == 0
+    assert int(d.nbergs_melted) == 1
+
+
+def test_cold_water_no_melt_side():
+    """At SST below the law thresholds, buoyant-convection melt is zero."""
+    cfg, grid, frc, st = _world_with_berg(sst=-2.5)
+    st2, d = thermo.thermodynamics(st, grid, frc, cfg)
+    # Mv = 7.62e-3*SST+1.29e-3*SST^2 < 0 at SST=-2.5 -> clamped to 0;
+    # wave erosion also ~0; only basal melt from (SST+4)>0 remains.
+    assert float(jnp.sum(d.melt_conv)) == 0.0
