@@ -78,6 +78,7 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
 
     interactive = (cfg.interactive_icebergs_on
                    if with_interactions is None else with_interactions)
+    nbr_radius = _forces.neighbor_radius(grid, cfg) if interactive else 1
 
     def step(st: BergState, frc, stored_ice=None):
         # 1. interpolate fields to bergs
@@ -86,7 +87,8 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
         # 2. dynamics
         ia_fn = None
         if interactive:
-            nbr = _forces.build_neighbor_tables(st, grid, cfg)
+            nbr = _forces.build_neighbor_tables(st, grid, cfg,
+                                                ncells_radius=nbr_radius)
             ia_fn = _forces.make_ia_fn(st, nbr, cfg)
         out = evolve_icebergs(st, grid, frc, cfg, ia_fn=ia_fn)
         st = out.state
@@ -116,3 +118,18 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
     if jit:
         step = jax.jit(step)
     return step
+
+
+def make_multi_step(grid: Grid, cfg: IcebergsConfig, n_inner: int, **kw):
+    """Jit a scan of ``n_inner`` coupling steps (fixed forcing) — one
+    compiled program, no per-step dispatch."""
+    step = make_step(grid, cfg, jit=False, **kw)
+
+    @jax.jit
+    def multi(st: BergState, frc):
+        def body(s, _):
+            s, d = step(s, frc)
+            return s, None
+        st, _ = jax.lax.scan(body, st, None, length=n_inner)
+        return st
+    return multi

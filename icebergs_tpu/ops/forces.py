@@ -1,0 +1,419 @@
+"""Berg-berg interaction forces (springs + damping projections) and the
+cell-binned neighbor search.
+
+TPU-native port of ``interactive_force`` / ``calculate_force``
+(``src/icebergs.F90:479-804``).  The reference walks per-cell linked lists
+around each berg; here we bin bergs into grid cells once per step
+(fixed-capacity buckets built with a ranking scatter) and evaluate all
+candidate pairs as one masked (N, M) slab — no pointer chasing, fully
+vectorized, and the same math term-for-term (Stern et al 2017 Eqs 3-8).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as C
+from ..config import IcebergsConfig
+from ..grid import convert_from_grid_to_meters
+from .accel import IA
+
+
+class NeighborTables(NamedTuple):
+    cand_idx: jnp.ndarray        # (N, M) candidate partner slots (-1 = none)
+    cand_valid: jnp.ndarray      # (N, M) bool
+    is_bond_partner: jnp.ndarray  # (N, M) candidate is bonded to this berg
+
+
+def bin_bergs(st, grid, cfg: IcebergsConfig, max_per_cell: int):
+    """Bucket alive bergs by cell: returns (buckets[ncells, K], counts).
+
+    Replaces the reference's per-cell linked lists (``bergs%list``) with a
+    dense (ncells, K) slot table built by a ranking scatter.
+    """
+    nx, ny = grid.nx, grid.ny
+    ncells = nx * ny
+    cell = st.jne * nx + st.ine
+    cell = jnp.where(st.alive, cell, ncells)  # dead bergs -> overflow bucket
+
+    # rank of each berg within its cell: sort by cell, positions within runs
+    order = jnp.argsort(cell)
+    sorted_cell = cell[order]
+    idx = jnp.arange(cell.shape[0])
+    # start index of each berg's cell-run in the sorted array
+    first_of_run = jnp.searchsorted(sorted_cell, sorted_cell, side='left')
+    rank_sorted = idx - first_of_run
+    rank = jnp.zeros_like(rank_sorted).at[order].set(rank_sorted)
+
+    buckets = jnp.full((ncells + 1, max_per_cell), -1, jnp.int32)
+    ok = st.alive & (rank < max_per_cell)
+    c_safe = jnp.where(ok, cell, ncells)
+    r_safe = jnp.where(ok, rank, 0)
+    buckets = buckets.at[c_safe, r_safe].set(
+        jnp.where(ok, idx.astype(jnp.int32), -1))
+    counts = jnp.zeros((ncells + 1,), jnp.int32).at[c_safe].add(
+        ok.astype(jnp.int32))
+    return buckets, counts
+
+
+def neighbor_radius(grid, cfg: IcebergsConfig) -> int:
+    """Contact-cell search radius in cells.
+
+    Mirrors contact_cells sizing from contact_distance
+    (icebergs_framework.F90:1493-1527); 5x5 for the same-conglomerate
+    window; 3x3 on the legacy path.  Host-side (must run outside jit).
+    """
+    import numpy as np
+    modern = (cfg.mts or cfg.contact_distance > 0.
+              or cfg.contact_spring_coef_eff != cfg.spring_coef)
+    r = 2 if (modern and cfg.iceberg_bonds_on) else 1
+    if cfg.contact_distance > 0.:
+        dx = np.asarray(grid.dx)[1:-1, 1:-1]
+        dmin = float(np.min(np.where(dx > 0, dx, np.inf)))
+        if dmin > 0 and np.isfinite(dmin):
+            r = max(r, int(np.ceil(cfg.contact_distance / dmin)))
+    return r
+
+
+def build_neighbor_tables(st, grid, cfg: IcebergsConfig,
+                          max_per_cell: int = 16,
+                          ncells_radius: int | None = None) -> NeighborTables:
+    """Candidate partners for every berg from the (2r+1)^2 surrounding cells.
+
+    ``ncells_radius`` defaults to the reference's contact-cell radius
+    (contact_cells from contact_distance, icebergs_framework.F90:1493-1527;
+    1 for the legacy 3x3 path).
+    """
+    nx, ny = grid.nx, grid.ny
+    if ncells_radius is None:
+        ncells_radius = neighbor_radius(grid, cfg)
+    r = ncells_radius
+
+    buckets, _ = bin_bergs(st, grid, cfg, max_per_cell)
+    ncells = nx * ny
+
+    cand = []
+    for dj in range(-r, r + 1):
+        for di in range(-r, r + 1):
+            ci = st.ine + di
+            cj = st.jne + dj
+            ok = (ci >= 0) & (ci < nx) & (cj >= 0) & (cj < ny) & st.alive
+            c = jnp.where(ok, cj * nx + ci, ncells)
+            cand.append(buckets[c])          # (N, K)
+    cand_idx = jnp.concatenate(cand, axis=1)  # (N, M)
+
+    self_idx = jnp.arange(st.capacity)[:, None]
+    valid = (cand_idx >= 0) & (cand_idx != self_idx)
+    cand_safe = jnp.maximum(cand_idx, 0)
+    valid = valid & st.alive[cand_safe] & st.alive[:, None]
+
+    # mark candidates that are bonded to this berg (the reference negates
+    # partner ids to skip them in the contact loop, icebergs.F90:535)
+    bond_idx = st.bond_idx                    # (N, B)
+    is_bonded = jnp.any(cand_idx[:, :, None] ==
+                        jnp.where(bond_idx >= 0, bond_idx, -2)[:, None, :],
+                        axis=-1)
+    return NeighborTables(cand_idx=cand_safe, cand_valid=valid,
+                          is_bond_partner=is_bonded & valid)
+
+
+def _interaction_radius(cfg: IcebergsConfig, A):
+    """Inscribed-circle radius by packing shape (Stern et al 2017 Eq 4)."""
+    if cfg.hexagonal_icebergs:
+        return jnp.sqrt(A / (2. * jnp.sqrt(jnp.asarray(3., A.dtype))))
+    if cfg.iceberg_bonds_on:
+        return 0.5 * jnp.sqrt(A)
+    return jnp.sqrt(A / C.PI)
+
+
+def _pair_geometry(st, cfg: IcebergsConfig, other, bonded_const_LW: bool):
+    """Masses/areas of both ends of each pair (icebergs.F90:655-668)."""
+    T1 = st.thickness[:, None]
+    T2 = st.thickness[other]
+    if bonded_const_LW:
+        A1 = cfg.constant_length * cfg.constant_width * jnp.ones_like(T1)
+        M1 = A1 * T1 * cfg.rho_bergs
+        A2 = jnp.broadcast_to(A1, T2.shape)
+        M2 = A2 * T2 * cfg.rho_bergs
+    else:
+        A1 = (st.length * st.width)[:, None]
+        M1 = st.mass[:, None]
+        A2 = st.length[other] * st.width[other]
+        M2 = st.mass[other]
+    return T1, T2, A1, A2, M1, M2
+
+
+def pair_forces(st, cfg: IcebergsConfig, other, mask, *, bonded: bool,
+                use_c_crit_dist: bool, u0, v0, u1, v1):
+    """Spring + damping contributions from candidate pairs.
+
+    Vectorized ``calculate_force`` (icebergs.F90:610-804): ``other`` is an
+    (N, M) partner-slot array, ``mask`` the pair validity; ``u0/v0`` the
+    primary's start-of-step velocity, ``u1/v1`` the current iterate.
+    Partner kinematics use the *_old copies for order invariance.
+    Returns an :class:`IA` accumulated over the M candidates.
+    """
+    dtype = st.lon.dtype
+    lon1 = st.lon_old[:, None]
+    lat1 = st.lat_old[:, None]
+    lon2 = st.lon_old[other]
+    lat2 = st.lat_old[other]
+    u2 = st.uvel_old[other]
+    v2 = st.vvel_old[other]
+
+    # footloose children in the -1 state interact with nothing
+    # (icebergs.F90:514, 652)
+    mask = mask & (st.fl_k[:, None] != -1.) & (st.fl_k[other] != -1.)
+
+    const_LW = cfg.constant_interaction_LW and cfg.mts and bonded
+    T1, T2, A1, A2, M1, M2 = _pair_geometry(st, cfg, other, const_LW)
+
+    lat_ref = 0.5 * (lat1 + lat2)
+    dx_dlon, dy_dlat = convert_from_grid_to_meters(
+        lat_ref, cfg.grid_is_latlon, cfg.Rearth)
+    r_dist_x = (lon1 - lon2) * dx_dlon
+    r_dist_y = (lat1 - lat2) * dy_dlat
+    r_dist = jnp.sqrt(r_dist_x ** 2 + r_dist_y ** 2)
+
+    R1 = _interaction_radius(cfg, A1)
+    R2 = _interaction_radius(cfg, A2)
+    M_min = jnp.minimum(M1, M2)
+
+    if bonded:
+        crit_dist = R1 + R2
+        spring_coef = cfg.spring_coef
+    elif use_c_crit_dist:
+        crit_dist = R1 + R2
+        spring_coef = cfg.spring_coef
+    else:
+        crit_dist = jnp.maximum(R1 + R2, cfg.contact_distance)
+        spring_coef = cfg.contact_spring_coef_eff
+
+    # critical damping from the pair's spring coefficient (icebergs.F90:706-715)
+    if cfg.critical_interaction_damping_on:
+        radial_damping = 2. * jnp.sqrt(spring_coef)
+        if cfg.tang_crit_int_damp_on:
+            tangental_damping = 2. * jnp.sqrt(spring_coef) / 4.
+        else:
+            tangental_damping = cfg.tangental_damping_coef
+    else:
+        radial_damping = cfg.radial_damping_coef
+        tangental_damping = cfg.tangental_damping_coef
+
+    # legacy STS: bonds only pull when over-stretched (icebergs.F90:698-703)
+    tbonded = bonded
+    legacy = not (cfg.mts or (cfg.contact_distance > 0.)
+                  or (cfg.contact_spring_coef_eff != cfg.spring_coef))
+    if bonded and legacy:
+        engaged = r_dist > crit_dist
+    elif bonded:
+        engaged = jnp.ones_like(r_dist, bool)
+    else:
+        engaged = r_dist < crit_dist
+    active = mask & (r_dist > 0.) & engaged
+
+    rsafe = jnp.where(r_dist > 0., r_dist, 1.)
+    accel_spring = spring_coef * (M_min / M1) * (crit_dist - r_dist)
+    IA_x = jnp.sum(jnp.where(active, accel_spring * r_dist_x / rsafe, 0.), -1)
+    IA_y = jnp.sum(jnp.where(active, accel_spring * r_dist_y / rsafe, 0.), -1)
+
+    # damping projections (Stern et al 2017 Eq 8)
+    P11r = (r_dist_x * r_dist_x) / (rsafe ** 2)
+    P12r = (r_dist_x * r_dist_y) / (rsafe ** 2)
+    P22r = (r_dist_y * r_dist_y) / (rsafe ** 2)
+
+    def pmag(P11, P12, P22, coef):
+        if not cfg.scale_damping_by_pmag:
+            return coef
+        du1, dv1 = u2 - u1[:, None], v2 - v1[:, None]
+        du0, dv0 = u2 - u0[:, None], v2 - v0[:, None]
+        m1 = jnp.sqrt((P11 * du1 + P12 * dv1) ** 2 + (P12 * du1 + P22 * dv1) ** 2)
+        m0 = jnp.sqrt((P11 * du0 + P12 * dv0) ** 2 + (P12 * du0 + P22 * dv0) ** 2)
+        return coef * 0.5 * (m1 + m0)
+
+    out = {}
+    for name, (P11, P12, P21, P22, coef0) in {
+        'rad': (P11r, P12r, P12r, P22r, radial_damping),
+        'tan': (1. - P11r, -P12r, -P12r, 1. - P22r, tangental_damping),
+    }.items():
+        coef = pmag(P11, P12, P22, coef0) * (M_min / M1)
+        w = jnp.where(active, coef, 0.)
+        out[name] = (
+            jnp.sum(w * P11, -1), jnp.sum(w * P12, -1),
+            jnp.sum(w * P21, -1), jnp.sum(w * P22, -1),
+            jnp.sum(w * (P11 * u2 + P12 * v2), -1),
+            jnp.sum(w * (P12 * u2 + P22 * v2), -1))
+
+    P11 = out['rad'][0] + out['tan'][0]
+    P12 = out['rad'][1] + out['tan'][1]
+    P21 = out['rad'][2] + out['tan'][2]
+    P22 = out['rad'][3] + out['tan'][3]
+    Pu_x = out['rad'][4] + out['tan'][4]
+    Pu_y = out['rad'][5] + out['tan'][5]
+    return IA(IA_x=IA_x, IA_y=IA_y, P11=P11, P12=P12, P21=P21, P22=P22,
+              Pu_x=Pu_x, Pu_y=Pu_y)
+
+
+def bond_partner_table(st):
+    """(N, B) partner slots + validity from the bond table."""
+    other = jnp.maximum(st.bond_idx, 0)
+    valid = (st.bond_idx >= 0) & st.alive[:, None] & st.alive[other]
+    return other, valid
+
+
+def make_ia_fn(st, nbr: NeighborTables, cfg: IcebergsConfig,
+               mts_part: int = 0):
+    """Build the interactive-force closure used inside ``accel``.
+
+    Dispatch mirrors ``interactive_force`` (icebergs.F90:479-607):
+
+    * modern path (mts / contact_distance / separate contact spring):
+      bonded pairs + same-conglomerate contact (5x5 cells, c_crit_dist) when
+      mts_part != 1, plus cross-conglomerate collisions when mts_part != 3;
+    * legacy path: all 3x3-cell pairs unbonded + bonded pairs.
+    """
+    u0_fix, v0_fix = st.uvel, st.vvel   # start-of-step (uvel0 in accel)
+    modern = (cfg.mts or cfg.contact_distance > 0.
+              or cfg.contact_spring_coef_eff != cfg.spring_coef)
+    bond_other, bond_valid = bond_partner_table(st)
+    conglom = st.conglom_id
+    same_conglom = conglom[:, None] == conglom[nbr.cand_idx]
+
+    def ia_fn(u1, v1):
+        args = dict(u0=u0_fix, v0=v0_fix, u1=u1, v1=v1)
+        total = None
+
+        def acc(a, b):
+            if a is None:
+                return b
+            return IA(*(x + y for x, y in zip(a, b)))
+
+        if modern:
+            if (not cfg.mts) or mts_part == 3:
+                if cfg.iceberg_bonds_on:
+                    total = acc(total, pair_forces(
+                        st, cfg, bond_other, bond_valid, bonded=True,
+                        use_c_crit_dist=False, **args))
+                    # same-conglom, non-bonded contact (c_crit_dist=True)
+                    m = (nbr.cand_valid & same_conglom
+                         & ~nbr.is_bond_partner)
+                    total = acc(total, pair_forces(
+                        st, cfg, nbr.cand_idx, m, bonded=False,
+                        use_c_crit_dist=True, **args))
+            if (not cfg.mts) or mts_part == 1:
+                m = nbr.cand_valid & ~same_conglom
+                total = acc(total, pair_forces(
+                    st, cfg, nbr.cand_idx, m, bonded=False,
+                    use_c_crit_dist=False, **args))
+        else:
+            total = acc(total, pair_forces(
+                st, cfg, nbr.cand_idx, nbr.cand_valid, bonded=False,
+                use_c_crit_dist=False, **args))
+            if cfg.iceberg_bonds_on:
+                total = acc(total, pair_forces(
+                    st, cfg, bond_other, bond_valid, bonded=True,
+                    use_c_crit_dist=False, **args))
+        if total is None:
+            from .accel import zero_ia
+            total = zero_ia(st.lon.shape, st.lon.dtype)
+        return total
+
+    return ia_fn
+
+
+# --------------------------------------------------------------------------
+# bond setup utilities
+# --------------------------------------------------------------------------
+
+def initialize_bonds_host(st, cfg: IcebergsConfig, capacity_bonds=None):
+    """Form bonds between nearby bergs (host-side, at init).
+
+    Port of ``initialize_iceberg_bonds`` (icebergs.F90:355-442): bond when
+    distance < length_for_manually_initialize_bonds, or (radius criterion)
+    < 1.25 x smaller interaction radius.
+    """
+    import numpy as np
+    alive = np.asarray(st.alive)
+    n = int(alive.sum())
+    idx = np.nonzero(alive)[0]
+    lon = np.asarray(st.lon, np.float64)[idx]
+    lat = np.asarray(st.lat, np.float64)[idx]
+    L = np.asarray(st.length, np.float64)[idx]
+    W = np.asarray(st.width, np.float64)[idx]
+
+    lat_ref = 0.5 * (lat[:, None] + lat[None, :])
+    if cfg.grid_is_latlon:
+        dxl = (np.pi / 180.) * cfg.Rearth * np.cos((np.pi / 180.) * lat_ref)
+        dyl = (np.pi / 180.) * cfg.Rearth
+    else:
+        dxl = np.ones_like(lat_ref)
+        dyl = 1.0
+    rx = (lon[:, None] - lon[None, :]) * dxl
+    ry = (lat[:, None] - lat[None, :]) * dyl
+    r = np.hypot(rx, ry)
+    np.fill_diagonal(r, np.inf)
+
+    A = L * W
+    if cfg.hexagonal_icebergs:
+        R = np.sqrt(A / (2. * np.sqrt(3.)))
+    else:
+        R = 0.5 * np.sqrt(A)
+    if cfg.manually_initialize_bonds_from_radii:
+        crit = 1.25 * np.minimum(R[:, None], R[None, :])
+    else:
+        crit = cfg.length_for_manually_initialize_bonds
+    pairs = r < crit
+
+    B = st.max_bonds
+    bond_idx = np.full((st.capacity, B), -1, np.int32)
+    bond_len = np.zeros((st.capacity, B))
+    nb = np.zeros((st.capacity,))
+    for a in range(n):
+        partners = np.nonzero(pairs[a])[0]
+        for k, b in enumerate(partners[:B]):
+            bond_idx[idx[a], k] = idx[b]
+            bond_len[idx[a], k] = r[a, b]
+        nb[idx[a]] = min(len(partners), B)
+
+    st = st.replace(bond_idx=jnp.asarray(bond_idx),
+                    bond_length=jnp.asarray(bond_len, st.dtype),
+                    n_bonds=jnp.asarray(nb, st.dtype))
+    return compute_conglom_ids_host(st)
+
+
+def compute_conglom_ids_host(st):
+    """Label bonded conglomerates (host-side union-find).
+
+    The SoA analog of ``set_conglom_ids`` (icebergs_framework.F90:2737) —
+    every berg in a connected bond component gets the same positive label;
+    unbonded bergs get 0 -- wait, the reference labels unbonded bergs with
+    unique negative... we use 0 for unbonded and 1..K for components, and
+    treat "same conglomerate" as (label equal AND label > 0) upstream by
+    giving unbonded bergs unique labels.
+    """
+    import numpy as np
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components
+
+    N = st.capacity
+    bond_idx = np.asarray(st.bond_idx)
+    rows, cols = [], []
+    for k in range(bond_idx.shape[1]):
+        m = bond_idx[:, k] >= 0
+        rows.append(np.nonzero(m)[0])
+        cols.append(bond_idx[m, k])
+    rows = np.concatenate(rows) if rows else np.zeros(0, np.int64)
+    cols = np.concatenate(cols) if cols else np.zeros(0, np.int64)
+    g = coo_matrix((np.ones(len(rows)), (rows, cols)), shape=(N, N))
+    _, labels = connected_components(g, directed=False)
+    # unique labels everywhere; bergs sharing bonds share labels
+    return st.replace(conglom_id=jnp.asarray(labels + 1, jnp.int32))
+
+
+def count_bonds(st):
+    """Refresh n_bonds from the bond table (count_bonds, framework:4860)."""
+    dem_alive = (st.bond_idx >= 0) & (st.bond_broken != 1)
+    return st.replace(n_bonds=jnp.sum(dem_alive, axis=1).astype(st.dtype))
