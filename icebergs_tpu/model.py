@@ -84,14 +84,21 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
         # 1. interpolate fields to bergs
         st = interp_to_bergs(st, grid, frc, cfg)
 
-        # 2. dynamics
-        ia_fn = None
-        if interactive:
-            nbr = _forces.build_neighbor_tables(st, grid, cfg,
-                                                ncells_radius=nbr_radius)
-            ia_fn = _forces.make_ia_fn(st, nbr, cfg)
-        out = evolve_icebergs(st, grid, frc, cfg, ia_fn=ia_fn)
-        st = out.state
+        # 2. dynamics (MTS dispatch mirrors icebergs_run 5426-5441)
+        if cfg.mts:
+            from .mts import evolve_icebergs_mts
+            st, mts_d = evolve_icebergs_mts(st, grid, frc, cfg)
+            from .dynamics import EvolveOut
+            out = EvolveOut(st, jnp.zeros((), jnp.int32),
+                            jnp.zeros((), jnp.int32))
+        else:
+            ia_fn = None
+            if interactive:
+                nbr = _forces.build_neighbor_tables(st, grid, cfg,
+                                                    ncells_radius=nbr_radius)
+                ia_fn = _forces.make_ia_fn(st, nbr, cfg)
+            out = evolve_icebergs(st, grid, frc, cfg, ia_fn=ia_fn)
+            st = out.state
 
         # 4. thermodynamics (melt + rolling + death)
         melt_diags = None

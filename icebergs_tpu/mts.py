@@ -1,0 +1,501 @@
+"""Multiple-time-stepping velocity Verlet (MTS) and the iKID DEM loop.
+
+TPU-native port of ``evolve_icebergs_mts`` (``src/icebergs.F90:6576-7078``),
+``accel_mts`` (1277-1708) and ``accel_explicit_inner_mts`` (1709-1947):
+
+* **Part 1** — solve V_{n+1} with slow forces (ocean/atm/ice drag, Coriolis,
+  slope, wave radiation) plus cross-conglomerate collision forces, with an
+  optional fixed-point ``force_convergence`` iteration;
+* **Part 2** — half-kick by the slow acceleration;
+* **Part 3** — ``mts_sub_steps`` fast substeps over bond/contact forces
+  only, as one ``lax.scan`` (drift, DEM bond forces, torque/angular update,
+  per-substep fracture).  No communication happens inside the scan — the
+  multi-device layer replicates whole conglomerates beforehand, exactly the
+  invariant ``transfer_mts_bergs`` maintains in the reference.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import constants as C
+from .config import IcebergsConfig
+from .dynamics import adjust_index_and_ground, _advance_position
+from .grid import Grid
+from .ops import forces as _forces
+from .ops import dem as _dem
+from .ops.accel import IA, zero_ia
+
+
+class MtsDiags(NamedTuple):
+    broken_bonds: jnp.ndarray
+
+
+def _slow_accel_mts(st, cfg: IcebergsConfig, ia_fn):
+    """Part-1 acceleration (accel_mts with mts_part=1).
+
+    u* = V_k (previous cycle's final velocity); all explicit terms land in
+    axn; the implicit 2x2 solve uses scaling=0.5 and CN Coriolis.
+    Returns (ax, ay, axn, ayn, bxn, byn, Fdc_mag).
+    """
+    scaling = 0.5
+    u_star, v_star = st.uvel, st.vvel
+    uvel0, vvel0 = st.uvel, st.vvel
+    dt = cfg.dt
+
+    if cfg.grid_is_latlon and not cfg.use_f_plane:
+        f_cori = (2. * C.OMEGA) * jnp.sin(C.PI_180 * st.lat)
+    else:
+        f_cori = (2. * C.OMEGA) * jnp.sin(C.PI_180 * cfg.lat_ref) \
+            * jnp.ones_like(st.lat)
+
+    M = st.mass
+    T = st.thickness
+    D = (cfg.rho_bergs / C.RHO_SEAWATER) * T
+    F = T - D
+    W, L = st.width, st.length
+    hi = jnp.minimum(st.hi, D)
+    D_hi = jnp.maximum(0., D - hi)
+    uo, vo, ui, vi, ua, va = st.uo, st.vo, st.ui, st.vi, st.ua, st.va
+
+    # radius-based vertical faces for hexagonal DEM elements
+    # (icebergs.F90:1378-1386)
+    if cfg.dem and cfg.hexagonal_icebergs and cfg.radius_based_drag:
+        L2 = 2. * jnp.sqrt(L * W / (2. * jnp.sqrt(jnp.asarray(3., M.dtype))))
+        W2 = L2
+    else:
+        L2, W2 = L, W
+
+    # grounding ramp
+    if cfg.h_to_init_grounding > 0.:
+        groundfrac = jnp.clip(1.0 - (st.od - D) / cfg.h_to_init_grounding,
+                              0., 1.)
+    else:
+        groundfrac = jnp.where(D > st.od, 1.0, 0.0)
+    c_gnd = jnp.where(groundfrac > 0.,
+                      (cfg.cdrag_grounding * W * L * groundfrac) / M, 0.)
+    if cfg.short_step_mts_grounding:
+        c_gnd = jnp.zeros_like(c_gnd)
+
+    # wave radiation
+    uwave, vwave = ua - uo, va - vo
+    wmod2 = uwave ** 2 + vwave ** 2
+    ampl = 0.5 * 0.02025 * wmod2
+    Lwl = 0.32 * wmod2
+    Cr = 0.06 * jnp.clip((L2 - 0.125 * Lwl) / (0.125 * Lwl + 1.e-30), 0., 1.)
+    wave_rad = 0.5 * C.RHO_SEAWATER / M * Cr * C.GRAVITY * ampl \
+        * jnp.minimum(ampl, F) * (2. * W2 * L2) / (W2 + L2)
+    wmod = jnp.sqrt(ua ** 2 + va ** 2)
+    nz = wmod != 0.
+    uwave = jnp.where(nz, ua / jnp.where(nz, wmod, 1.), 0.)
+    vwave = jnp.where(nz, va / jnp.where(nz, wmod, 1.), 0.)
+    wave_rad = jnp.where(nz, wave_rad, 0.)
+
+    if cfg.iceberg_bonds_on and cfg.internal_bergs_for_drag:
+        dragfrac = (cfg.n_max_bonds_shape - st.n_bonds) / cfg.n_max_bonds_shape
+    else:
+        dragfrac = jnp.ones_like(M)
+
+    c_ocn = C.RHO_SEAWATER / M * cfg.ocean_drag_scale \
+        * (0.5 * C.CD_WV * dragfrac * W2 * D_hi + C.CD_WH * W * L)
+    c_atm = C.RHO_AIR / M * (0.5 * C.CD_AV * dragfrac * W2 * F
+                             + C.CD_AH * W * L)
+    c_ice = jnp.where(jnp.abs(hi) == 0., 0.,
+                      C.RHO_ICE / M * (0.5 * C.CD_IV * dragfrac * W2 * hi))
+    c_ice = jnp.where(jnp.abs(ui) + jnp.abs(vi) == 0., 0., c_ice)
+
+    ia = ia_fn(uvel0, vvel0)
+    if cfg.only_interactive_forces:
+        axn = ia.IA_x * 0.
+        ayn = ia.IA_y * 0.
+    else:
+        axn = -C.GRAVITY * st.ssh_x + wave_rad * uwave + ia.IA_x
+        ayn = -C.GRAVITY * st.ssh_y + wave_rad * vwave + ia.IA_y
+        axn = axn + f_cori * v_star
+        ayn = ayn - f_cori * u_star
+
+    def spd(a, b):
+        return jnp.sqrt(a * a + b * b)
+
+    uveln, vveln = uvel0, vvel0
+    ax = ay = jnp.zeros_like(M)
+    for itloop in (1, 2):
+        if itloop == 2:
+            ia = ia_fn(uveln, vveln)   # re-evaluate with the iterate
+        if cfg.only_interactive_forces:
+            # bergs feel interaction forces only (icebergs.F90:1480-1494)
+            RHS_x = (ia.IA_x / 2.) - scaling * (
+                (ia.P11 * u_star + ia.P12 * v_star) - ia.Pu_x)
+            RHS_y = (ia.IA_y / 2.) - scaling * (
+                (ia.P21 * u_star + ia.P22 * v_star) - ia.Pu_y)
+            A11 = 1. + scaling * dt * ia.P11
+            A22 = 1. + scaling * dt * ia.P22
+            A12 = scaling * dt * ia.P12
+            A21 = scaling * dt * ia.P21
+        else:
+            drag_ocn = c_ocn * 0.5 * (spd(uveln - uo, vveln - vo)
+                                      + spd(uvel0 - uo, vvel0 - vo))
+            drag_atm = c_atm * 0.5 * (spd(uveln - ua, vveln - va)
+                                      + spd(uvel0 - ua, vvel0 - va))
+            drag_ice = c_ice * 0.5 * (spd(uveln - ui, vveln - vi)
+                                      + spd(uvel0 - ui, vvel0 - vi))
+            drag_gnd = c_gnd
+            RHS_x = (axn / 2.) + scaling * (
+                -drag_ocn * (u_star - uo) - drag_atm * (u_star - ua)
+                - drag_ice * (u_star - ui) - drag_gnd * u_star)
+            RHS_y = (ayn / 2.) + scaling * (
+                -drag_ocn * (v_star - vo) - drag_atm * (v_star - va)
+                - drag_ice * (v_star - vi) - drag_gnd * v_star)
+            RHS_x = RHS_x - scaling * ((ia.P11 * u_star + ia.P12 * v_star)
+                                       - ia.Pu_x)
+            RHS_y = RHS_y - scaling * ((ia.P21 * u_star + ia.P22 * v_star)
+                                       - ia.Pu_y)
+
+            lam = drag_ocn + drag_atm + drag_ice + drag_gnd
+            A11 = 1. + scaling * dt * lam + scaling * dt * ia.P11
+            A22 = 1. + scaling * dt * lam + scaling * dt * ia.P22
+            A12 = -scaling * dt * f_cori / 2. + scaling * dt * ia.P12
+            A21 = scaling * dt * f_cori / 2. + scaling * dt * ia.P21
+        detA = 1. / (A11 * A22 - A12 * A21)
+        ax = detA * (A22 * RHS_x - A12 * RHS_y)
+        ay = detA * (A11 * RHS_y - A21 * RHS_x)
+        uveln = u_star + dt * ax
+        vveln = v_star + dt * ay
+
+    # recompute explicit split with the new velocity (CN Coriolis)
+    if cfg.only_interactive_forces:
+        axn, ayn = ia.IA_x, ia.IA_y
+    else:
+        axn = -C.GRAVITY * st.ssh_x + wave_rad * uwave + ia.IA_x \
+            + f_cori * vveln
+        ayn = -C.GRAVITY * st.ssh_y + wave_rad * vwave + ia.IA_y \
+            - f_cori * uveln
+    bxn = 2. * ax - axn
+    byn = 2. * ay - ayn
+
+    # collisional damping force magnitude (convergence bookkeeping)
+    Fdc_x = M * (ia.Pu_x - (ia.P11 * uveln + ia.P12 * vveln))
+    Fdc_y = M * (ia.Pu_y - (ia.P21 * uveln + ia.P22 * vveln))
+    return ax, ay, axn, ayn, bxn, byn, jnp.abs(Fdc_x) + jnp.abs(Fdc_y)
+
+
+def _contact_masks(st, nbr, cfg: IcebergsConfig):
+    """Substep contact candidates: same-conglomerate, not unbroken-bonded,
+    both ends with open bond slots (accel_explicit_inner_mts contact rules,
+    icebergs.F90:1817-1855)."""
+    other = nbr.cand_idx
+    same = st.conglom_id[:, None] == st.conglom_id[other]
+    unbroken_partner = jnp.any(
+        (other[:, :, None] == jnp.where(st.bond_idx >= 0, st.bond_idx, -2)[:, None, :])
+        & (st.bond_broken[:, None, :] != 1), axis=-1)
+    open_self = (st.n_bonds < cfg.max_bonds)[:, None]
+    open_other = st.n_bonds[other] < cfg.max_bonds
+    m = nbr.cand_valid & same & ~unbroken_partner & open_other
+    if cfg.dem:
+        m = m & open_self
+    return m
+
+
+def _substep_forces(st, nbr, cfg: IcebergsConfig, dt):
+    """One substep's bond + contact accelerations (explicit inner MTS).
+
+    Returns (axn, ayn, ang_accel, new bond bookkeeping)."""
+    if cfg.dem:
+        out = _dem.dem_bond_forces(st, cfg, dt)
+        IA_x, IA_y, IAd_x, IAd_y = (jnp.zeros_like(st.uvel),) * 4
+        if cfg.use_broken_bonds_for_substep_contact:
+            # contact only through broken-bond pairs
+            bo = jnp.maximum(st.bond_idx, 0)
+            bm = (st.bond_idx >= 0) & (st.bond_broken == 1) \
+                & st.alive[:, None] & st.alive[bo]
+            cIA_x, cIA_y, cIAd_x, cIAd_y = _dem.dem_contact_forces(
+                st, cfg, bo, bm)
+        else:
+            m = _contact_masks(st, nbr, cfg)
+            cIA_x, cIA_y, cIAd_x, cIAd_y = _dem.dem_contact_forces(
+                st, cfg, nbr.cand_idx, m)
+            # broken-bond pairs also collide (icebergs.F90:1789-1792)
+            bo = jnp.maximum(st.bond_idx, 0)
+            bm = (st.bond_idx >= 0) & (st.bond_broken == 1) \
+                & st.alive[:, None] & st.alive[bo]
+            bIA = _dem.dem_contact_forces(st, cfg, bo, bm)
+            cIA_x, cIA_y = cIA_x + bIA[0], cIA_y + bIA[1]
+            cIAd_x, cIAd_y = cIAd_x + bIA[2], cIAd_y + bIA[3]
+        IA_x, IA_y = IA_x + cIA_x, IA_y + cIA_y
+        IAd_x, IAd_y = IAd_x + cIAd_x, IAd_y + cIAd_y
+
+        M = st.mass
+        if cfg.constant_interaction_LW:
+            M = cfg.constant_length * cfg.constant_width * st.thickness \
+                * cfg.rho_bergs
+            A0 = cfg.constant_length * cfg.constant_width
+        else:
+            A0 = st.length * st.width
+        if cfg.hexagonal_icebergs:
+            R1 = jnp.sqrt(A0 / (2. * jnp.sqrt(jnp.asarray(3., M.dtype))))
+        else:
+            R1 = 0.5 * jnp.sqrt(A0)
+
+        F_x, F_y = out.F_x, out.F_y
+        Fd_x, Fd_y = out.Fd_x, out.Fd_y
+        T, T_d = out.T, out.T_d
+        if cfg.dem_beam_test > 0:
+            F_x, F_y, Fd_y = _apply_beam_loads(st, cfg, F_x, F_y, Fd_y)
+
+        IA_x = IA_x + F_x / M
+        IA_y = IA_y + F_y / M
+        IAd_x = IAd_x + Fd_x / M
+        IAd_y = IAd_y + Fd_y / M
+        ang_accel = (T + T_d) / (0.5 * M * R1 ** 2)
+        bond_updates = out
+    else:
+        # non-DEM MTS: bond spring forces via calculate_force (bonded=True)
+        bo, bv = _forces.bond_partner_table(st)
+        ia_b = _forces.pair_forces(st, cfg, bo, bv, bonded=True,
+                                   use_c_crit_dist=False,
+                                   u0=st.uvel, v0=st.vvel,
+                                   u1=st.uvel, v1=st.vvel)
+        m = _contact_masks(st, nbr, cfg)
+        ia_c = _forces.pair_forces(st, cfg, nbr.cand_idx, m, bonded=False,
+                                   use_c_crit_dist=True,
+                                   u0=st.uvel, v0=st.vvel,
+                                   u1=st.uvel, v1=st.vvel)
+        du = st.uvel_old
+        dv = st.vvel_old
+
+        def damp(ia):
+            # explicit damping: IAd = P (u_other_old - u_self_old); the
+            # matrix form folds u_self via Pu - P u_self
+            IAd_x = ia.Pu_x - (ia.P11 * du + ia.P12 * dv)
+            IAd_y = ia.Pu_y - (ia.P21 * du + ia.P22 * dv)
+            return IAd_x, IAd_y
+
+        bdx, bdy = damp(ia_b)
+        cdx, cdy = damp(ia_c)
+        IA_x = ia_b.IA_x + ia_c.IA_x
+        IA_y = ia_b.IA_y + ia_c.IA_y
+        IAd_x, IAd_y = bdx + cdx, bdy + cdy
+        ang_accel = jnp.zeros_like(IA_x)
+        bond_updates = None
+
+    axn = IA_x + IAd_x
+    ayn = IA_y + IAd_y
+    return axn, ayn, ang_accel, bond_updates
+
+
+def _apply_beam_loads(st, cfg: IcebergsConfig, F_x, F_y, Fd_y):
+    """DEM beam-test loads (icebergs.F90:1861-1877): simply-supported beam
+    (pinned ends, center load) or cantilever (end load).  Beam end
+    coordinates come from the min/max start_lon like dem_tests_init."""
+    start = jnp.min(jnp.where(st.alive, st.start_lon, jnp.inf))
+    end = jnp.max(jnp.where(st.alive, st.start_lon, -jnp.inf))
+    if cfg.dem_beam_test == 1:
+        is_end = (st.start_lon == start) | (st.start_lon == end)
+        is_mid = st.start_lon == 0.5 * (start + end)
+        F_y = jnp.where(is_end, 0., F_y)
+        Fd_y = jnp.where(is_end, 0., Fd_y)
+        F_y = jnp.where(is_mid, F_y - 1.5e5, F_y)
+    elif cfg.dem_beam_test == 2:
+        is_end = st.start_lon == end
+        F_y = jnp.where(is_end, F_y - 1.5e10 / 3., F_y)
+    return F_x, F_y, Fd_y
+
+
+def _grounding_drag_coeff(st, cfg: IcebergsConfig, area_form: str):
+    """gdrag for short-step grounding / grounding torque
+    (icebergs.F90:6868-6893, 6986-7034)."""
+    D = (cfg.rho_bergs / C.RHO_SEAWATER) * st.thickness
+    if cfg.h_to_init_grounding > 0.:
+        gf = jnp.clip(1.0 - (st.od - D) / cfg.h_to_init_grounding, 0., 1.)
+    else:
+        gf = jnp.where(D > st.od, 1.0, 0.0)
+    if cfg.constant_interaction_LW:
+        MM = cfg.constant_length * cfg.constant_width * st.thickness \
+            * cfg.rho_bergs
+        A0 = cfg.constant_length * cfg.constant_width \
+            * jnp.ones_like(st.mass)
+    else:
+        MM = st.mass
+        A0 = st.length * st.width
+    if area_form == 'rect':
+        AA = A0
+    else:  # disk of interaction radius
+        if cfg.hexagonal_icebergs:
+            R1 = jnp.sqrt(A0 / (2. * jnp.sqrt(jnp.asarray(3., A0.dtype))))
+        elif cfg.iceberg_bonds_on:
+            R1 = 0.5 * jnp.sqrt(A0)
+        else:
+            R1 = jnp.sqrt(A0 / C.PI)
+        AA = C.PI * R1 ** 2
+    return jnp.where(gf > 0., -cfg.cdrag_grounding * gf * AA / MM, 0.)
+
+
+def evolve_icebergs_mts(st, grid: Grid, frc, cfg: IcebergsConfig):
+    """Full MTS cycle: Part 1 slow solve, Part 2 half-kick, Part 3 substeps.
+
+    Returns (state, MtsDiags)."""
+    dt = cfg.dt
+    dt_2 = 0.5 * dt
+    moving = st.alive & (st.static_berg < 0.5)
+
+    def sel(new, old, m=None):
+        mm = moving if m is None else m
+        return jnp.where(mm, new, old)
+
+    # neighbor tables for cross-conglomerate collisions (Part 1)
+    nbr = _forces.build_neighbor_tables(
+        st, grid, cfg, ncells_radius=_forces.neighbor_radius(grid, cfg))
+
+    # ---- PART 1: slow forces --------------------------------------------
+    def part1_once(s):
+        ia_fn = _forces.make_ia_fn(s, nbr, cfg, mts_part=1)
+        return _slow_accel_mts(s, cfg, ia_fn)
+
+    if not cfg.skip_first_outer_mts_step:
+        if cfg.force_convergence:
+            # fixed-point iteration on V_{n+1} until the velocity-change
+            # norm is below tolerance (icebergs.F90:6663-6743)
+            def cond(carry):
+                s, it, done = carry
+                return (~done) & (it < 50)
+
+            def body(carry):
+                s, it, done = carry
+                ax, ay, axn, ayn, bxn, byn, fdc = part1_once(s)
+                up = sel(s.uvel + dt * ax, s.uvel_prev)
+                vp = sel(s.vvel + dt * ay, s.vvel_prev)
+                usum = jnp.sum(jnp.where(moving, s.uvel_old ** 2
+                                         + s.vvel_old ** 2, 0.))
+                usum1 = jnp.sum(jnp.where(moving, up ** 2 + vp ** 2, 0.))
+                usum2 = jnp.sum(jnp.where(moving, (up - s.uvel_old) ** 2
+                                          + (vp - s.vvel_old) ** 2, 0.))
+                denom = jnp.sqrt(usum) + jnp.sqrt(usum1)
+                normchange = jnp.where(denom > 0.,
+                                       2. * jnp.sqrt(usum2) / denom, 0.)
+                had_collision = jnp.any(moving & (fdc != 0.))
+                done2 = (~had_collision) | (normchange
+                                            < cfg.convergence_tolerance)
+                s = s.replace(axn=sel(axn, s.axn), ayn=sel(ayn, s.ayn),
+                              bxn=sel(bxn, s.bxn), byn=sel(byn, s.byn),
+                              uvel_prev=up, vvel_prev=vp,
+                              uvel_old=sel(up, s.uvel_old),
+                              vvel_old=sel(vp, s.vvel_old))
+                return (s, it + 1, done2)
+
+            st, _, _ = jax.lax.while_loop(
+                cond, body, (st, jnp.asarray(0), jnp.asarray(False)))
+        else:
+            ax, ay, axn, ayn, bxn, byn, _ = part1_once(st)
+            st = st.replace(
+                axn=sel(axn, st.axn), ayn=sel(ayn, st.ayn),
+                bxn=sel(bxn, st.bxn), byn=sel(byn, st.byn),
+                uvel=sel(st.uvel + dt * ax, st.uvel),
+                vvel=sel(st.vvel + dt * ay, st.vvel))
+            st = st.replace(uvel_prev=sel(st.uvel, st.uvel_prev),
+                            vvel_prev=sel(st.vvel, st.vvel_prev))
+
+        broken_total = jnp.zeros((), jnp.int32)
+        if cfg.dem and not cfg.break_bonds_on_sub_steps:
+            st, nb = _dem.break_bonds_dem(st, cfg)
+            broken_total = broken_total + nb
+
+        # ---- PART 2: half-kick by the slow acceleration ------------------
+        u0 = st.uvel_prev + dt_2 * (st.axn + st.bxn)
+        v0 = st.vvel_prev + dt_2 * (st.ayn + st.byn)
+        st = st.replace(uvel=sel(u0, st.uvel), vvel=sel(v0, st.vvel),
+                        uvel_old=sel(u0, st.uvel_old),
+                        vvel_old=sel(v0, st.vvel_old))
+        if cfg.force_convergence:
+            st = st.replace(axn=sel(st.axn_fast, st.axn),
+                            ayn=sel(st.ayn_fast, st.ayn),
+                            bxn=sel(st.bxn_fast, st.bxn),
+                            byn=sel(st.byn_fast, st.byn))
+    else:
+        broken_total = jnp.zeros((), jnp.int32)
+
+    # ---- PART 3: fast substeps (lax.scan) --------------------------------
+    dtf = cfg.dt / max(cfg.n_sub_steps, 1)
+    dtf_2 = 0.5 * dtf
+
+    def substep(s, _):
+        # drift (icebergs.F90:6790-6831)
+        uvel2 = s.uvel + dtf_2 * (s.axn_fast + s.bxn_fast)
+        vvel2 = s.vvel + dtf_2 * (s.ayn_fast + s.byn_fast)
+        lonn, latn = _advance_position(grid, cfg, s.lon, s.lat,
+                                       uvel2, vvel2, dtf)
+        s = s.replace(lon=sel(lonn, s.lon), lat=sel(latn, s.lat),
+                      lon_old=sel(lonn, s.lon_old),
+                      lat_old=sel(latn, s.lat_old))
+        # u_old <- u* for interactions; NOTE the v-component reproduces the
+        # reference's use of bxn_fast (icebergs.F90:6826-6827)
+        uo_ = s.uvel + dtf_2 * (s.axn_fast + s.bxn_fast)
+        vo_ = s.vvel + dtf_2 * (s.ayn_fast + s.bxn_fast)
+        s = s.replace(uvel_old=sel(uo_, s.uvel_old),
+                      vvel_old=sel(vo_, s.vvel_old))
+
+        # kick
+        axn_in = s.axn_fast + s.bxn_fast
+        ayn_in = s.ayn_fast + s.byn_fast
+        uvel3 = s.uvel + dtf_2 * axn_in
+        vvel3 = s.vvel + dtf_2 * ayn_in
+
+        axn, ayn, ang_accel, bu = _substep_forces(s, nbr, cfg, dtf)
+        if cfg.short_step_mts_grounding:
+            gdrag = _grounding_drag_coeff(s, cfg, 'rect')
+            axn = axn + s.uvel * gdrag
+            ayn = ayn + s.vvel * gdrag
+        ax1 = 0.5 * axn
+        ay1 = 0.5 * ayn
+        uveln = uvel3 + dtf * ax1
+        vveln = vvel3 + dtf * ay1
+
+        s = s.replace(
+            axn_fast=sel(axn, s.axn_fast), ayn_fast=sel(ayn, s.ayn_fast),
+            bxn_fast=sel(jnp.zeros_like(axn), s.bxn_fast),
+            byn_fast=sel(jnp.zeros_like(ayn), s.byn_fast),
+            uvel=sel(uveln, s.uvel), vvel=sel(vveln, s.vvel),
+            uvel_old=sel(uveln, s.uvel_old),
+            vvel_old=sel(vveln, s.vvel_old),
+            ang_accel=sel(ang_accel, s.ang_accel))
+        if bu is not None:
+            bm = moving[:, None]
+            s = s.replace(
+                bond_length=jnp.where(bm, bu.bond_length, s.bond_length),
+                bond_tangd1=jnp.where(bm, bu.tangd1, s.bond_tangd1),
+                bond_tangd2=jnp.where(bm, bu.tangd2, s.bond_tangd2),
+                bond_rel_rotation=jnp.where(bm, bu.rel_rotation,
+                                            s.bond_rel_rotation),
+                bond_nstress=jnp.where(bm, bu.nstress, s.bond_nstress),
+                bond_sstress=jnp.where(bm, bu.sstress, s.bond_sstress))
+
+        nb = jnp.zeros((), jnp.int32)
+        if cfg.dem:
+            gdrag = _grounding_drag_coeff(s, cfg, 'disk') \
+                if cfg.use_grounding_torque else jnp.zeros_like(s.ang_vel)
+            av = (s.ang_vel + dtf * s.ang_accel) / (1. - gdrag * dtf)
+            s = s.replace(ang_vel=sel(av, s.ang_vel),
+                          rot=sel(s.rot + dtf * av, s.rot))
+            if cfg.break_bonds_on_sub_steps \
+                    and not cfg.use_broken_bonds_for_substep_contact:
+                s, nb = _dem.break_bonds_dem(s, cfg)
+        return s, nb
+
+    if cfg.n_sub_steps > 0:
+        st, nbroken = jax.lax.scan(substep, st, None, length=cfg.n_sub_steps)
+        broken_total = broken_total + jnp.sum(nbroken)
+
+    # finalize: re-localize on the grid (icebergs.F90:7056-7075)
+    st = st.replace(uvel_old=sel(st.uvel, st.uvel_old),
+                    vvel_old=sel(st.vvel, st.vvel_old))
+    lonn, latn, i, j, xi, yj, _ = adjust_index_and_ground(
+        grid, cfg, st.lon, st.lat, st.ine, st.jne)
+    st = st.replace(lon=sel(lonn, st.lon), lat=sel(latn, st.lat),
+                    lon_old=sel(lonn, st.lon_old),
+                    lat_old=sel(latn, st.lat_old),
+                    ine=jnp.where(moving, i, st.ine),
+                    jne=jnp.where(moving, j, st.jne),
+                    xi=sel(xi, st.xi), yj=sel(yj, st.yj))
+    return st, MtsDiags(broken_bonds=broken_total)

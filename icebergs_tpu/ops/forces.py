@@ -362,7 +362,8 @@ def initialize_bonds_host(st, cfg: IcebergsConfig, capacity_bonds=None):
     else:
         R = 0.5 * np.sqrt(A)
     if cfg.manually_initialize_bonds_from_radii:
-        crit = 1.25 * np.minimum(R[:, None], R[None, :])
+        # bond when r < 1.25*(R1+R2) (icebergs.F90:423-427)
+        crit = 1.25 * (R[:, None] + R[None, :])
     else:
         crit = cfg.length_for_manually_initialize_bonds
     pairs = r < crit
