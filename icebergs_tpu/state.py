@@ -252,6 +252,27 @@ def pack_id(id_cnt, id_ij):
                          else jnp.float32) * 4294967296.0 + id_ij
 
 
+def allocate_slots(alive, want):
+    """Pack spawn requests into dead slots (prefix-sum allocator).
+
+    ``want`` is a boolean request vector (any length).  Returns
+    (granted, slots): ``granted[r]`` iff request r got a slot, ``slots[r]``
+    its state index (-1 otherwise).  This replaces the reference's
+    pointer-based ``add_new_berg_to_list`` with a fixed-shape scatter.
+    """
+    capacity = alive.shape[0]
+    order = jnp.cumsum(want.astype(jnp.int32)) - 1        # request rank
+    dead_rank = jnp.cumsum((~alive).astype(jnp.int32)) - 1
+    slot_ids = jnp.arange(capacity, dtype=jnp.int32)
+    slot_of_rank = jnp.zeros((capacity,), jnp.int32).at[
+        jnp.where(~alive, dead_rank, capacity)].set(slot_ids, mode='drop')
+    nfree = jnp.sum((~alive).astype(jnp.int32))
+    granted = want & (order < nfree)
+    slots = jnp.where(granted,
+                      slot_of_rank[jnp.clip(order, 0, capacity - 1)], -1)
+    return granted, slots
+
+
 def free_slots(alive, n_needed: int):
     """Indices of the first `n_needed` dead slots (padded with -1)."""
     dead = ~alive
