@@ -1,0 +1,335 @@
+"""Spatial domain decomposition over a device mesh.
+
+TPU-native replacement for the reference's FMS/MPI layer
+(``mpp_define_domains`` + halo updates + particle sends,
+``src/icebergs_framework.F90:913-934, 1800-2135, 2997-3249``):
+
+* the global grid is split into per-device tiles along x (1-D mesh ring),
+  each tile carrying ``halo`` extra columns of real neighbor data — the
+  analog of the FMS data domain;
+* particles live in fixed-capacity per-device slabs; ownership migration
+  (``send_bergs_to_other_pes``) and halo replication
+  (``update_halo_icebergs``) become masked ``ppermute`` exchanges of
+  fixed-width slabs inside ``shard_map`` — no dynamic buffers;
+* global budgets use ``psum``.
+
+The whole coupled step runs as ONE jitted shard_map program; collectives
+ride ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import IcebergsConfig
+from ..grid import Grid, make_uniform_grid, pos_to_cell
+from ..state import BergState, empty_state, allocate_slots
+from ..forcing import Forcing
+
+AXIS = "x"
+
+
+class ShardedWorld(NamedTuple):
+    mesh: Mesh
+    grids: Grid          # stacked local grids, leaves (ndev, ...)
+    cfg: IcebergsConfig
+    nxl: int             # interior cells per tile (x)
+    halo: int
+
+
+def _stack(pytrees):
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *pytrees)
+
+
+def make_sharded_world(cfg: IcebergsConfig, mesh: Mesh, *, nx, ny, lon0,
+                       lat0, dlon, dlat, msk=None, ocean_depth=None,
+                       dtype=jnp.float32) -> ShardedWorld:
+    """Split a uniform global grid into per-device tiles (+halo columns)."""
+    ndev = mesh.devices.size
+    assert nx % ndev == 0, "nx must divide the device count"
+    nxl = nx // ndev
+    H = max(cfg.halo, 2)
+
+    if msk is None:
+        msk = np.ones((nx, ny))
+    if ocean_depth is None:
+        ocean_depth = np.zeros((nx, ny))
+    periodic = cfg.grid_is_latlon and cfg.Lx > 0.
+
+    def slice_x(a, s, e):
+        idx = np.arange(s, e)
+        if periodic:
+            return np.take(a, idx % nx, axis=0)
+        idx = np.clip(idx, 0, nx - 1)
+        out = np.take(a, idx, axis=0)
+        # outside the global domain -> land
+        bad = (np.arange(s, e) < 0) | (np.arange(s, e) >= nx)
+        out[bad] = 0.0
+        return out
+
+    grids = []
+    for d in range(ndev):
+        s = d * nxl - H
+        e = (d + 1) * nxl + H
+        g = make_uniform_grid(
+            nxl + 2 * H, ny, lon0 + s * dlon, lat0, dlon, dlat,
+            grid_is_latlon=cfg.grid_is_latlon, Rearth=cfg.Rearth,
+            msk=slice_x(msk, s, e), ocean_depth=slice_x(ocean_depth, s, e),
+            dtype=dtype)
+        grids.append(g)
+    grids = _stack(grids)
+    grids = jax.device_put(grids, jax.NamedSharding(mesh, P(AXIS)))
+    return ShardedWorld(mesh=mesh, grids=grids, cfg=cfg, nxl=nxl, halo=H)
+
+
+def shard_forcing(world: ShardedWorld, frc_global: Forcing) -> Forcing:
+    """Slice a global Forcing into stacked per-tile forcing (+halo)."""
+    ndev = world.mesh.devices.size
+    nxl, H = world.nxl, world.halo
+    nx = nxl * ndev
+    periodic = world.cfg.grid_is_latlon and world.cfg.Lx > 0.
+
+    def corner_slice(a, d):
+        a = np.asarray(a)
+        idx = np.arange(d * nxl - H, (d + 1) * nxl + H + 1)
+        idx = idx % nx if periodic else np.clip(idx, 0, nx)
+        return a[idx]
+
+    def center_slice(a, d):
+        a = np.asarray(a)   # halo-padded global (nx+2, ny+2)
+        idx = np.arange(d * nxl - H, (d + 1) * nxl + 2 + H)
+        if periodic:
+            # interior wraps; keep simple clip for the pad ring
+            idx = np.clip(idx, 0, nx + 1)
+        else:
+            idx = np.clip(idx, 0, nx + 1)
+        return a[idx]
+
+    ndim_corner = frc_global.uo.shape
+    tiles = []
+    for d in range(ndev):
+        tiles.append(Forcing(
+            uo=corner_slice(frc_global.uo, d), vo=corner_slice(frc_global.vo, d),
+            ui=corner_slice(frc_global.ui, d), vi=corner_slice(frc_global.vi, d),
+            ua=corner_slice(frc_global.ua, d), va=corner_slice(frc_global.va, d),
+            ssh=center_slice(frc_global.ssh, d), sst=center_slice(frc_global.sst, d),
+            sss=center_slice(frc_global.sss, d), cn=center_slice(frc_global.cn, d),
+            hi=center_slice(frc_global.hi, d)))
+    stacked = _stack([jax.tree.map(jnp.asarray, t) for t in tiles])
+    return jax.device_put(stacked, jax.NamedSharding(world.mesh, P(AXIS)))
+
+
+def shard_state(world: ShardedWorld, st_global: BergState,
+                local_capacity: int) -> BergState:
+    """Distribute bergs to owning tiles as stacked per-device slabs.
+
+    Host-side (init/IO boundary): the analog of the restart-read
+    distribution in icebergs_fms2io.F90:662-1188.
+    """
+    ndev = world.mesh.devices.size
+    nxl, H = world.nxl, world.halo
+    lon0 = float(np.asarray(world.grids.lon0)[0]) + H * float(
+        np.asarray(world.grids.dlon)[0])
+    dlon = float(np.asarray(world.grids.dlon)[0])
+
+    lon = np.asarray(st_global.lon)
+    alive = np.asarray(st_global.alive)
+    owner = np.floor((lon - lon0) / (dlon * nxl)).astype(int)
+    owner = np.clip(owner, 0, ndev - 1)
+
+    slabs = []
+    for d in range(ndev):
+        mine = alive & (owner == d)
+        idx = np.nonzero(mine)[0]
+        n = len(idx)
+        if n > local_capacity:
+            raise ValueError(f"device {d}: {n} bergs > local capacity")
+        sl = empty_state(local_capacity, max_bonds=st_global.max_bonds,
+                         dtype=st_global.dtype)
+        take = {}
+        import dataclasses
+        for f in dataclasses.fields(st_global):
+            src = np.asarray(getattr(st_global, f.name))
+            dst = np.asarray(getattr(sl, f.name)).copy()
+            dst[:n] = src[idx]
+            take[f.name] = jnp.asarray(dst)
+        # remap bond indices from global slots to local slots
+        gl2loc = np.full((st_global.capacity,), -1, np.int32)
+        gl2loc[idx] = np.arange(n)
+        bidx = np.asarray(st_global.bond_idx)[idx]
+        bidx = np.where(bidx >= 0, gl2loc[np.clip(bidx, 0, None)], -1)
+        dstb = np.full((local_capacity, st_global.max_bonds), -1, np.int32)
+        dstb[:n] = bidx
+        take["bond_idx"] = jnp.asarray(dstb)
+        take["alive"] = jnp.asarray(
+            np.arange(local_capacity) < n)
+        # local cell indices
+        slabs.append(BergState(**take))
+    stacked = _stack(slabs)
+    stacked = jax.device_put(stacked,
+                             jax.NamedSharding(world.mesh, P(AXIS)))
+    # recompute local cells
+    return stacked
+
+
+def relocalize(st: BergState, grid: Grid, cfg: IcebergsConfig) -> BergState:
+    """Recompute local (ine, jne, xi, yj) from global positions."""
+    Lx = cfg.Lx if cfg.grid_is_latlon else -1.
+    i, j, xi, yj = pos_to_cell(grid, st.lon, st.lat, Lx)
+    return st.replace(ine=i, jne=j, xi=xi, yj=yj)
+
+
+# --------------------------------------------------------------------------
+# particle exchange inside shard_map
+# --------------------------------------------------------------------------
+
+def _pack_to(st: BergState, send_mask, width: int):
+    """Pack marked bergs into a fixed-width slab pytree (masked gather)."""
+    cap = st.capacity
+    rank = jnp.cumsum(send_mask.astype(jnp.int32)) - 1
+    slot = jnp.where(send_mask & (rank < width), rank, width)
+    # gather indices: for each buffer slot, which berg (or cap = none)
+    src_of = jnp.full((width,), cap, jnp.int32).at[
+        jnp.clip(slot, 0, width)].set(
+        jnp.arange(cap, dtype=jnp.int32), mode='drop')
+
+    def pack(leaf):
+        pad_shape = (1,) + leaf.shape[1:]
+        padded = jnp.concatenate(
+            [leaf, jnp.zeros(pad_shape, leaf.dtype)], axis=0)
+        return padded[src_of]
+
+    buf = jax.tree.map(pack, st)
+    valid = src_of < cap
+    overflow = jnp.sum((send_mask & (rank >= width)).astype(jnp.int32))
+    return buf, valid, overflow
+
+
+def _unpack_from(st: BergState, buf: BergState, valid, *, halo_flag=None):
+    """Insert received bergs into free slots."""
+    granted, slots = allocate_slots(st.alive, valid)
+    cap = st.capacity
+
+    def put(field, values):
+        tgt = jnp.where(granted, slots, cap)
+        return field.at[tgt].set(values, mode='drop')
+
+    import dataclasses
+    kw = {}
+    for f in dataclasses.fields(st):
+        if f.name == "alive":
+            continue
+        kw[f.name] = put(getattr(st, f.name), getattr(buf, f.name))
+    tgt = jnp.where(granted, slots, cap)
+    newly = jnp.zeros((cap,), bool).at[tgt].set(True, mode='drop')
+    if halo_flag is not None:
+        kw["halo_berg"] = jnp.where(newly, halo_flag, kw["halo_berg"])
+    # received bergs lose cross-device bond pointers; re-match by id later
+    kw["bond_idx"] = jnp.where(newly[:, None], -1, kw["bond_idx"])
+    st = st.replace(alive=st.alive | newly, **kw)
+    overflow = jnp.sum((valid & ~granted).astype(jnp.int32))
+    return st, overflow
+
+
+def exchange_particles(st: BergState, grid: Grid, cfg: IcebergsConfig,
+                       nxl: int, H: int, width: int):
+    """Ownership migration + halo replication via ppermute.
+
+    The SoA analog of ``send_bergs_to_other_pes`` (migration of bergs whose
+    cell left the interior) and ``update_halo_icebergs`` (replication of
+    edge-strip bergs, marked halo_berg=1).
+    """
+    ndev = jax.lax.axis_size(AXIS)
+    right = [(d, (d + 1) % ndev) for d in range(ndev)]
+    left = [(d, (d - 1) % ndev) for d in range(ndev)]
+
+    def ppermute(tree, perm):
+        return jax.tree.map(
+            lambda x: jax.lax.ppermute(x, AXIS, perm), tree)
+
+    # 1. drop stale halo copies (update_halo_icebergs first phase)
+    owned = st.alive & (st.halo_berg < 0.5)
+    st = st.replace(alive=owned)
+
+    # 2. migration: interior is cells [H, H+nxl)
+    go_left = st.alive & (st.ine < H)
+    go_right = st.alive & (st.ine >= H + nxl)
+    overflow = jnp.zeros((), jnp.int32)
+
+    for mask, perm, shift in ((go_right, right, -nxl), (go_left, left, nxl)):
+        buf, valid, ov1 = _pack_to(st, mask, width)
+        st = st.replace(alive=st.alive & ~mask)
+        buf = ppermute(buf, perm)
+        valid = jax.lax.ppermute(valid, AXIS, perm)
+        # receiver's local cell index shifts by +-nxl
+        buf = buf.replace(ine=buf.ine + shift)
+        st, ov2 = _unpack_from(st, buf, valid)
+        overflow = overflow + ov1 + ov2
+
+    # 3. halo replication: edge strips of my interior -> neighbors
+    edge_r = st.alive & (st.halo_berg < 0.5) & (st.ine >= nxl)  # last H cols
+    edge_l = st.alive & (st.halo_berg < 0.5) & (st.ine < 2 * H)
+    for mask, perm, shift in ((edge_r, right, -nxl), (edge_l, left, nxl)):
+        buf, valid, ov1 = _pack_to(st, mask, width)
+        buf = ppermute(buf, perm)
+        valid = jax.lax.ppermute(valid, AXIS, perm)
+        buf = buf.replace(ine=buf.ine + shift)
+        st, ov2 = _unpack_from(st, buf, valid, halo_flag=1.0)
+        overflow = overflow + ov1 + ov2
+    return st, overflow
+
+
+def make_sharded_step(world: ShardedWorld, *, with_thermo=True,
+                      exchange_width: int = 64):
+    """Build the jitted multi-device coupling step.
+
+    Runs the full single-tile physics per device under shard_map, with
+    particle migration/halo exchange and psum'd budget diagnostics.
+    """
+    cfg = world.cfg
+    nxl, H = world.nxl, world.halo
+    mesh = world.mesh
+    from ..model import make_step
+
+    tile_step = make_step(jax.tree.map(lambda x: x[0], world.grids),
+                          cfg, with_thermo=with_thermo, jit=False)
+
+    def local_fn(grids, st, frc):
+        grid = jax.tree.map(lambda x: x[0], grids)
+        st = jax.tree.map(lambda x: x[0], st)
+        frc = jax.tree.map(lambda x: x[0], frc)
+
+        # physics on the local tile (single-device step)
+        from ..model import make_step as _ms
+        step = _ms(grid, cfg, with_thermo=with_thermo, jit=False)
+        st, diags = step(st, frc)
+
+        # particle migration + halo refresh
+        st, overflow = exchange_particles(st, grid, cfg, nxl, H,
+                                          exchange_width)
+
+        owned = st.alive & (st.halo_berg < 0.5)
+        nbergs = jax.lax.psum(jnp.sum(owned.astype(jnp.int32)), AXIS)
+        total_mass = jax.lax.psum(
+            jnp.sum(jnp.where(owned, st.mass * st.mass_scaling, 0.)), AXIS)
+
+        out = (jax.tree.map(lambda x: x[None], st), nbergs, total_mass,
+               overflow)
+        return out
+
+    @functools.partial(jax.jit)
+    def sharded_step(st, frc):
+        fn = jax.shard_map(
+            local_fn, mesh=mesh,
+            in_specs=(P(AXIS), P(AXIS), P(AXIS)),
+            out_specs=(P(AXIS), P(), P(), P(AXIS)),
+        )
+        return fn(world.grids, st, frc)
+
+    return sharded_step
