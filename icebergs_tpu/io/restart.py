@@ -1,0 +1,286 @@
+"""Restart I/O compatible with the reference's NetCDF schemas.
+
+Writes/reads the restart triplet of the reference
+(``src/icebergs_fms2io.F90``):
+
+* ``icebergs.res.nc``   — per-berg state, 1-D arrays over dim ``i``
+  (icebergs_fms2io.F90:124-633; ids split into id_cnt/id_ij);
+* ``bonds_iceberg.res.nc`` — bond endpoints + DEM bond state (321-...);
+* ``calving.res.nc``    — stored_ice/stored_heat/running means (1484-1598).
+
+Files are NETCDF3_CLASSIC via scipy (the same format the reference's
+makeberg tooling writes), so reference-generated initial conditions load
+directly and our restarts are readable by the reference tooling.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+from scipy.io import netcdf_file
+
+from ..config import IcebergsConfig, NCLASSES
+from ..grid import Grid, pos_to_cell
+from ..state import BergState, empty_state
+
+# (netcdf name, state field, dtype char)
+BERG_VARS = [
+    ("lon", "lon", "d"), ("lat", "lat", "d"),
+    ("uvel", "uvel", "d"), ("vvel", "vvel", "d"),
+    ("mass", "mass", "d"),
+    ("axn", "axn", "d"), ("ayn", "ayn", "d"),
+    ("bxn", "bxn", "d"), ("byn", "byn", "d"),
+    ("ine", "ine", "i"), ("jne", "jne", "i"),
+    ("thickness", "thickness", "d"), ("width", "width", "d"),
+    ("length", "length", "d"),
+    ("start_lon", "start_lon", "d"), ("start_lat", "start_lat", "d"),
+    ("start_year", "start_year", "i"),
+    ("id_cnt", "id_cnt", "i"), ("id_ij", "id_ij", "i"),
+    ("start_day", "start_day", "d"), ("start_mass", "start_mass", "d"),
+    ("mass_scaling", "mass_scaling", "d"),
+    ("mass_of_bits", "mass_of_bits", "d"),
+    ("heat_density", "heat_density", "d"),
+    ("static_berg", "static_berg", "d"),
+]
+FL_VARS = [("fl_k", "fl_k", "d"),
+           ("mass_of_fl_bits", "mass_of_fl_bits", "d"),
+           ("mass_of_fl_bergy_bits", "mass_of_fl_bergy_bits", "d")]
+MTS_VARS = [("axn_fast", "axn_fast", "d"), ("ayn_fast", "ayn_fast", "d"),
+            ("bxn_fast", "bxn_fast", "d"), ("byn_fast", "byn_fast", "d")]
+DEM_VARS = [("ang_vel", "ang_vel", "d"), ("ang_accel", "ang_accel", "d"),
+            ("rot", "rot", "d")]
+
+
+def write_restart_bergs(path: str, st: BergState, cfg: IcebergsConfig):
+    """Flatten live slots -> 1-D arrays -> icebergs.res.nc
+    (write_restart_bergs, icebergs_fms2io.F90:124-633)."""
+    alive = np.asarray(st.alive)
+    own = alive & (np.asarray(st.halo_berg) < 0.5)
+    idx = np.nonzero(own)[0]
+    n = len(idx)
+
+    varlist = list(BERG_VARS)
+    if cfg.footloose:
+        varlist += FL_VARS
+    if cfg.mts:
+        varlist += MTS_VARS
+    if cfg.dem:
+        varlist += DEM_VARS
+
+    with netcdf_file(path, "w") as f:
+        f.createDimension("i", n)
+        for name, field, kind in varlist:
+            v = f.createVariable(name, kind, ("i",))
+            data = np.asarray(getattr(st, field))[idx]
+            # reference restarts use 1-based cell indices
+            if field in ("ine", "jne"):
+                data = data + 1
+            v[:] = data.astype(np.float64 if kind == "d" else np.int32)
+
+
+def read_restart_bergs(path: str, capacity: int, grid: Grid,
+                       cfg: IcebergsConfig, dtype=jnp.float32) -> BergState:
+    """Read icebergs.res.nc into a fresh BergState; re-localize bergs on
+    the grid like the reference's ignore_ij_restart/slow-find path
+    (read_restart_bergs, icebergs_fms2io.F90:662-1188)."""
+    data = {}
+    with netcdf_file(path, "r", mmap=False) as f:
+        n = f.dimensions.get("i")
+        for name in f.variables:
+            data[name] = np.asarray(f.variables[name][:])
+        if n is None:
+            n = len(next(iter(data.values())))
+
+    n = len(data["lon"])
+    if n > capacity:
+        raise ValueError(f"restart holds {n} bergs > capacity {capacity}")
+    st = empty_state(capacity, max_bonds=cfg.max_bonds, dtype=dtype)
+
+    kw = {}
+    known = {name: field for name, field, _ in
+             BERG_VARS + FL_VARS + MTS_VARS + DEM_VARS}
+    for name, arr in data.items():
+        field = known.get(name)
+        if field is None:
+            continue
+        tgt = np.asarray(getattr(st, field)).copy()
+        if field in ("ine", "jne"):
+            tgt[:n] = arr - 1      # back to 0-based
+        else:
+            tgt[:n] = arr
+        kw[field] = jnp.asarray(tgt)
+    kw["alive"] = jnp.asarray(np.arange(capacity) < n)
+    st = st.replace(**kw)
+
+    # order-invariance copies + localization
+    st = st.replace(lon_old=st.lon, lat_old=st.lat,
+                    uvel_old=st.uvel, vvel_old=st.vvel)
+    Lx = cfg.Lx if cfg.grid_is_latlon else -1.
+    i, j, xi, yj = pos_to_cell(grid, st.lon, st.lat, Lx)
+    return st.replace(ine=i, jne=j, xi=xi, yj=yj)
+
+
+# --------------------------------------------------------------------------
+# bonds restart
+# --------------------------------------------------------------------------
+
+def write_restart_bonds(path: str, st: BergState, cfg: IcebergsConfig):
+    """bonds_iceberg.res.nc: one record per directed bond
+    (write_restart_bonds path of icebergs_fms2io.F90:321-...)."""
+    alive = np.asarray(st.alive) & (np.asarray(st.halo_berg) < 0.5)
+    bond_idx = np.asarray(st.bond_idx)
+    recs = []
+    for a in np.nonzero(alive)[0]:
+        for b in range(bond_idx.shape[1]):
+            o = bond_idx[a, b]
+            if o >= 0:
+                recs.append((a, b, o))
+    n = len(recs)
+
+    def col(vals, kind=np.float64):
+        return np.asarray(vals, kind)
+
+    ine = np.asarray(st.ine) + 1
+    jne = np.asarray(st.jne) + 1
+    id_cnt = np.asarray(st.id_cnt)
+    id_ij = np.asarray(st.id_ij)
+
+    with netcdf_file(path, "w") as f:
+        f.createDimension("i", n)
+
+        def wvar(name, vals, kind="d"):
+            v = f.createVariable(name, kind, ("i",))
+            v[:] = col(vals, np.float64 if kind == "d" else np.int32)
+
+        a_idx = [r[0] for r in recs]
+        o_idx = [r[2] for r in recs]
+        wvar("first_berg_ine", ine[a_idx], "i")
+        wvar("first_berg_jne", jne[a_idx], "i")
+        wvar("first_id_cnt", id_cnt[a_idx], "i")
+        wvar("first_id_ij", id_ij[a_idx], "i")
+        wvar("other_berg_ine", ine[o_idx], "i")
+        wvar("other_berg_jne", jne[o_idx], "i")
+        wvar("other_id_cnt", id_cnt[o_idx], "i")
+        wvar("other_id_ij", id_ij[o_idx], "i")
+        if cfg.dem:
+            slots = [r[1] for r in recs]
+            for name, field in (("broken", "bond_broken"),
+                                ("tangd1", "bond_tangd1"),
+                                ("tangd2", "bond_tangd2"),
+                                ("nstress", "bond_nstress"),
+                                ("sstress", "bond_sstress"),
+                                ("rel_rotation", "bond_rel_rotation")):
+                arr = np.asarray(getattr(st, field))
+                wvar(name, [arr[a, s] for (a, s, _) in
+                            [(r[0], r[1], r[2]) for r in recs]],
+                     "i" if name == "broken" else "d")
+
+
+def read_restart_bonds(path: str, st: BergState,
+                       cfg: IcebergsConfig) -> BergState:
+    """Re-match bond endpoints to state slots by id
+    (read_restart_bonds + connect_all_bonds,
+    icebergs_fms2io.F90:1190-1482)."""
+    with netcdf_file(path, "r", mmap=False) as f:
+        data = {k: np.asarray(v[:]) for k, v in f.variables.items()}
+    nb = len(data["first_id_cnt"])
+
+    id_cnt = np.asarray(st.id_cnt)
+    id_ij = np.asarray(st.id_ij)
+    alive = np.asarray(st.alive)
+    key = {}
+    for s in np.nonzero(alive)[0]:
+        key[(int(id_cnt[s]), int(id_ij[s]))] = s
+
+    B = st.max_bonds
+    bond_idx = np.asarray(st.bond_idx).copy()
+    bond_fields = {n: np.asarray(getattr(st, f)).copy() for n, f in
+                   (("broken", "bond_broken"), ("tangd1", "bond_tangd1"),
+                    ("tangd2", "bond_tangd2"), ("nstress", "bond_nstress"),
+                    ("sstress", "bond_sstress"),
+                    ("rel_rotation", "bond_rel_rotation"))}
+    nslots = np.zeros(st.capacity, int)
+    for r in range(nb):
+        a = key.get((int(data["first_id_cnt"][r]),
+                     int(data["first_id_ij"][r])))
+        o = key.get((int(data["other_id_cnt"][r]),
+                     int(data["other_id_ij"][r])))
+        if a is None or o is None:
+            continue
+        k = nslots[a]
+        if k >= B:
+            raise ValueError("too many bonds for max_bonds")
+        bond_idx[a, k] = o
+        for name in bond_fields:
+            if name in data:
+                bond_fields[name][a, k] = data[name][r]
+        nslots[a] += 1
+
+    st = st.replace(bond_idx=jnp.asarray(bond_idx),
+                    bond_broken=jnp.asarray(bond_fields["broken"],
+                                            jnp.int32),
+                    bond_tangd1=jnp.asarray(bond_fields["tangd1"], st.dtype),
+                    bond_tangd2=jnp.asarray(bond_fields["tangd2"], st.dtype),
+                    bond_nstress=jnp.asarray(bond_fields["nstress"],
+                                             st.dtype),
+                    bond_sstress=jnp.asarray(bond_fields["sstress"],
+                                             st.dtype),
+                    bond_rel_rotation=jnp.asarray(
+                        bond_fields["rel_rotation"], st.dtype),
+                    n_bonds=jnp.asarray(nslots, st.dtype))
+    from ..ops.forces import compute_conglom_ids_host
+    return compute_conglom_ids_host(st)
+
+
+# --------------------------------------------------------------------------
+# calving restart
+# --------------------------------------------------------------------------
+
+def write_restart_calving(path: str, calv, grid: Grid):
+    """calving.res.nc: stored_ice, stored_heat, running means
+    (write path of icebergs_fms2io.F90:1484-1598)."""
+    si = np.asarray(calv.stored_ice)[1:-1, 1:-1]       # interior, (nx,ny,k)
+    sh = np.asarray(calv.stored_heat)[1:-1, 1:-1]
+    rc = np.asarray(calv.rmean_calving)[1:-1, 1:-1]
+    rh = np.asarray(calv.rmean_calving_hflx)[1:-1, 1:-1]
+    idc = np.asarray(calv.id_counter)[1:-1, 1:-1]
+    nx, ny = sh.shape
+    with netcdf_file(path, "w") as f:
+        f.createDimension("xaxis_1", nx)
+        f.createDimension("yaxis_1", ny)
+        f.createDimension("zaxis_1", NCLASSES)
+        v = f.createVariable("stored_ice", "d",
+                             ("zaxis_1", "yaxis_1", "xaxis_1"))
+        v[:] = np.transpose(si, (2, 1, 0))
+        for name, arr in (("stored_heat", sh), ("rmean_calving", rc),
+                          ("rmean_calving_hflx", rh)):
+            v = f.createVariable(name, "d", ("yaxis_1", "xaxis_1"))
+            v[:] = arr.T
+        v = f.createVariable("id_cnt_grid", "i", ("yaxis_1", "xaxis_1"))
+        v[:] = idc.T.astype(np.int32)
+
+
+def read_restart_calving(path: str, calv, grid: Grid):
+    with netcdf_file(path, "r", mmap=False) as f:
+        data = {k: np.asarray(v[:]) for k, v in f.variables.items()}
+    nx, ny = grid.nx, grid.ny
+
+    def pad2(a):
+        return jnp.asarray(np.pad(a.T, 1), calv.stored_heat.dtype)
+
+    kw = {}
+    if "stored_ice" in data:
+        si = np.transpose(data["stored_ice"], (2, 1, 0))   # (nx,ny,k)
+        kw["stored_ice"] = jnp.asarray(
+            np.pad(si, ((1, 1), (1, 1), (0, 0))), calv.stored_ice.dtype)
+    for name, field in (("stored_heat", "stored_heat"),
+                        ("rmean_calving", "rmean_calving"),
+                        ("rmean_calving_hflx", "rmean_calving_hflx")):
+        if name in data:
+            kw[field] = pad2(data[name])
+    if "id_cnt_grid" in data:
+        kw["id_counter"] = jnp.asarray(np.pad(data["id_cnt_grid"].T, 1),
+                                       jnp.int32)
+    return calv.replace(**kw)

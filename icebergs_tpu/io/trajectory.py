@@ -1,0 +1,124 @@
+"""Lagrangian trajectory recording and NetCDF output.
+
+TPU-native equivalent of the xyt linked lists + trajectory writer
+(``record_posn``/``move_trajectory``, icebergs_framework.F90:5328-5709;
+``write_trajectory``, icebergs_fms2io.F90:1631-2104).
+
+On-device: a preallocated ring buffer of snapshots filled by a masked
+scatter each sampling step (no host sync).  On flush, the buffer drains to
+an append-mode ``iceberg_trajectories.nc`` with the reference's variable
+schema (short / footloose / full).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+from scipy.io import netcdf_file
+
+from ..config import IcebergsConfig
+from ..state import pack_id
+
+SHORT_VARS = ("lon", "lat", "year", "day", "id_cnt", "id_ij")
+FL_EXTRA = ("uvel", "vvel", "mass", "mass_scaling", "mass_of_bits",
+            "mass_of_fl_bits", "mass_of_fl_bergy_bits", "fl_k",
+            "thickness", "width", "length", "n_bonds")
+FULL_EXTRA = ("uvel", "vvel", "uo", "vo", "ui", "vi", "ua", "va",
+              "ssh_x", "ssh_y", "sst", "sss", "cn", "hi",
+              "mass", "thickness", "width", "length", "mass_scaling",
+              "mass_of_bits", "heat_density")
+
+
+class TrajBuffer(NamedTuple):
+    data: dict          # name -> (nsamples, capacity) arrays
+    valid: jnp.ndarray  # (nsamples, capacity) bool
+    cursor: jnp.ndarray  # scalar int: next sample row
+
+
+def traj_fields(cfg: IcebergsConfig):
+    if cfg.save_short_traj:
+        extra = ()
+    elif cfg.save_fl_traj:
+        extra = FL_EXTRA
+    else:
+        extra = FULL_EXTRA
+    return ("lon", "lat", "day") + tuple(e for e in extra)
+
+
+def init_traj_buffer(capacity: int, nsamples: int, cfg: IcebergsConfig,
+                     dtype=jnp.float32) -> TrajBuffer:
+    names = traj_fields(cfg) + ("id_cnt", "id_ij", "year")
+    data = {}
+    for n in names:
+        kind = jnp.int32 if n in ("id_cnt", "id_ij", "year") else dtype
+        data[n] = jnp.zeros((nsamples, capacity), kind)
+    return TrajBuffer(data=data, valid=jnp.zeros((nsamples, capacity), bool),
+                      cursor=jnp.zeros((), jnp.int32))
+
+
+def record_posn(buf: TrajBuffer, st, cfg: IcebergsConfig, day, year,
+                sample_mask=None) -> TrajBuffer:
+    """Append one snapshot row for eligible bergs (record_posn).
+
+    Eligibility mirrors the area-threshold filters
+    (icebergs_framework.F90:5328-5500): bergs above traj_area_thres (km^2),
+    footloose children above traj_area_thres_fl.
+    """
+    area_km2 = st.length * st.width * 1e-6
+    ok = st.alive & (st.halo_berg < 0.5)
+    is_child = st.fl_k < 0.
+    ok = ok & jnp.where(is_child, area_km2 > cfg.traj_area_thres_fl,
+                        area_km2 > cfg.traj_area_thres)
+    if sample_mask is not None:
+        ok = ok & sample_mask
+
+    row = buf.cursor % buf.valid.shape[0]
+    data = dict(buf.data)
+    src = dict(lon=st.lon, lat=st.lat,
+               day=jnp.full_like(st.lon, day),
+               id_cnt=st.id_cnt, id_ij=st.id_ij,
+               year=jnp.full_like(st.id_cnt, year))
+    for name in buf.data:
+        if name in src:
+            v = src[name]
+        else:
+            v = getattr(st, name)
+        data[name] = buf.data[name].at[row].set(
+            jnp.where(ok, v, 0).astype(buf.data[name].dtype))
+    valid = buf.valid.at[row].set(ok)
+    return TrajBuffer(data=data, valid=valid, cursor=buf.cursor + 1)
+
+
+def write_trajectories(path: str, buf: TrajBuffer, cfg: IcebergsConfig):
+    """Drain the buffer to an append-style trajectory NetCDF
+    (write_trajectory, icebergs_fms2io.F90:1631-2104).  Returns the number
+    of samples written and a cleared buffer."""
+    valid = np.asarray(buf.valid)
+    rows, cols = np.nonzero(valid)
+    n = len(rows)
+
+    old = {}
+    if os.path.exists(path):
+        with netcdf_file(path, "r", mmap=False) as f:
+            for k, v in f.variables.items():
+                old[k] = np.asarray(v[:])
+
+    with netcdf_file(path, "w") as f:
+        total = n + (len(next(iter(old.values()))) if old else 0)
+        f.createDimension("i", total)
+        for name, arr in buf.data.items():
+            kind = "i" if arr.dtype == jnp.int32 else "d"
+            v = f.createVariable(name, kind, ("i",))
+            new = np.asarray(arr)[rows, cols]
+            if name in old:
+                new = np.concatenate([old[name], new])
+            v[:] = new.astype(np.float64 if kind == "d" else np.int32)
+
+    cleared = TrajBuffer(
+        data={k: jnp.zeros_like(v) for k, v in buf.data.items()},
+        valid=jnp.zeros_like(buf.valid),
+        cursor=jnp.zeros((), jnp.int32))
+    return n, cleared

@@ -112,12 +112,15 @@ def build_neighbor_tables(st, grid, cfg: IcebergsConfig,
 
     # mark candidates that are bonded to this berg (the reference negates
     # partner ids to skip them in the contact loop, icebergs.F90:535)
-    bond_idx = st.bond_idx                    # (N, B)
-    is_bonded = jnp.any(cand_idx[:, :, None] ==
-                        jnp.where(bond_idx >= 0, bond_idx, -2)[:, None, :],
-                        axis=-1)
+    if cfg.iceberg_bonds_on:
+        bond_idx = st.bond_idx                # (N, B)
+        is_bonded = jnp.any(cand_idx[:, :, None] ==
+                            jnp.where(bond_idx >= 0, bond_idx, -2)[:, None, :],
+                            axis=-1) & valid
+    else:
+        is_bonded = jnp.zeros_like(valid)
     return NeighborTables(cand_idx=cand_safe, cand_valid=valid,
-                          is_bond_partner=is_bonded & valid)
+                          is_bond_partner=is_bonded)
 
 
 def _interaction_radius(cfg: IcebergsConfig, A):

@@ -295,10 +295,6 @@ def make_sharded_step(world: ShardedWorld, *, with_thermo=True,
     cfg = world.cfg
     nxl, H = world.nxl, world.halo
     mesh = world.mesh
-    from ..model import make_step
-
-    tile_step = make_step(jax.tree.map(lambda x: x[0], world.grids),
-                          cfg, with_thermo=with_thermo, jit=False)
 
     def local_fn(grids, st, frc):
         grid = jax.tree.map(lambda x: x[0], grids)
@@ -320,7 +316,7 @@ def make_sharded_step(world: ShardedWorld, *, with_thermo=True,
             jnp.sum(jnp.where(owned, st.mass * st.mass_scaling, 0.)), AXIS)
 
         out = (jax.tree.map(lambda x: x[None], st), nbergs, total_mass,
-               overflow)
+               overflow[None])
         return out
 
     @functools.partial(jax.jit)

@@ -15,6 +15,9 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# the container's sitecustomize force-registers the axon TPU plugin and
+# overrides JAX_PLATFORMS; the config knob below wins over both
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 # persistent compile cache: this box has one CPU core, compiles dominate
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")

@@ -1,0 +1,121 @@
+"""I/O tests: restart round trip (bergs/bonds/calving), namelist parsing
+of the reference's own input.nml files, trajectory buffer + NetCDF drain.
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+import icebergs_tpu as ibt
+from icebergs_tpu import calving as cv
+from icebergs_tpu.grid import pos_to_cell
+from icebergs_tpu.io import restart as rio
+from icebergs_tpu.io import namelist as nml
+from icebergs_tpu.io import trajectory as tio
+from icebergs_tpu.ops import forces
+
+REF_NML = "/root/reference/tests/collision_tests/input_MTS_KID.nml"
+
+
+def world():
+    cfg = ibt.IcebergsConfig(grid_is_latlon=False, Lx=-1.0, dt=600.,
+                             iceberg_bonds_on=True, dem=True, mts=True,
+                             footloose=True, max_bonds=4)
+    grid = ibt.make_uniform_grid(10, 10, 0., 0., 1000., 1000.,
+                                 grid_is_latlon=False)
+    st = ibt.create_bergs(32, lon=[2500., 2900., 7700.],
+                          lat=[2500., 2500., 7100.],
+                          mass=[1e8, 2e8, 3e8], thickness=[10., 20., 30.],
+                          width=[30., 40., 50.], length=[60., 70., 80.],
+                          uvel=[0.1, 0.2, 0.3], mass_scaling=1.,
+                          id_cnt=[1, 2, 3], id_ij=[11, 12, 13],
+                          max_bonds=4)
+    i, j, xi, yj = pos_to_cell(grid, st.lon, st.lat, -1.0)
+    st = st.replace(ine=i, jne=j, xi=xi, yj=yj)
+    st = forces.initialize_bonds_host(
+        st, cfg.replace(length_for_manually_initialize_bonds=600.))
+    return cfg, grid, st
+
+
+def test_restart_roundtrip_bergs_and_bonds(tmp_path):
+    cfg, grid, st = world()
+    bpath = str(tmp_path / "icebergs.res.nc")
+    kpath = str(tmp_path / "bonds_iceberg.res.nc")
+    rio.write_restart_bergs(bpath, st, cfg)
+    rio.write_restart_bonds(kpath, st, cfg)
+
+    st2 = rio.read_restart_bergs(bpath, 32, grid, cfg)
+    assert int(st2.count()) == 3
+    for f in ("lon", "lat", "uvel", "mass", "thickness", "width", "length"):
+        np.testing.assert_allclose(np.asarray(getattr(st2, f))[:3],
+                                   np.asarray(getattr(st, f))[:3], rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(st2.ine)[:3],
+                                  np.asarray(st.ine)[:3])
+
+    st2 = rio.read_restart_bonds(kpath, st2, cfg)
+    # bergs 0 and 1 are 400m apart -> bonded both ways
+    assert int(st2.bond_idx[0, 0]) == 1
+    assert int(st2.bond_idx[1, 0]) == 0
+    assert int(st2.n_bonds[2]) == 0
+    # same conglomerate labels restored
+    labs = np.asarray(st2.conglom_id)
+    assert labs[0] == labs[1] != labs[2]
+
+
+def test_restart_roundtrip_calving(tmp_path):
+    cfg, grid, st = world()
+    calv = cv.init_calving_state(grid)
+    calv = calv.replace(
+        stored_ice=calv.stored_ice.at[3, 4, 2].set(7.5e9),
+        stored_heat=calv.stored_heat.at[3, 4].set(1.0e13),
+        id_counter=calv.id_counter.at[3, 4].set(17))
+    path = str(tmp_path / "calving.res.nc")
+    rio.write_restart_calving(path, calv, grid)
+    calv2 = rio.read_restart_calving(path, cv.init_calving_state(grid), grid)
+    np.testing.assert_allclose(float(calv2.stored_ice[3, 4, 2]), 7.5e9,
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(calv2.stored_heat[3, 4]), 1.0e13,
+                               rtol=1e-6)
+    assert int(calv2.id_counter[3, 4]) == 17
+
+
+def test_namelist_parses_reference_config():
+    cfg, drv = nml.config_from_namelist(REF_NML)
+    # values straight from tests/collision_tests/input_MTS_KID.nml
+    assert cfg.mts is True
+    assert cfg.explicit_inner_mts is True
+    assert cfg.mts_sub_steps == 60
+    assert cfg.contact_distance == 1.75e3
+    assert cfg.contact_spring_coef == 1.e-7
+    assert cfg.spring_coef == 1.e-5
+    assert cfg.grid_is_latlon is False
+    assert cfg.hexagonal_icebergs is True
+    assert cfg.Lx == 20000.
+    assert cfg.force_convergence is True
+    assert cfg.dt == 3600.0           # from ibdt
+    assert drv["ni"] == 20 and drv["nj"] == 20
+    assert drv["ibuo"] == 0.2
+
+
+def test_trajectory_buffer_and_write(tmp_path):
+    cfg, grid, st = world()
+    cfg = cfg.replace(save_short_traj=True)
+    buf = tio.init_traj_buffer(st.capacity, nsamples=4, cfg=cfg)
+    buf = tio.record_posn(buf, st, cfg, day=1.5, year=2000)
+    st = st.replace(lon=st.lon + 100.)
+    buf = tio.record_posn(buf, st, cfg, day=2.5, year=2000)
+    path = str(tmp_path / "iceberg_trajectories.nc")
+    n, buf = tio.write_trajectories(path, buf, cfg)
+    assert n == 6    # 3 bergs x 2 samples
+    from scipy.io import netcdf_file
+    with netcdf_file(path, "r", mmap=False) as f:
+        lon = np.asarray(f.variables["lon"][:])
+        day = np.asarray(f.variables["day"][:])
+    assert lon.shape == (6,)
+    assert set(np.round(day, 2)) == {1.5, 2.5}
+    # append works
+    buf = tio.record_posn(buf, st, cfg, day=3.5, year=2000)
+    n, buf = tio.write_trajectories(path, buf, cfg)
+    with netcdf_file(path, "r", mmap=False) as f:
+        assert np.asarray(f.variables["lon"][:]).shape == (9,)

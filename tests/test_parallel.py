@@ -1,0 +1,115 @@
+"""Multi-device domain decomposition tests on the virtual 8-CPU mesh:
+sharded-step compilation, particle migration across tiles, and agreement
+with the single-device run (the reference's cross-layout reproducibility
+contract, parallel_reprod / icebergs_framework.F90:33).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+import icebergs_tpu as ibt
+from icebergs_tpu.grid import pos_to_cell
+from icebergs_tpu.parallel import domain as dd
+
+
+def make_mesh(n):
+    devs = np.array(jax.devices()[:n])
+    return Mesh(devs, (dd.AXIS,))
+
+
+NX, NY, DXY = 32, 8, 5000.0
+
+
+def global_world(**kw):
+    cfg = ibt.IcebergsConfig(grid_is_latlon=False, Lx=-1.0, use_f_plane=True,
+                             lat_ref=30.0, dt=600.0, Runge_not_Verlet=True,
+                             halo=2, **kw)
+    grid = ibt.make_uniform_grid(NX, NY, 0., 0., DXY, DXY,
+                                 grid_is_latlon=False)
+    frc = ibt.uniform_forcing(NX, NY, uo=1.0, sst=2.0)
+    return cfg, grid, frc
+
+
+def bergs_global(grid, cfg, n=6):
+    rng = np.random.RandomState(0)
+    lon = rng.uniform(3 * DXY, (NX - 3) * DXY, n)
+    lat = rng.uniform(2 * DXY, (NY - 2) * DXY, n)
+    st = ibt.create_bergs(64, lon=lon, lat=lat, mass=1e8, thickness=20.,
+                          width=50., length=60., mass_scaling=1.0)
+    i, j, xi, yj = pos_to_cell(grid, st.lon, st.lat, -1.0)
+    return st.replace(ine=i, jne=j, xi=xi, yj=yj)
+
+
+@pytest.mark.parametrize("ndev", [2, 4])
+def test_sharded_step_migration_and_mass(ndev):
+    if len(jax.devices()) < ndev:
+        pytest.skip("not enough devices")
+    cfg, grid, frc = global_world()
+    st = bergs_global(grid, cfg)
+    m0 = float(jnp.sum(jnp.where(st.alive, st.mass * st.mass_scaling, 0.)))
+    n0 = int(st.count())
+
+    mesh = make_mesh(ndev)
+    world = dd.make_sharded_world(cfg, mesh, nx=NX, ny=NY, lon0=0., lat0=0.,
+                                  dlon=DXY, dlat=DXY)
+    frc_s = dd.shard_forcing(world, frc)
+    st_s = dd.shard_state(world, st, local_capacity=32)
+    # recompute local cell indices under shard_map
+    st_s = jax.jit(jax.shard_map(
+        lambda g, s: jax.tree.map(
+            lambda x: x[None],
+            dd.relocalize(jax.tree.map(lambda x: x[0], s),
+                          jax.tree.map(lambda x: x[0], g), cfg)),
+        mesh=mesh, in_specs=(P(dd.AXIS), P(dd.AXIS)),
+        out_specs=P(dd.AXIS)))(world.grids, st_s)
+
+    step = dd.make_sharded_step(world, with_thermo=False)
+    for _ in range(40):   # 1 m/s * 600 s * 40 = 24 km: crosses tiles
+        st_s, nbergs, total_mass, overflow = step(st_s, frc_s)
+    assert int(np.asarray(nbergs)) == n0
+    assert int(np.max(np.asarray(overflow))) == 0
+    # bergs all drifted east without loss
+    np.testing.assert_allclose(float(np.asarray(total_mass)), m0, rtol=1e-6)
+
+
+def test_sharded_matches_single_device():
+    """Trajectories agree with the single-device run (no interactions)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    cfg, grid, frc = global_world()
+    st = bergs_global(grid, cfg, n=4)
+
+    # single-device reference run
+    import icebergs_tpu.model as model
+    step1 = model.make_step(grid, cfg, with_thermo=False)
+    st1 = st
+    for _ in range(30):
+        st1, _ = step1(st1, frc)
+    ref = np.sort(np.asarray(st1.lon)[np.asarray(st1.alive)])
+
+    # 4-device run
+    mesh = make_mesh(4)
+    world = dd.make_sharded_world(cfg, mesh, nx=NX, ny=NY, lon0=0., lat0=0.,
+                                  dlon=DXY, dlat=DXY)
+    frc_s = dd.shard_forcing(world, frc)
+    st_s = dd.shard_state(world, st, local_capacity=32)
+    st_s = jax.jit(jax.shard_map(
+        lambda g, s: jax.tree.map(
+            lambda x: x[None],
+            dd.relocalize(jax.tree.map(lambda x: x[0], s),
+                          jax.tree.map(lambda x: x[0], g), cfg)),
+        mesh=mesh, in_specs=(P(dd.AXIS), P(dd.AXIS)),
+        out_specs=P(dd.AXIS)))(world.grids, st_s)
+    step4 = dd.make_sharded_step(world, with_thermo=False)
+    for _ in range(30):
+        st_s, nbergs, total_mass, _ = step4(st_s, frc_s)
+
+    lon_s = np.asarray(jax.device_get(st_s.lon)).reshape(-1)
+    alive_s = np.asarray(jax.device_get(st_s.alive)).reshape(-1)
+    halo_s = np.asarray(jax.device_get(st_s.halo_berg)).reshape(-1)
+    got = np.sort(lon_s[alive_s & (halo_s < 0.5)])
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=0, atol=2.0)  # meters
