@@ -1,0 +1,96 @@
+"""Checksums, budgets and state reporting.
+
+TPU-native equivalents of ``bergs_chksum``/``list_chksum``/``grd_chksum2``
+(``src/icebergs_framework.F90:6606-7070``) and the budget tables of
+``icebergs_run`` (``src/icebergs.F90:5683-5995``).
+
+Checksums are order-invariant integer reductions over the particle slab
+(sum of float bit patterns mod 2^32), so they are independent of slot
+order and device layout — the same property the reference engineers via
+ordered list insertion (``parallel_reprod``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# fields hashed by bergs_chksum (the reference hashes the full particle
+# payload; chksum2 excludes ine/jne, chksum3/4 position-only variants)
+CHKSUM_FIELDS = ("lon", "lat", "uvel", "vvel", "mass", "thickness",
+                 "width", "length", "axn", "ayn", "bxn", "byn",
+                 "start_lon", "start_lat", "start_day", "start_mass",
+                 "mass_scaling", "mass_of_bits", "heat_density")
+
+
+def berg_chksum(st, fields=CHKSUM_FIELDS):
+    """Order-invariant 32-bit hash of live-particle state."""
+    total = jnp.zeros((), jnp.uint32)
+    alive = st.alive & (st.halo_berg < 0.5)
+    for f in fields:
+        arr = getattr(st, f)
+        if arr.dtype == jnp.float32:
+            bits = jax.lax.bitcast_convert_type(arr, jnp.uint32)
+        else:
+            bits = arr.astype(jnp.uint32)
+        total = total + jnp.sum(jnp.where(alive, bits, jnp.uint32(0)),
+                                dtype=jnp.uint32)
+    n = jnp.sum(alive.astype(jnp.uint32))
+    return total, n
+
+
+def grd_chksum2(field):
+    """Gridded-field hash + stats (grd_chksum2)."""
+    if field.dtype == jnp.float32:
+        bits = jax.lax.bitcast_convert_type(field, jnp.uint32)
+    else:
+        bits = field.astype(jnp.uint32)
+    return dict(chksum=jnp.sum(bits, dtype=jnp.uint32),
+                minv=jnp.min(field), maxv=jnp.max(field),
+                mean=jnp.mean(field),
+                rms=jnp.sqrt(jnp.mean(field.astype(jnp.float32) ** 2)))
+
+
+class Budgets(NamedTuple):
+    nbergs: jnp.ndarray
+    mass: jnp.ndarray            # kg (incl. mass_scaling)
+    mass_of_bits: jnp.ndarray
+    heat: jnp.ndarray            # J
+    stored_ice: jnp.ndarray      # kg in calving buckets
+    stored_heat: jnp.ndarray
+
+
+def compute_budgets(st, calv=None) -> Budgets:
+    """Global sums for the budget table (sum_mass/sum_heat,
+    icebergs_framework.F90:6606-6680)."""
+    own = st.alive & (st.halo_berg < 0.5)
+    mass = jnp.sum(jnp.where(own, st.mass * st.mass_scaling, 0.))
+    bits = jnp.sum(jnp.where(
+        own, (st.mass_of_bits + st.mass_of_fl_bits
+              + st.mass_of_fl_bergy_bits) * st.mass_scaling, 0.))
+    heat = jnp.sum(jnp.where(own, st.mass * st.mass_scaling
+                             * st.heat_density, 0.))
+    z = jnp.zeros(())
+    return Budgets(
+        nbergs=jnp.sum(own.astype(jnp.int32)),
+        mass=mass, mass_of_bits=bits, heat=heat,
+        stored_ice=jnp.sum(calv.stored_ice) if calv is not None else z,
+        stored_heat=jnp.sum(calv.stored_heat) if calv is not None else z)
+
+
+def report_budget(tag: str, b0: Budgets, b1: Budgets, dt_total: float,
+                  melt_kg=0.0, calving_in_kg=0.0):
+    """Print a budget-closure table like report_budget
+    (icebergs.F90:5890-5995)."""
+    dm = float(b1.mass + b1.stored_ice - b0.mass - b0.stored_ice)
+    rhs = float(calving_in_kg) - float(melt_kg)
+    err = dm - rhs
+    denom = max(abs(float(b1.mass)), 1.0)
+    print(f"KID-TPU budget [{tag}]: bergs {int(b0.nbergs)}->{int(b1.nbergs)}"
+          f" mass {float(b0.mass):.6e}->{float(b1.mass):.6e} kg"
+          f" dM={dm:.4e} in-out={rhs:.4e} err={err:.3e}"
+          f" rel={err / denom:.3e}")
+    return err

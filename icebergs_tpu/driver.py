@@ -1,0 +1,175 @@
+"""Stand-alone driver: the TPU equivalent of ``driver/icebergs_driver.F90``.
+
+Reads the reference's ``input.nml`` (both ``icebergs_driver_nml`` and
+``icebergs_nml``), builds the synthetic grid + forcing of the test cases
+(uniform Cartesian or A68 lat-lon grid; converging collision jet
+driver:313-327; Gaussian grounding bump 288-307; footloose jet 309-311),
+loads ``icebergs.res.nc``/``bonds_iceberg.res.nc`` initial conditions from
+the makeberg tooling, runs the time loop, and writes restarts +
+trajectories.
+
+CLI:  python -m icebergs_tpu.driver --nml input.nml [--input-dir DIR]
+          [--output-dir DIR] [--capacity N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def build_grid_and_forcing(cfg, drv, dtype=None):
+    """Synthetic grid + forcing from icebergs_driver_nml
+    (driver/icebergs_driver.F90:196-328)."""
+    import jax.numpy as jnp
+    from . import forcing as F
+    from . import grid as G
+
+    ni = int(drv.get("ni", 20))
+    nj = int(drv.get("nj", 20))
+    gridres = float(drv.get("gridres", 1000.0))
+    ibuo = float(drv.get("ibuo", 0.0))
+    ibvo = float(drv.get("ibvo", 0.0))
+    ibui = float(drv.get("ibui", 0.0))
+    ibvi = float(drv.get("ibvi", 0.0))
+    ibua = float(drv.get("ibua", 0.0))
+    ibva = float(drv.get("ibva", 0.0))
+
+    if cfg.grid_is_latlon:
+        # simple lat-lon box (the A68 case reads its grid from file)
+        lon0 = float(drv.get("lon0", 0.0))
+        lat0 = float(drv.get("lat0", -70.0))
+        dll = float(drv.get("dlonlat", 0.125))
+        grid = G.make_uniform_grid(ni, nj, lon0, lat0, dll, dll,
+                                   grid_is_latlon=True, Rearth=cfg.Rearth)
+    else:
+        grid = G.make_uniform_grid(ni, nj, 0.0, 0.0, gridres, gridres,
+                                   grid_is_latlon=False)
+
+    frc = F.uniform_forcing(grid.nx, grid.ny, uo=ibuo, vo=ibvo, ui=ibui,
+                            vi=ibvi, ua=ibua, va=ibva, sst=-2.0, sss=33.0)
+
+    xc = gridres * np.arange(ni + 1)[:, None] * np.ones((1, nj + 1))
+    yc = gridres * np.arange(nj + 1)[None, :] * np.ones((ni + 1, 1))
+
+    if drv.get("collision_test"):
+        # converging meridional jet toward y=mid (driver:313-327)
+        mid = 10.e3
+        vo = np.where((xc > mid) | (xc <= 0.) | (yc == mid), 0.,
+                      np.where(yc > mid, -ibvo, ibvo))
+        frc = frc.replace(vo=jnp.asarray(vo, jnp.float32))
+    if drv.get("fl_test"):
+        vo = np.where(xc > 10000., -ibvo, ibvo)
+        frc = frc.replace(vo=jnp.asarray(vo, jnp.float32))
+    if drv.get("big_grounding_test"):
+        # Gaussian seamount bathymetry (driver:288-307)
+        xm = gridres * (np.arange(ni) + 0.5)
+        ym = gridres * (np.arange(nj) + 0.5)
+        X, Y = np.meshgrid(xm, ym, indexing="ij")
+        x0 = 0.5 * ni * gridres
+        y0 = 0.5 * nj * gridres
+        depth = 1000. - 900. * np.exp(-((X - x0) ** 2 + (Y - y0) ** 2)
+                                      / (2 * (3 * gridres) ** 2))
+        od = np.pad(depth, 1)
+        grid = grid.replace(ocean_depth=jnp.asarray(od, jnp.float32))
+    else:
+        # default deep ocean so nothing grounds spuriously
+        grid = grid.replace(ocean_depth=jnp.full_like(grid.ocean_depth,
+                                                      1000.0))
+    return grid, frc
+
+
+def run(nml_path: str, input_dir: str = ".", output_dir: str = ".",
+        capacity: int = 4096, verbose: bool = True):
+    """Main loop (driver/icebergs_driver.F90:339-444)."""
+    import jax
+    from .io.namelist import config_from_namelist
+    from .io import restart as rio
+    from .io import trajectory as tio
+    from . import model, diag
+    from .ops import forces as FO
+    from .calving import init_calving_state
+
+    cfg, drv = config_from_namelist(nml_path)
+    grid, frc = build_grid_and_forcing(cfg, drv)
+
+    berg_restart = os.path.join(input_dir, "icebergs.res.nc")
+    if os.path.exists(berg_restart):
+        st = rio.read_restart_bergs(berg_restart, capacity, grid, cfg)
+    else:
+        raise SystemExit(f"no initial bergs found at {berg_restart}")
+    bond_restart = os.path.join(input_dir, "bonds_iceberg.res.nc")
+    if cfg.iceberg_bonds_on and os.path.exists(bond_restart):
+        st = rio.read_restart_bonds(bond_restart, st, cfg)
+    elif cfg.iceberg_bonds_on and cfg.manually_initialize_bonds:
+        st = FO.initialize_bonds_host(st, cfg)
+    calving_restart = os.path.join(input_dir, "calving.res.nc")
+    calv = init_calving_state(grid)
+    if os.path.exists(calving_restart):
+        calv = rio.read_restart_calving(calving_restart, calv, grid)
+
+    ibdt = cfg.dt
+    ibhrs = float(drv.get("ibhrs", 24))
+    nmax = int(drv.get("nmax", 10 ** 9))
+    nsteps = min(int(round(ibhrs * 3600.0 / ibdt)), nmax)
+    traj_every = max(1, int(round(cfg.traj_sample_hrs * 3600.0 / ibdt)))
+
+    step = model.make_step(grid, cfg, with_thermo=True)
+    buf = tio.init_traj_buffer(st.capacity,
+                               nsamples=max(2, nsteps // traj_every + 2),
+                               cfg=cfg)
+
+    b0 = diag.compute_budgets(st, calv)
+    t_wall = time.time()
+    melt_total = 0.0
+    for n in range(nsteps):
+        st, diags = step(st, frc)
+        if diags.floating_melt is not None:
+            melt_total += float(np.sum(np.asarray(
+                diags.floating_melt * grid.area))) * cfg.dt
+        if (n + 1) % traj_every == 0 and not cfg.ignore_traj:
+            day = (n + 1) * ibdt / 86400.0
+            buf = tio.record_posn(buf, st, cfg, day=day, year=0)
+        if verbose and (n + 1) % max(1, nsteps // 10) == 0:
+            print(f"step {n + 1}/{nsteps} bergs={int(diags.nbergs)} "
+                  f"wall={time.time() - t_wall:.1f}s", flush=True)
+
+    b1 = diag.compute_budgets(st, calv)
+    diag.report_budget("driver", b0, b1, nsteps * ibdt, melt_kg=melt_total)
+    cs, nb = jax.jit(diag.berg_chksum)(st)
+    print(f"KID-TPU, bergs_chksum: write_restart berg chksum="
+          f"{int(cs)} #={int(nb)}")
+
+    os.makedirs(output_dir, exist_ok=True)
+    if drv.get("saverestart", False):
+        rio.write_restart_bergs(os.path.join(output_dir, "icebergs.res.nc"),
+                                st, cfg)
+        if cfg.iceberg_bonds_on:
+            rio.write_restart_bonds(
+                os.path.join(output_dir, "bonds_iceberg.res.nc"), st, cfg)
+        rio.write_restart_calving(
+            os.path.join(output_dir, "calving.res.nc"), calv, grid)
+    if not cfg.ignore_traj:
+        tio.write_trajectories(os.path.join(output_dir, cfg.traj_name),
+                               buf, cfg)
+    secs = time.time() - t_wall
+    print(f"KID-TPU driver: {nsteps} steps in {secs:.1f}s "
+          f"({nsteps / max(secs, 1e-9):.2f} steps/s)")
+    return st
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--nml", required=True)
+    p.add_argument("--input-dir", default=".")
+    p.add_argument("--output-dir", default=".")
+    p.add_argument("--capacity", type=int, default=4096)
+    a = p.parse_args()
+    run(a.nml, a.input_dir, a.output_dir, a.capacity)
+
+
+if __name__ == "__main__":
+    main()

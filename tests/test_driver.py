@@ -1,0 +1,75 @@
+"""End-to-end stand-alone driver test: namelist -> restart read -> time
+loop -> budget report -> restart/trajectory write (the reference's
+driver/icebergs_driver.F90 flow on a small synthetic case)."""
+
+import os
+
+import numpy as np
+
+import icebergs_tpu as ibt
+from icebergs_tpu import driver as drv
+from icebergs_tpu.grid import pos_to_cell
+from icebergs_tpu.io import restart as rio
+
+NML = """
+&icebergs_driver_nml
+  ni=20
+  nj=20
+  ibdt=600.0
+  ibuo=0.2
+  ibvo=0.0
+  ibhrs=4
+  nmax=1000
+  saverestart=.true.
+  gridres=1000.0
+/
+
+&icebergs_nml
+  grid_is_latlon=.false.
+  Lx=20000.
+  use_f_plane=.true.
+  lat_ref=0.
+  Runge_not_Verlet=.false.
+  use_new_predictive_corrective=.true.
+  traj_sample_hrs=1.0
+  set_melt_rates_to_zero=.false.
+/
+"""
+
+
+def test_driver_end_to_end(tmp_path, capsys):
+    nml = tmp_path / "input.nml"
+    nml.write_text(NML)
+
+    # build an initial restart like the makeberg tooling would
+    cfg = ibt.IcebergsConfig(grid_is_latlon=False, Lx=20000.)
+    grid = ibt.make_uniform_grid(20, 20, 0., 0., 1000., 1000.,
+                                 grid_is_latlon=False)
+    st = ibt.create_bergs(64, lon=[5000., 9000., 13000.],
+                          lat=[9500., 10500., 9000.],
+                          mass=850. * 20 * 100 * 100, thickness=20.,
+                          width=100., length=100., mass_scaling=1.)
+    i, j, xi, yj = pos_to_cell(grid, st.lon, st.lat, -1.0)
+    st = st.replace(ine=i, jne=j, xi=xi, yj=yj)
+    rio.write_restart_bergs(str(tmp_path / "icebergs.res.nc"), st, cfg)
+
+    out = tmp_path / "out"
+    st2 = drv.run(str(nml), input_dir=str(tmp_path), output_dir=str(out),
+                  capacity=64, verbose=False)
+
+    # bergs drifted east with the 0.2 m/s current over 4 h
+    lon = np.asarray(st2.lon)[np.asarray(st2.alive)]
+    assert np.all(lon > np.array([5000., 9000., 13000.]))
+    # outputs written
+    assert (out / "icebergs.res.nc").exists()
+    assert (out / "calving.res.nc").exists()
+    assert (out / "iceberg_trajectories.nc").exists()
+    cap = capsys.readouterr().out
+    assert "bergs_chksum" in cap
+    assert "budget" in cap
+
+    # trajectory has 4 hourly samples x 3 bergs
+    from scipy.io import netcdf_file
+    with netcdf_file(str(out / "iceberg_trajectories.nc"), "r",
+                     mmap=False) as f:
+        assert np.asarray(f.variables["lon"][:]).shape[0] == 12
