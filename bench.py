@@ -25,7 +25,7 @@ def main():
     CAP = NBERGS
     NX = NY = 512
     DXY = 2000.0
-    INNER = 5
+    INNER = 2          # keep the scanned program's compile time bounded
     MAX_PER_CELL = 6   # ~3.8 bergs/cell mean at this density
 
     cfg = ibt.IcebergsConfig(
@@ -55,7 +55,7 @@ def main():
     st = jax.block_until_ready(multi(st, frc))
 
     t0 = time.perf_counter()
-    reps = 3
+    reps = 2
     for _ in range(reps):
         st = jax.block_until_ready(multi(st, frc))
     dt_wall = (time.perf_counter() - t0) / (reps * INNER)

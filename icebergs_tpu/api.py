@@ -1,0 +1,271 @@
+"""Public model API: the TPU equivalent of ``module ice_bergs``'s
+``icebergs_init`` / ``icebergs_run`` / ``icebergs_end`` /
+``icebergs_save_restart`` / ``icebergs_stock_pe`` / ``icebergs_incr_mass``
+(``src/icebergs.F90:65-66``).
+
+``IcebergsModel`` holds the static pieces (grid, config, compiled step);
+the dynamic state (bergs + calving buckets + RNG key + clock) flows
+functionally through ``run()``, which executes the reference's full
+coupling sequence (icebergs_run, icebergs.F90:5074-5889):
+
+ 1. interface: stagger forcing onto the B-grid, tau->velocity, K->C SST,
+    NaN scrub                                   (icebergs.F90:5236-5383)
+ 2. accumulate_calving -> buckets               (5389)
+ 3. calve_icebergs: spawn from buckets          (5403)
+ 4. interp fields to bergs                      (5423)
+ 5. evolve (RK4 / Verlet / MTS)                 (5426-5441)
+ 6. footloose calving parts 1+2                 (5453, 5479-5488)
+ 7. thermodynamics (melt, rolling, death)       (5505)
+ 8. create_gridded_icebergs_fields              (5512)
+ 9. coupler return fields + budgets             (5652-5889)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import constants as C
+from .calving import (CalvingState, accumulate_calving, calve_icebergs,
+                      get_running_mean_calving, init_calving_state)
+from .config import IcebergsConfig
+from .diag import Budgets, compute_budgets
+from .dynamics import evolve_icebergs
+from .footloose import (adjust_fl_berg_interactivity, delete_fully_fl_calved,
+                        footloose_calving)
+from .forcing import Forcing
+from .grid import Grid
+from .model import interp_to_bergs
+from .ops import forces as _forces
+from .ops import spread as _spread
+from .ops import thermo as _thermo
+from .state import BergState
+from .tree import pytree_dataclass
+
+
+@pytree_dataclass
+class ModelState:
+    bergs: BergState = None
+    calving: CalvingState = None
+    key: jnp.ndarray = None          # PRNG key (footloose placement)
+    current_year: jnp.ndarray = None
+    current_yearday: jnp.ndarray = None
+
+
+class RunOutputs(NamedTuple):
+    """Coupler return fields (icebergs_run out args, icebergs.F90:5652-5679)
+    — all halo-padded center fields."""
+    calving: jnp.ndarray         # residual calving + melt return, kg/s/m2
+    calving_hflx: jnp.ndarray    # W/m2
+    floating_melt: jnp.ndarray   # kg/m2/s
+    berg_melt: jnp.ndarray
+    spread_mass: jnp.ndarray
+    spread_area: jnp.ndarray
+    spread_uvel: jnp.ndarray
+    spread_vvel: jnp.ndarray
+    ustar_iceberg: jnp.ndarray
+    mass_on_ocean: jnp.ndarray
+    nbergs: jnp.ndarray
+    budgets: Budgets
+
+
+def prepare_forcing(grid: Grid, cfg: IcebergsConfig, frc: Forcing,
+                    *, vel_stagger: str = "B",
+                    stress_stagger: str = "B") -> Forcing:
+    """Interface layer (P16, icebergs.F90:5236-5383): stagger velocities
+    onto the corner B-grid, convert wind stress to a wind speed unless
+    tau_is_velocity, autodetect Kelvin SST, scrub NaNs."""
+    def to_corners(u):
+        if u.shape == grid.shape_corners:
+            return u
+        # A/C-grid center field -> corner average
+        up = jnp.pad(u, 1, mode="edge") if u.shape == (grid.nx, grid.ny) \
+            else u
+        return 0.25 * (up[:-1, :-1] + up[1:, :-1] + up[:-1, 1:] + up[1:, 1:])
+
+    uo, vo = to_corners(frc.uo), to_corners(frc.vo)
+    ui, vi = to_corners(frc.ui), to_corners(frc.vi)
+    ua, va = to_corners(frc.ua), to_corners(frc.va)
+
+    if not cfg.tau_is_velocity:
+        # invert_tau_for_du (icebergs.F90:8271-8296): u = sqrt(tau/(rho Cd))
+        def invert(tau_x, tau_y):
+            mag = jnp.sqrt(tau_x ** 2 + tau_y ** 2)
+            spd = jnp.sqrt(mag / (C.RHO_AIR * 0.0015))
+            den = jnp.where(mag > 0., mag, 1.)
+            return jnp.where(mag > 0., spd * tau_x / den, 0.), \
+                jnp.where(mag > 0., spd * tau_y / den, 0.)
+        ua, va = invert(ua, va)
+
+    sst = frc.sst
+    sst = jnp.where(jnp.max(sst) > 120.0, sst - 273.15, sst)
+
+    def scrub(a):
+        return jnp.where(jnp.isnan(a), 0., a)
+
+    ssh = frc.ssh
+    if cfg.add_iceberg_thickness_to_SSH:
+        pass  # spread_mass/area-based SSH increment added by the host model
+
+    return Forcing(uo=scrub(uo), vo=scrub(vo), ui=scrub(ui), vi=scrub(vi),
+                   ua=scrub(ua), va=scrub(va), ssh=scrub(ssh),
+                   sst=scrub(sst), sss=scrub(frc.sss), cn=scrub(frc.cn),
+                   hi=scrub(frc.hi))
+
+
+class IcebergsModel:
+    """icebergs_init equivalent: bind grid + config, build the jitted run."""
+
+    def __init__(self, grid: Grid, cfg: IcebergsConfig, *,
+                 max_per_cell: int = 16, jit: bool = True):
+        self.grid = grid
+        self.cfg = cfg
+        self.max_per_cell = max_per_cell
+        self._nbr_radius = _forces.neighbor_radius(grid, cfg)
+        self._run = jax.jit(self._run_impl) if jit else self._run_impl
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def init_state(self, bergs: BergState, seed: int = 0,
+                   year: int = 0, yearday: float = 0.) -> ModelState:
+        return ModelState(
+            bergs=bergs, calving=init_calving_state(self.grid),
+            key=jax.random.PRNGKey(seed),
+            current_year=jnp.asarray(year, jnp.int32),
+            current_yearday=jnp.asarray(yearday, jnp.float32))
+
+    def run(self, state: ModelState, frc: Forcing,
+            calving=None, calving_hflx=None):
+        """One coupling step; returns (state, RunOutputs)."""
+        shape = (self.grid.nx + 2, self.grid.ny + 2)
+        if calving is None:
+            calving = jnp.zeros(shape, state.bergs.dtype)
+        if calving_hflx is None:
+            calving_hflx = jnp.zeros(shape, state.bergs.dtype)
+        return self._run(state, frc, calving, calving_hflx)
+
+    # -- the full icebergs_run sequence -------------------------------------
+
+    def _run_impl(self, state: ModelState, frc: Forcing, calving,
+                  calving_hflx):
+        cfg, grid = self.cfg, self.grid
+        st = state.bergs
+        calv = state.calving
+        key = state.key
+        b0 = compute_budgets(st, calv)
+
+        # 2-3. calving buckets -> new bergs
+        calv, calving, calving_hflx = get_running_mean_calving(
+            calv, calving, calving_hflx, cfg)
+        calv, calving_res, hflx_res, used_kg, used_J = accumulate_calving(
+            calv, grid, calving, calving_hflx, cfg)
+        st, calv, calv_diag = calve_icebergs(
+            st, calv, grid, frc, cfg,
+            current_year=state.current_year,
+            current_yearday=state.current_yearday)
+
+        # 4. interpolate fields onto bergs
+        st = interp_to_bergs(st, grid, frc, cfg)
+
+        # 5. evolve
+        if cfg.mts:
+            from .mts import evolve_icebergs_mts
+            st, _ = evolve_icebergs_mts(st, grid, frc, cfg)
+        else:
+            ia_fn = None
+            nbr = None
+            if cfg.interactive_icebergs_on:
+                nbr = _forces.build_neighbor_tables(
+                    st, grid, cfg, ncells_radius=self._nbr_radius,
+                    max_per_cell=self.max_per_cell)
+                ia_fn = _forces.make_ia_fn(st, nbr, cfg)
+            out = evolve_icebergs(st, grid, frc, cfg, ia_fn=ia_fn)
+            st = out.state
+
+        # 6. footloose calving + interactivity bookkeeping
+        fl_diag = None
+        if cfg.footloose:
+            key, sub = jax.random.split(key)
+            st, fl_diag = footloose_calving(
+                st, grid, cfg, sub, current_year=state.current_year,
+                current_yearday=state.current_yearday)
+            st, _ = delete_fully_fl_calved(st)
+            if cfg.interactive_icebergs_on:
+                nbr2 = _forces.build_neighbor_tables(
+                    st, grid, cfg, ncells_radius=self._nbr_radius,
+                    max_per_cell=self.max_per_cell)
+                st = adjust_fl_berg_interactivity(st, nbr2, cfg)
+
+        # 7. thermodynamics
+        melt = None
+        st, melt = _thermo.thermodynamics(st, grid, frc, cfg)
+
+        # 8. gridded fields
+        sp = _spread.create_gridded_icebergs_fields(st, grid, frc, cfg)
+
+        # 9. coupler return: residual calving +- melt
+        floating_melt = melt.floating_melt
+        calving_out = calving_res + floating_melt * (grid.msk > 0.)
+        hflx_out = hflx_res + melt.calving_hflx
+
+        b1 = compute_budgets(st, calv)
+        outputs = RunOutputs(
+            calving=calving_out, calving_hflx=hflx_out,
+            floating_melt=floating_melt, berg_melt=melt.berg_melt,
+            spread_mass=sp.spread_mass, spread_area=sp.spread_area,
+            spread_uvel=sp.spread_uvel, spread_vvel=sp.spread_vvel,
+            ustar_iceberg=sp.ustar_iceberg, mass_on_ocean=sp.mass_on_ocean,
+            nbergs=st.count(), budgets=b1)
+
+        day = state.current_yearday + cfg.dt / 86400.
+        state = state.replace(bergs=st, calving=calv, key=key,
+                              current_yearday=day)
+        return state, outputs
+
+    # -- coupler queries -----------------------------------------------------
+
+    def stock_pe(self, state: ModelState):
+        """Water/heat stocks (icebergs_stock_pe, icebergs.F90:8102-8133)."""
+        b = compute_budgets(state.bergs, state.calving)
+        water = b.mass + b.mass_of_bits + b.stored_ice
+        heat = -(water * C.HLF)   # frozen water holds negative latent heat
+        return water, heat
+
+    def incr_mass(self, state: ModelState, mass_field, frc: Forcing):
+        """Add spread berg weight to an ocean mass field
+        (icebergs_incr_mass, icebergs.F90:6046-6075)."""
+        if self.cfg.passive_mode or not self.cfg.add_weight_to_ocean:
+            return mass_field
+        sp = _spread.create_gridded_icebergs_fields(
+            state.bergs, self.grid, frc, self.cfg)
+        return mass_field + sp.spread_mass
+
+    def save_restart(self, state: ModelState, directory: str = "."):
+        """Write the restart triplet (icebergs_save_restart)."""
+        import os
+        from .io import restart as rio
+        os.makedirs(directory, exist_ok=True)
+        rio.write_restart_bergs(os.path.join(directory, "icebergs.res.nc"),
+                                state.bergs, self.cfg)
+        if self.cfg.iceberg_bonds_on:
+            rio.write_restart_bonds(
+                os.path.join(directory, "bonds_iceberg.res.nc"),
+                state.bergs, self.cfg)
+        rio.write_restart_calving(
+            os.path.join(directory, "calving.res.nc"), state.calving,
+            self.grid)
+
+    def end(self, state: ModelState, directory: str = ".",
+            traj_buffer=None):
+        """icebergs_end: flush trajectories + final budgets."""
+        from .io import trajectory as tio
+        if traj_buffer is not None and not self.cfg.ignore_traj:
+            import os
+            tio.write_trajectories(
+                os.path.join(directory, self.cfg.traj_name), traj_buffer,
+                self.cfg)
+        return compute_budgets(state.bergs, state.calving)

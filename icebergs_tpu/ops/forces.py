@@ -149,16 +149,30 @@ def _pair_geometry(st, cfg: IcebergsConfig, other, bonded_const_LW: bool):
     return T1, T2, A1, A2, M1, M2
 
 
-def pair_forces(st, cfg: IcebergsConfig, other, mask, *, bonded: bool,
-                use_c_crit_dist: bool, u0, v0, u1, v1):
-    """Spring + damping contributions from candidate pairs.
+class PairData(NamedTuple):
+    """Velocity-independent pair quantities, precomputed once per step.
 
-    Vectorized ``calculate_force`` (icebergs.F90:610-804): ``other`` is an
-    (N, M) partner-slot array, ``mask`` the pair validity; ``u0/v0`` the
-    primary's start-of-step velocity, ``u1/v1`` the current iterate.
-    Partner kinematics use the *_old copies for order invariance.
-    Returns an :class:`IA` accumulated over the M candidates.
+    ``calculate_force``'s gathers and geometry depend only on *_old
+    positions and berg shapes; only the pmag damping scaling and the P.u
+    products involve the iterate velocities.  Precomputing lets the
+    twice-per-accel interactive-force evaluation run gather-free.
     """
+    active: jnp.ndarray      # (N, M)
+    IA_x: jnp.ndarray        # (N,) spring accel (velocity independent)
+    IA_y: jnp.ndarray
+    P11: jnp.ndarray         # (N, M) radial projection
+    P12: jnp.ndarray
+    P22: jnp.ndarray
+    crad: jnp.ndarray        # (N, M) radial damping coef x (M_min/M1)
+    ctan: jnp.ndarray        # tangential
+    u2: jnp.ndarray          # (N, M) partner *_old velocity
+    v2: jnp.ndarray
+
+
+def precompute_pair_data(st, cfg: IcebergsConfig, other, mask, *,
+                         bonded: bool, use_c_crit_dist: bool) -> PairData:
+    """Geometry/spring/damping-coefficient precomputation
+    (the velocity-independent 90% of calculate_force)."""
     dtype = st.lon.dtype
     lon1 = st.lon_old[:, None]
     lat1 = st.lat_old[:, None]
@@ -228,36 +242,53 @@ def pair_forces(st, cfg: IcebergsConfig, other, mask, *, bonded: bool,
     P12r = (r_dist_x * r_dist_y) / (rsafe ** 2)
     P22r = (r_dist_y * r_dist_y) / (rsafe ** 2)
 
+    mm = M_min / M1
+    return PairData(active=active, IA_x=IA_x, IA_y=IA_y,
+                    P11=P11r, P12=P12r, P22=P22r,
+                    crad=radial_damping * mm, ctan=tangental_damping * mm,
+                    u2=u2, v2=v2)
+
+
+def eval_pair_ia(pd: PairData, cfg: IcebergsConfig, u0, v0, u1, v1) -> IA:
+    """Velocity-dependent part of calculate_force: pmag-scaled damping
+    projection sums.  Gather-free (all (N, M) operands precomputed)."""
+    P11, P12, P22 = pd.P11, pd.P12, pd.P22
+    u2, v2 = pd.u2, pd.v2
+
     def pmag(P11, P12, P22, coef):
         if not cfg.scale_damping_by_pmag:
             return coef
         du1, dv1 = u2 - u1[:, None], v2 - v1[:, None]
         du0, dv0 = u2 - u0[:, None], v2 - v0[:, None]
-        m1 = jnp.sqrt((P11 * du1 + P12 * dv1) ** 2 + (P12 * du1 + P22 * dv1) ** 2)
-        m0 = jnp.sqrt((P11 * du0 + P12 * dv0) ** 2 + (P12 * du0 + P22 * dv0) ** 2)
+        m1 = jnp.sqrt((P11 * du1 + P12 * dv1) ** 2
+                      + (P12 * du1 + P22 * dv1) ** 2)
+        m0 = jnp.sqrt((P11 * du0 + P12 * dv0) ** 2
+                      + (P12 * du0 + P22 * dv0) ** 2)
         return coef * 0.5 * (m1 + m0)
 
-    out = {}
-    for name, (P11, P12, P21, P22, coef0) in {
-        'rad': (P11r, P12r, P12r, P22r, radial_damping),
-        'tan': (1. - P11r, -P12r, -P12r, 1. - P22r, tangental_damping),
-    }.items():
-        coef = pmag(P11, P12, P22, coef0) * (M_min / M1)
-        w = jnp.where(active, coef, 0.)
-        out[name] = (
-            jnp.sum(w * P11, -1), jnp.sum(w * P12, -1),
-            jnp.sum(w * P21, -1), jnp.sum(w * P22, -1),
-            jnp.sum(w * (P11 * u2 + P12 * v2), -1),
-            jnp.sum(w * (P12 * u2 + P22 * v2), -1))
+    wr = jnp.where(pd.active, pmag(P11, P12, P22, pd.crad), 0.)
+    wt = jnp.where(pd.active,
+                   pmag(1. - P11, -P12, 1. - P22, pd.ctan), 0.)
+    # combined damping matrix D = wr*P + wt*(I-P)
+    D11 = wr * P11 + wt * (1. - P11)
+    D12 = wr * P12 + wt * (-P12)
+    D22 = wr * P22 + wt * (1. - P22)
+    oP11 = jnp.sum(D11, -1)
+    oP12 = jnp.sum(D12, -1)
+    oP22 = jnp.sum(D22, -1)
+    Pu_x = jnp.sum(D11 * u2 + D12 * v2, -1)
+    Pu_y = jnp.sum(D12 * u2 + D22 * v2, -1)
+    return IA(IA_x=pd.IA_x, IA_y=pd.IA_y, P11=oP11, P12=oP12, P21=oP12,
+              P22=oP22, Pu_x=Pu_x, Pu_y=Pu_y)
 
-    P11 = out['rad'][0] + out['tan'][0]
-    P12 = out['rad'][1] + out['tan'][1]
-    P21 = out['rad'][2] + out['tan'][2]
-    P22 = out['rad'][3] + out['tan'][3]
-    Pu_x = out['rad'][4] + out['tan'][4]
-    Pu_y = out['rad'][5] + out['tan'][5]
-    return IA(IA_x=IA_x, IA_y=IA_y, P11=P11, P12=P12, P21=P21, P22=P22,
-              Pu_x=Pu_x, Pu_y=Pu_y)
+
+def pair_forces(st, cfg: IcebergsConfig, other, mask, *, bonded: bool,
+                use_c_crit_dist: bool, u0, v0, u1, v1) -> IA:
+    """Vectorized ``calculate_force`` (icebergs.F90:610-804): spring +
+    damping contributions from candidate pairs, accumulated over M."""
+    pd = precompute_pair_data(st, cfg, other, mask, bonded=bonded,
+                              use_c_crit_dist=use_c_crit_dist)
+    return eval_pair_ia(pd, cfg, u0, v0, u1, v1)
 
 
 def bond_partner_table(st):
@@ -285,40 +316,39 @@ def make_ia_fn(st, nbr: NeighborTables, cfg: IcebergsConfig,
     conglom = st.conglom_id
     same_conglom = conglom[:, None] == conglom[nbr.cand_idx]
 
-    def ia_fn(u1, v1):
-        args = dict(u0=u0_fix, v0=v0_fix, u1=u1, v1=v1)
-        total = None
-
-        def acc(a, b):
-            if a is None:
-                return b
-            return IA(*(x + y for x, y in zip(a, b)))
-
-        if modern:
-            if (not cfg.mts) or mts_part == 3:
-                if cfg.iceberg_bonds_on:
-                    total = acc(total, pair_forces(
-                        st, cfg, bond_other, bond_valid, bonded=True,
-                        use_c_crit_dist=False, **args))
-                    # same-conglom, non-bonded contact (c_crit_dist=True)
-                    m = (nbr.cand_valid & same_conglom
-                         & ~nbr.is_bond_partner)
-                    total = acc(total, pair_forces(
-                        st, cfg, nbr.cand_idx, m, bonded=False,
-                        use_c_crit_dist=True, **args))
-            if (not cfg.mts) or mts_part == 1:
-                m = nbr.cand_valid & ~same_conglom
-                total = acc(total, pair_forces(
-                    st, cfg, nbr.cand_idx, m, bonded=False,
-                    use_c_crit_dist=False, **args))
-        else:
-            total = acc(total, pair_forces(
-                st, cfg, nbr.cand_idx, nbr.cand_valid, bonded=False,
-                use_c_crit_dist=False, **args))
+    # precompute velocity-independent pair data for each force class
+    groups = []
+    if modern:
+        if (not cfg.mts) or mts_part == 3:
             if cfg.iceberg_bonds_on:
-                total = acc(total, pair_forces(
+                groups.append(precompute_pair_data(
                     st, cfg, bond_other, bond_valid, bonded=True,
-                    use_c_crit_dist=False, **args))
+                    use_c_crit_dist=False))
+                # same-conglomerate, non-bonded contact (c_crit_dist=True)
+                m = nbr.cand_valid & same_conglom & ~nbr.is_bond_partner
+                groups.append(precompute_pair_data(
+                    st, cfg, nbr.cand_idx, m, bonded=False,
+                    use_c_crit_dist=True))
+        if (not cfg.mts) or mts_part == 1:
+            m = nbr.cand_valid & ~same_conglom
+            groups.append(precompute_pair_data(
+                st, cfg, nbr.cand_idx, m, bonded=False,
+                use_c_crit_dist=False))
+    else:
+        groups.append(precompute_pair_data(
+            st, cfg, nbr.cand_idx, nbr.cand_valid, bonded=False,
+            use_c_crit_dist=False))
+        if cfg.iceberg_bonds_on:
+            groups.append(precompute_pair_data(
+                st, cfg, bond_other, bond_valid, bonded=True,
+                use_c_crit_dist=False))
+
+    def ia_fn(u1, v1):
+        total = None
+        for pd in groups:
+            b = eval_pair_ia(pd, cfg, u0_fix, v0_fix, u1, v1)
+            total = b if total is None else IA(*(x + y for x, y
+                                                 in zip(total, b)))
         if total is None:
             from .accel import zero_ia
             total = zero_ia(st.lon.shape, st.lon.dtype)
