@@ -115,6 +115,59 @@ def make_uniform_grid(nx: int, ny: int, lon0: float, lat0: float,
     )
 
 
+def make_curvilinear_grid(lonc, latc, *, Rearth: float = C.REARTH_DEFAULT,
+                          msk=None, ocean_depth=None,
+                          dtype=jnp.float32) -> Grid:
+    """Build a grid from explicit corner arrays (nx+1, ny+1).
+
+    Metric terms via haversine like the A68 data loader
+    (driver/driver_data_fms2.F90:60-120).  Such grids use the curvilinear
+    kernels in :mod:`icebergs_tpu.geometry` (set grid_is_regular=False).
+    """
+    lonc = np.asarray(lonc, np.float64)
+    latc = np.asarray(latc, np.float64)
+    nx, ny = lonc.shape[0] - 1, lonc.shape[1] - 1
+
+    def hav(lon1, lat1, lon2, lat2):
+        p = np.pi / 180.
+        dlat = (lat2 - lat1) * p
+        dlon = (lon2 - lon1) * p
+        a = np.sin(dlat / 2) ** 2 + np.cos(lat1 * p) * np.cos(lat2 * p) \
+            * np.sin(dlon / 2) ** 2
+        return 2 * Rearth * np.arcsin(np.sqrt(np.clip(a, 0., 1.)))
+
+    # northern-edge zonal length & eastern-edge meridional length per cell
+    dx = hav(lonc[:-1, 1:], latc[:-1, 1:], lonc[1:, 1:], latc[1:, 1:])
+    dy = hav(lonc[1:, :-1], latc[1:, :-1], lonc[1:, 1:], latc[1:, 1:])
+    area = dx * dy
+    latm = 0.25 * (latc[:-1, :-1] + latc[1:, :-1] + latc[:-1, 1:]
+                   + latc[1:, 1:])
+
+    if msk is None:
+        msk = np.ones((nx, ny))
+    if ocean_depth is None:
+        ocean_depth = np.zeros((nx, ny))
+
+    def pad_center(a, fill=0.0):
+        return jnp.asarray(np.pad(np.asarray(a, np.float64), 1,
+                                  constant_values=fill), dtype)
+
+    return Grid(
+        nx=nx, ny=ny,
+        lonc=jnp.asarray(lonc, dtype), latc=jnp.asarray(latc, dtype),
+        cosc=jnp.ones((nx + 1, ny + 1), dtype),
+        sinc=jnp.zeros((nx + 1, ny + 1), dtype),
+        msk=pad_center(msk), area=pad_center(area),
+        dx=pad_center(dx), dy=pad_center(dy),
+        ocean_depth=pad_center(ocean_depth),
+        lat_center=pad_center(latm),
+        lon0=jnp.asarray(lonc[0, 0], dtype),
+        lat0=jnp.asarray(latc[0, 0], dtype),
+        dlon=jnp.asarray(lonc[1, 0] - lonc[0, 0], dtype),
+        dlat=jnp.asarray(latc[0, 1] - latc[0, 0], dtype),
+    )
+
+
 # --------------------------------------------------------------------------
 # geometry kernels (vectorized over particles)
 # --------------------------------------------------------------------------
