@@ -68,7 +68,7 @@ def step_dynamics(st: BergState, grid: Grid, frc, cfg: IcebergsConfig,
 def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
               with_interactions: Optional[bool] = None,
               with_calving: bool = False, jit: bool = True,
-              max_per_cell: int = 16):
+              max_per_cell: int = 16, neighbor_mode: str = "buckets"):
     """Build the full jitted coupling step.
 
     Returns ``step(state, forcing[, calving_flux]) -> (state, StepDiags)``.
@@ -82,6 +82,13 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
     nbr_radius = _forces.neighbor_radius(grid, cfg) if interactive else 1
 
     def step(st: BergState, frc, stored_ice=None):
+        # 0. (sorted layout) physically reorder the slab by cell so the
+        # neighbor search reads contiguous strips
+        cell_starts = None
+        if interactive and neighbor_mode == "sorted":
+            from .ops.sorted import sort_state_by_cell
+            st, cell_starts = sort_state_by_cell(st, grid)
+
         # 1. interpolate fields to bergs
         st = interp_to_bergs(st, grid, frc, cfg)
 
@@ -95,9 +102,16 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
         else:
             ia_fn = None
             if interactive:
-                nbr = _forces.build_neighbor_tables(
-                    st, grid, cfg, ncells_radius=nbr_radius,
-                    max_per_cell=max_per_cell)
+                if neighbor_mode == "sorted":
+                    from .ops.sorted import strip_neighbor_tables
+                    nbr = strip_neighbor_tables(
+                        st, grid, cfg, cell_starts,
+                        strip_width=max_per_cell * (2 * nbr_radius + 1),
+                        ncells_radius=nbr_radius)
+                else:
+                    nbr = _forces.build_neighbor_tables(
+                        st, grid, cfg, ncells_radius=nbr_radius,
+                        max_per_cell=max_per_cell)
                 ia_fn = _forces.make_ia_fn(st, nbr, cfg)
             out = evolve_icebergs(st, grid, frc, cfg, ia_fn=ia_fn)
             st = out.state

@@ -1,0 +1,85 @@
+"""Cell-sorted neighbor layout must reproduce bucket-mode physics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import icebergs_tpu as ibt
+from icebergs_tpu.grid import pos_to_cell
+from icebergs_tpu.ops.sorted import sort_state_by_cell
+
+
+def make_world():
+    cfg = ibt.IcebergsConfig(grid_is_latlon=False, Lx=-1.0, use_f_plane=True,
+                             lat_ref=10., dt=60.0, Runge_not_Verlet=False,
+                             interactive_icebergs_on=True,
+                             use_new_predictive_corrective=True)
+    grid = ibt.make_uniform_grid(16, 16, 0., 0., 1000., 1000.,
+                                 grid_is_latlon=False)
+    frc = ibt.uniform_forcing(16, 16, uo=0.1, sst=-2.)
+    rng = np.random.RandomState(4)
+    n = 24
+    st = ibt.create_bergs(48, lon=rng.uniform(3000., 13000., n),
+                          lat=rng.uniform(3000., 13000., n),
+                          mass=850. * 100 * 400 * 400, thickness=100.,
+                          width=400., length=400., mass_scaling=1.,
+                          id_cnt=np.arange(n) + 1)
+    i, j, xi, yj = pos_to_cell(grid, st.lon, st.lat, -1.0)
+    return cfg, grid, frc, st.replace(ine=i, jne=j, xi=xi, yj=yj)
+
+
+def by_id(st, field):
+    """Values keyed by id for order-independent comparison."""
+    alive = np.asarray(st.alive)
+    ids = np.asarray(st.id_cnt)[alive]
+    vals = np.asarray(getattr(st, field))[alive]
+    return dict(zip(ids.tolist(), vals.tolist()))
+
+
+def test_sort_state_by_cell_preserves_content_and_bonds():
+    cfg, grid, frc, st = make_world()
+    from icebergs_tpu.ops import forces
+    st = forces.initialize_bonds_host(
+        st, cfg.replace(length_for_manually_initialize_bonds=1500.,
+                        iceberg_bonds_on=True))
+    st2, cell_starts = sort_state_by_cell(st, grid)
+    assert int(st2.count()) == int(st.count())
+    # sorted keys nondecreasing over live slots
+    key = np.asarray(st2.jne * 16 + st2.ine)[np.asarray(st2.alive)]
+    assert np.all(np.diff(key) >= 0)
+    # same multiset of (id, lon)
+    assert by_id(st, "lon") == by_id(st2, "lon")
+    # bonds still point to the right partners (match by id)
+    bidx = np.asarray(st2.bond_idx)
+    ids = np.asarray(st2.id_cnt)
+    b0 = np.asarray(st.bond_idx)
+    ids0 = np.asarray(st.id_cnt)
+    pairs0 = sorted((int(ids0[a]), int(ids0[b0[a, k]]))
+                    for a in np.nonzero(np.asarray(st.alive))[0]
+                    for k in range(4) if b0[a, k] >= 0)
+    pairs2 = sorted((int(ids[a]), int(ids[bidx[a, k]]))
+                    for a in np.nonzero(np.asarray(st2.alive))[0]
+                    for k in range(4) if bidx[a, k] >= 0)
+    assert pairs0 == pairs2
+    # cell_starts consistent with counts
+    assert int(cell_starts[-1]) == int(st.count())
+
+
+def test_sorted_mode_matches_bucket_mode():
+    cfg, grid, frc, st = make_world()
+    step_b = ibt.make_step(grid, cfg, with_thermo=False,
+                           neighbor_mode="buckets")
+    step_s = ibt.make_step(grid, cfg, with_thermo=False,
+                           neighbor_mode="sorted")
+    sb, ss = st, st
+    for _ in range(30):
+        sb, _ = step_b(sb, frc)
+        ss, _ = step_s(ss, frc)
+    lb = by_id(sb, "lon")
+    ls = by_id(ss, "lon")
+    for k in lb:
+        assert abs(lb[k] - ls[k]) < 1e-2, (k, lb[k], ls[k])
+    vb = by_id(sb, "uvel")
+    vs = by_id(ss, "uvel")
+    for k in vb:
+        assert abs(vb[k] - vs[k]) < 1e-6, (k, vb[k], vs[k])
