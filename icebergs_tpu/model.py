@@ -68,7 +68,8 @@ def step_dynamics(st: BergState, grid: Grid, frc, cfg: IcebergsConfig,
 def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
               with_interactions: Optional[bool] = None,
               with_calving: bool = False, jit: bool = True,
-              max_per_cell: int = 16, neighbor_mode: str = "buckets"):
+              max_per_cell: int = 16, neighbor_mode: str = "buckets",
+              use_pallas: bool = False):
     """Build the full jitted coupling step.
 
     Returns ``step(state, forcing[, calving_flux]) -> (state, StepDiags)``.
@@ -112,7 +113,8 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
                     nbr = _forces.build_neighbor_tables(
                         st, grid, cfg, ncells_radius=nbr_radius,
                         max_per_cell=max_per_cell)
-                ia_fn = _forces.make_ia_fn(st, nbr, cfg)
+                ia_fn = _forces.make_ia_fn(st, nbr, cfg,
+                                           use_pallas=use_pallas)
             out = evolve_icebergs(st, grid, frc, cfg, ia_fn=ia_fn)
             st = out.state
 

@@ -299,7 +299,7 @@ def bond_partner_table(st):
 
 
 def make_ia_fn(st, nbr: NeighborTables, cfg: IcebergsConfig,
-               mts_part: int = 0):
+               mts_part: int = 0, use_pallas: bool = False):
     """Build the interactive-force closure used inside ``accel``.
 
     Dispatch mirrors ``interactive_force`` (icebergs.F90:479-607):
@@ -343,10 +343,15 @@ def make_ia_fn(st, nbr: NeighborTables, cfg: IcebergsConfig,
                 st, cfg, bond_other, bond_valid, bonded=True,
                 use_c_crit_dist=False))
 
+    if use_pallas:
+        from .pallas_pairs import eval_pair_ia_pallas as _eval
+    else:
+        _eval = eval_pair_ia
+
     def ia_fn(u1, v1):
         total = None
         for pd in groups:
-            b = eval_pair_ia(pd, cfg, u0_fix, v0_fix, u1, v1)
+            b = _eval(pd, cfg, u0_fix, v0_fix, u1, v1)
             total = b if total is None else IA(*(x + y for x, y
                                                  in zip(total, b)))
         if total is None:

@@ -237,52 +237,274 @@ def _unpack_from(st: BergState, buf: BergState, valid, *, halo_flag=None):
     return st, overflow
 
 
-def exchange_particles(st: BergState, grid: Grid, cfg: IcebergsConfig,
-                       nxl: int, H: int, width: int):
-    """Ownership migration + halo replication via ppermute.
+def _exchange_axis(st: BergState, axis: str, idx_field: str, nl: int,
+                   H: int, width: int, *, halo_too: bool = True):
+    """Migration + halo replication along one mesh axis.
 
-    The SoA analog of ``send_bergs_to_other_pes`` (migration of bergs whose
-    cell left the interior) and ``update_halo_icebergs`` (replication of
-    edge-strip bergs, marked halo_berg=1).
+    One direction pass of ``send_bergs_to_other_pes`` +
+    ``update_halo_icebergs``.  Running this for x then y moves diagonal
+    travellers and corner halos in two hops — the same two-pass corner
+    handling as the reference (icebergs_framework.F90:1840-2135).
     """
-    ndev = jax.lax.axis_size(AXIS)
+    ndev = jax.lax.axis_size(axis)
     right = [(d, (d + 1) % ndev) for d in range(ndev)]
     left = [(d, (d - 1) % ndev) for d in range(ndev)]
 
     def ppermute(tree, perm):
-        return jax.tree.map(
-            lambda x: jax.lax.ppermute(x, AXIS, perm), tree)
+        return jax.tree.map(lambda x: jax.lax.ppermute(x, axis, perm), tree)
 
-    # 1. drop stale halo copies (update_halo_icebergs first phase)
-    owned = st.alive & (st.halo_berg < 0.5)
-    st = st.replace(alive=owned)
+    def idx(s):
+        return getattr(s, idx_field)
 
-    # 2. migration: interior is cells [H, H+nxl)
-    go_left = st.alive & (st.ine < H)
-    go_right = st.alive & (st.ine >= H + nxl)
+    def with_idx(buf, shift):
+        return buf.replace(**{idx_field: idx(buf) + shift})
+
     overflow = jnp.zeros((), jnp.int32)
 
-    for mask, perm, shift in ((go_right, right, -nxl), (go_left, left, nxl)):
+    # migration: interior cells are [H, H+nl); only owned bergs migrate
+    owned = st.alive & (st.halo_berg < 0.5)
+    go_lo = owned & (idx(st) < H)
+    go_hi = owned & (idx(st) >= H + nl)
+    for mask, perm, shift in ((go_hi, right, -nl), (go_lo, left, nl)):
         buf, valid, ov1 = _pack_to(st, mask, width)
         st = st.replace(alive=st.alive & ~mask)
         buf = ppermute(buf, perm)
-        valid = jax.lax.ppermute(valid, AXIS, perm)
-        # receiver's local cell index shifts by +-nxl
-        buf = buf.replace(ine=buf.ine + shift)
-        st, ov2 = _unpack_from(st, buf, valid)
+        valid = jax.lax.ppermute(valid, axis, perm)
+        st, ov2 = _unpack_from(st, with_idx(buf, shift), valid)
         overflow = overflow + ov1 + ov2
 
-    # 3. halo replication: edge strips of my interior -> neighbors
-    edge_r = st.alive & (st.halo_berg < 0.5) & (st.ine >= nxl)  # last H cols
-    edge_l = st.alive & (st.halo_berg < 0.5) & (st.ine < 2 * H)
-    for mask, perm, shift in ((edge_r, right, -nxl), (edge_l, left, nxl)):
-        buf, valid, ov1 = _pack_to(st, mask, width)
-        buf = ppermute(buf, perm)
-        valid = jax.lax.ppermute(valid, AXIS, perm)
-        buf = buf.replace(ine=buf.ine + shift)
-        st, ov2 = _unpack_from(st, buf, valid, halo_flag=1.0)
-        overflow = overflow + ov1 + ov2
+    if halo_too:
+        # halo replication of edge strips (both owned and already-received
+        # halo copies, so corners propagate on the second axis pass)
+        edge_hi = st.alive & (idx(st) >= nl)
+        edge_lo = st.alive & (idx(st) < 2 * H)
+        for mask, perm, shift in ((edge_hi, right, -nl), (edge_lo, left, nl)):
+            buf, valid, ov1 = _pack_to(st, mask, width)
+            buf = ppermute(buf, perm)
+            valid = jax.lax.ppermute(valid, axis, perm)
+            st, ov2 = _unpack_from(st, with_idx(buf, shift), valid,
+                                   halo_flag=1.0)
+            overflow = overflow + ov1 + ov2
     return st, overflow
+
+
+def exchange_particles(st: BergState, grid: Grid, cfg: IcebergsConfig,
+                       nxl: int, H: int, width: int, *,
+                       nyl: int | None = None, y_axis: str | None = None):
+    """Ownership migration + halo replication via ppermute.
+
+    The SoA analog of ``send_bergs_to_other_pes`` + ``update_halo_icebergs``.
+    1-D (x ring) by default; pass nyl/y_axis for a 2-D mesh (x pass then y
+    pass; corners covered by the second pass).
+    """
+    # drop stale halo copies (update_halo_icebergs first phase)
+    st = st.replace(alive=st.alive & (st.halo_berg < 0.5))
+
+    st, ov_x = _exchange_axis(st, AXIS, "ine", nxl, H, width)
+    overflow = ov_x
+    if y_axis is not None:
+        st, ov_y = _exchange_axis(st, y_axis, "jne", nyl, H, width)
+        overflow = overflow + ov_y
+    return st, overflow
+
+
+# --------------------------------------------------------------------------
+# 2-D mesh decomposition (x, y)
+# --------------------------------------------------------------------------
+
+AXIS_Y = "y"
+
+
+class ShardedWorld2D(NamedTuple):
+    mesh: Mesh
+    grids: Grid          # leaves (ndx, ndy, ...)
+    cfg: IcebergsConfig
+    nxl: int
+    nyl: int
+    halo: int
+
+
+def make_sharded_world_2d(cfg: IcebergsConfig, mesh: Mesh, *, nx, ny,
+                          lon0, lat0, dlon, dlat, msk=None,
+                          ocean_depth=None,
+                          dtype=jnp.float32) -> ShardedWorld2D:
+    """2-D tile decomposition: the full analog of mpp_define_domains'
+    (layout_x, layout_y) (icebergs_framework.F90:915-925)."""
+    ndx, ndy = mesh.devices.shape
+    assert nx % ndx == 0 and ny % ndy == 0
+    nxl, nyl = nx // ndx, ny // ndy
+    H = max(cfg.halo, 2)
+
+    if msk is None:
+        msk = np.ones((nx, ny))
+    if ocean_depth is None:
+        ocean_depth = np.zeros((nx, ny))
+    periodic = cfg.grid_is_latlon and cfg.Lx > 0.
+
+    def slice_xy(a, sx, ex, sy, ey):
+        ix = np.arange(sx, ex)
+        iy = np.arange(sy, ey)
+        if periodic:
+            ix = ix % nx
+        else:
+            ix = np.clip(ix, 0, nx - 1)
+        iy_c = np.clip(iy, 0, ny - 1)
+        out = a[np.ix_(ix, iy_c)].astype(float).copy()
+        badx = (np.arange(sx, ex) < 0) | (np.arange(sx, ex) >= nx)
+        bady = (iy < 0) | (iy >= ny)
+        if not periodic:
+            out[badx, :] = 0.0
+        out[:, bady] = 0.0
+        return out
+
+    rows = []
+    for dx in range(ndx):
+        col = []
+        for dy in range(ndy):
+            sx, ex = dx * nxl - H, (dx + 1) * nxl + H
+            sy, ey = dy * nyl - H, (dy + 1) * nyl + H
+            g = make_uniform_grid(
+                nxl + 2 * H, nyl + 2 * H, lon0 + sx * dlon,
+                lat0 + sy * dlat, dlon, dlat,
+                grid_is_latlon=cfg.grid_is_latlon, Rearth=cfg.Rearth,
+                msk=slice_xy(msk, sx, ex, sy, ey),
+                ocean_depth=slice_xy(ocean_depth, sx, ex, sy, ey),
+                dtype=dtype)
+            col.append(g)
+        rows.append(_stack(col))
+    grids = _stack(rows)
+    grids = jax.device_put(grids, jax.NamedSharding(mesh, P(AXIS, AXIS_Y)))
+    return ShardedWorld2D(mesh=mesh, grids=grids, cfg=cfg, nxl=nxl,
+                          nyl=nyl, halo=H)
+
+
+def shard_state_2d(world: ShardedWorld2D, st_global: BergState,
+                   local_capacity: int) -> BergState:
+    """Distribute bergs to owning 2-D tiles (host-side)."""
+    ndx, ndy = world.mesh.devices.shape
+    nxl, nyl, H = world.nxl, world.nyl, world.halo
+    g00 = jax.tree.map(lambda x: x[0, 0], world.grids)
+    lon0 = float(np.asarray(g00.lon0)) + H * float(np.asarray(g00.dlon))
+    lat0 = float(np.asarray(g00.lat0)) + H * float(np.asarray(g00.dlat))
+    dlon = float(np.asarray(g00.dlon))
+    dlat = float(np.asarray(g00.dlat))
+
+    lon = np.asarray(st_global.lon)
+    lat = np.asarray(st_global.lat)
+    alive = np.asarray(st_global.alive)
+    ox = np.clip(np.floor((lon - lon0) / (dlon * nxl)).astype(int), 0,
+                 ndx - 1)
+    oy = np.clip(np.floor((lat - lat0) / (dlat * nyl)).astype(int), 0,
+                 ndy - 1)
+
+    import dataclasses
+    rows = []
+    for dx in range(ndx):
+        col = []
+        for dy in range(ndy):
+            mine = alive & (ox == dx) & (oy == dy)
+            idx = np.nonzero(mine)[0]
+            n = len(idx)
+            if n > local_capacity:
+                raise ValueError("local capacity exceeded")
+            sl = empty_state(local_capacity, max_bonds=st_global.max_bonds,
+                             dtype=st_global.dtype)
+            take = {}
+            for f in dataclasses.fields(st_global):
+                src = np.asarray(getattr(st_global, f.name))
+                dst = np.asarray(getattr(sl, f.name)).copy()
+                dst[:n] = src[idx]
+                take[f.name] = jnp.asarray(dst)
+            take["alive"] = jnp.asarray(np.arange(local_capacity) < n)
+            take["bond_idx"] = jnp.asarray(
+                np.full((local_capacity, st_global.max_bonds), -1, np.int32))
+            col.append(BergState(**take))
+        rows.append(_stack(col))
+    stacked = _stack(rows)
+    return jax.device_put(stacked, jax.NamedSharding(world.mesh,
+                                                     P(AXIS, AXIS_Y)))
+
+
+def make_sharded_step_2d(world: ShardedWorld2D, *, with_thermo=True,
+                         exchange_width: int = 64):
+    """Jitted 2-D sharded coupling step (x pass then y pass exchanges)."""
+    cfg = world.cfg
+    nxl, nyl, H = world.nxl, world.nyl, world.halo
+    mesh = world.mesh
+
+    def local_fn(grids, st, frc):
+        grid = jax.tree.map(lambda x: x[0, 0], grids)
+        st = jax.tree.map(lambda x: x[0, 0], st)
+        frc = jax.tree.map(lambda x: x[0, 0], frc)
+
+        from ..model import make_step as _ms
+        step = _ms(grid, cfg, with_thermo=with_thermo, jit=False)
+        st, diags = step(st, frc)
+
+        st, overflow = exchange_particles(st, grid, cfg, nxl, H,
+                                          exchange_width, nyl=nyl,
+                                          y_axis=AXIS_Y)
+
+        owned = st.alive & (st.halo_berg < 0.5)
+        nb = jnp.sum(owned.astype(jnp.int32))
+        m = jnp.sum(jnp.where(owned, st.mass * st.mass_scaling, 0.))
+        nbergs = jax.lax.psum(jax.lax.psum(nb, AXIS), AXIS_Y)
+        total_mass = jax.lax.psum(jax.lax.psum(m, AXIS), AXIS_Y)
+        return (jax.tree.map(lambda x: x[None, None], st), nbergs,
+                total_mass, overflow[None, None])
+
+    @functools.partial(jax.jit)
+    def sharded_step(st, frc):
+        fn = jax.shard_map(
+            local_fn, mesh=mesh,
+            in_specs=(P(AXIS, AXIS_Y), P(AXIS, AXIS_Y), P(AXIS, AXIS_Y)),
+            out_specs=(P(AXIS, AXIS_Y), P(), P(), P(AXIS, AXIS_Y)),
+        )
+        return fn(world.grids, st, frc)
+
+    return sharded_step
+
+
+def shard_forcing_2d(world: ShardedWorld2D, frc_global: Forcing) -> Forcing:
+    """Slice a global Forcing into (ndx, ndy) tiles (+halo)."""
+    ndx, ndy = world.mesh.devices.shape
+    nxl, nyl, H = world.nxl, world.nyl, world.halo
+    nx, ny = nxl * ndx, nyl * ndy
+
+    def corner_slice(a, dx, dy):
+        a = np.asarray(a)
+        ix = np.clip(np.arange(dx * nxl - H, (dx + 1) * nxl + H + 1), 0, nx)
+        iy = np.clip(np.arange(dy * nyl - H, (dy + 1) * nyl + H + 1), 0, ny)
+        return a[np.ix_(ix, iy)]
+
+    def center_slice(a, dx, dy):
+        a = np.asarray(a)
+        ix = np.clip(np.arange(dx * nxl - H, (dx + 1) * nxl + 2 + H), 0,
+                     nx + 1)
+        iy = np.clip(np.arange(dy * nyl - H, (dy + 1) * nyl + 2 + H), 0,
+                     ny + 1)
+        return a[np.ix_(ix, iy)]
+
+    rows = []
+    for dx in range(ndx):
+        col = []
+        for dy in range(ndy):
+            col.append(Forcing(
+                uo=jnp.asarray(corner_slice(frc_global.uo, dx, dy)),
+                vo=jnp.asarray(corner_slice(frc_global.vo, dx, dy)),
+                ui=jnp.asarray(corner_slice(frc_global.ui, dx, dy)),
+                vi=jnp.asarray(corner_slice(frc_global.vi, dx, dy)),
+                ua=jnp.asarray(corner_slice(frc_global.ua, dx, dy)),
+                va=jnp.asarray(corner_slice(frc_global.va, dx, dy)),
+                ssh=jnp.asarray(center_slice(frc_global.ssh, dx, dy)),
+                sst=jnp.asarray(center_slice(frc_global.sst, dx, dy)),
+                sss=jnp.asarray(center_slice(frc_global.sss, dx, dy)),
+                cn=jnp.asarray(center_slice(frc_global.cn, dx, dy)),
+                hi=jnp.asarray(center_slice(frc_global.hi, dx, dy))))
+        rows.append(_stack(col))
+    stacked = _stack(rows)
+    return jax.device_put(stacked, jax.NamedSharding(world.mesh,
+                                                     P(AXIS, AXIS_Y)))
 
 
 def make_sharded_step(world: ShardedWorld, *, with_thermo=True,
