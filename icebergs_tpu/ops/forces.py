@@ -452,6 +452,44 @@ def compute_conglom_ids_host(st):
     return st.replace(conglom_id=jnp.asarray(labels + 1, jnp.int32))
 
 
+def connect_bonds_by_id(st):
+    """Re-match bond partner slots from (bond_id_cnt, bond_id_ij) pairs.
+
+    Jit-compatible analog of ``connect_all_bonds``
+    (icebergs_framework.F90:4713-...): after particles moved between
+    devices, partner slot indices are stale; rebuild them by id equality
+    against all live slots.  O(N^2 B) equality — intended for bonded
+    configurations (N up to ~10^4 conglomerate elements).
+    """
+    N, B = st.bond_idx.shape
+    has = (st.bond_id_cnt != 0) | (st.bond_id_ij != 0)
+    has = has & st.alive[:, None]
+    slot_cnt = jnp.where(st.alive, st.id_cnt, -2147483647)
+    slot_ij = st.id_ij
+    new_idx = jnp.full((N, B), -1, jnp.int32)
+    for b in range(B):
+        eq = (st.bond_id_cnt[:, b:b + 1] == slot_cnt[None, :]) \
+            & (st.bond_id_ij[:, b:b + 1] == slot_ij[None, :])   # (N, N)
+        found = jnp.any(eq, axis=1)
+        slot = jnp.argmax(eq, axis=1).astype(jnp.int32)
+        new_idx = new_idx.at[:, b].set(
+            jnp.where(has[:, b] & found, slot, -1))
+    return st.replace(bond_idx=new_idx)
+
+
+def stamp_bond_ids(st):
+    """Fill (bond_id_cnt, bond_id_ij) from current partner slots, so bonds
+    survive re-distribution (the pack side of the reference's bond
+    serialization, icebergs_framework.F90:3250-3381)."""
+    other = jnp.maximum(st.bond_idx, 0)
+    hasb = st.bond_idx >= 0
+    # slots with bond_idx < 0 keep their previous stamps: a cleared slot
+    # index means "partner not locally connected", not "no bond"
+    return st.replace(
+        bond_id_cnt=jnp.where(hasb, st.id_cnt[other], st.bond_id_cnt),
+        bond_id_ij=jnp.where(hasb, st.id_ij[other], st.bond_id_ij))
+
+
 def count_bonds(st):
     """Refresh n_bonds from the bond table (count_bonds, framework:4860)."""
     dem_alive = (st.bond_idx >= 0) & (st.bond_broken != 1)

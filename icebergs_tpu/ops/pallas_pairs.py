@@ -23,7 +23,9 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import IcebergsConfig
 from .accel import IA
 
-BLOCK_N = 256
+# 1-D f32 operands must block at multiples of 1024 to match XLA's
+# {0:T(1024)} layout on TPU
+BLOCK_N = 1024
 
 
 def _kernel(scale_by_pmag: bool):

@@ -138,6 +138,12 @@ def shard_state(world: ShardedWorld, st_global: BergState,
         np.asarray(world.grids.dlon)[0])
     dlon = float(np.asarray(world.grids.dlon)[0])
 
+    # preserve bonds across redistribution: stamp partner ids now; slots
+    # are re-matched by id after the first halo exchange
+    if world.cfg.iceberg_bonds_on:
+        from ..ops.forces import stamp_bond_ids
+        st_global = stamp_bond_ids(st_global)
+
     lon = np.asarray(st_global.lon)
     alive = np.asarray(st_global.alive)
     owner = np.floor((lon - lon0) / (dlon * nxl)).astype(int)
@@ -295,8 +301,16 @@ def exchange_particles(st: BergState, grid: Grid, cfg: IcebergsConfig,
 
     The SoA analog of ``send_bergs_to_other_pes`` + ``update_halo_icebergs``.
     1-D (x ring) by default; pass nyl/y_axis for a 2-D mesh (x pass then y
-    pass; corners covered by the second pass).
+    pass; corners covered by the second pass).  With bonds on, whole
+    conglomerates are additionally replicated to every device
+    (transfer_mts_bergs' invariant, icebergs_framework.F90:2298-2313) and
+    bond pointers re-matched by id.
     """
+    from ..ops import forces as _forces
+
+    if cfg.iceberg_bonds_on:
+        st = _forces.stamp_bond_ids(st)
+
     # drop stale halo copies (update_halo_icebergs first phase)
     st = st.replace(alive=st.alive & (st.halo_berg < 0.5))
 
@@ -305,7 +319,76 @@ def exchange_particles(st: BergState, grid: Grid, cfg: IcebergsConfig,
     if y_axis is not None:
         st, ov_y = _exchange_axis(st, y_axis, "jne", nyl, H, width)
         overflow = overflow + ov_y
+
+    if cfg.iceberg_bonds_on:
+        st, ov_b = replicate_bonded_bergs(st, width, nxl, H,
+                                          nyl=nyl, y_axis=y_axis)
+        overflow = overflow + ov_b
+        st = _forces.connect_bonds_by_id(st)
+        st = _forces.count_bonds(st)
+        # re-localize halo copies on MY extended tile; far-away
+        # conglomerate members clamp to the nearest halo cell, coords
+        # unchanged (same convention as evolve_icebergs_mts,
+        # icebergs.F90:6608-6611)
+        Lx = cfg.Lx if cfg.grid_is_latlon else -1.
+        from ..grid import pos_to_cell
+        i2, j2, xi2, yj2 = pos_to_cell(grid, st.lon, st.lat, Lx)
+        halo = st.alive & (st.halo_berg >= 0.5)
+        st = st.replace(ine=jnp.where(halo, i2, st.ine),
+                        jne=jnp.where(halo, j2, st.jne),
+                        xi=jnp.where(halo, xi2, st.xi),
+                        yj=jnp.where(halo, yj2, st.yj))
     return st, overflow
+
+
+def replicate_bonded_bergs(st: BergState, width: int, nxl: int, H: int, *,
+                           nyl: int | None = None,
+                           y_axis: str | None = None):
+    """Replicate every owned bonded berg to every device (halo copies).
+
+    TPU-native realization of ``transfer_mts_bergs``' invariant — "each PE
+    holds a complete copy of any conglomerate it overlaps" — simplified to
+    full replication (conglomerates are small relative to device memory;
+    the reference's direction-bitmask bookkeeping becomes one all_gather).
+    Copies land with halo_berg=1 so they are dropped next exchange.
+    """
+    owned = st.alive & (st.halo_berg < 0.5)
+    # bondedness from the id stamps: partner slots may not be connected yet
+    has_stamp = jnp.any((st.bond_id_cnt != 0) | (st.bond_id_ij != 0), axis=1)
+    bonded = owned & has_stamp
+    # don't duplicate bergs already replicated by the strip-halo phase:
+    # mark strip halo copies of bonded bergs dead first
+    halo_bonded = st.alive & (st.halo_berg >= 0.5) & has_stamp
+    st = st.replace(alive=st.alive & ~halo_bonded)
+
+    buf, valid, ov1 = _pack_to(st, bonded, width)
+
+    axes = [AXIS] + ([y_axis] if y_axis is not None else [])
+    bufs = buf
+    valids = valid
+    my = None
+    for ax in axes:
+        bufs = jax.tree.map(
+            lambda x: jax.lax.all_gather(x, ax, axis=0, tiled=False), bufs)
+        valids = jax.lax.all_gather(valids, ax, axis=0, tiled=False)
+    # flatten gathered device axes: (D..., width) -> (D*width,)
+    def flat(x):
+        return x.reshape((-1,) + x.shape[len(axes) + 1:])
+    bufs = jax.tree.map(flat, bufs)
+    valids = valids.reshape(-1)
+
+    # skip my own contribution (my linear position in the gathered axis)
+    if y_axis is not None:
+        ndy = jax.lax.axis_size(y_axis)
+        my_lin = jax.lax.axis_index(AXIS) * ndy + jax.lax.axis_index(y_axis)
+    else:
+        my_lin = jax.lax.axis_index(AXIS)
+    src = jnp.arange(valids.shape[0]) // width
+    valids = valids & (src != my_lin)
+
+    overflow = ov1
+    st, ov2 = _unpack_from(st, bufs, valids, halo_flag=1.0)
+    return st, overflow + ov2
 
 
 # --------------------------------------------------------------------------
