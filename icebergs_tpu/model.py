@@ -83,48 +83,55 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
     nbr_radius = _forces.neighbor_radius(grid, cfg) if interactive else 1
 
     def step(st: BergState, frc, stored_ice=None):
+        # phase scopes mirror the reference's mpp_clock sub-timers
+        # (icebergs_framework.F90:896-908) for jax.profiler traces
         # 0. (sorted layout) physically reorder the slab by cell so the
         # neighbor search reads contiguous strips
         cell_starts = None
         if interactive and neighbor_mode == "sorted":
-            from .ops.sorted import sort_state_by_cell
-            st, cell_starts = sort_state_by_cell(st, grid)
+            with jax.named_scope("kid_binning"):
+                from .ops.sorted import sort_state_by_cell
+                st, cell_starts = sort_state_by_cell(st, grid)
 
         # 1. interpolate fields to bergs
-        st = interp_to_bergs(st, grid, frc, cfg)
+        with jax.named_scope("kid_interface"):
+            st = interp_to_bergs(st, grid, frc, cfg)
 
         # 2. dynamics (MTS dispatch mirrors icebergs_run 5426-5441)
-        if cfg.mts:
-            from .mts import evolve_icebergs_mts
-            st, mts_d = evolve_icebergs_mts(st, grid, frc, cfg)
-            from .dynamics import EvolveOut
-            out = EvolveOut(st, jnp.zeros((), jnp.int32),
-                            jnp.zeros((), jnp.int32))
-        else:
-            ia_fn = None
-            if interactive:
-                if neighbor_mode == "sorted":
-                    from .ops.sorted import strip_neighbor_tables
-                    nbr = strip_neighbor_tables(
-                        st, grid, cfg, cell_starts,
-                        strip_width=max_per_cell * (2 * nbr_radius + 1),
-                        ncells_radius=nbr_radius)
-                else:
-                    nbr = _forces.build_neighbor_tables(
-                        st, grid, cfg, ncells_radius=nbr_radius,
-                        max_per_cell=max_per_cell)
-                ia_fn = _forces.make_ia_fn(st, nbr, cfg,
-                                           use_pallas=use_pallas)
-            out = evolve_icebergs(st, grid, frc, cfg, ia_fn=ia_fn)
-            st = out.state
+        with jax.named_scope("kid_momentum"):
+            if cfg.mts:
+                from .mts import evolve_icebergs_mts
+                st, mts_d = evolve_icebergs_mts(st, grid, frc, cfg)
+                from .dynamics import EvolveOut
+                out = EvolveOut(st, jnp.zeros((), jnp.int32),
+                                jnp.zeros((), jnp.int32))
+            else:
+                ia_fn = None
+                if interactive:
+                    if neighbor_mode == "sorted":
+                        from .ops.sorted import strip_neighbor_tables
+                        nbr = strip_neighbor_tables(
+                            st, grid, cfg, cell_starts,
+                            strip_width=max_per_cell * (2 * nbr_radius + 1),
+                            ncells_radius=nbr_radius)
+                    else:
+                        nbr = _forces.build_neighbor_tables(
+                            st, grid, cfg, ncells_radius=nbr_radius,
+                            max_per_cell=max_per_cell)
+                    ia_fn = _forces.make_ia_fn(st, nbr, cfg,
+                                               use_pallas=use_pallas)
+                out = evolve_icebergs(st, grid, frc, cfg, ia_fn=ia_fn)
+                st = out.state
 
         # 4. thermodynamics (melt + rolling + death)
         melt_diags = None
         if with_thermo:
-            st, melt_diags = _thermo.thermodynamics(st, grid, frc, cfg)
+            with jax.named_scope("kid_thermodyn"):
+                st, melt_diags = _thermo.thermodynamics(st, grid, frc, cfg)
 
         # 6. spread mass + gridded fields
-        sp = _spread.create_gridded_icebergs_fields(st, grid, frc, cfg)
+        with jax.named_scope("kid_diagnostics"):
+            sp = _spread.create_gridded_icebergs_fields(st, grid, frc, cfg)
 
         diags = StepDiags(
             nbergs=st.count(), tickets=out.tickets, bounced=out.bounced,
