@@ -286,6 +286,43 @@ def _substep_forces(st, nbr, cfg: IcebergsConfig, dt):
     return axn, ayn, ang_accel, bond_updates
 
 
+def _inner_accel_implicit(s, nbr, cfg: IcebergsConfig, dtf, axn_in, ayn_in):
+    """Implicit inner substep acceleration (accel_mts with mts_part=3 and
+    only_interactive_forces, icebergs.F90:1480-1547): interaction springs
+    in axn, damping projections solved implicitly with scaling=0.5.
+
+    Returns (ax, ay, axn, ayn, bxn, byn)."""
+    scaling = 0.5
+    ia_fn = _forces.make_ia_fn(s, nbr, cfg, mts_part=3)
+    u_star = s.uvel + 0.5 * dtf * axn_in
+    v_star = s.vvel + 0.5 * dtf * ayn_in
+    uvel0, vvel0 = s.uvel, s.vvel
+
+    ia = ia_fn(uvel0, vvel0)
+    uveln, vveln = uvel0, vvel0
+    ax = ay = jnp.zeros_like(u_star)
+    for itloop in (1, 2):
+        if itloop == 2:
+            ia = ia_fn(uveln, vveln)
+        RHS_x = (ia.IA_x / 2.) - scaling * (
+            (ia.P11 * u_star + ia.P12 * v_star) - ia.Pu_x)
+        RHS_y = (ia.IA_y / 2.) - scaling * (
+            (ia.P21 * u_star + ia.P22 * v_star) - ia.Pu_y)
+        A11 = 1. + scaling * dtf * ia.P11
+        A22 = 1. + scaling * dtf * ia.P22
+        A12 = scaling * dtf * ia.P12
+        A21 = scaling * dtf * ia.P21
+        detA = 1. / (A11 * A22 - A12 * A21)
+        ax = detA * (A22 * RHS_x - A12 * RHS_y)
+        ay = detA * (A11 * RHS_y - A21 * RHS_x)
+        uveln = u_star + dtf * ax
+        vveln = v_star + dtf * ay
+    axn, ayn = ia.IA_x, ia.IA_y
+    bxn = 2. * ax - axn
+    byn = 2. * ay - ayn
+    return ax, ay, axn, ayn, bxn, byn
+
+
 def _apply_beam_loads(st, cfg: IcebergsConfig, F_x, F_y, Fd_y):
     """DEM beam-test loads (icebergs.F90:1861-1877): simply-supported beam
     (pinned ends, center load) or cantilever (end load).  Beam end
@@ -442,20 +479,58 @@ def evolve_icebergs_mts(st, grid: Grid, frc, cfg: IcebergsConfig):
         uvel3 = s.uvel + dtf_2 * axn_in
         vvel3 = s.vvel + dtf_2 * ayn_in
 
-        axn, ayn, ang_accel, bu = _substep_forces(s, nbr, cfg, dtf)
-        if cfg.short_step_mts_grounding:
-            gdrag = _grounding_drag_coeff(s, cfg, 'rect')
-            axn = axn + s.uvel * gdrag
-            ayn = ayn + s.vvel * gdrag
-        ax1 = 0.5 * axn
-        ay1 = 0.5 * ayn
-        uveln = uvel3 + dtf * ax1
-        vveln = vvel3 + dtf * ay1
+        explicit_inner = cfg.explicit_inner_mts or cfg.dem
+        if explicit_inner:
+            axn, ayn, ang_accel, bu = _substep_forces(s, nbr, cfg, dtf)
+            if cfg.short_step_mts_grounding:
+                gdrag = _grounding_drag_coeff(s, cfg, 'rect')
+                axn = axn + s.uvel * gdrag
+                ayn = ayn + s.vvel * gdrag
+            bxn = jnp.zeros_like(axn)
+            byn = jnp.zeros_like(ayn)
+            uveln = uvel3 + dtf * (0.5 * axn)
+            vveln = vvel3 + dtf * (0.5 * ayn)
+        else:
+            # implicit inner substeps (accel_mts path), optionally iterated
+            # to convergence (icebergs.F90:6833-6974)
+            bu = None
+            ang_accel = s.ang_accel
+
+            def kick(sv):
+                ax, ay, axn, ayn, bxn, byn = _inner_accel_implicit(
+                    sv, nbr, cfg, dtf, axn_in, ayn_in)
+                return uvel3 + dtf * ax, vvel3 + dtf * ay, axn, ayn, bxn, byn
+
+            uveln, vveln, axn, ayn, bxn, byn = kick(s)
+            if cfg.force_convergence:
+                def cond(c):
+                    sv, un, vn, _, _, _, _, it, done = c
+                    return (~done) & (it < 30)
+
+                def body(c):
+                    sv, un, vn, axn, ayn, bxn, byn, it, done = c
+                    sv2 = sv.replace(uvel_old=sel(un, sv.uvel_old),
+                                     vvel_old=sel(vn, sv.vvel_old))
+                    un2, vn2, axn2, ayn2, bxn2, byn2 = kick(sv2)
+                    usum = jnp.sum(jnp.where(moving, un ** 2 + vn ** 2, 0.))
+                    usum1 = jnp.sum(jnp.where(moving, un2 ** 2 + vn2 ** 2,
+                                              0.))
+                    usum2 = jnp.sum(jnp.where(moving, (un2 - un) ** 2
+                                              + (vn2 - vn) ** 2, 0.))
+                    den = jnp.sqrt(usum) + jnp.sqrt(usum1)
+                    nc = jnp.where(den > 0., 2. * jnp.sqrt(usum2) / den, 0.)
+                    return (sv2, un2, vn2, axn2, ayn2, bxn2, byn2, it + 1,
+                            nc < cfg.convergence_tolerance)
+
+                carry = (s, uveln, vveln, axn, ayn, bxn, byn,
+                         jnp.asarray(0), jnp.asarray(False))
+                (_, uveln, vveln, axn, ayn, bxn, byn, _, _) = \
+                    jax.lax.while_loop(cond, body, carry)
 
         s = s.replace(
             axn_fast=sel(axn, s.axn_fast), ayn_fast=sel(ayn, s.ayn_fast),
-            bxn_fast=sel(jnp.zeros_like(axn), s.bxn_fast),
-            byn_fast=sel(jnp.zeros_like(ayn), s.byn_fast),
+            bxn_fast=sel(bxn, s.bxn_fast),
+            byn_fast=sel(byn, s.byn_fast),
             uvel=sel(uveln, s.uvel), vvel=sel(vveln, s.vvel),
             uvel_old=sel(uveln, s.uvel_old),
             vvel_old=sel(vveln, s.vvel_old),

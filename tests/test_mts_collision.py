@@ -81,3 +81,33 @@ def test_mts_conglomerate_collision():
     # conglomerates were pushed toward the midline by the jet
     assert np.mean(lat1[:4]) > 8000.
     assert np.mean(lat1[4:]) < 12000.
+
+
+def test_mts_implicit_inner_substeps():
+    """Default (non-explicit) MTS inner substeps: bonded pair evolves via
+    the implicit accel_mts path and stays cohesive/finite."""
+    cfg = mts_kid_config().replace(explicit_inner_mts=False,
+                                   force_convergence=True,
+                                   mts_sub_steps=20, dt=600.)
+    grid = ibt.make_uniform_grid(20, 20, 0., 0., 1000., 1000.,
+                                 grid_is_latlon=False)
+    frc = ibt.uniform_forcing(20, 20, uo=0.2, sst=-2.0)
+    side = 400.0
+    st = ibt.create_bergs(16, lon=[9800., 10200.], lat=[10500., 10500.],
+                          mass=850. * 100 * side * side, thickness=100.,
+                          width=side, length=side, mass_scaling=1.,
+                          id_cnt=[1, 2])
+    i, j, xi, yj = pos_to_cell(grid, st.lon, st.lat, -1.0)
+    st = st.replace(ine=i, jne=j, xi=xi, yj=yj)
+    st = forces.initialize_bonds_host(
+        st, cfg.replace(length_for_manually_initialize_bonds=side * 1.2))
+    assert int(st.n_bonds[0]) == 1
+
+    multi = make_multi_step(grid, cfg, 24, with_thermo=False)
+    st = jax.block_until_ready(multi(st, frc))
+    lon1 = np.asarray(st.lon)[:2]
+    assert np.all(np.isfinite(lon1))
+    # drifted with the current and stayed within bond reach
+    assert np.all(lon1 > np.asarray([9800., 10200.]) + 500.)
+    d = abs(lon1[1] - lon1[0])
+    assert 100. < d < 900., d
