@@ -51,9 +51,11 @@ from .tree import pytree_dataclass
 class ModelState:
     bergs: BergState = None
     calving: CalvingState = None
-    key: jnp.ndarray = None          # PRNG key (footloose placement)
+    key: jnp.ndarray = None          # PRNG key (footloose placement, tides)
     current_year: jnp.ndarray = None
     current_yearday: jnp.ndarray = None
+    spread_mass_old: jnp.ndarray = None   # previous step's spread mass
+                                          # (find_melt_using_spread_mass)
 
 
 class RunOutputs(NamedTuple):
@@ -136,7 +138,9 @@ class IcebergsModel:
             bergs=bergs, calving=init_calving_state(self.grid),
             key=jax.random.PRNGKey(seed),
             current_year=jnp.asarray(year, jnp.int32),
-            current_yearday=jnp.asarray(yearday, jnp.float32))
+            current_yearday=jnp.asarray(yearday, jnp.float32),
+            spread_mass_old=jnp.zeros((self.grid.nx + 2, self.grid.ny + 2),
+                                      bergs.dtype))
 
     def run(self, state: ModelState, frc: Forcing,
             calving=None, calving_hflx=None):
@@ -168,8 +172,16 @@ class IcebergsModel:
             current_year=state.current_year,
             current_yearday=state.current_yearday)
 
-        # 4. interpolate fields onto bergs
-        st = interp_to_bergs(st, grid, frc, cfg)
+        # 4. interpolate fields onto bergs (with stochastic tidal drift if
+        # enabled — per-berg uniforms on [-1,1], the reference seeds its
+        # stream from cell index + ssh hash, icebergs.F90:4697-4701)
+        if cfg.tidal_drift > 0.:
+            key, sub = jax.random.split(key)
+            r = jax.random.uniform(sub, (2, st.capacity), st.dtype,
+                                   -1., 1.)
+            st = interp_to_bergs(st, grid, frc, cfg, rx=r[0], ry=r[1])
+        else:
+            st = interp_to_bergs(st, grid, frc, cfg)
 
         # 5. evolve
         if cfg.mts:
@@ -207,10 +219,31 @@ class IcebergsModel:
         # 8. gridded fields
         sp = _spread.create_gridded_icebergs_fields(st, grid, frc, cfg)
 
-        # 9. coupler return: residual calving +- melt
+        # melt from the spread-mass difference (find_melt_using_spread_mass,
+        # icebergs.F90:3424-3440)
         floating_melt = melt.floating_melt
+        hflx_melt = melt.calving_hflx
+        if cfg.find_melt_using_spread_mass:
+            floating_melt = jnp.where(
+                grid.area > 0.,
+                jnp.maximum((state.spread_mass_old - sp.spread_mass)
+                            / cfg.dt, 0.), 0.)
+            hflx_melt = floating_melt * C.HLF
+
+        # melt cutoff over thin ocean (apply_thickness_cutoff_to_gridded_melt,
+        # icebergs.F90:3471-3483)
+        if cfg.apply_thickness_cutoff_to_gridded_melt and cfg.melt_cutoff >= 0.:
+            ave_thick = sp.spread_mass / jnp.maximum(
+                sp.spread_area * cfg.rho_bergs, 1e-30)
+            ave_draft = ave_thick * (cfg.rho_bergs / C.RHO_SEAWATER)
+            thin = (sp.spread_area > 0.) & (
+                (grid.ocean_depth - ave_draft) < cfg.melt_cutoff)
+            floating_melt = jnp.where(thin, 0., floating_melt)
+            hflx_melt = jnp.where(thin, 0., hflx_melt)
+
+        # 9. coupler return: residual calving +- melt
         calving_out = calving_res + floating_melt * (grid.msk > 0.)
-        hflx_out = hflx_res + melt.calving_hflx
+        hflx_out = hflx_res + hflx_melt
 
         b1 = compute_budgets(st, calv)
         outputs = RunOutputs(
@@ -223,7 +256,8 @@ class IcebergsModel:
 
         day = state.current_yearday + cfg.dt / 86400.
         state = state.replace(bergs=st, calving=calv, key=key,
-                              current_yearday=day)
+                              current_yearday=day,
+                              spread_mass_old=sp.spread_mass)
         return state, outputs
 
     # -- coupler queries -----------------------------------------------------
