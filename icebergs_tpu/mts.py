@@ -199,12 +199,12 @@ def _contact_masks(st, nbr, cfg: IcebergsConfig):
     return m
 
 
-def _substep_forces(st, nbr, cfg: IcebergsConfig, dt):
+def _substep_forces(st, nbr, cfg: IcebergsConfig, dt, onehot=None):
     """One substep's bond + contact accelerations (explicit inner MTS).
 
     Returns (axn, ayn, ang_accel, new bond bookkeeping)."""
     if cfg.dem:
-        out = _dem.dem_bond_forces(st, cfg, dt)
+        out = _dem.dem_bond_forces(st, cfg, dt, onehot=onehot)
         IA_x, IA_y, IAd_x, IAd_y = (jnp.zeros_like(st.uvel),) * 4
         if cfg.use_broken_bonds_for_substep_contact:
             # contact only through broken-bond pairs
@@ -457,6 +457,12 @@ def evolve_icebergs_mts(st, grid: Grid, frc, cfg: IcebergsConfig):
     dtf = cfg.dt / max(cfg.n_sub_steps, 1)
     dtf_2 = 0.5 * dtf
 
+    # MXU partner access for small-N DEM: bond topology is fixed across
+    # substeps, so one-hot matmuls replace the per-substep gathers
+    onehot = None
+    if cfg.dem and st.capacity <= 4096:
+        onehot = _dem.make_bond_onehot(st)
+
     def substep(s, _):
         # drift (icebergs.F90:6790-6831)
         uvel2 = s.uvel + dtf_2 * (s.axn_fast + s.bxn_fast)
@@ -481,7 +487,8 @@ def evolve_icebergs_mts(st, grid: Grid, frc, cfg: IcebergsConfig):
 
         explicit_inner = cfg.explicit_inner_mts or cfg.dem
         if explicit_inner:
-            axn, ayn, ang_accel, bu = _substep_forces(s, nbr, cfg, dtf)
+            axn, ayn, ang_accel, bu = _substep_forces(s, nbr, cfg, dtf,
+                                                      onehot=onehot)
             if cfg.short_step_mts_grounding:
                 gdrag = _grounding_drag_coeff(s, cfg, 'rect')
                 axn = axn + s.uvel * gdrag

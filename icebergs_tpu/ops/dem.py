@@ -20,6 +20,7 @@ from __future__ import annotations
 import math
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from .. import constants as C
@@ -56,13 +57,50 @@ def dem_K_damp(cfg: IcebergsConfig) -> float:
     return 2. * cfg.dem_spring_coef / (3. * (1. - cfg.poisson ** 2))
 
 
-def dem_bond_forces(st, cfg: IcebergsConfig, dt):
+def make_bond_onehot(st, dtype=jnp.bfloat16):
+    """One-hot partner matrix (N, B, N) for MXU-based partner access.
+
+    On TPU, random gathers are slow but matmuls are nearly free at
+    DEM-conglomerate sizes (N <= a few thousand): partner fields become
+    ``einsum('nbm,mf->nbf', onehot, fields)``, exact for 0/1 weights.
+    Build once per outer step (bond topology is fixed during substeps).
+    """
+    N = st.capacity
+    oh = jax.nn.one_hot(jnp.where(st.bond_idx >= 0, st.bond_idx, N),
+                        N, dtype=dtype)
+    return oh
+
+
+def dem_bond_forces(st, cfg: IcebergsConfig, dt, onehot=None):
     """Evaluate all unbroken bonds; returns forces/torques + updated
-    per-bond state (calculate_force_dem, savestress=True path)."""
+    per-bond state (calculate_force_dem, savestress=True path).
+
+    With ``onehot`` given, partner fields are fetched by one-hot matmul
+    (MXU) instead of gathers (see make_bond_onehot).
+    """
     other = jnp.maximum(st.bond_idx, 0)
+
+    if onehot is not None:
+        names = ("lon_old", "lat_old", "uvel_old", "vvel_old", "thickness",
+                 "length", "width", "mass", "ang_vel", "rot", "fl_k")
+        mat = jnp.stack([getattr(st, n) for n in names]
+                        + [st.alive.astype(st.dtype)], axis=-1)
+        g = jnp.einsum("nbm,mf->nbf", onehot, mat,
+                       preferred_element_type=mat.dtype)
+        part = {n: g[..., k] for k, n in enumerate(names)}
+        part["alive"] = g[..., len(names)] > 0.5
+
+        def pick(name):
+            return part[name]
+    else:
+        def pick(name):
+            if name == "alive":
+                return st.alive[other]
+            return getattr(st, name)[other]
+
     valid = ((st.bond_idx >= 0) & (st.bond_broken != 1)
-             & st.alive[:, None] & st.alive[other]
-             & (st.fl_k[:, None] != -1.) & (st.fl_k[other] != -1.))
+             & st.alive[:, None] & pick("alive")
+             & (st.fl_k[:, None] != -1.) & (pick("fl_k") != -1.))
 
     if cfg.constant_interaction_LW:
         A0 = cfg.constant_length * cfg.constant_width
@@ -74,28 +112,28 @@ def dem_bond_forces(st, cfg: IcebergsConfig, dt):
         R2 = R1
         M1 = (A0 * st.thickness * cfg.rho_bergs)[:, None] \
             * jnp.ones_like(st.bond_length)
-        M2 = A0 * st.thickness[other] * cfg.rho_bergs
+        M2 = A0 * pick("thickness") * cfg.rho_bergs
         Rmin = R1
-        T_Rmin = st.thickness[other]
+        T_Rmin = pick("thickness")
         l0 = 2. * R1
     else:
         A1 = (st.length * st.width)[:, None]
-        A2 = st.length[other] * st.width[other]
+        A2 = pick("length") * pick("width")
         M1 = st.mass[:, None] * jnp.ones_like(st.bond_length)
-        M2 = st.mass[other]
+        M2 = pick("mass")
         R1 = _radius(cfg, A1) * jnp.ones_like(st.bond_length)
         R2 = _radius(cfg, A2)
         first_smaller = R1 < R2
         Rmin = jnp.where(first_smaller, R1, R2)
         T_Rmin = jnp.where(first_smaller, st.thickness[:, None],
-                           st.thickness[other])
+                           pick("thickness"))
         l0 = R1 + R2
 
-    lat_ref = 0.5 * (st.lat_old[:, None] + st.lat_old[other])
+    lat_ref = 0.5 * (st.lat_old[:, None] + pick("lat_old"))
     dx_dlon, dy_dlat = convert_from_grid_to_meters(
         lat_ref, cfg.grid_is_latlon, cfg.Rearth)
-    rx = (st.lon_old[:, None] - st.lon_old[other]) * dx_dlon
-    ry = (st.lat_old[:, None] - st.lat_old[other]) * dy_dlat
+    rx = (st.lon_old[:, None] - pick("lon_old")) * dx_dlon
+    ry = (st.lat_old[:, None] - pick("lat_old")) * dy_dlat
     length = jnp.sqrt(rx ** 2 + ry ** 2)
     lsafe = jnp.where(length > 0., length, 1.)
     n1 = rx / lsafe
@@ -109,15 +147,15 @@ def dem_bond_forces(st, cfg: IcebergsConfig, dt):
 
     # bond width & thickness at the contact point (Wang 2020)
     L = 2.0 * (Rmin + (Rmin - half_delta) * jnp.abs(R1 - R2) / lsafe)
-    dT = jnp.abs(st.thickness[:, None] - st.thickness[other])
+    dT = jnp.abs(st.thickness[:, None] - pick("thickness"))
     Thick = T_Rmin + (Rmin - half_delta) * dT / lsafe
 
     k = cfg.dem_spring_coef
     Fn_mag = k * Thick * 2. * half_delta * L / l0
     Fn_x, Fn_y = Fn_mag * n1, Fn_mag * n2
 
-    ur = st.uvel_old[:, None] - st.uvel_old[other]
-    vr = st.vvel_old[:, None] - st.vvel_old[other]
+    ur = st.uvel_old[:, None] - pick("uvel_old")
+    vr = st.vvel_old[:, None] - pick("vvel_old")
 
     # contact-plane rotation projection of the accumulated tangential
     # displacement (preserve magnitude)
@@ -131,8 +169,8 @@ def dem_bond_forces(st, cfg: IcebergsConfig, dt):
     t2p = t_rat * t2p
 
     # relative tangential velocities incl. particle rotation
-    rotu = RR1y * st.ang_vel[:, None] + RR2y * st.ang_vel[other]
-    rotv = -(RR1x * st.ang_vel[:, None] + RR2x * st.ang_vel[other])
+    rotu = RR1y * st.ang_vel[:, None] + RR2y * pick("ang_vel")
+    rotv = -(RR1x * st.ang_vel[:, None] + RR2x * pick("ang_vel"))
     ur2 = ur + rotu
     vr2 = vr + rotv
     upmag = ur2 * n1 + vr2 * n2
@@ -151,20 +189,20 @@ def dem_bond_forces(st, cfg: IcebergsConfig, dt):
     Ts = -(RR1x * Fs_y - RR1y * Fs_x)
 
     rel_rotation = st.bond_rel_rotation \
-        + (st.ang_vel[:, None] - st.ang_vel[other]) * dt
+        + (st.ang_vel[:, None] - pick("ang_vel")) * dt
 
     if not cfg.orig_dem_moment_of_inertia:
-        theta = jnp.sin(st.rot[:, None] - st.rot[other])   # Wang 2020
+        theta = jnp.sin(st.rot[:, None] - pick("rot"))   # Wang 2020
         Tr = -k * (L ** 3) * Thick * theta / (12. * l0)
     else:
-        theta = st.rot[:, None] - st.rot[other]            # Potyondy-Cundall
+        theta = st.rot[:, None] - pick("rot")            # Potyondy-Cundall
         Tr = -(k / l0) * (2. / 3.) * ((0.5 * L) ** 3) * Thick * theta
 
     nstress = (k / l0) * (-2. * half_delta + jnp.abs(theta * 0.5 * L))
 
     damping_coef = cfg.dem_damping_coef * jnp.sqrt(
         dem_K_damp(cfg) * M1 * M2 / (M1 + M2))
-    dw = st.ang_vel[:, None] - st.ang_vel[other]
+    dw = st.ang_vel[:, None] - pick("ang_vel")
 
     w = jnp.where(valid, 1., 0.)
     F_x = jnp.sum(w * (Fn_x + Fs_x), -1)
