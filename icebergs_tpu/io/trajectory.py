@@ -92,6 +92,52 @@ def record_posn(buf: TrajBuffer, st, cfg: IcebergsConfig, day, year,
     return TrajBuffer(data=data, valid=valid, cursor=buf.cursor + 1)
 
 
+def init_bond_traj_buffer(capacity: int, max_bonds: int, nsamples: int,
+                          dtype=jnp.float32) -> TrajBuffer:
+    """Bond trajectory buffer (bond_xyt lists + save_bond_traj,
+    icebergs_framework.F90:389-407; writer icebergs_fms2io.F90:2105-2332).
+    One record per directed bond per sample."""
+    width = capacity * max_bonds
+    names = ("lon", "lat", "day", "first_id_cnt", "first_id_ij",
+             "other_id_cnt", "other_id_ij", "nstress", "sstress", "broken")
+    data = {}
+    ints = ("first_id_cnt", "first_id_ij", "other_id_cnt", "other_id_ij",
+            "broken")
+    for n in names:
+        kind = jnp.int32 if n in ints else dtype
+        data[n] = jnp.zeros((nsamples, width), kind)
+    return TrajBuffer(data=data, valid=jnp.zeros((nsamples, width), bool),
+                      cursor=jnp.zeros((), jnp.int32))
+
+
+def record_bonds(buf: TrajBuffer, st, cfg: IcebergsConfig, day) -> TrajBuffer:
+    """Append one bond snapshot row."""
+    N, B = st.bond_idx.shape
+    other = jnp.maximum(st.bond_idx, 0)
+    ok = (st.bond_idx >= 0) & st.alive[:, None] & (st.halo_berg < 0.5)[:, None]
+    ok = ok.reshape(-1)
+
+    row = buf.cursor % buf.valid.shape[0]
+
+    def rep(a):
+        return jnp.repeat(a[:, None], B, axis=1).reshape(-1)
+
+    src = dict(
+        lon=rep(st.lon), lat=rep(st.lat),
+        day=jnp.full((N * B,), day, buf.data["day"].dtype),
+        first_id_cnt=rep(st.id_cnt), first_id_ij=rep(st.id_ij),
+        other_id_cnt=st.id_cnt[other].reshape(-1),
+        other_id_ij=st.id_ij[other].reshape(-1),
+        nstress=st.bond_nstress.reshape(-1),
+        sstress=st.bond_sstress.reshape(-1),
+        broken=st.bond_broken.reshape(-1))
+    data = {k: buf.data[k].at[row].set(
+        jnp.where(ok, v, 0).astype(buf.data[k].dtype))
+        for k, v in src.items()}
+    valid = buf.valid.at[row].set(ok)
+    return TrajBuffer(data=data, valid=valid, cursor=buf.cursor + 1)
+
+
 def write_trajectories(path: str, buf: TrajBuffer, cfg: IcebergsConfig):
     """Drain the buffer to an append-style trajectory NetCDF
     (write_trajectory, icebergs_fms2io.F90:1631-2104).  Returns the number

@@ -35,6 +35,45 @@ class SpreadDiags(NamedTuple):
     v_iceberg: jnp.ndarray
 
 
+def find_orientation_using_iceberg_bonds(st, cfg: IcebergsConfig,
+                                         orientation):
+    """Hexagon orientation from bond directions (vectorized port of
+    find_orientation_using_iceberg_bonds, icebergs.F90:3829-3894).
+
+    NOTE bug-compat: the reference returns this angle in *radians*
+    (mod pi/3) but feeds it to the hexagon rotation which expects
+    *degrees* (rotate_and_translate, icebergs.F90:4537; the reference
+    marks the rotation "\\todo not working yet").  We reproduce that
+    behavior so spreading weights match.
+    """
+    import math as _m
+    other = jnp.maximum(st.bond_idx, 0)
+    valid = (st.bond_idx >= 0) & st.alive[:, None] & st.alive[other]
+
+    lat1 = st.lat[:, None]
+    lon1 = st.lon[:, None]
+    lat2 = st.lat[other]
+    lon2 = st.lon[other]
+    from ..grid import convert_from_grid_to_meters
+    lat_ref = 0.5 * (lat1 + lat2)
+    dx_dlon, dy_dlat = convert_from_grid_to_meters(
+        lat_ref, cfg.grid_is_latlon, cfg.Rearth)
+    rx = (lon2 - lon1) * dx_dlon
+    ry = (lat2 - lat1) * dy_dlat
+
+    halfpi = C.PI / 2.
+    ang = jnp.where(
+        rx == 0., halfpi,
+        jnp.mod((halfpi - orientation[:, None] * (C.PI / 180.))
+                - jnp.arctan(ry / jnp.where(rx == 0., 1., rx)),
+                C.PI / 3.))
+    cnt = jnp.sum(valid, axis=1).astype(st.dtype)
+    avg = jnp.sum(jnp.where(valid, ang, 0.), axis=1) \
+        / jnp.maximum(cnt, 1.)
+    return jnp.where(cnt > 0., jnp.mod(avg, C.PI / 3.),
+                     jnp.mod(jnp.zeros_like(avg), C.PI / 3.))
+
+
 def spread_weights(st, grid, cfg: IcebergsConfig, *, Tn=None, Area=None):
     """Per-berg 3x3 spreading weights (yDxL..yUxR order -> (9,N)).
 
@@ -87,7 +126,9 @@ def spread_weights(st, grid, cfg: IcebergsConfig, *, Tn=None, Area=None):
     else:
         # hexagonal elements: exact quadrant areas around the nearest corner
         orientation = jnp.full_like(x, cfg.initial_orientation)
-        # (rotate_icebergs_for_mass_spreading via bonds handled by caller)
+        if cfg.iceberg_bonds_on and cfg.rotate_icebergs_for_mass_spreading:
+            orientation = find_orientation_using_iceberg_bonds(
+                st, cfg, orientation)
         H = jnp.where(area_cell > 0.,
                       jnp.minimum(jnp.sqrt(Area / (2. * math.sqrt(3.)))
                                   / jnp.sqrt(jnp.maximum(area_cell, 1e-30)), 1.),

@@ -98,6 +98,20 @@ def test_namelist_parses_reference_config():
     assert drv["ibuo"] == 0.2
 
 
+def test_bond_trajectory_buffer_and_write(tmp_path):
+    cfg, grid, st = world()
+    buf = tio.init_bond_traj_buffer(st.capacity, st.max_bonds, nsamples=2)
+    buf = tio.record_bonds(buf, st, cfg, day=1.0)
+    path = str(tmp_path / "bond_trajectories.nc")
+    n, buf = tio.write_trajectories(path, buf, cfg)
+    assert n == 2   # bergs 0<->1 bonded both ways
+    from scipy.io import netcdf_file
+    with netcdf_file(path, "r", mmap=False) as f:
+        fc = np.asarray(f.variables["first_id_cnt"][:])
+        oc = np.asarray(f.variables["other_id_cnt"][:])
+    assert sorted(zip(fc.tolist(), oc.tolist())) == [(1, 2), (2, 1)]
+
+
 def test_trajectory_buffer_and_write(tmp_path):
     cfg, grid, st = world()
     cfg = cfg.replace(save_short_traj=True)
