@@ -11,16 +11,30 @@ single jit-compiled function, domain-decomposed with ``jax.sharding`` +
 """
 
 from .config import IcebergsConfig, NCLASSES
-from .grid import Grid, make_uniform_grid
-from .state import BergState, empty_state, create_bergs
+from .grid import Grid, make_uniform_grid, make_curvilinear_grid
+from .state import BergState, empty_state, create_bergs, allocate_slots
 from .forcing import Forcing, uniform_forcing, forcing_from_arrays
-from .model import make_step, step_dynamics, interp_to_bergs, StepDiags
+from .model import (make_step, make_multi_step, step_dynamics,
+                    interp_to_bergs, StepDiags)
 
 __version__ = "0.1.0"
 
 __all__ = [
-    "IcebergsConfig", "NCLASSES", "Grid", "make_uniform_grid",
-    "BergState", "empty_state", "create_bergs",
+    "IcebergsConfig", "NCLASSES",
+    "Grid", "make_uniform_grid", "make_curvilinear_grid",
+    "BergState", "empty_state", "create_bergs", "allocate_slots",
     "Forcing", "uniform_forcing", "forcing_from_arrays",
-    "make_step", "step_dynamics", "interp_to_bergs", "StepDiags",
+    "make_step", "make_multi_step", "step_dynamics", "interp_to_bergs",
+    "StepDiags",
+    # lazily-importable subsystems: api, diag, diagnostics, calving,
+    # footloose, mts, ids, timeutils, geometry, io.*, parallel.*
 ]
+
+
+def __getattr__(name):
+    """Lazy access to heavier submodules (icebergs_tpu.api etc.)."""
+    import importlib
+    if name in ("api", "diag", "diagnostics", "calving", "footloose",
+                "mts", "ids", "timeutils", "geometry", "driver"):
+        return importlib.import_module(f".{name}", __name__)
+    raise AttributeError(name)

@@ -83,14 +83,26 @@ def compute_budgets(st, calv=None) -> Budgets:
 
 def report_budget(tag: str, b0: Budgets, b1: Budgets, dt_total: float,
                   melt_kg=0.0, calving_in_kg=0.0):
-    """Print a budget-closure table like report_budget
-    (icebergs.F90:5890-5995)."""
+    """Print a budget-closure table in the spirit of ``report_budget``
+    (icebergs.F90:5890-5995): start/end stocks per category, deltas,
+    boundary fluxes and the closure error."""
     dm = float(b1.mass + b1.stored_ice - b0.mass - b0.stored_ice)
     rhs = float(calving_in_kg) - float(melt_kg)
     err = dm - rhs
     denom = max(abs(float(b1.mass)), 1.0)
-    print(f"KID-TPU budget [{tag}]: bergs {int(b0.nbergs)}->{int(b1.nbergs)}"
-          f" mass {float(b0.mass):.6e}->{float(b1.mass):.6e} kg"
-          f" dM={dm:.4e} in-out={rhs:.4e} err={err:.3e}"
-          f" rel={err / denom:.3e}")
+
+    def row(name, v0, v1, unit):
+        print(f"KID-TPU budget | {name:<14} | {float(v0):14.7e} | "
+              f"{float(v1):14.7e} | {float(v1) - float(v0):+12.5e} {unit}")
+
+    print(f"KID-TPU budget [{tag}] over {dt_total:.0f} s "
+          f"(start | end | delta):")
+    row("bergs", b0.nbergs, b1.nbergs, "#")
+    row("berg mass", b0.mass, b1.mass, "kg")
+    row("bits mass", b0.mass_of_bits, b1.mass_of_bits, "kg")
+    row("stored ice", b0.stored_ice, b1.stored_ice, "kg")
+    row("stored heat", b0.stored_heat, b1.stored_heat, "J")
+    row("heat content", b0.heat, b1.heat, "J")
+    print(f"KID-TPU budget | in-out={rhs:+.5e} kg  dM={dm:+.5e} kg  "
+          f"err={err:+.3e} kg (rel {err / denom:+.3e})")
     return err

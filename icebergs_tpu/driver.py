@@ -99,8 +99,27 @@ def run(nml_path: str, input_dir: str = ".", output_dir: str = ".",
     berg_restart = os.path.join(input_dir, "icebergs.res.nc")
     if os.path.exists(berg_restart):
         st = rio.read_restart_bergs(berg_restart, capacity, grid, cfg)
-    else:
+    elif cfg.generate_test_icebergs:
+        # debug generator: 4 bergs spread over the domain
+        # (generate_bergs, icebergs_fms2io.F90:1051-1154)
+        import numpy as _np
+        from .grid import pos_to_cell
+        from . import create_bergs
+        fx = _np.array([0.3, 0.7, 0.3, 0.7]) * grid.nx
+        fy = _np.array([0.3, 0.3, 0.7, 0.7]) * grid.ny
+        lon = float(grid.lon0) + fx * float(grid.dlon)
+        lat = float(grid.lat0) + fy * float(grid.dlat)
+        st = create_bergs(capacity, lon=lon, lat=lat, mass=8.8e7,
+                          thickness=40., width=182., length=273.,
+                          mass_scaling=1.0, id_cnt=_np.arange(4) + 1)
+        Lx = cfg.Lx if cfg.grid_is_latlon else -1.
+        i, j, xi, yj = pos_to_cell(grid, st.lon, st.lat, Lx)
+        st = st.replace(ine=i, jne=j, xi=xi, yj=yj)
+    elif cfg.require_restart:
         raise SystemExit(f"no initial bergs found at {berg_restart}")
+    else:
+        from . import empty_state
+        st = empty_state(capacity, max_bonds=cfg.max_bonds)
     bond_restart = os.path.join(input_dir, "bonds_iceberg.res.nc")
     if cfg.iceberg_bonds_on and os.path.exists(bond_restart):
         st = rio.read_restart_bonds(bond_restart, st, cfg)
