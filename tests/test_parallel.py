@@ -75,6 +75,54 @@ def test_sharded_step_migration_and_mass(ndev):
     np.testing.assert_allclose(float(np.asarray(total_mass)), m0, rtol=1e-6)
 
 
+def test_chksum_invariant_across_layouts():
+    """Bitwise berg-state checksum equality between 1- and 4-device runs
+    (the reference's parallel_reprod contract,
+    icebergs_framework.F90:33): per-berg physics is elementwise, so
+    non-interactive runs must hash identically on any layout."""
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    from icebergs_tpu import diag
+    cfg, grid, frc = global_world()
+    st = bergs_global(grid, cfg, n=5)
+
+    import icebergs_tpu.model as model
+    step1 = model.make_step(grid, cfg, with_thermo=True)
+    s1 = st
+    for _ in range(20):
+        s1, _ = step1(s1, frc)
+    cs1, n1 = jax.jit(diag.berg_chksum)(s1)
+
+    mesh = make_mesh(4)
+    world = dd.make_sharded_world(cfg, mesh, nx=NX, ny=NY, lon0=0., lat0=0.,
+                                  dlon=DXY, dlat=DXY)
+    frc_s = dd.shard_forcing(world, frc)
+    st_s = dd.shard_state(world, st, local_capacity=32)
+    st_s = jax.jit(jax.shard_map(
+        lambda g, s: jax.tree.map(
+            lambda x: x[None],
+            dd.relocalize(jax.tree.map(lambda x: x[0], s),
+                          jax.tree.map(lambda x: x[0], g), cfg)),
+        mesh=mesh, in_specs=(P(dd.AXIS), P(dd.AXIS)),
+        out_specs=P(dd.AXIS)))(world.grids, st_s)
+    step4 = dd.make_sharded_step(world, with_thermo=True)
+    for _ in range(20):
+        st_s, *_ = step4(st_s, frc_s)
+
+    # gather the sharded slabs to one host state and hash
+    import dataclasses
+    import numpy as np
+    flat = {}
+    for f in dataclasses.fields(st):
+        a = np.asarray(jax.device_get(getattr(st_s, f.name)))
+        flat[f.name] = jnp.asarray(a.reshape((-1,) + a.shape[2:]))
+    from icebergs_tpu.state import BergState
+    merged = BergState(**flat)
+    cs4, n4 = jax.jit(diag.berg_chksum)(merged)
+    assert int(n1) == int(n4)
+    assert int(cs1) == int(cs4), (int(cs1), int(cs4))
+
+
 def test_sharded_matches_single_device():
     """Trajectories agree with the single-device run (no interactions)."""
     if len(jax.devices()) < 4:
