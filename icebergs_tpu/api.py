@@ -81,17 +81,33 @@ def prepare_forcing(grid: Grid, cfg: IcebergsConfig, frc: Forcing,
     """Interface layer (P16, icebergs.F90:5236-5383): stagger velocities
     onto the corner B-grid, convert wind stress to a wind speed unless
     tau_is_velocity, autodetect Kelvin SST, scrub NaNs."""
-    def to_corners(u):
+    def a_to_corners(u):
+        """A-grid centers (nx, ny) or padded -> corner 4-point average."""
         if u.shape == grid.shape_corners:
             return u
-        # A/C-grid center field -> corner average
         up = jnp.pad(u, 1, mode="edge") if u.shape == (grid.nx, grid.ny) \
             else u
         return 0.25 * (up[:-1, :-1] + up[1:, :-1] + up[:-1, 1:] + up[1:, 1:])
 
-    uo, vo = to_corners(frc.uo), to_corners(frc.vo)
-    ui, vi = to_corners(frc.ui), to_corners(frc.vi)
-    ua, va = to_corners(frc.ua), to_corners(frc.va)
+    def c_to_corners(u, component):
+        """C-grid faces -> corners: u on east faces (nx+1, ny), v on north
+        faces (nx, ny+1) (the CGRID_NE branch, icebergs.F90:5244-5282)."""
+        if component == "u":                 # average along y
+            up = jnp.pad(u, ((0, 0), (1, 1)), mode="edge")
+            return 0.5 * (up[:, :-1] + up[:, 1:])
+        up = jnp.pad(u, ((1, 1), (0, 0)), mode="edge")
+        return 0.5 * (up[:-1, :] + up[1:, :])
+
+    def vel(u, v, stagger):
+        if stagger == "B":
+            return u, v
+        if stagger == "C":
+            return c_to_corners(u, "u"), c_to_corners(v, "v")
+        return a_to_corners(u), a_to_corners(v)
+
+    uo, vo = vel(frc.uo, frc.vo, vel_stagger)
+    ui, vi = vel(frc.ui, frc.vi, vel_stagger)
+    ua, va = vel(frc.ua, frc.va, stress_stagger)
 
     if not cfg.tau_is_velocity:
         # invert_tau_for_du (icebergs.F90:8271-8296): u = sqrt(tau/(rho Cd))

