@@ -80,23 +80,21 @@ def dem_bond_forces(st, cfg: IcebergsConfig, dt, onehot=None):
     """
     other = jnp.maximum(st.bond_idx, 0)
 
+    names = ("lon_old", "lat_old", "uvel_old", "vvel_old", "thickness",
+             "length", "width", "mass", "ang_vel", "rot", "fl_k")
+    mat = jnp.stack([getattr(st, n) for n in names]
+                    + [st.alive.astype(st.dtype)], axis=-1)
     if onehot is not None:
-        names = ("lon_old", "lat_old", "uvel_old", "vvel_old", "thickness",
-                 "length", "width", "mass", "ang_vel", "rot", "fl_k")
-        mat = jnp.stack([getattr(st, n) for n in names]
-                        + [st.alive.astype(st.dtype)], axis=-1)
+        # MXU path: partner rows via one-hot matmul
         g = jnp.einsum("nbm,mf->nbf", onehot, mat,
                        preferred_element_type=mat.dtype)
-        part = {n: g[..., k] for k, n in enumerate(names)}
-        part["alive"] = g[..., len(names)] > 0.5
-
-        def pick(name):
-            return part[name]
     else:
-        def pick(name):
-            if name == "alive":
-                return st.alive[other]
-            return getattr(st, name)[other]
+        g = mat[other]                      # single packed row gather
+    part = {n: g[..., k] for k, n in enumerate(names)}
+    part["alive"] = g[..., len(names)] > 0.5
+
+    def pick(name):
+        return part[name]
 
     valid = ((st.bond_idx >= 0) & (st.bond_broken != 1)
              & st.alive[:, None] & pick("alive")
