@@ -54,6 +54,49 @@ def grd_chksum2(field):
                 rms=jnp.sqrt(jnp.mean(field.astype(jnp.float32) ** 2)))
 
 
+def check_state(st, grid, cfg, label: str = "", fatal: bool = True):
+    """Runtime invariant checks (the debug-mode analogs of
+    ``check_position`` / duplicate detection / NaN scrubbing,
+    icebergs.F90:7117-7131, icebergs_framework.F90:7344-7453).
+
+    Host-side; returns a list of problem strings (and raises when fatal).
+    """
+    problems = []
+    alive = np.asarray(st.alive)
+    if alive.any():
+        for f in ("lon", "lat", "uvel", "vvel", "mass", "thickness"):
+            a = np.asarray(getattr(st, f))[alive]
+            if not np.all(np.isfinite(a)):
+                problems.append(f"non-finite {f}")
+        ine = np.asarray(st.ine)[alive]
+        jne = np.asarray(st.jne)[alive]
+        if (ine < 0).any() or (ine >= grid.nx).any() \
+                or (jne < 0).any() or (jne >= grid.ny).any():
+            problems.append("cell index out of range")
+        xi = np.asarray(st.xi)[alive]
+        yj = np.asarray(st.yj)[alive]
+        if (xi < -1e-4).any() or (xi > 1 + 1e-4).any() \
+                or (yj < -1e-4).any() or (yj > 1 + 1e-4).any():
+            problems.append("xi/yj outside the unit cell")
+        from .ids import check_for_duplicate_ids
+        dups = check_for_duplicate_ids(st)
+        if len(dups):
+            problems.append(f"{len(dups)} duplicate ids")
+    if problems and fatal:
+        raise RuntimeError(f"KID-TPU check_state[{label}]: "
+                           + "; ".join(problems))
+    return problems
+
+
+def debug_write_and_stop(st, cfg, path: str = "debug_state.nc",
+                         message: str = "debugwriteandstop"):
+    """Dump the full particle state and abort (debugwriteandstop,
+    icebergs.F90:180-191)."""
+    from .io.restart import write_restart_bergs
+    write_restart_bergs(path, st, cfg)
+    raise RuntimeError(f"KID-TPU {message}: state dumped to {path}")
+
+
 class Budgets(NamedTuple):
     nbergs: jnp.ndarray
     mass: jnp.ndarray            # kg (incl. mass_scaling)
