@@ -1,0 +1,59 @@
+"""DiagManager accumulation + history-file flush (diag_manager analog)."""
+
+import numpy as np
+from scipy.io import netcdf_file
+
+import jax.numpy as jnp
+
+import icebergs_tpu as ibt
+from icebergs_tpu.diagnostics import DiagManager, collect_step_fields
+
+
+def test_diag_manager_accumulate_and_flush(tmp_path):
+    grid = ibt.make_uniform_grid(6, 5, 0., 0., 1000., 1000.,
+                                 grid_is_latlon=False)
+    dm = DiagManager(grid, selected=("floating_melt", "spread_mass"))
+    ds = dm.init_state()
+
+    f1 = jnp.zeros((8, 7)).at[3, 3].set(2.0)
+    f2 = jnp.zeros((8, 7)).at[2, 2].set(10.0)
+    ds = dm.send_data(ds, {"floating_melt": f1, "spread_mass": f2})
+    ds = dm.send_data(ds, {"floating_melt": f1 * 2, "spread_mass": f2})
+    assert int(ds.count) == 2
+
+    path = str(tmp_path / "icebergs_history.nc")
+    ds = dm.flush(ds, path, time_value=1.5)
+    assert int(ds.count) == 0
+
+    with netcdf_file(path, "r", mmap=False) as f:
+        fm = np.asarray(f.variables["floating_melt"][:])   # (1, ny, nx)
+        sm = np.asarray(f.variables["spread_mass"][:])
+        tv = np.asarray(f.variables["Time"][:])
+    assert tv[0] == 1.5
+    # time-averaged: (2+4)/2 = 3 at interior cell (2,2) 0-based
+    np.testing.assert_allclose(fm[0, 2, 2], 3.0)
+    np.testing.assert_allclose(sm[0, 1, 1], 10.0)
+
+
+def test_collect_step_fields_from_run_outputs():
+    import jax
+    from icebergs_tpu.api import IcebergsModel
+    cfg = ibt.IcebergsConfig(grid_is_latlon=False, Lx=-1., use_f_plane=True,
+                             dt=600.)
+    grid = ibt.make_uniform_grid(6, 5, 0., 0., 1000., 1000.,
+                                 grid_is_latlon=False)
+    frc = ibt.uniform_forcing(6, 5, sst=2.0)
+    model = IcebergsModel(grid, cfg)
+    st = ibt.create_bergs(8, lon=[2500.], lat=[2500.], mass=1e8,
+                          thickness=20., width=40., length=50.,
+                          mass_scaling=1.)
+    from icebergs_tpu.grid import pos_to_cell
+    i, j, xi, yj = pos_to_cell(grid, st.lon, st.lat, -1.)
+    st = st.replace(ine=i, jne=j, xi=xi, yj=yj)
+    state = model.init_state(st)
+    state, out = model.run(state, frc)
+    fields = collect_step_fields(out)
+    assert "floating_melt" in fields and "spread_mass" in fields
+    dm = DiagManager(grid, selected=tuple(fields))
+    ds = dm.send_data(dm.init_state(), fields)
+    assert int(ds.count) == 1
