@@ -140,8 +140,16 @@ def run(nml_path: str, input_dir: str = ".", output_dir: str = ".",
     buf = tio.init_traj_buffer(st.capacity,
                                nsamples=max(2, nsteps // traj_every + 2),
                                cfg=cfg)
+    from .diagnostics import DiagManager
+    dmgr = DiagManager(grid, selected=("floating_melt", "berg_melt",
+                                       "spread_mass", "spread_area",
+                                       "spread_uvel", "spread_vvel",
+                                       "ustar_iceberg", "mass_on_ocean"))
+    dstate = dmgr.init_state()
+    verbose_every = max(1, int(round(cfg.verbose_hrs * 3600.0 / ibdt)))
 
     b0 = diag.compute_budgets(st, calv)
+    b_prev = b0
     t_wall = time.time()
     melt_total = 0.0
     for n in range(nsteps):
@@ -149,12 +157,21 @@ def run(nml_path: str, input_dir: str = ".", output_dir: str = ".",
         if diags.floating_melt is not None:
             melt_total += float(np.sum(np.asarray(
                 diags.floating_melt * grid.area))) * cfg.dt
+        dstate = dmgr.send_data(dstate, {
+            k: getattr(diags, k, None) for k in dmgr.names})
         if (n + 1) % traj_every == 0 and not cfg.ignore_traj:
             day = (n + 1) * ibdt / 86400.0
             buf = tio.record_posn(buf, st, cfg, day=day, year=0)
+        if verbose and (n + 1) % verbose_every == 0:
+            b_now = diag.compute_budgets(st, calv)
+            diag.report_budget(f"hr {((n + 1) * ibdt) / 3600.:.0f}",
+                               b_prev, b_now, verbose_every * ibdt)
+            b_prev = b_now
         if verbose and (n + 1) % max(1, nsteps // 10) == 0:
             print(f"step {n + 1}/{nsteps} bergs={int(diags.nbergs)} "
                   f"wall={time.time() - t_wall:.1f}s", flush=True)
+        if cfg.debug and (n + 1) % verbose_every == 0:
+            diag.check_state(st, grid, cfg, label=f"step {n + 1}")
 
     b1 = diag.compute_budgets(st, calv)
     diag.report_budget("driver", b0, b1, nsteps * ibdt, melt_kg=melt_total)
@@ -174,6 +191,8 @@ def run(nml_path: str, input_dir: str = ".", output_dir: str = ".",
     if not cfg.ignore_traj:
         tio.write_trajectories(os.path.join(output_dir, cfg.traj_name),
                                buf, cfg)
+    dmgr.flush(dstate, os.path.join(output_dir, "icebergs_history.nc"),
+               time_value=nsteps * ibdt / 86400.)
     secs = time.time() - t_wall
     print(f"KID-TPU driver: {nsteps} steps in {secs:.1f}s "
           f"({nsteps / max(secs, 1e-9):.2f} steps/s)")

@@ -170,17 +170,34 @@ def spread_weights(st, grid, cfg: IcebergsConfig, *, Tn=None, Area=None):
     return w, I_frac
 
 
-def _scatter9(grid, st, w, I_frac, values, alive):
-    """Scatter-add 9-point weighted values into a padded field."""
-    out = jnp.zeros((grid.nx + 2, grid.ny + 2), values.dtype)
+def _scatter9_packed(grid, st, w, I_frac, value_list, alive):
+    """Scatter-add the 9-point footprints of F fields in ONE scatter.
+
+    Indices for all 9 offsets are concatenated and the F per-berg values
+    stacked on the last axis, so the TPU sees a single (9N, F) row
+    scatter-add instead of 9*F scalar scatters.
+    """
+    F = len(value_list)
+    N = st.capacity
     I, J = st.ine + 1, st.jne + 1
+    vals = jnp.stack(value_list, axis=-1)          # (N, F)
+    rows = []
+    cols = []
+    contribs = []
     k = 0
     for dj in (-1, 0, 1):
         for di in (-1, 0, 1):
-            contrib = jnp.where(alive, values * w[k] * I_frac, 0.)
-            out = out.at[I + di, J + dj].add(contrib)
+            rows.append(I + di)
+            cols.append(J + dj)
+            wk = jnp.where(alive, w[k] * I_frac, 0.)
+            contribs.append(vals * wk[:, None])
             k += 1
-    return out
+    rows = jnp.concatenate(rows)
+    cols = jnp.concatenate(cols)
+    contribs = jnp.concatenate(contribs, axis=0)   # (9N, F)
+    out = jnp.zeros((grid.nx + 2, grid.ny + 2, F), vals.dtype)
+    out = out.at[rows, cols].add(contribs)
+    return [out[..., f] for f in range(F)]
 
 
 def berg_spread_mass(st, grid, frc, cfg: IcebergsConfig, *, Mberg=None,
@@ -232,13 +249,11 @@ def calculate_mass_on_ocean(st, grid, frc, cfg: IcebergsConfig):
     w, I_frac = spread_weights(st, grid, cfg)
     Mass = berg_spread_mass(st, grid, frc, cfg)
     Area = st.length * st.width
-    mass_on_ocean = _scatter9(grid, st, w, I_frac, Mass, alive)
-    area_on_ocean = _scatter9(grid, st, w, I_frac, Area * st.mass_scaling,
-                              alive)
-    U_on_ocean = _scatter9(grid, st, w, I_frac,
-                           st.uvel * Area * st.mass_scaling, alive)
-    V_on_ocean = _scatter9(grid, st, w, I_frac,
-                           st.vvel * Area * st.mass_scaling, alive)
+    mass_on_ocean, area_on_ocean, U_on_ocean, V_on_ocean = _scatter9_packed(
+        grid, st, w, I_frac,
+        [Mass, Area * st.mass_scaling,
+         st.uvel * Area * st.mass_scaling,
+         st.vvel * Area * st.mass_scaling], alive)
     return mass_on_ocean, area_on_ocean, U_on_ocean, V_on_ocean
 
 

@@ -479,20 +479,18 @@ def thermodynamics(st, grid, frc, cfg: IcebergsConfig):
     shape = (grid.nx + 2, grid.ny + 2)
     dtype = M.dtype
 
-    def scat(v):
-        return jnp.zeros(shape, dtype).at[I, J].add(jnp.where(alive, v, 0.))
-
     melt_tot = (dM - (dMbitsE - dMbitsM) + dMfl - (dMbitsE_fl - dMbitsM_fl))
-    floating_melt = scat(melt_tot * w)
-    calving_hflx = scat(melt_tot * st.heat_density * w)
-    net_heat = jnp.sum(jnp.where(alive, melt_tot * st.heat_density * scale, 0.))
-    berg_melt = scat(dM * w)
-    bergy_src = scat((dMbitsE + dMbitsE_fl) * w)
-    bergy_melt = scat((dMbitsM + dMbitsM_fl) * w)
-    fl_bits_melt = scat(dMfl * w)
-    melt_buoy = scat(dMb * w)
-    melt_eros = scat(dMe * w)
-    melt_conv = scat(dMv * w)
+    net_heat = jnp.sum(jnp.where(alive, melt_tot * st.heat_density * scale,
+                                 0.))
+    # all melt diagnostics in ONE packed row scatter (9 fields)
+    cols = [melt_tot * w, melt_tot * st.heat_density * w, dM * w,
+            (dMbitsE + dMbitsE_fl) * w, (dMbitsM + dMbitsM_fl) * w,
+            dMfl * w, dMb * w, dMe * w, dMv * w]
+    vals = jnp.stack([jnp.where(alive, v, 0.) for v in cols], axis=-1)
+    packed = jnp.zeros(shape + (len(cols),), dtype).at[I, J].add(vals)
+    (floating_melt, calving_hflx, berg_melt, bergy_src, bergy_melt,
+     fl_bits_melt, melt_buoy, melt_eros, melt_conv) = [
+        packed[..., k] for k in range(len(cols))]
 
     # rolling for unbonded bergs (icebergs.F90:3140)
     if cfg.allow_bergs_to_roll:
