@@ -147,35 +147,51 @@ def interp_flds(grid: Grid, frc, cfg: IcebergsConfig, lon, lat, i, j, xi, yj,
         uo, ui = uo + du, ui + du
         vo, vi = vo + dv, vi + dv
 
-    # A-grid PCM scalars (icebergs.F90:4826-4829)
-    sst = frc.sst[I, J]
-    sss = frc.sss[I, J]
-    cn = frc.cn[I, J]
-    hi = frc.hi[I, J]
+    # SSH gradient stencil + A-grid PCM scalars (icebergs.F90:4826-4884).
+    # All center-field reads go through one packed matrix with per-offset
+    # row gathers, memoized across the 8 ddx/ddy evaluations.
+    smat = jnp.stack([frc.ssh, grid.dx, grid.dy, grid.msk,
+                      frc.sst, frc.sss, frc.cn, frc.hi], axis=-1)
+    _rows = {}
 
-    # SSH gradient, new stencil (icebergs.F90:4840-4884)
-    ssh, dxf, dyf = frc.ssh, grid.dx, grid.dy
+    def at(di, dj):
+        key = (di, dj)
+        if key not in _rows:
+            _rows[key] = smat[I + di, J + dj]
+        return _rows[key]
 
-    def ddx(ii, jj):
-        return _ddx_ssh(ssh, dxf, msk, ii, jj)
+    def ddx(ii_off, jj_off):
+        """ddx_ssh at cell (i+ii_off, j+jj_off) via packed rows."""
+        o = (ii_off, jj_off)
+        dxp = 0.5 * (at(o[0] + 1, o[1])[..., 1] + at(o[0] + 1, o[1] - 1)[..., 1])
+        dx0 = 0.5 * (at(o[0], o[1])[..., 1] + at(o[0], o[1] - 1)[..., 1])
+        return 2. * (at(o[0] + 1, o[1])[..., 0] - at(o[0], o[1])[..., 0]) \
+            / (dx0 + dxp) * at(o[0] + 1, o[1])[..., 3] * at(o[0], o[1])[..., 3]
 
-    def ddy(ii, jj):
-        return _ddy_ssh(ssh, dyf, msk, ii, jj)
+    def ddy(ii_off, jj_off):
+        o = (ii_off, jj_off)
+        dyp = 0.5 * (at(o[0], o[1] + 1)[..., 2] + at(o[0] - 1, o[1] + 1)[..., 2])
+        dy0 = 0.5 * (at(o[0], o[1])[..., 2] + at(o[0] - 1, o[1])[..., 2])
+        return 2. * (at(o[0], o[1] + 1)[..., 0] - at(o[0], o[1])[..., 0]) \
+            / (dy0 + dyp) * at(o[0], o[1] + 1)[..., 3] * at(o[0], o[1])[..., 3]
+
+    c00 = at(0, 0)
+    sst, sss, cn, hi = c00[..., 4], c00[..., 5], c00[..., 6], c00[..., 7]
 
     hxp = jnp.where(yj >= 0.5,
-                    (yj - 0.5) * ddx(i, j + 1) + (1.5 - yj) * ddx(i, j),
-                    (yj + 0.5) * ddx(i, j) + (0.5 - yj) * ddx(i, j - 1))
+                    (yj - 0.5) * ddx(0, 1) + (1.5 - yj) * ddx(0, 0),
+                    (yj + 0.5) * ddx(0, 0) + (0.5 - yj) * ddx(0, -1))
     hxm = jnp.where(yj >= 0.5,
-                    (yj - 0.5) * ddx(i - 1, j + 1) + (1.5 - yj) * ddx(i - 1, j),
-                    (yj + 0.5) * ddx(i - 1, j) + (0.5 - yj) * ddx(i - 1, j - 1))
+                    (yj - 0.5) * ddx(-1, 1) + (1.5 - yj) * ddx(-1, 0),
+                    (yj + 0.5) * ddx(-1, 0) + (0.5 - yj) * ddx(-1, -1))
     ssh_x = xi * hxp + (1. - xi) * hxm
 
     hyp = jnp.where(xi >= 0.5,
-                    (xi - 0.5) * ddy(i + 1, j) + (1.5 - xi) * ddy(i, j),
-                    (xi + 0.5) * ddy(i, j) + (0.5 - xi) * ddy(i - 1, j))
+                    (xi - 0.5) * ddy(1, 0) + (1.5 - xi) * ddy(0, 0),
+                    (xi + 0.5) * ddy(0, 0) + (0.5 - xi) * ddy(-1, 0))
     hym = jnp.where(xi >= 0.5,
-                    (xi - 0.5) * ddy(i + 1, j - 1) + (1.5 - xi) * ddy(i, j - 1),
-                    (xi + 0.5) * ddy(i, j - 1) + (0.5 - xi) * ddy(i - 1, j - 1))
+                    (xi - 0.5) * ddy(1, -1) + (1.5 - xi) * ddy(0, -1),
+                    (xi + 0.5) * ddy(0, -1) + (0.5 - xi) * ddy(-1, -1))
     ssh_y = yj * hyp + (1. - yj) * hym
 
     # rotate vectors from local grid orientation to lat/lon (icebergs.F90:4887)
