@@ -32,23 +32,6 @@ class Env(NamedTuple):
     od: jnp.ndarray
 
 
-def _ddx_ssh(ssh, dx, msk, i, j):
-    """ddx_ssh (icebergs.F90:4902-4912): zonal SSH slope across the east face
-    of cell (i,j).  All args 0-based cell indices; fields halo-padded."""
-    I, J = i + 1, j + 1
-    dxp = 0.5 * (dx[I + 1, J] + dx[I + 1, J - 1])
-    dx0 = 0.5 * (dx[I, J] + dx[I, J - 1])
-    return 2. * (ssh[I + 1, J] - ssh[I, J]) / (dx0 + dxp) * msk[I + 1, J] * msk[I, J]
-
-
-def _ddy_ssh(ssh, dy, msk, i, j):
-    """ddy_ssh (icebergs.F90:4914-4924)."""
-    I, J = i + 1, j + 1
-    dyp = 0.5 * (dy[I, J + 1] + dy[I - 1, J + 1])
-    dy0 = 0.5 * (dy[I, J] + dy[I - 1, J])
-    return 2. * (ssh[I, J + 1] - ssh[I, J]) / (dy0 + dyp) * msk[I, J + 1] * msk[I, J]
-
-
 def quad_interp_from_agrid(grid: Grid, fld, lon, lat, i, j, xi, yj,
                            cfg: IcebergsConfig):
     """Bi-quadratic Lagrange interpolation of an A-grid (cell-center) field.

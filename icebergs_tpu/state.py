@@ -273,10 +273,3 @@ def allocate_slots(alive, want):
     return granted, slots
 
 
-def free_slots(alive, n_needed: int):
-    """Indices of the first `n_needed` dead slots (padded with -1)."""
-    dead = ~alive
-    order = jnp.argsort(~dead)  # dead slots first, stable
-    idx = order[:n_needed]
-    ok = dead[idx]
-    return jnp.where(ok, idx, -1)
