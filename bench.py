@@ -49,7 +49,8 @@ def main():
     st = st.replace(ine=i, jne=j, xi=xi, yj=yj)
 
     multi = make_multi_step(grid, cfg, INNER, with_thermo=True,
-                            max_per_cell=MAX_PER_CELL)
+                            max_per_cell=MAX_PER_CELL,
+                            contact_cap=NBERGS // 8)
 
     # warmup/compile
     st = jax.block_until_ready(multi(st, frc))

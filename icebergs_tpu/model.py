@@ -69,7 +69,7 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
               with_interactions: Optional[bool] = None,
               with_calving: bool = False, jit: bool = True,
               max_per_cell: int = 16, neighbor_mode: str = "buckets",
-              use_pallas: bool = False):
+              use_pallas: bool = False, contact_cap: Optional[int] = None):
     """Build the full jitted coupling step.
 
     Returns ``step(state, forcing[, calving_flux]) -> (state, StepDiags)``.
@@ -119,7 +119,8 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
                             st, grid, cfg, ncells_radius=nbr_radius,
                             max_per_cell=max_per_cell)
                     ia_fn = _forces.make_ia_fn(st, nbr, cfg,
-                                               use_pallas=use_pallas)
+                                               use_pallas=use_pallas,
+                                               contact_cap=contact_cap)
                 out = evolve_icebergs(st, grid, frc, cfg, ia_fn=ia_fn)
                 st = out.state
 
