@@ -34,6 +34,26 @@ class MeltDiags(NamedTuple):
     melt_conv: jnp.ndarray
     net_heat: jnp.ndarray        # J into ocean this step (scalar)
     nbergs_melted: jnp.ndarray
+    melt_by_class: jnp.ndarray = None   # (nx+2,ny+2,nclasses) kg/m2/s
+
+
+def melt_by_class_field(st, grid, cfg: IcebergsConfig, melt_rate_w, alive):
+    """Per-calving-class melt diagnostic (id_melt_by_class,
+    icebergs.F90:3147-3155): class from nearest initial_mass to the berg's
+    start_mass, hemisphere-dependent tables."""
+    import numpy as np
+    ms = jnp.asarray(np.asarray(cfg.initial_mass), st.dtype)
+    mn = jnp.asarray(np.asarray(cfg.initial_mass_n
+                                if cfg.separate_distrib_for_n_hemisphere
+                                else cfg.initial_mass), st.dtype)
+    south = st.lat < 0.
+    dist_s = jnp.abs(ms[None, :] - st.start_mass[:, None])
+    dist_n = jnp.abs(mn[None, :] - st.start_mass[:, None])
+    k = jnp.where(south, jnp.argmin(dist_s, axis=1),
+                  jnp.argmin(dist_n, axis=1)).astype(jnp.int32)
+    I, J = st.ine + 1, st.jne + 1
+    out = jnp.zeros((grid.nx + 2, grid.ny + 2, ms.shape[0]), st.dtype)
+    return out.at[I, J, k].add(jnp.where(alive, melt_rate_w, 0.))
 
 
 # --------------------------------------------------------------------------
@@ -545,9 +565,11 @@ def thermodynamics(st, grid, frc, cfg: IcebergsConfig):
     st = st.replace(alive=st.alive & ~kill)
     nbergs_melted = jnp.sum(melted.astype(jnp.int32))
 
+    mbc = melt_by_class_field(st, grid, cfg, melt_tot * w, alive)
     diags = MeltDiags(
         floating_melt=floating_melt, calving_hflx=calving_hflx,
         berg_melt=berg_melt, bergy_src=bergy_src, bergy_melt=bergy_melt,
         fl_bits_melt=fl_bits_melt, melt_buoy=melt_buoy, melt_eros=melt_eros,
-        melt_conv=melt_conv, net_heat=net_heat, nbergs_melted=nbergs_melted)
+        melt_conv=melt_conv, net_heat=net_heat, nbergs_melted=nbergs_melted,
+        melt_by_class=mbc)
     return st, diags
