@@ -321,7 +321,8 @@ def fl_bits_dimensions(cfg: IcebergsConfig, thickness):
 # the main thermodynamics pass
 # --------------------------------------------------------------------------
 
-def thermodynamics(st, grid, frc, cfg: IcebergsConfig):
+def thermodynamics(st, grid, frc, cfg: IcebergsConfig,
+                   with_class_melt: bool = False):
     """Melt every berg, update dimensions, roll, kill fully-melted bergs,
     and accumulate gridded melt diagnostics.
 
@@ -565,7 +566,10 @@ def thermodynamics(st, grid, frc, cfg: IcebergsConfig):
     st = st.replace(alive=st.alive & ~kill)
     nbergs_melted = jnp.sum(melted.astype(jnp.int32))
 
-    mbc = melt_by_class_field(st, grid, cfg, melt_tot * w, alive)
+    # computed only when the diagnostic is requested (the reference gates
+    # on id_melt_by_class > 0)
+    mbc = melt_by_class_field(st, grid, cfg, melt_tot * w, alive) \
+        if with_class_melt else None
     diags = MeltDiags(
         floating_melt=floating_melt, calving_hflx=calving_hflx,
         berg_melt=berg_melt, bergy_src=bergy_src, bergy_melt=bergy_melt,

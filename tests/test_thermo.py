@@ -129,3 +129,17 @@ def test_cold_water_no_melt_side():
     # Mv = 7.62e-3*SST+1.29e-3*SST^2 < 0 at SST=-2.5 -> clamped to 0;
     # wave erosion also ~0; only basal melt from (SST+4)>0 remains.
     assert float(jnp.sum(d.melt_conv)) == 0.0
+
+
+def test_melt_by_class_assignment():
+    """melt_by_class puts melt in the class nearest start_mass."""
+    from icebergs_tpu.ops.thermo import thermodynamics
+    cfg, grid, frc, st = _world_with_berg()
+    # start_mass near class-2 initial mass (3.3e9, S hemisphere... lat>0
+    # but separate_distrib off -> same tables)
+    st = st.replace(start_mass=jnp.where(st.alive, 3.3e9, st.start_mass))
+    st2, d = thermodynamics(st, grid, frc, cfg, with_class_melt=True)
+    mbc = np.asarray(d.melt_by_class)
+    total = mbc.sum(axis=(0, 1))
+    assert total[2] > 0.
+    assert np.all(total[np.arange(10) != 2] == 0.)
