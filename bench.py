@@ -48,9 +48,10 @@ def main():
     i, j, xi, yj = pos_to_cell(grid, st.lon, st.lat, -1.0)
     st = st.replace(ine=i, jne=j, xi=xi, yj=yj)
 
+    # contact compaction (contact_cap=...) is exact but does not pay at
+    # this density (the position-only prepass costs what it saves)
     multi = make_multi_step(grid, cfg, INNER, with_thermo=True,
-                            max_per_cell=MAX_PER_CELL,
-                            contact_cap=NBERGS // 8)
+                            max_per_cell=MAX_PER_CELL)
 
     # warmup/compile
     st = jax.block_until_ready(multi(st, frc))
