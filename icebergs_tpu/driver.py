@@ -140,6 +140,10 @@ def run(nml_path: str, input_dir: str = ".", output_dir: str = ".",
     buf = tio.init_traj_buffer(st.capacity,
                                nsamples=max(2, nsteps // traj_every + 2),
                                cfg=cfg)
+    bond_buf = tio.init_bond_traj_buffer(
+        st.capacity, cfg.max_bonds,
+        nsamples=max(2, nsteps // traj_every + 2)) \
+        if cfg.save_bond_traj else None
     from .diagnostics import DiagManager
     dmgr = DiagManager(grid, selected=("floating_melt", "berg_melt",
                                        "spread_mass", "spread_area",
@@ -162,6 +166,8 @@ def run(nml_path: str, input_dir: str = ".", output_dir: str = ".",
         if (n + 1) % traj_every == 0 and not cfg.ignore_traj:
             day = (n + 1) * ibdt / 86400.0
             buf = tio.record_posn(buf, st, cfg, day=day, year=0)
+            if cfg.save_bond_traj:
+                bond_buf = tio.record_bonds(bond_buf, st, cfg, day=day)
         if verbose and (n + 1) % verbose_every == 0:
             b_now = diag.compute_budgets(st, calv)
             diag.report_budget(f"hr {((n + 1) * ibdt) / 3600.:.0f}",
@@ -191,6 +197,9 @@ def run(nml_path: str, input_dir: str = ".", output_dir: str = ".",
     if not cfg.ignore_traj:
         tio.write_trajectories(os.path.join(output_dir, cfg.traj_name),
                                buf, cfg)
+    if cfg.save_bond_traj:
+        tio.write_trajectories(os.path.join(output_dir, cfg.bond_traj_name),
+                               bond_buf, cfg)
     dmgr.flush(dstate, os.path.join(output_dir, "icebergs_history.nc"),
                time_value=nsteps * ibdt / 86400.)
     secs = time.time() - t_wall
