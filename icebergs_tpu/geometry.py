@@ -48,6 +48,25 @@ def sum_sign_dot_prod4(x0, y0, x1, y1, x2, y2, x3, y3, x, y, Lx):
     return lhs == rhs
 
 
+def sum_sign_dot_prod5(x0, y0, x1, y1, x2, y2, x3, y3, x4, y4, x, y, Lx):
+    """Point-in-pentagon test for tripolar polar cells
+    (sum_sign_dot_prod5, icebergs_framework.F90:6233-6300): cells with a
+    corner at the north pole are treated as 5-sided polygons (the polar
+    corner split in two)."""
+    xx = apply_modulo_around_point(x, x0, Lx)
+    xs = [apply_modulo_around_point(v, x0, Lx) for v in (x0, x1, x2, x3, x4)]
+    ys = [y0, y1, y2, y3, y4]
+
+    ps = []
+    for k in range(5):
+        k2 = (k + 1) % 5
+        l = (xx - xs[k]) * (ys[k2] - ys[k]) - (y - ys[k]) * (xs[k2] - xs[k])
+        ps.append(jnp.where(l == 0., 0., jnp.sign(l)))
+    abs_sum = sum(jnp.abs(p) for p in ps)
+    sum_abs = jnp.abs(sum(ps))
+    return (abs_sum - sum_abs) < 0.5
+
+
 def cell_corners(grid: Grid, i, j):
     """(x1..x4, y1..y4) for cells (i,j): SW, SE, NE, NW."""
     x1 = grid.lonc[i, j]

@@ -98,3 +98,20 @@ def test_bilin_corner_identity():
                      False)
     np.testing.assert_allclose(float(v[0]), float(grid.lonc[3, 4]),
                                rtol=1e-6)
+
+
+def test_sum_sign_dot_prod5_pentagon():
+    """Pentagon membership (polar-cell test, sum_sign_dot_prod5)."""
+    # regular pentagon around the origin
+    th = np.linspace(0, 2 * np.pi, 6)[:-1] + 0.3
+    px = np.cos(th)
+    py = np.sin(th)
+    args = []
+    for k in range(5):
+        args += [jnp.asarray([px[k]]), jnp.asarray([py[k]])]
+    inside = geo.sum_sign_dot_prod5(*args, jnp.asarray([0.05]),
+                                    jnp.asarray([-0.02]), -1.0)
+    assert bool(inside[0])
+    outside = geo.sum_sign_dot_prod5(*args, jnp.asarray([1.5]),
+                                     jnp.asarray([0.0]), -1.0)
+    assert not bool(outside[0])
