@@ -264,3 +264,30 @@ class IcebergsConfig:
 
     def replace(self, **kw) -> "IcebergsConfig":
         return dataclasses.replace(self, **kw)
+
+    def normalized(self, warn: bool = True) -> "IcebergsConfig":
+        """Apply the reference's init-time coercions
+        (icebergs_framework.F90:1290-1440): MTS forces Verlet stepping;
+        DEM forces explicit inner substeps; DEM requires bonds+interactions.
+        """
+        import warnings
+        cfg = self
+        if cfg.mts and cfg.Runge_not_Verlet:
+            if warn:
+                warnings.warn("MTS does not work with Runge-Kutta; "
+                              "switching to Verlet (reference behavior)")
+            cfg = cfg.replace(Runge_not_Verlet=False)
+        if cfg.dem and not cfg.explicit_inner_mts:
+            cfg = cfg.replace(explicit_inner_mts=True)
+        if cfg.dem and not (cfg.iceberg_bonds_on
+                            and cfg.interactive_icebergs_on):
+            if warn:
+                warnings.warn("DEM requires iceberg_bonds_on and "
+                              "interactive_icebergs_on; enabling both")
+            cfg = cfg.replace(iceberg_bonds_on=True,
+                              interactive_icebergs_on=True)
+        if cfg.use_broken_bonds_for_substep_contact and not (
+                cfg.dem and cfg.iceberg_bonds_on):
+            raise ValueError("use_broken_bonds_for_substep_contact requires "
+                             "dem and iceberg_bonds_on (reference FATAL)")
+        return cfg

@@ -98,7 +98,7 @@ def config_from_namelist(path: str, dt: float = None,
     if dt is not None:
         kw["dt"] = float(dt)
     kw.update(overrides)
-    cfg = IcebergsConfig(**kw)
+    cfg = IcebergsConfig(**kw).normalized()
     drv = dict(drv)
     drv["_unknown"] = unknown
     return cfg, drv

@@ -133,3 +133,31 @@ def test_trajectory_buffer_and_write(tmp_path):
     n, buf = tio.write_trajectories(path, buf, cfg)
     with netcdf_file(path, "r", mmap=False) as f:
         assert np.asarray(f.variables["lon"][:]).shape == (9,)
+
+
+def test_namelist_parses_dem_cbeam_config():
+    cfg, drvp = nml.config_from_namelist(
+        "/root/reference/tests/dem_cbeam_test/input.nml")
+    assert cfg.dem is True and cfg.mts is True
+    assert cfg.dem_beam_test == 2
+    assert cfg.dem_spring_coef == 1.e9
+    assert cfg.mts_sub_steps == 2000
+    assert cfg.only_interactive_forces is True
+    assert cfg.orig_dem_moment_of_inertia is True
+    assert cfg.max_bonds == 4
+    assert drvp["nmax"] == 300 and drvp["gridres"] == 15000
+    # normalized() coercions hold
+    assert cfg.Runge_not_Verlet is False
+    assert cfg.explicit_inner_mts is True
+
+
+def test_config_normalized_coercions():
+    import pytest
+    cfg = ibt.IcebergsConfig(mts=True, Runge_not_Verlet=True).normalized(
+        warn=False)
+    assert cfg.Runge_not_Verlet is False
+    cfg = ibt.IcebergsConfig(dem=True).normalized(warn=False)
+    assert cfg.explicit_inner_mts and cfg.iceberg_bonds_on
+    with pytest.raises(ValueError):
+        ibt.IcebergsConfig(use_broken_bonds_for_substep_contact=True
+                           ).normalized(warn=False)
