@@ -93,6 +93,9 @@ def run(nml_path: str, input_dir: str = ".", output_dir: str = ".",
     from .ops import forces as FO
     from .calving import init_calving_state
 
+    if not os.path.exists(nml_path):
+        raise SystemExit(f"icebergs_tpu.driver: namelist not found: "
+                         f"{nml_path}")
     cfg, drv = config_from_namelist(nml_path)
     grid, frc = build_grid_and_forcing(cfg, drv)
 
@@ -156,11 +159,14 @@ def run(nml_path: str, input_dir: str = ".", output_dir: str = ".",
     b_prev = b0
     t_wall = time.time()
     melt_total = 0.0
+    melt_interval = 0.0
     for n in range(nsteps):
         st, diags = step(st, frc)
         if diags.floating_melt is not None:
-            melt_total += float(np.sum(np.asarray(
+            m = float(np.sum(np.asarray(
                 diags.floating_melt * grid.area))) * cfg.dt
+            melt_total += m
+            melt_interval += m
         dstate = dmgr.send_data(dstate, {
             k: getattr(diags, k, None) for k in dmgr.names})
         if (n + 1) % traj_every == 0 and not cfg.ignore_traj:
@@ -171,8 +177,10 @@ def run(nml_path: str, input_dir: str = ".", output_dir: str = ".",
         if verbose and (n + 1) % verbose_every == 0:
             b_now = diag.compute_budgets(st, calv)
             diag.report_budget(f"hr {((n + 1) * ibdt) / 3600.:.0f}",
-                               b_prev, b_now, verbose_every * ibdt)
+                               b_prev, b_now, verbose_every * ibdt,
+                               melt_kg=melt_interval)
             b_prev = b_now
+            melt_interval = 0.0
         if verbose and (n + 1) % max(1, nsteps // 10) == 0:
             print(f"step {n + 1}/{nsteps} bergs={int(diags.nbergs)} "
                   f"wall={time.time() - t_wall:.1f}s", flush=True)
