@@ -34,6 +34,18 @@ from ..forcing import Forcing
 
 AXIS = "x"
 
+# (x, y) vector components that rotate 180 deg across the tripolar fold.
+# The reference keeps geographic coords so bergs cross the fold untouched
+# (icebergs_framework.F90:2010-2076); our tiles are logical index space,
+# so the fold is the explicit isometry lon->S_lon-lon, lat->S_lat-lat,
+# (u,v)->(-u,-v) — the "180 degree rotation" of icebergs.F90:6112-6124.
+_FOLD_VECTOR_PAIRS = (
+    ("uvel", "vvel"), ("uvel_old", "vvel_old"), ("uvel_prev", "vvel_prev"),
+    ("axn", "ayn"), ("bxn", "byn"),
+    ("axn_fast", "ayn_fast"), ("bxn_fast", "byn_fast"),
+    ("uo", "vo"), ("ui", "vi"), ("ua", "va"), ("ssh_x", "ssh_y"),
+)
+
 
 class ShardedWorld(NamedTuple):
     mesh: Mesh
@@ -175,13 +187,14 @@ def shard_state(world: ShardedWorld, st_global: BergState,
         take["bond_idx"] = jnp.asarray(dstb)
         take["alive"] = jnp.asarray(
             np.arange(local_capacity) < n)
-        # local cell indices
-        slabs.append(BergState(**take))
+        sl = BergState(**take)
+        # localize cell indices to this tile's grid (the reference re-runs
+        # find_cell on unpack, icebergs_framework.F90:3456)
+        g = jax.tree.map(lambda x: x[d], world.grids)
+        slabs.append(relocalize(sl, g, world.cfg))
     stacked = _stack(slabs)
-    stacked = jax.device_put(stacked,
-                             jax.NamedSharding(world.mesh, P(AXIS)))
-    # recompute local cells
-    return stacked
+    return jax.device_put(stacked,
+                          jax.NamedSharding(world.mesh, P(AXIS)))
 
 
 def relocalize(st: BergState, grid: Grid, cfg: IcebergsConfig) -> BergState:
@@ -243,8 +256,84 @@ def _unpack_from(st: BergState, buf: BergState, valid, *, halo_flag=None):
     return st, overflow
 
 
+def fold_state(buf: BergState, *, nxl: int, nyl: int, H: int,
+               lon_sum: float, lat_sum: float) -> BergState:
+    """Apply the tripolar-fold isometry to a packed berg slab.
+
+    180-degree rotation in logical space (mirror x about the grid midline,
+    reflect y about the fold edge): positions map through
+    (lon, lat) -> (lon_sum - lon, lat_sum - lat), every (x, y) vector pair
+    negates, local indices mirror (ine within the mirrored tile, jne about
+    the fold line), intra-cell coords flip.  ``rot`` turns by pi (a
+    multiple of the hexagon's 60-degree symmetry).  ``start_*`` provenance
+    stays untouched, as in the reference (geographic, fold-invariant).
+    """
+    kw = {}
+    for ux, vy in _FOLD_VECTOR_PAIRS:
+        kw[ux] = -getattr(buf, ux)
+        kw[vy] = -getattr(buf, vy)
+    kw["lon"] = lon_sum - buf.lon
+    kw["lat"] = lat_sum - buf.lat
+    kw["lon_old"] = lon_sum - buf.lon_old
+    kw["lat_old"] = lat_sum - buf.lat_old
+    kw["xi"] = 1.0 - buf.xi
+    kw["yj"] = 1.0 - buf.yj
+    kw["ine"] = (2 * H + nxl - 1) - buf.ine
+    kw["jne"] = 2 * (H + nyl) - 1 - buf.jne
+    kw["rot"] = buf.rot + np.float32(np.pi)
+    return buf.replace(**kw)
+
+
+def _exchange_fold_north(st: BergState, nxl: int, nyl: int, H: int,
+                         width: int, *, lon_sum: float, lat_sum: float,
+                         y_axis: str | None):
+    """Migration + halo replication across the tripolar folded-north edge.
+
+    The reference's ``folded_north_on_pe`` branches
+    (icebergs_framework.F90:933, 2010-2076, 2908-2961, 3138-3191): the
+    north neighbor of top-row tile ``dx`` is the x-mirrored top-row tile
+    ``ndx-1-dx``.  Here that is one ``ppermute`` with the mirror
+    permutation along the x mesh axis, with :func:`fold_state` applied to
+    the slab in flight.  ndx == 1 degenerates to a self-send (a tile
+    folding onto itself), matching FMS behavior for a 1-wide layout.
+    """
+    ndx = jax.lax.axis_size(AXIS)
+    mirror = [(d, ndx - 1 - d) for d in range(ndx)]
+    if y_axis is not None:
+        is_top = jax.lax.axis_index(y_axis) == jax.lax.axis_size(y_axis) - 1
+    else:
+        is_top = jnp.array(True)
+
+    def pperm(tree):
+        return jax.tree.map(lambda x: jax.lax.ppermute(x, AXIS, mirror),
+                            tree)
+
+    def fold(buf):
+        return fold_state(buf, nxl=nxl, nyl=nyl, H=H, lon_sum=lon_sum,
+                          lat_sum=lat_sum)
+
+    # migration: owned bergs beyond the fold line re-enter mirrored,
+    # heading south (send_bergs_to_other_pes fold branch)
+    go = st.alive & (st.halo_berg < 0.5) & (st.jne >= H + nyl) & is_top
+    buf, valid, ov1 = _pack_to(st, go, width)
+    st = st.replace(alive=st.alive & ~go)
+    buf = pperm(buf)
+    valid = jax.lax.ppermute(valid, AXIS, mirror) & is_top
+    st, ov2 = _unpack_from(st, fold(buf), valid)
+
+    # halo replication: the strip within H of the fold (including x-halo
+    # copies already received, so fold corners arrive in this one pass)
+    strip = st.alive & (st.jne >= nyl) & (st.jne < H + nyl) & is_top
+    buf, valid, ov3 = _pack_to(st, strip, width)
+    buf = pperm(buf)
+    valid = jax.lax.ppermute(valid, AXIS, mirror) & is_top
+    st, ov4 = _unpack_from(st, fold(buf), valid, halo_flag=1.0)
+    return st, ov1 + ov2 + ov3 + ov4
+
+
 def _exchange_axis(st: BergState, axis: str, idx_field: str, nl: int,
-                   H: int, width: int, *, halo_too: bool = True):
+                   H: int, width: int, *, halo_too: bool = True,
+                   fold_top: bool = False):
     """Migration + halo replication along one mesh axis.
 
     One direction pass of ``send_bergs_to_other_pes`` +
@@ -271,6 +360,13 @@ def _exchange_axis(st: BergState, axis: str, idx_field: str, nl: int,
     owned = st.alive & (st.halo_berg < 0.5)
     go_lo = owned & (idx(st) < H)
     go_hi = owned & (idx(st) >= H + nl)
+    if fold_top:
+        # folded-north grid: the top edge is handled by the fold pass and
+        # the bottom edge is closed (no y wrap-around)
+        not_top = jax.lax.axis_index(axis) != ndev - 1
+        not_bot = jax.lax.axis_index(axis) != 0
+        go_hi = go_hi & not_top
+        go_lo = go_lo & not_bot
     for mask, perm, shift in ((go_hi, right, -nl), (go_lo, left, nl)):
         buf, valid, ov1 = _pack_to(st, mask, width)
         st = st.replace(alive=st.alive & ~mask)
@@ -284,6 +380,9 @@ def _exchange_axis(st: BergState, axis: str, idx_field: str, nl: int,
         # halo copies, so corners propagate on the second axis pass)
         edge_hi = st.alive & (idx(st) >= nl)
         edge_lo = st.alive & (idx(st) < 2 * H)
+        if fold_top:
+            edge_hi = edge_hi & not_top
+            edge_lo = edge_lo & not_bot
         for mask, perm, shift in ((edge_hi, right, -nl), (edge_lo, left, nl)):
             buf, valid, ov1 = _pack_to(st, mask, width)
             buf = ppermute(buf, perm)
@@ -296,7 +395,8 @@ def _exchange_axis(st: BergState, axis: str, idx_field: str, nl: int,
 
 def exchange_particles(st: BergState, grid: Grid, cfg: IcebergsConfig,
                        nxl: int, H: int, width: int, *,
-                       nyl: int | None = None, y_axis: str | None = None):
+                       nyl: int | None = None, y_axis: str | None = None,
+                       fold_north: tuple | None = None):
     """Ownership migration + halo replication via ppermute.
 
     The SoA analog of ``send_bergs_to_other_pes`` + ``update_halo_icebergs``.
@@ -305,6 +405,12 @@ def exchange_particles(st: BergState, grid: Grid, cfg: IcebergsConfig,
     conglomerates are additionally replicated to every device
     (transfer_mts_bergs' invariant, icebergs_framework.F90:2298-2313) and
     bond pointers re-matched by id.
+
+    ``fold_north=(lon_sum, lat_sum)`` enables the tripolar folded-north
+    edge: a third exchange pass mirrors top-edge traffic across the fold
+    (see :func:`_exchange_fold_north`).  Bonds spanning the fold line are
+    not yet supported (conglomerate replication copies coordinates
+    untransformed).
     """
     from ..ops import forces as _forces
 
@@ -317,8 +423,17 @@ def exchange_particles(st: BergState, grid: Grid, cfg: IcebergsConfig,
     st, ov_x = _exchange_axis(st, AXIS, "ine", nxl, H, width)
     overflow = ov_x
     if y_axis is not None:
-        st, ov_y = _exchange_axis(st, y_axis, "jne", nyl, H, width)
+        st, ov_y = _exchange_axis(st, y_axis, "jne", nyl, H, width,
+                                  fold_top=fold_north is not None)
         overflow = overflow + ov_y
+    if fold_north is not None:
+        assert y_axis is not None, "fold_north requires the 2-D world " \
+            "(use a (ndx, 1) mesh for a 1-D layout with a fold)"
+        lon_sum, lat_sum = fold_north
+        st, ov_f = _exchange_fold_north(st, nxl, nyl, H, width,
+                                        lon_sum=lon_sum, lat_sum=lat_sum,
+                                        y_axis=y_axis)
+        overflow = overflow + ov_f
 
     if cfg.iceberg_bonds_on:
         st, ov_b = replicate_bonded_bergs(st, width, nxl, H,
@@ -405,14 +520,25 @@ class ShardedWorld2D(NamedTuple):
     nxl: int
     nyl: int
     halo: int
+    # tripolar folded-north edge (FOLD_NORTH_EDGE,
+    # icebergs_framework.F90:649,933): positions map through
+    # lon -> fold_lon_sum - lon, lat -> fold_lat_sum - lat
+    folded_north: bool = False
+    fold_lon_sum: float = 0.0
+    fold_lat_sum: float = 0.0
 
 
 def make_sharded_world_2d(cfg: IcebergsConfig, mesh: Mesh, *, nx, ny,
                           lon0, lat0, dlon, dlat, msk=None,
-                          ocean_depth=None,
+                          ocean_depth=None, folded_north=False,
                           dtype=jnp.float32) -> ShardedWorld2D:
     """2-D tile decomposition: the full analog of mpp_define_domains'
-    (layout_x, layout_y) (icebergs_framework.F90:915-925)."""
+    (layout_x, layout_y) (icebergs_framework.F90:915-925).
+
+    ``folded_north=True`` makes the top edge a tripolar fold: global cell
+    (i, ny+k) is the image of (nx-1-i, ny-1-k), so top-row tiles carry
+    folded real data in their north halo and particle exchange runs the
+    fold pass (icebergs_framework.F90:933, FOLD_NORTH_EDGE)."""
     ndx, ndy = mesh.devices.shape
     assert nx % ndx == 0 and ny % ndy == 0
     nxl, nyl = nx // ndx, ny // ndy
@@ -427,14 +553,18 @@ def make_sharded_world_2d(cfg: IcebergsConfig, mesh: Mesh, *, nx, ny,
     def slice_xy(a, sx, ex, sy, ey):
         ix = np.arange(sx, ex)
         iy = np.arange(sy, ey)
-        if periodic:
-            ix = ix % nx
-        else:
-            ix = np.clip(ix, 0, nx - 1)
+        ix_c = ix % nx if periodic else np.clip(ix, 0, nx - 1)
         iy_c = np.clip(iy, 0, ny - 1)
-        out = a[np.ix_(ix, iy_c)].astype(float).copy()
-        badx = (np.arange(sx, ex) < 0) | (np.arange(sx, ex) >= nx)
+        out = a[np.ix_(ix_c, iy_c)].astype(float).copy()
+        badx = (ix < 0) | (ix >= nx)
         bady = (iy < 0) | (iy >= ny)
+        if folded_north:
+            # north halo rows hold the fold image (nx-1-i, 2ny-1-iy)
+            for k in np.nonzero(iy >= ny)[0]:
+                iyf = 2 * ny - 1 - iy[k]
+                if 0 <= iyf < ny:
+                    out[:, k] = a[(nx - 1 - ix_c), iyf]
+            bady = iy < 0
         if not periodic:
             out[badx, :] = 0.0
         out[:, bady] = 0.0
@@ -457,8 +587,11 @@ def make_sharded_world_2d(cfg: IcebergsConfig, mesh: Mesh, *, nx, ny,
         rows.append(_stack(col))
     grids = _stack(rows)
     grids = jax.device_put(grids, jax.NamedSharding(mesh, P(AXIS, AXIS_Y)))
-    return ShardedWorld2D(mesh=mesh, grids=grids, cfg=cfg, nxl=nxl,
-                          nyl=nyl, halo=H)
+    return ShardedWorld2D(
+        mesh=mesh, grids=grids, cfg=cfg, nxl=nxl, nyl=nyl, halo=H,
+        folded_north=folded_north,
+        fold_lon_sum=2. * lon0 + nx * dlon,
+        fold_lat_sum=2. * (lat0 + ny * dlat))
 
 
 def shard_state_2d(world: ShardedWorld2D, st_global: BergState,
@@ -501,7 +634,11 @@ def shard_state_2d(world: ShardedWorld2D, st_global: BergState,
             take["alive"] = jnp.asarray(np.arange(local_capacity) < n)
             take["bond_idx"] = jnp.asarray(
                 np.full((local_capacity, st_global.max_bonds), -1, np.int32))
-            col.append(BergState(**take))
+            sl = BergState(**take)
+            # localize cell indices to this tile's grid (the reference
+            # re-runs find_cell on unpack, icebergs_framework.F90:3456)
+            g = jax.tree.map(lambda x: x[dx, dy], world.grids)
+            col.append(relocalize(sl, g, world.cfg))
         rows.append(_stack(col))
     stacked = _stack(rows)
     return jax.device_put(stacked, jax.NamedSharding(world.mesh,
@@ -524,9 +661,11 @@ def make_sharded_step_2d(world: ShardedWorld2D, *, with_thermo=True,
         step = _ms(grid, cfg, with_thermo=with_thermo, jit=False)
         st, diags = step(st, frc)
 
+        fold = ((world.fold_lon_sum, world.fold_lat_sum)
+                if world.folded_north else None)
         st, overflow = exchange_particles(st, grid, cfg, nxl, H,
                                           exchange_width, nyl=nyl,
-                                          y_axis=AXIS_Y)
+                                          y_axis=AXIS_Y, fold_north=fold)
 
         owned = st.alive & (st.halo_berg < 0.5)
         nb = jnp.sum(owned.astype(jnp.int32))
@@ -549,36 +688,58 @@ def make_sharded_step_2d(world: ShardedWorld2D, *, with_thermo=True,
 
 
 def shard_forcing_2d(world: ShardedWorld2D, frc_global: Forcing) -> Forcing:
-    """Slice a global Forcing into (ndx, ndy) tiles (+halo)."""
+    """Slice a global Forcing into (ndx, ndy) tiles (+halo).
+
+    On a folded-north world the top halo rows carry the fold image of the
+    forcing, with the velocity fields negated (the 180-degree rotation of
+    sum_up_spread_fields' parity handling, icebergs.F90:6112-6124, applied
+    to vectors instead of 9-slot weights)."""
     ndx, ndy = world.mesh.devices.shape
     nxl, nyl, H = world.nxl, world.nyl, world.halo
     nx, ny = nxl * ndx, nyl * ndy
+    folded = world.folded_north
 
-    def corner_slice(a, dx, dy):
+    def corner_slice(a, dx, dy, vec=False):
         a = np.asarray(a)
-        ix = np.clip(np.arange(dx * nxl - H, (dx + 1) * nxl + H + 1), 0, nx)
-        iy = np.clip(np.arange(dy * nyl - H, (dy + 1) * nyl + H + 1), 0, ny)
-        return a[np.ix_(ix, iy)]
+        ix = np.arange(dx * nxl - H, (dx + 1) * nxl + H + 1)
+        iy = np.arange(dy * nyl - H, (dy + 1) * nyl + H + 1)
+        ixc = np.clip(ix, 0, nx)
+        out = a[np.ix_(ixc, np.clip(iy, 0, ny))].copy()
+        if folded:
+            # corner (i, ny+k) is the image of (nx-i, ny-k)
+            for k in np.nonzero(iy > ny)[0]:
+                iyf = 2 * ny - iy[k]
+                if 0 <= iyf <= ny:
+                    out[:, k] = a[nx - ixc, iyf]
+                    if vec:
+                        out[:, k] = -out[:, k]
+        return out
 
     def center_slice(a, dx, dy):
-        a = np.asarray(a)
-        ix = np.clip(np.arange(dx * nxl - H, (dx + 1) * nxl + 2 + H), 0,
+        a = np.asarray(a)   # halo-padded global (nx+2, ny+2)
+        px = np.clip(np.arange(dx * nxl - H, (dx + 1) * nxl + 2 + H), 0,
                      nx + 1)
-        iy = np.clip(np.arange(dy * nyl - H, (dy + 1) * nyl + 2 + H), 0,
-                     ny + 1)
-        return a[np.ix_(ix, iy)]
+        py_raw = np.arange(dy * nyl - H, (dy + 1) * nyl + 2 + H)
+        out = a[np.ix_(px, np.clip(py_raw, 0, ny + 1))].copy()
+        if folded:
+            # padded center p=c+1: cell (i, ny+k) images (nx-1-i, ny-1-k)
+            for k in np.nonzero(py_raw >= ny + 1)[0]:
+                pyf = 2 * ny + 1 - py_raw[k]
+                if 1 <= pyf <= ny:
+                    out[:, k] = a[np.clip(nx + 1 - px, 0, nx + 1), pyf]
+        return out
 
     rows = []
     for dx in range(ndx):
         col = []
         for dy in range(ndy):
             col.append(Forcing(
-                uo=jnp.asarray(corner_slice(frc_global.uo, dx, dy)),
-                vo=jnp.asarray(corner_slice(frc_global.vo, dx, dy)),
-                ui=jnp.asarray(corner_slice(frc_global.ui, dx, dy)),
-                vi=jnp.asarray(corner_slice(frc_global.vi, dx, dy)),
-                ua=jnp.asarray(corner_slice(frc_global.ua, dx, dy)),
-                va=jnp.asarray(corner_slice(frc_global.va, dx, dy)),
+                uo=jnp.asarray(corner_slice(frc_global.uo, dx, dy, True)),
+                vo=jnp.asarray(corner_slice(frc_global.vo, dx, dy, True)),
+                ui=jnp.asarray(corner_slice(frc_global.ui, dx, dy, True)),
+                vi=jnp.asarray(corner_slice(frc_global.vi, dx, dy, True)),
+                ua=jnp.asarray(corner_slice(frc_global.ua, dx, dy, True)),
+                va=jnp.asarray(corner_slice(frc_global.va, dx, dy, True)),
                 ssh=jnp.asarray(center_slice(frc_global.ssh, dx, dy)),
                 sst=jnp.asarray(center_slice(frc_global.sst, dx, dy)),
                 sss=jnp.asarray(center_slice(frc_global.sss, dx, dy)),
