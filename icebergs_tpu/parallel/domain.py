@@ -492,10 +492,12 @@ def replicate_bonded_bergs(st: BergState, width: int, nxl: int, H: int, *,
     bufs = jax.tree.map(flat, bufs)
     valids = valids.reshape(-1)
 
-    # skip my own contribution (my linear position in the gathered axis)
+    # skip my own contribution (my linear position in the gathered axes;
+    # each all_gather prepends its axis, so after gathering x then y the
+    # leading axes are (y, x))
     if y_axis is not None:
-        ndy = jax.lax.axis_size(y_axis)
-        my_lin = jax.lax.axis_index(AXIS) * ndy + jax.lax.axis_index(y_axis)
+        ndx = jax.lax.axis_size(AXIS)
+        my_lin = jax.lax.axis_index(y_axis) * ndx + jax.lax.axis_index(AXIS)
     else:
         my_lin = jax.lax.axis_index(AXIS)
     src = jnp.arange(valids.shape[0]) // width
@@ -597,6 +599,11 @@ def make_sharded_world_2d(cfg: IcebergsConfig, mesh: Mesh, *, nx, ny,
 def shard_state_2d(world: ShardedWorld2D, st_global: BergState,
                    local_capacity: int) -> BergState:
     """Distribute bergs to owning 2-D tiles (host-side)."""
+    # preserve bonds across redistribution: stamp partner ids now; slots
+    # are re-matched by id after the first halo exchange
+    if world.cfg.iceberg_bonds_on:
+        from ..ops.forces import stamp_bond_ids
+        st_global = stamp_bond_ids(st_global)
     ndx, ndy = world.mesh.devices.shape
     nxl, nyl, H = world.nxl, world.nyl, world.halo
     g00 = jax.tree.map(lambda x: x[0, 0], world.grids)

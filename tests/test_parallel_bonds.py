@@ -99,3 +99,72 @@ def test_bonded_pair_across_tile_boundary():
     for k in ref:
         assert abs(got[k][0] - ref[k][0]) < 1.0, (k, got[k], ref[k])
         assert abs(got[k][1] - ref[k][1]) < 1e-4, (k, got[k], ref[k])
+
+
+def test_bonded_pair_across_2d_tile_corner():
+    """Conglomerate replication on the 2-D mesh: a bonded pair placed
+    diagonally across the 2x2 tile corner evolves as on one device."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    cfg = cfg_bonded()
+    nx = ny = 16
+    grid = ibt.make_uniform_grid(nx, ny, 0., 0., DXY, DXY,
+                                 grid_is_latlon=False)
+    frc = ibt.uniform_forcing(nx, ny, uo=0.2, vo=0.1, sst=-2.)
+
+    # pair diagonal across the corner at (8000, 8000)
+    st = ibt.create_bergs(32, lon=[7800., 8200.], lat=[7800., 8200.],
+                          mass=850. * 100 * 200 * 200, thickness=100.,
+                          width=200., length=200., mass_scaling=1.,
+                          id_cnt=[1, 2], id_ij=[10, 11], max_bonds=4)
+    i, j, xi, yj = pos_to_cell(grid, st.lon, st.lat, -1.0)
+    st = st.replace(ine=i, jne=j, xi=xi, yj=yj)
+    st = forces.initialize_bonds_host(
+        st, cfg.replace(length_for_manually_initialize_bonds=800.))
+    assert int(np.asarray(st.n_bonds)[0]) == 1
+
+    step1 = ibt.make_step(grid, cfg, with_thermo=False)
+    s1 = st
+    for _ in range(60):
+        s1, _ = step1(s1, frc)
+    al = np.asarray(s1.alive)
+    ref = {int(c): (float(l), float(t), float(u)) for c, l, t, u in
+           zip(np.asarray(s1.id_cnt)[al], np.asarray(s1.lon)[al],
+               np.asarray(s1.lat)[al], np.asarray(s1.uvel)[al])}
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2),
+                (dd.AXIS, dd.AXIS_Y))
+    world = dd.make_sharded_world_2d(cfg, mesh, nx=nx, ny=ny, lon0=0.,
+                                     lat0=0., dlon=DXY, dlat=DXY)
+    frc_s = dd.shard_forcing_2d(world, frc)
+    st_s = dd.shard_state_2d(world, st, local_capacity=16)
+
+    # one exchange pass replicates conglomerates and re-connects bonds
+    reconnect = jax.jit(jax.shard_map(
+        lambda g, s: jax.tree.map(
+            lambda x: x[None, None],
+            dd.exchange_particles(jax.tree.map(lambda x: x[0, 0], s),
+                                  jax.tree.map(lambda x: x[0, 0], g), cfg,
+                                  world.nxl, world.halo, 16, nyl=world.nyl,
+                                  y_axis=dd.AXIS_Y)[0]),
+        mesh=mesh, in_specs=(P(dd.AXIS, dd.AXIS_Y), P(dd.AXIS, dd.AXIS_Y)),
+        out_specs=P(dd.AXIS, dd.AXIS_Y)))
+    st_s = reconnect(world.grids, st_s)
+
+    step4 = dd.make_sharded_step_2d(world, with_thermo=False,
+                                    exchange_width=16)
+    for _ in range(60):
+        st_s, nbergs, total_mass, overflow = step4(st_s, frc_s)
+
+    assert int(np.asarray(nbergs)) == 2
+    assert int(np.max(np.asarray(overflow))) == 0
+    flat = lambda f: np.asarray(jax.device_get(getattr(st_s, f))).reshape(-1)
+    own = flat("alive") & (flat("halo_berg") < 0.5)
+    got = {int(c): (float(l), float(t), float(u)) for c, l, t, u in
+           zip(flat("id_cnt")[own], flat("lon")[own], flat("lat")[own],
+               flat("uvel")[own])}
+    assert set(got) == set(ref)
+    for k in ref:
+        assert abs(got[k][0] - ref[k][0]) < 1.0, (k, got[k], ref[k])
+        assert abs(got[k][1] - ref[k][1]) < 1.0, (k, got[k], ref[k])
+        assert abs(got[k][2] - ref[k][2]) < 1e-4, (k, got[k], ref[k])
