@@ -19,9 +19,10 @@ LAT_TOP = NY * DXY
 
 
 def world_cfg(**kw):
-    return ibt.IcebergsConfig(grid_is_latlon=False, Lx=-1.0,
-                              use_f_plane=True, lat_ref=0.0, dt=600.0,
-                              Runge_not_Verlet=True, halo=2, **kw)
+    base = dict(grid_is_latlon=False, Lx=-1.0, use_f_plane=True,
+                lat_ref=0.0, dt=600.0, Runge_not_Verlet=True, halo=2)
+    base.update(kw)
+    return ibt.IcebergsConfig(**base)
 
 
 def test_fold_state_is_an_involution():
@@ -144,3 +145,40 @@ def test_fold_cross_layout_identity():
     np.testing.assert_array_equal(results[0][0], results[1][0])
     for k in (1, 2, 3):
         np.testing.assert_array_equal(results[0][k], results[1][k])
+
+
+def test_contact_through_the_fold():
+    """Halo replication across the fold lets two bergs approaching the
+    glued north edge from mirrored longitudes collide and repel without
+    ever meeting in index space (update_halo_icebergs fold branch,
+    icebergs_framework.F90:2908-2961)."""
+    cfg = world_cfg(dt=60.0, interactive_icebergs_on=True,
+                    spring_coef=1.e-5)
+    mesh, world = _folded_world(cfg)
+    frc = ibt.uniform_forcing(NX, NY, sst=2.0)
+
+    # glued head-on pair: B sits at the fold image column of A
+    xa = 12000.0
+    st = ibt.create_bergs(64, lon=[xa, NX * DXY - xa],
+                          lat=[LAT_TOP - 400., LAT_TOP - 400.],
+                          vvel=[0.1, 0.1], mass=850. * 100 * 200 * 200,
+                          thickness=100., width=200., length=200.,
+                          mass_scaling=1.0, id_cnt=[1, 2])
+    frc_s = dd.shard_forcing_2d(world, frc)
+    st_s = dd.shard_state_2d(world, st, local_capacity=32)
+    step = dd.make_sharded_step_2d(world, with_thermo=False)
+
+    min_gap = np.inf
+    for _ in range(120):
+        st_s, nbergs, _, overflow = step(st_s, frc_s)
+        assert int(np.asarray(nbergs)) == 2
+        assert int(np.max(np.asarray(overflow))) == 0
+        # gap through the fold (glued metric)
+        lat = _owned(st_s, "lat")
+        gap = float(np.sum(LAT_TOP - lat))
+        min_gap = min(min_gap, abs(gap))
+    # contact repulsion turned both around before they interpenetrated
+    assert min_gap > 100.0, min_gap
+    vv = _owned(st_s, "vvel")
+    assert (vv < 0).all(), vv
+    assert (_owned(st_s, "lat") < LAT_TOP).all()
