@@ -82,6 +82,11 @@ def check_state(st, grid, cfg, label: str = "", fatal: bool = True):
         dups = check_for_duplicate_ids(st)
         if len(dups):
             problems.append(f"{len(dups)} duplicate ids")
+        if cfg.iceberg_bonds_on:
+            from .ops.forces import check_bond_reciprocity
+            nbad = int(check_bond_reciprocity(st))
+            if nbad:
+                problems.append(f"{nbad} non-reciprocal bonds")
     if problems and fatal:
         raise RuntimeError(f"KID-TPU check_state[{label}]: "
                            + "; ".join(problems))

@@ -69,6 +69,7 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
               with_interactions: Optional[bool] = None,
               with_calving: bool = False, jit: bool = True,
               max_per_cell: int = 16, neighbor_mode: str = "buckets",
+              neighbor_window: str = "full",
               use_pallas: bool = False, contact_cap: Optional[int] = None):
     """Build the full jitted coupling step.
 
@@ -117,7 +118,8 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
                     else:
                         nbr = _forces.build_neighbor_tables(
                             st, grid, cfg, ncells_radius=nbr_radius,
-                            max_per_cell=max_per_cell)
+                            max_per_cell=max_per_cell,
+                            window=neighbor_window)
                     ia_fn = _forces.make_ia_fn(st, nbr, cfg,
                                                use_pallas=use_pallas,
                                                contact_cap=contact_cap)

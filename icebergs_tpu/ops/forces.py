@@ -80,12 +80,19 @@ def neighbor_radius(grid, cfg: IcebergsConfig) -> int:
 
 def build_neighbor_tables(st, grid, cfg: IcebergsConfig,
                           max_per_cell: int = 16,
-                          ncells_radius: int | None = None) -> NeighborTables:
+                          ncells_radius: int | None = None,
+                          window: str = "full") -> NeighborTables:
     """Candidate partners for every berg from the (2r+1)^2 surrounding cells.
 
     ``ncells_radius`` defaults to the reference's contact-cell radius
     (contact_cells from contact_distance, icebergs_framework.F90:1493-1527;
     1 for the legacy 3x3 path).
+
+    ``window="quadrant"`` replaces the 3x3 stencil with the 2x2 cell block
+    nearest the berg's intra-cell position (xi, yj) — the same candidate
+    superset whenever the maximum pair interaction distance is below half
+    the smallest cell extent (see :func:`can_use_quadrant_window`), at 4/9
+    of the candidate bandwidth.  Only valid with ncells_radius == 1.
     """
     nx, ny = grid.nx, grid.ny
     if ncells_radius is None:
@@ -95,14 +102,24 @@ def build_neighbor_tables(st, grid, cfg: IcebergsConfig,
     buckets, _ = bin_bergs(st, grid, cfg, max_per_cell)
     ncells = nx * ny
 
+    if window == "quadrant":
+        assert r == 1, "quadrant window requires a 3x3-equivalent radius"
+        sx = jnp.where(st.xi >= 0.5, 1, -1)
+        sy = jnp.where(st.yj >= 0.5, 1, -1)
+        offsets = [(jnp.zeros_like(sx), jnp.zeros_like(sy)),
+                   (sx, jnp.zeros_like(sy)), (jnp.zeros_like(sx), sy),
+                   (sx, sy)]
+    else:
+        offsets = [(di, dj) for dj in range(-r, r + 1)
+                   for di in range(-r, r + 1)]
+
     cand = []
-    for dj in range(-r, r + 1):
-        for di in range(-r, r + 1):
-            ci = st.ine + di
-            cj = st.jne + dj
-            ok = (ci >= 0) & (ci < nx) & (cj >= 0) & (cj < ny) & st.alive
-            c = jnp.where(ok, cj * nx + ci, ncells)
-            cand.append(buckets[c])          # (N, K)
+    for di, dj in offsets:
+        ci = st.ine + di
+        cj = st.jne + dj
+        ok = (ci >= 0) & (ci < nx) & (cj >= 0) & (cj < ny) & st.alive
+        c = jnp.where(ok, cj * nx + ci, ncells)
+        cand.append(buckets[c])          # (N, K)
     cand_idx = jnp.concatenate(cand, axis=1)  # (N, M)
 
     self_idx = jnp.arange(st.capacity)[:, None]
@@ -121,6 +138,30 @@ def build_neighbor_tables(st, grid, cfg: IcebergsConfig,
         is_bonded = jnp.zeros_like(valid)
     return NeighborTables(cand_idx=cand_safe, cand_valid=valid,
                           is_bond_partner=is_bonded)
+
+
+def can_use_quadrant_window(st, grid, cfg: IcebergsConfig) -> bool:
+    """Host-side check: is the 2x2 quadrant candidate window exact?
+
+    True when the largest possible pair cutoff (R1 + R2 for the biggest
+    two bergs, or contact_distance) is at most half the smallest cell
+    extent — then every partner within cutoff of a berg lies in the 2x2
+    block nearest its intra-cell position.
+    """
+    import numpy as np
+    alive = np.asarray(st.alive)
+    if not alive.any():
+        return True
+    A = (np.asarray(st.length, np.float64)
+         * np.asarray(st.width, np.float64))[alive]
+    rmax = float(np.max(np.asarray(
+        _interaction_radius(cfg, jnp.asarray(A)))))
+    cutoff = max(2. * rmax, float(cfg.contact_distance))
+    dx = np.asarray(grid.dx)[1:-1, 1:-1]
+    dy = np.asarray(grid.dy)[1:-1, 1:-1]
+    dmin = float(min(np.min(np.where(dx > 0, dx, np.inf)),
+                     np.min(np.where(dy > 0, dy, np.inf))))
+    return np.isfinite(dmin) and cutoff <= 0.5 * dmin
 
 
 def _interaction_radius(cfg: IcebergsConfig, A):
@@ -592,3 +633,19 @@ def count_bonds(st):
     """Refresh n_bonds from the bond table (count_bonds, framework:4860)."""
     dem_alive = (st.bond_idx >= 0) & (st.bond_broken != 1)
     return st.replace(n_bonds=jnp.sum(dem_alive, axis=1).astype(st.dtype))
+
+
+def check_bond_reciprocity(st):
+    """Bond quality check (count_bonds' check_bond_quality branch,
+    icebergs_framework.F90:4860-4941): every connected bond slot must have
+    a matching back-bond on the partner.  Returns the number of
+    non-reciprocal directed bonds (0 = healthy).
+    """
+    hasb = st.bond_idx >= 0
+    other = jnp.maximum(st.bond_idx, 0)
+    # partner's bond table rows, matched against my ids
+    partner_targets = st.bond_idx[other]            # (N, B, B)
+    me = jnp.arange(st.capacity, dtype=st.bond_idx.dtype)[:, None, None]
+    back = jnp.any(partner_targets == me, axis=-1)  # (N, B)
+    bad = hasb & ~back & st.alive[:, None]
+    return jnp.sum(bad.astype(jnp.int32))

@@ -161,3 +161,16 @@ def test_config_normalized_coercions():
     with pytest.raises(ValueError):
         ibt.IcebergsConfig(use_broken_bonds_for_substep_contact=True
                            ).normalized(warn=False)
+
+
+def test_bond_reciprocity_check():
+    cfg, grid, st = world()
+    assert int(forces.check_bond_reciprocity(st)) == 0
+    # sever one direction: 0 -> 1 stays, 1 -> 0 removed
+    import jax.numpy as jnp
+    bad = st.replace(bond_idx=st.bond_idx.at[1, 0].set(-1))
+    bad = forces.count_bonds(bad)
+    assert int(forces.check_bond_reciprocity(bad)) == 1
+    from icebergs_tpu import diag
+    probs = diag.check_state(bad, grid, cfg, fatal=False)
+    assert any("non-reciprocal" in p for p in probs)
