@@ -78,3 +78,22 @@ def test_quadrant_step_matches_full():
                                np.asarray(sf.lon)[af], rtol=0, atol=1e-3)
     np.testing.assert_allclose(np.asarray(sq.uvel)[af],
                                np.asarray(sf.uvel)[af], rtol=0, atol=1e-6)
+
+
+def test_quadrant_plus_compaction_matches_full():
+    """The bench configuration: quadrant window + contact compaction must
+    track the plain 3x3 full-eval path."""
+    cfg, grid, st = dense_world(seed=11)
+    frc = ibt.uniform_forcing(16, 16, uo=.1, vo=.05, sst=2.)
+    step_f = ibt.make_step(grid, cfg, with_thermo=False, max_per_cell=16)
+    step_qc = ibt.make_step(grid, cfg, with_thermo=False, max_per_cell=16,
+                            neighbor_window="quadrant", contact_cap=256)
+    sf, sq = st, st
+    for _ in range(30):
+        sf, _ = step_f(sf, frc)
+        sq, _ = step_qc(sq, frc)
+    af = np.asarray(sf.alive)
+    np.testing.assert_allclose(np.asarray(sq.lon)[af],
+                               np.asarray(sf.lon)[af], rtol=0, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(sq.uvel)[af],
+                               np.asarray(sf.uvel)[af], rtol=0, atol=1e-6)
