@@ -98,6 +98,9 @@ def run(nml_path: str, input_dir: str = ".", output_dir: str = ".",
                          f"{nml_path}")
     cfg, drv = config_from_namelist(nml_path)
     grid, frc = build_grid_and_forcing(cfg, drv)
+    # bathymetry from topog.nc when provided (read_ocean_depth,
+    # icebergs_fms2io.F90:1600-1629)
+    grid = rio.read_ocean_depth(os.path.join(input_dir, "topog.nc"), grid)
 
     berg_restart = os.path.join(input_dir, "icebergs.res.nc")
     if os.path.exists(berg_restart):

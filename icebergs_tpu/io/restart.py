@@ -284,3 +284,29 @@ def read_restart_calving(path: str, calv, grid: Grid):
         kw["id_counter"] = jnp.asarray(np.pad(data["id_cnt_grid"].T, 1),
                                        jnp.int32)
     return calv.replace(**kw)
+
+
+def read_ocean_depth(path: str, grid: Grid) -> Grid:
+    """Load bathymetry from ``topog.nc`` into the grid
+    (read_ocean_depth, icebergs_fms2io.F90:1600-1629): reads variable
+    ``depth`` when present; missing file or variable leaves the grid's
+    ocean_depth untouched, matching the reference's fall-through."""
+    import os
+    if not os.path.exists(path):
+        print(f"KID-TPU, read_ocean_depth: {path} not present")
+        return grid
+    from scipy.io import netcdf_file
+    with netcdf_file(path, "r", mmap=False) as f:
+        if "depth" not in f.variables:
+            print("KID-TPU, read_ocean_depth: depth WAS NOT FOUND "
+                  "in the file.")
+            return grid
+        depth = np.asarray(f.variables["depth"][:])
+    print(f"KID-TPU, read_ocean_depth: reading {path}")
+    if depth.shape == (grid.ny, grid.nx):     # (j, i) file order
+        depth = depth.T
+    if depth.shape != (grid.nx, grid.ny):
+        raise ValueError(f"topog depth shape {depth.shape} does not match "
+                         f"grid ({grid.nx}, {grid.ny})")
+    od = np.pad(depth, 1)
+    return grid.replace(ocean_depth=jnp.asarray(od, np.float32))

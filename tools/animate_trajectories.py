@@ -21,6 +21,9 @@ def main():
     p.add_argument("-fname", default="iceberg_trajectories.nc")
     p.add_argument("-o", default="trajectories.png")
     p.add_argument("--beam", default=None, choices=[None, "cantilever", "ss"])
+    p.add_argument("--bonds", default=None,
+                   help="bond_trajectories.nc: overlay bond segments at "
+                        "the latest sample")
     p.add_argument("--gif", default=None)
     a = p.parse_args()
 
@@ -48,6 +51,27 @@ def main():
         order = np.argsort(day[m])
         ax.plot(x[m][order] / 1e3, y[m][order] / 1e3, lw=0.4, color="gray",
                 alpha=0.5)
+
+    if a.bonds:
+        # bond overlay (tests/*/animate_trajectories.py bond segments):
+        # each record holds the FIRST berg's position; join it to its
+        # partner's record at the same sample by id
+        with netcdf_file(a.bonds, "r", mmap=False) as f:
+            bx = np.asarray(f.variables["lon"][:])
+            by = np.asarray(f.variables["lat"][:])
+            bday = np.asarray(f.variables["day"][:])
+            fid = (np.asarray(f.variables["first_id_cnt"][:]).astype(
+                np.int64) << 32 | np.asarray(f.variables["first_id_ij"][:]))
+            oid = (np.asarray(f.variables["other_id_cnt"][:]).astype(
+                np.int64) << 32 | np.asarray(f.variables["other_id_ij"][:]))
+        last = bday == bday.max()
+        pos = {int(i): (xx, yy) for i, xx, yy in
+               zip(fid[last], bx[last], by[last])}
+        for i, j, xx, yy in zip(fid[last], oid[last], bx[last], by[last]):
+            if int(j) in pos:
+                x2, y2 = pos[int(j)]
+                ax.plot([xx / 1e3, x2 / 1e3], [yy / 1e3, y2 / 1e3],
+                        "b-", lw=0.8, alpha=0.6)
 
     if a.beam:
         # analytic deflection line (tests/dem_cbeam_test/animate_...:149-161)
