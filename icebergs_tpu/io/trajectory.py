@@ -168,3 +168,57 @@ def write_trajectories(path: str, buf: TrajBuffer, cfg: IcebergsConfig):
         valid=jnp.zeros_like(buf.valid),
         cursor=jnp.zeros((), jnp.int32))
     return n, cleared
+
+
+# ---------------------------------------------------------------------------
+# distributed (sharded) trajectory recording: per-device ring buffers +
+# per-tile output files, the analog of the reference's io_layout tile
+# writes iceberg_trajectories.nc.NNNN (icebergs_fms2io.F90:1663-1738)
+# ---------------------------------------------------------------------------
+
+def init_traj_buffer_tiled(dev_shape, capacity, nsamples, cfg):
+    """A TrajBuffer with leading device axes (one ring per tile)."""
+    import jax
+    buf = init_traj_buffer(capacity, nsamples=nsamples, cfg=cfg)
+    return jax.tree.map(
+        lambda x: jnp.tile(x, tuple(dev_shape) + (1,) * x.ndim), buf)
+
+
+def record_posn_tiled(buf, st, cfg: IcebergsConfig, day, year):
+    """record_posn over the leading device axes of a sharded state.
+
+    ``record_posn`` already drops halo copies (halo_berg >= 0.5), so each
+    berg is recorded exactly once, by its owner tile.  day/year are traced
+    so repeated samples reuse one compilation.
+    """
+    import jax
+    nd = st.alive.ndim - 1
+
+    def rec(b, s, d, y):
+        return record_posn(b, s, cfg, day=d, year=y)
+
+    f = rec
+    for _ in range(nd):
+        f = jax.vmap(f, in_axes=(0, 0, None, None))
+    return jax.jit(f)(buf, st, jnp.asarray(day, jnp.float32),
+                      jnp.asarray(year, jnp.int32))
+
+
+def write_trajectories_tiled(path: str, buf, cfg: IcebergsConfig):
+    """Drain a tiled buffer to per-tile files ``path.NNNN`` (the
+    reference's io_layout suffix convention).  Returns total samples."""
+    import itertools
+    import jax
+    nd = buf.valid.ndim - 2
+    dev_shape = buf.valid.shape[:nd]
+    total = 0
+    cleared = []
+    for k, idx in enumerate(itertools.product(*map(range, dev_shape))):
+        tile = jax.tree.map(lambda x, i=idx: x[i], buf)
+        n, tile = write_trajectories(f"{path}.{k:04d}", tile, cfg)
+        total += n
+        cleared.append(tile)
+    # restack cleared tiles
+    out = jax.tree.map(lambda *xs: jnp.stack(xs).reshape(
+        dev_shape + xs[0].shape), *cleared)
+    return total, out
