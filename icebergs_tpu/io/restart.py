@@ -303,7 +303,8 @@ def read_ocean_depth(path: str, grid: Grid) -> Grid:
             return grid
         depth = np.asarray(f.variables["depth"][:])
     print(f"KID-TPU, read_ocean_depth: reading {path}")
-    if depth.shape == (grid.ny, grid.nx):     # (j, i) file order
+    if depth.shape != (grid.nx, grid.ny) \
+            and depth.shape == (grid.ny, grid.nx):   # (j, i) file order
         depth = depth.T
     if depth.shape != (grid.nx, grid.ny):
         raise ValueError(f"topog depth shape {depth.shape} does not match "

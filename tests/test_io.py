@@ -174,3 +174,32 @@ def test_bond_reciprocity_check():
     from icebergs_tpu import diag
     probs = diag.check_state(bad, grid, cfg, fatal=False)
     assert any("non-reciprocal" in p for p in probs)
+
+
+def test_read_ocean_depth(tmp_path):
+    """topog.nc bathymetry load (read_ocean_depth,
+    icebergs_fms2io.F90:1600-1629): present file updates the grid's
+    padded ocean_depth; missing file/variable fall through untouched."""
+    cfg, grid, st = world()
+    depth = np.linspace(10., 500., 100).reshape(10, 10)
+    path = str(tmp_path / "topog.nc")
+    from scipy.io import netcdf_file
+    with netcdf_file(path, "w") as f:
+        f.createDimension("nx", 10)
+        f.createDimension("ny", 10)
+        f.createVariable("depth", "d", ("nx", "ny"))[:] = depth
+    g2 = rio.read_ocean_depth(path, grid)
+    np.testing.assert_allclose(np.asarray(g2.ocean_depth)[1:-1, 1:-1],
+                               depth, rtol=1e-6)
+    assert float(g2.ocean_depth[0, 0]) == 0.     # pad ring
+    # missing file: unchanged grid
+    g3 = rio.read_ocean_depth(str(tmp_path / "nosuch.nc"), grid)
+    np.testing.assert_array_equal(np.asarray(g3.ocean_depth),
+                                  np.asarray(grid.ocean_depth))
+    # file without a depth variable: unchanged
+    with netcdf_file(str(tmp_path / "empty.nc"), "w") as f:
+        f.createDimension("nx", 10)
+        f.createVariable("other", "d", ("nx",))[:] = np.zeros(10)
+    g4 = rio.read_ocean_depth(str(tmp_path / "empty.nc"), grid)
+    np.testing.assert_array_equal(np.asarray(g4.ocean_depth),
+                                  np.asarray(grid.ocean_depth))
