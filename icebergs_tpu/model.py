@@ -70,7 +70,8 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
               with_calving: bool = False, jit: bool = True,
               max_per_cell: int = 16, neighbor_mode: str = "buckets",
               neighbor_window: str = "full",
-              use_pallas: bool = False, contact_cap: Optional[int] = None):
+              use_pallas: bool = False, contact_cap: Optional[int] = None,
+              mts_pair_cap: Optional[int] = None):
     """Build the full jitted coupling step.
 
     Returns ``step(state, forcing[, calving_flux]) -> (state, StepDiags)``.
@@ -102,7 +103,8 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
         with jax.named_scope("kid_momentum"):
             if cfg.mts:
                 from .mts import evolve_icebergs_mts
-                st, mts_d = evolve_icebergs_mts(st, grid, frc, cfg)
+                st, mts_d = evolve_icebergs_mts(st, grid, frc, cfg,
+                                                pair_cap=mts_pair_cap)
                 from .dynamics import EvolveOut
                 out = EvolveOut(st, jnp.zeros((), jnp.int32),
                                 jnp.zeros((), jnp.int32))

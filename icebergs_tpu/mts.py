@@ -199,7 +199,45 @@ def _contact_masks(st, nbr, cfg: IcebergsConfig):
     return m
 
 
-def _substep_forces(st, nbr, cfg: IcebergsConfig, dt, onehot=None):
+def compact_conglom_pairs(st, nbr, cap: int):
+    """Compact the frozen substep-contact superset to a (cap,) pair list.
+
+    The candidate SET is constant across substeps (cells are not re-binned
+    inside the substep loop — matching the reference, whose per-cell lists
+    are likewise frozen during accel_explicit_inner_mts): only
+    same-conglomerate membership and cand_valid enter here; the dynamic
+    terms (bond breakage, open slots) are evaluated per substep in
+    :func:`_pair_contact_masks`.  Returns (me, other, pvalid, overflow).
+    """
+    M = nbr.cand_idx.shape[1]
+    same = st.conglom_id[:, None] == st.conglom_id[nbr.cand_idx]
+    F = (nbr.cand_valid & same).reshape(-1)
+    rank = jnp.cumsum(F.astype(jnp.int32)) - 1
+    granted = F & (rank < cap)
+    sel = jnp.zeros((cap,), jnp.int32).at[
+        jnp.where(granted, rank, cap)].set(
+        jnp.arange(F.shape[0], dtype=jnp.int32), mode='drop')
+    npair = jnp.sum(granted.astype(jnp.int32))
+    pvalid = jnp.arange(cap) < npair
+    me = sel // M
+    other = nbr.cand_idx.reshape(-1)[sel]
+    overflow = jnp.sum((F & ~granted).astype(jnp.int32))
+    return me, other, pvalid, overflow
+
+
+def _pair_contact_masks(st, me, other, pvalid, cfg: IcebergsConfig):
+    """Per-substep dynamic part of _contact_masks on the pair list."""
+    unbroken_partner = jnp.any(
+        (st.bond_idx[me] == other[:, None])
+        & (st.bond_broken[me] != 1), axis=-1)
+    m = pvalid & ~unbroken_partner & (st.n_bonds[other] < cfg.max_bonds)
+    if cfg.dem:
+        m = m & (st.n_bonds[me] < cfg.max_bonds)
+    return m
+
+
+def _substep_forces(st, nbr, cfg: IcebergsConfig, dt, onehot=None,
+                    pairs=None):
     """One substep's bond + contact accelerations (explicit inner MTS).
 
     Returns (axn, ayn, ang_accel, new bond bookkeeping)."""
@@ -214,9 +252,15 @@ def _substep_forces(st, nbr, cfg: IcebergsConfig, dt, onehot=None):
             cIA_x, cIA_y, cIAd_x, cIAd_y = _dem.dem_contact_forces(
                 st, cfg, bo, bm)
         else:
-            m = _contact_masks(st, nbr, cfg)
-            cIA_x, cIA_y, cIAd_x, cIAd_y = _dem.dem_contact_forces(
-                st, cfg, nbr.cand_idx, m)
+            if pairs is not None:
+                me, po, pvalid = pairs
+                pm = _pair_contact_masks(st, me, po, pvalid, cfg)
+                cIA_x, cIA_y, cIAd_x, cIAd_y = \
+                    _dem.dem_contact_forces_pairs(st, cfg, me, po, pm)
+            else:
+                m = _contact_masks(st, nbr, cfg)
+                cIA_x, cIA_y, cIAd_x, cIAd_y = _dem.dem_contact_forces(
+                    st, cfg, nbr.cand_idx, m)
             # broken-bond pairs also collide (icebergs.F90:1789-1792)
             bo = jnp.maximum(st.bond_idx, 0)
             bm = (st.bond_idx >= 0) & (st.bond_broken == 1) \
@@ -370,8 +414,15 @@ def _grounding_drag_coeff(st, cfg: IcebergsConfig, area_form: str):
     return jnp.where(gf > 0., -cfg.cdrag_grounding * gf * AA / MM, 0.)
 
 
-def evolve_icebergs_mts(st, grid: Grid, frc, cfg: IcebergsConfig):
+def evolve_icebergs_mts(st, grid: Grid, frc, cfg: IcebergsConfig,
+                        pair_cap: int | None = None):
     """Full MTS cycle: Part 1 slow solve, Part 2 half-kick, Part 3 substeps.
+
+    ``pair_cap`` compacts the substep contact candidates (frozen per outer
+    step) to a pair list of that capacity — see
+    :func:`compact_conglom_pairs`.  Size it >= the number of
+    same-conglomerate neighbor-cell pairs (~elements x conglomerate
+    coordination); overflow drops the excess pairs.
 
     Returns (state, MtsDiags)."""
     dt = cfg.dt
@@ -463,6 +514,14 @@ def evolve_icebergs_mts(st, grid: Grid, frc, cfg: IcebergsConfig):
     if cfg.dem and st.capacity <= 4096:
         onehot = _dem.make_bond_onehot(st)
 
+    # frozen substep-contact pair list (candidate set is constant across
+    # substeps; only breakage/slot masks change)
+    pairs = None
+    if (pair_cap is not None and cfg.dem
+            and not cfg.use_broken_bonds_for_substep_contact):
+        me_p, ot_p, pv_p, _pov = compact_conglom_pairs(st, nbr, pair_cap)
+        pairs = (me_p, ot_p, pv_p)
+
     def substep(s, _):
         # drift (icebergs.F90:6790-6831)
         uvel2 = s.uvel + dtf_2 * (s.axn_fast + s.bxn_fast)
@@ -488,7 +547,8 @@ def evolve_icebergs_mts(st, grid: Grid, frc, cfg: IcebergsConfig):
         explicit_inner = cfg.explicit_inner_mts or cfg.dem
         if explicit_inner:
             axn, ayn, ang_accel, bu = _substep_forces(s, nbr, cfg, dtf,
-                                                      onehot=onehot)
+                                                      onehot=onehot,
+                                                      pairs=pairs)
             if cfg.short_step_mts_grounding:
                 gdrag = _grounding_drag_coeff(s, cfg, 'rect')
                 axn = axn + s.uvel * gdrag

@@ -310,6 +310,114 @@ def dem_contact_forces(st, cfg: IcebergsConfig, other, mask):
     return IA_x, IA_y, IAd_x, IAd_y
 
 
+def dem_contact_forces_pairs(st, cfg: IcebergsConfig, me, other, mask):
+    """Pair-list form of :func:`dem_contact_forces` (same formulas,
+    icebergs.F90:806-956) for a compacted (P,) list of candidate pairs.
+
+    The MTS substep loop's contact candidates are frozen per outer step
+    (the reference never re-bins cells during substeps), so the
+    same-conglomerate superset can be compacted once and each substep
+    evaluates only these P pairs instead of the dense (N, M) slab.
+    Per-pair values are bitwise those of the dense kernel; only the
+    accumulation order differs (scatter-add vs row-sum).
+    Returns (IA_x, IA_y, IAd_x, IAd_y) scattered to (N,).
+    """
+    N = st.capacity
+    # packed per-berg row gather: one (N, F) matrix, two (P, F) gathers
+    packed = jnp.stack([st.lon_old, st.lat_old, st.uvel_old, st.vvel_old,
+                        st.uvel, st.vvel, st.length * st.width,
+                        st.thickness, st.fl_k], axis=-1)
+    g1 = packed[me]
+    g2 = packed[other]
+    mask = mask & (g1[:, 8] != -1.) & (g2[:, 8] != -1.)
+
+    if cfg.constant_interaction_LW:
+        A0 = cfg.constant_length * cfg.constant_width
+        if cfg.hexagonal_icebergs:
+            R0 = math.sqrt(A0 * _HEXDENOM)
+        elif cfg.iceberg_bonds_on:
+            R0 = 0.5 * math.sqrt(A0)
+        else:
+            R0 = math.sqrt(A0 / C.PI)
+        R1 = R0
+        R2 = R0
+        M1 = A0 * g1[:, 7] * cfg.rho_bergs
+        M2 = A0 * g2[:, 7] * cfg.rho_bergs
+    else:
+        A1 = g1[:, 6]
+        A2 = g2[:, 6]
+        if cfg.hexagonal_icebergs:
+            R1 = jnp.sqrt(A1 * _HEXDENOM)
+            R2 = jnp.sqrt(A2 * _HEXDENOM)
+        elif cfg.iceberg_bonds_on:
+            R1 = 0.5 * jnp.sqrt(A1)
+            R2 = 0.5 * jnp.sqrt(A2)
+        else:
+            R1 = jnp.sqrt(A1 / C.PI)
+            R2 = jnp.sqrt(A2 / C.PI)
+        M1 = st.mass[me]
+        M2 = st.mass[other]
+
+    lat_ref = 0.5 * (g1[:, 1] + g2[:, 1])
+    dx_dlon, dy_dlat = convert_from_grid_to_meters(
+        lat_ref, cfg.grid_is_latlon, cfg.Rearth)
+    rx = (g1[:, 0] - g2[:, 0]) * dx_dlon
+    ry = (g1[:, 1] - g2[:, 1]) * dy_dlat
+    r = jnp.sqrt(rx ** 2 + ry ** 2)
+    rsafe = jnp.where(r > 0., r, 1.)
+
+    crit = R1 + R2
+    spring_coef = cfg.spring_coef
+    if cfg.critical_interaction_damping_on:
+        radial_damping = 2. * math.sqrt(spring_coef)
+        tangental_damping = (2. * math.sqrt(spring_coef)) / 4. \
+            if cfg.tang_crit_int_damp_on else cfg.tangental_damping_coef
+    else:
+        radial_damping = cfg.radial_damping_coef
+        tangental_damping = cfg.tangental_damping_coef
+
+    active = mask & (r > 0.) & (r < crit)
+    M_min = jnp.minimum(M1, M2)
+
+    accel_spring = spring_coef * (M_min / M1) * (crit - r)
+    fx = jnp.where(active, accel_spring * rx / rsafe, 0.)
+    fy = jnp.where(active, accel_spring * ry / rsafe, 0.)
+
+    P11 = (rx * rx) / rsafe ** 2
+    P12 = (rx * ry) / rsafe ** 2
+    P22 = (ry * ry) / rsafe ** 2
+    # as in the dense kernel: pmag velocity difference uses the partner's
+    # *_old velocity minus the self substep-start velocity (uvel)
+    du = g2[:, 2] - g1[:, 4]
+    dv = g2[:, 3] - g1[:, 5]
+
+    def pmag(P11, P12, P22, coef):
+        if not cfg.scale_damping_by_pmag:
+            return coef
+        m = jnp.sqrt((P11 * du + P12 * dv) ** 2
+                     + (P12 * du + P22 * dv) ** 2)
+        return coef * m
+
+    durel = g2[:, 2] - g1[:, 2]
+    dvrel = g2[:, 3] - g1[:, 3]
+
+    crad = pmag(P11, P12, P22, radial_damping * (M_min / M1))
+    ctan = pmag(1. - P11, -P12, 1. - P22,
+                tangental_damping * (M_min / M1))
+    Pd11 = crad * P11 + ctan * (1. - P11)
+    Pd12 = crad * P12 + ctan * (-P12)
+    Pd22 = crad * P22 + ctan * (1. - P22)
+    dx_ = jnp.where(active, Pd11 * durel + Pd12 * dvrel, 0.)
+    dy_ = jnp.where(active, Pd12 * durel + Pd22 * dvrel, 0.)
+
+    tgt = jnp.where(mask, me, N)
+
+    def put(v):
+        return jnp.zeros((N,), v.dtype).at[tgt].add(v, mode='drop')
+
+    return put(fx), put(fy), put(dx_), put(dy_)
+
+
 def break_bonds_dem(st, cfg: IcebergsConfig):
     """Stress-criterion fracture (break_bonds_dem,
     icebergs_framework.F90:4713-4801): mark bonds broken where

@@ -111,3 +111,46 @@ def test_mts_implicit_inner_substeps():
     assert np.all(lon1 > np.asarray([9800., 10200.]) + 500.)
     d = abs(lon1[1] - lon1[0])
     assert 100. < d < 900., d
+
+
+def test_mts_pair_compaction_matches_dense():
+    """pair_cap substep contact (frozen pair list) must track the dense
+    (N, M) path: same candidate set, scatter-add accumulation order."""
+    cfg = mts_kid_config().replace(dem=True, explicit_inner_mts=True,
+                                   dem_spring_coef=5.e6,
+                                   dem_damping_coef=1.0).normalized(
+        warn=False)
+    grid = ibt.make_uniform_grid(20, 20, 0., 0., 1000., 1000.,
+                                 grid_is_latlon=False)
+    frc = ibt.uniform_forcing(20, 20, sst=-2.0, vo=0.05)
+    side = 400.0
+    lon, lat = [], []
+    for (cx, cy) in ((5000., 8000.), (5000., 9200.)):
+        for dx in (-side / 2, side / 2):
+            for dy in (-side / 2, side / 2):
+                lon.append(cx + dx)
+                lat.append(cy + dy)
+    n = len(lon)
+    st = ibt.create_bergs(32, lon=lon, lat=lat,
+                          mass=850. * 100 * side * side, thickness=100.,
+                          width=side, length=side, mass_scaling=1.,
+                          id_cnt=np.arange(n) + 1)
+    i, j, xi, yj = pos_to_cell(grid, st.lon, st.lat, -1.0)
+    st = st.replace(ine=i, jne=j, xi=xi, yj=yj)
+    st = forces.initialize_bonds_host(
+        st, cfg.replace(length_for_manually_initialize_bonds=side * 1.2))
+    st = forces.compute_conglom_ids_host(st)
+
+    step_d = ibt.make_step(grid, cfg, with_thermo=False)
+    step_p = ibt.make_step(grid, cfg, with_thermo=False, mts_pair_cap=256)
+    sd, sp = st, st
+    for _ in range(6):
+        sd, _ = step_d(sd, frc)
+        sp, _ = step_p(sp, frc)
+    np.testing.assert_allclose(np.asarray(sp.lon)[:n],
+                               np.asarray(sd.lon)[:n], rtol=0, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(sp.uvel)[:n],
+                               np.asarray(sd.uvel)[:n], rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sp.ang_vel)[:n],
+                               np.asarray(sd.ang_vel)[:n], rtol=0,
+                               atol=1e-7)

@@ -98,7 +98,11 @@ def main(n_target=20000, sub_steps=60):
     print(f"# {n} elements in {n_units} conglomerates, {nbonds} bonds, "
           f"{sub_steps} substeps, cap {cap}", file=sys.stderr)
 
-    step = ibt.make_step(grid, cfg, with_thermo=True)
+    # substep contact pairs: ~37 same-conglomerate neighbor-cell mates per
+    # element; cap with 2x headroom
+    pair_cap = 1 << int(np.ceil(np.log2(n * 40)))
+    step = ibt.make_step(grid, cfg, with_thermo=True,
+                         mts_pair_cap=pair_cap)
     s = st
     s, _ = step(s, frc)
     jax.block_until_ready(s.lon)
