@@ -83,7 +83,8 @@ def build_grid_and_forcing(cfg, drv, dtype=None):
 
 
 def run(nml_path: str, input_dir: str = ".", output_dir: str = ".",
-        capacity: int = 4096, verbose: bool = True):
+        capacity: int = 4096, verbose: bool = True,
+        neighbor_window: str = "auto", mts_pair_cap: int = None):
     """Main loop (driver/icebergs_driver.F90:339-444)."""
     import jax
     from .io.namelist import config_from_namelist
@@ -142,7 +143,17 @@ def run(nml_path: str, input_dir: str = ".", output_dir: str = ".",
     nsteps = min(int(round(ibhrs * 3600.0 / ibdt)), nmax)
     traj_every = max(1, int(round(cfg.traj_sample_hrs * 3600.0 / ibdt)))
 
-    step = model.make_step(grid, cfg, with_thermo=True)
+    if neighbor_window == "auto":
+        # the quadrant (2x2) candidate window is an equal superset only
+        # when the pair cutoff is below half a cell
+        neighbor_window = ("quadrant" if FO.can_use_quadrant_window(
+            st, grid, cfg) and not cfg.mts
+            and FO.neighbor_radius(grid, cfg) == 1 else "full")
+        if verbose and neighbor_window == "quadrant":
+            print("KID-TPU driver: using the quadrant neighbor window")
+    step = model.make_step(grid, cfg, with_thermo=True,
+                           neighbor_window=neighbor_window,
+                           mts_pair_cap=mts_pair_cap)
     buf = tio.init_traj_buffer(st.capacity,
                                nsamples=max(2, nsteps // traj_every + 2),
                                cfg=cfg)
@@ -225,8 +236,16 @@ def main():
     p.add_argument("--input-dir", default=".")
     p.add_argument("--output-dir", default=".")
     p.add_argument("--capacity", type=int, default=4096)
+    p.add_argument("--neighbor-window", default="auto",
+                   choices=("auto", "full", "quadrant"),
+                   help="contact candidate window (auto: quadrant when "
+                        "the pair cutoff is below half a cell)")
+    p.add_argument("--mts-pair-cap", type=int, default=None,
+                   help="compact MTS substep contacts to this many pairs "
+                        "(size >= same-conglomerate neighbor pairs)")
     a = p.parse_args()
-    run(a.nml, a.input_dir, a.output_dir, a.capacity)
+    run(a.nml, a.input_dir, a.output_dir, a.capacity,
+        neighbor_window=a.neighbor_window, mts_pair_cap=a.mts_pair_cap)
 
 
 if __name__ == "__main__":
