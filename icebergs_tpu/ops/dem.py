@@ -410,12 +410,15 @@ def dem_contact_forces_pairs(st, cfg: IcebergsConfig, me, other, mask):
     dx_ = jnp.where(active, Pd11 * durel + Pd12 * dvrel, 0.)
     dy_ = jnp.where(active, Pd12 * durel + Pd22 * dvrel, 0.)
 
-    tgt = jnp.where(mask, me, N)
-
-    def put(v):
-        return jnp.zeros((N,), v.dtype).at[tgt].add(v, mode='drop')
-
-    return put(fx), put(fy), put(dx_), put(dy_)
+    # one packed (P, 4) -> (N, 4) accumulation; inactive pairs contribute
+    # exact zeros (fx..dy_ are masked by `active`), so the target can stay
+    # `me` itself, which is sorted ascending (compact_conglom_pairs
+    # preserves row-major order) — the TPU scatter then runs as a segment
+    # reduction instead of random updates
+    vals = jnp.stack([fx, fy, dx_, dy_], axis=-1)
+    acc = jnp.zeros((N, 4), vals.dtype).at[me].add(
+        vals, mode='drop', indices_are_sorted=True)
+    return acc[:, 0], acc[:, 1], acc[:, 2], acc[:, 3]
 
 
 def break_bonds_dem(st, cfg: IcebergsConfig):

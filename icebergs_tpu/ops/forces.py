@@ -398,11 +398,17 @@ def compacted_contact_pairdata(st, cfg: IcebergsConfig, other, mask, *,
 
 
 def scatter_ia(ia_sub: IA, sel, valid_row, N: int) -> IA:
-    """Scatter a compact-subset IA back to full-size arrays."""
+    """Scatter a compact-subset IA back to full-size arrays.
+
+    ``sel`` is rank-compacted (ascending) and ``valid_row`` is a
+    contiguous prefix, so redirecting the tail to N keeps the index
+    stream sorted — the scatter lowers to a segment write."""
+    tgt = jnp.where(valid_row, sel, N)
+
     def put(a):
-        tgt = jnp.where(valid_row, sel, N)
         return jnp.zeros((N,), a.dtype).at[tgt].set(
-            jnp.where(valid_row, a, 0.), mode='drop')
+            jnp.where(valid_row, a, 0.), mode='drop',
+            indices_are_sorted=True)
     return IA(*(put(x) for x in ia_sub))
 
 
