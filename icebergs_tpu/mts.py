@@ -415,7 +415,8 @@ def _grounding_drag_coeff(st, cfg: IcebergsConfig, area_form: str):
 
 
 def evolve_icebergs_mts(st, grid: Grid, frc, cfg: IcebergsConfig,
-                        pair_cap: int | None = None):
+                        pair_cap: int | None = None,
+                        contact_cap: int | None = None):
     """Full MTS cycle: Part 1 slow solve, Part 2 half-kick, Part 3 substeps.
 
     ``pair_cap`` compacts the substep contact candidates (frozen per outer
@@ -439,7 +440,8 @@ def evolve_icebergs_mts(st, grid: Grid, frc, cfg: IcebergsConfig,
 
     # ---- PART 1: slow forces --------------------------------------------
     def part1_once(s):
-        ia_fn = _forces.make_ia_fn(s, nbr, cfg, mts_part=1)
+        ia_fn = _forces.make_ia_fn(s, nbr, cfg, mts_part=1,
+                                   contact_cap=contact_cap)
         return _slow_accel_mts(s, cfg, ia_fn)
 
     if not cfg.skip_first_outer_mts_step:

@@ -102,7 +102,8 @@ def main(n_target=20000, sub_steps=60):
     # element; cap with 2x headroom
     pair_cap = 1 << int(np.ceil(np.log2(n * 40)))
     step = ibt.make_step(grid, cfg, with_thermo=True,
-                         mts_pair_cap=pair_cap)
+                         mts_pair_cap=pair_cap,
+                         contact_cap=max(4096, n // 4))
     s = st
     s, _ = step(s, frc)
     jax.block_until_ready(s.lon)
