@@ -12,7 +12,8 @@ single jit-compiled function, domain-decomposed with ``jax.sharding`` +
 
 from .config import IcebergsConfig, NCLASSES
 from .grid import Grid, make_uniform_grid, make_curvilinear_grid
-from .state import BergState, empty_state, create_bergs, allocate_slots
+from .state import (BergState, empty_state, create_bergs,
+                    allocate_slots, grow_capacity)
 from .forcing import Forcing, uniform_forcing, forcing_from_arrays
 from .model import (make_step, make_multi_step, step_dynamics,
                     interp_to_bergs, StepDiags)
@@ -23,6 +24,7 @@ __all__ = [
     "IcebergsConfig", "NCLASSES",
     "Grid", "make_uniform_grid", "make_curvilinear_grid",
     "BergState", "empty_state", "create_bergs", "allocate_slots",
+    "grow_capacity",
     "Forcing", "uniform_forcing", "forcing_from_arrays",
     "make_step", "make_multi_step", "step_dynamics", "interp_to_bergs",
     "StepDiags",

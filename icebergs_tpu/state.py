@@ -273,3 +273,26 @@ def allocate_slots(alive, want):
     return granted, slots
 
 
+
+
+def grow_capacity(st: BergState, new_capacity: int) -> BergState:
+    """Return a copy of ``st`` with a larger slot pool (host-side).
+
+    The reference grows its linked lists on demand; fixed-shape slabs
+    instead grow explicitly between jitted steps (a new capacity means a
+    recompile, so call this rarely — e.g. when ``allocate_slots`` starts
+    reporting overflow).  Existing slot indices (and therefore bond_idx
+    partner slots) are preserved; new slots are dead with empty bonds.
+    """
+    if new_capacity < st.capacity:
+        raise ValueError(f"cannot shrink: {new_capacity} < {st.capacity}")
+    if new_capacity == st.capacity:
+        return st
+    import dataclasses
+    pad = new_capacity - st.capacity
+    ref = empty_state(pad, max_bonds=st.max_bonds, dtype=st.dtype)
+    kw = {}
+    for f in dataclasses.fields(st):
+        a = getattr(st, f.name)
+        kw[f.name] = jnp.concatenate([a, getattr(ref, f.name)], axis=0)
+    return BergState(**kw)

@@ -130,3 +130,45 @@ def test_latlon_metric():
     # ~1 m/s for 10h at 5N: ddeg = 36000 / (pi/180*Re*cos(5deg))
     expected = 36000.0 / (C.PI_180 * cfg.Rearth * math.cos(math.radians(5.0)))
     assert abs(dlon - expected) / expected < 0.15, (dlon, expected)
+
+
+def test_grow_capacity_preserves_state_and_bonds():
+    """grow_capacity keeps slots (and bond partner indices) stable and
+    leaves new slots dead; the grown state steps identically."""
+    import icebergs_tpu as ibt
+    from icebergs_tpu import grow_capacity
+    from icebergs_tpu.grid import pos_to_cell
+    from icebergs_tpu.ops import forces
+
+    cfg = ibt.IcebergsConfig(grid_is_latlon=False, Lx=-1.0,
+                             use_f_plane=True, lat_ref=30., dt=60.,
+                             interactive_icebergs_on=True,
+                             iceberg_bonds_on=True, spring_coef=1.e-5,
+                             max_bonds=4)
+    grid = ibt.make_uniform_grid(10, 10, 0., 0., 1000., 1000.,
+                                 grid_is_latlon=False)
+    frc = ibt.uniform_forcing(10, 10, uo=0.1, sst=-2.)
+    st = ibt.create_bergs(8, lon=[2500., 2800.], lat=[2500., 2500.],
+                          mass=8.5e8, thickness=100., width=100.,
+                          length=100., mass_scaling=1., id_cnt=[1, 2],
+                          max_bonds=4)
+    i, j, xi, yj = pos_to_cell(grid, st.lon, st.lat, -1.)
+    st = st.replace(ine=i, jne=j, xi=xi, yj=yj)
+    st = forces.initialize_bonds_host(
+        st, cfg.replace(length_for_manually_initialize_bonds=400.))
+    assert int(st.n_bonds[0]) == 1
+
+    big = grow_capacity(st, 32)
+    assert big.capacity == 32
+    assert int(np.asarray(big.alive).sum()) == 2
+    assert int(big.bond_idx[0, 0]) == 1          # slots preserved
+    assert int(np.asarray(big.bond_idx)[8:].max()) == -1
+
+    step_s = ibt.make_step(grid, cfg, with_thermo=False)
+    step_b = ibt.make_step(grid, cfg, with_thermo=False)
+    s1, _ = step_s(st, frc)
+    s2, _ = step_b(big, frc)
+    np.testing.assert_array_equal(np.asarray(s1.lon)[:2],
+                                  np.asarray(s2.lon)[:2])
+    np.testing.assert_array_equal(np.asarray(s1.uvel)[:2],
+                                  np.asarray(s2.uvel)[:2])
