@@ -194,6 +194,12 @@ class IcebergsConfig:
     debug_write: bool = False
     traj_name: str = 'iceberg_trajectories.nc'
     bond_traj_name: str = 'bond_trajectories.nc'
+    # every PE writes trajectories (io-tile gather bypass); our tiled
+    # writer emits one file per device tile either way
+    force_all_pes_traj: bool = False
+    # legacy pre-fms2 restart format switch (accepted for config parity;
+    # the old single-file format itself is not implemented)
+    read_old_restarts: bool = False
 
     # --- bug-compat switches (must be honored for chksum parity) -----------------------------
     old_bug_bilin: bool = True             # icebergs_framework.F90:38

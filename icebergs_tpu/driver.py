@@ -36,7 +36,10 @@ def build_grid_and_forcing(cfg, drv, dtype=None):
     ibui = float(drv.get("ibui", 0.0))
     ibvi = float(drv.get("ibvi", 0.0))
     ibua = float(drv.get("ibua", 0.0))
-    ibva = float(drv.get("ibva", 0.0))
+    # the reference names the meridional wind "ibuy" (driver:74); accept
+    # ibva as an alias
+    ibva = float(drv.get("ibuy", drv.get("ibva", 0.0)))
+    sst0 = float(drv.get("sst", -2.0))
 
     if cfg.grid_is_latlon:
         # simple lat-lon box (the A68 case reads its grid from file)
@@ -50,7 +53,7 @@ def build_grid_and_forcing(cfg, drv, dtype=None):
                                    grid_is_latlon=False)
 
     frc = F.uniform_forcing(grid.nx, grid.ny, uo=ibuo, vo=ibvo, ui=ibui,
-                            vi=ibvi, ua=ibua, va=ibva, sst=-2.0, sss=33.0)
+                            vi=ibvi, ua=ibua, va=ibva, sst=sst0, sss=33.0)
 
     xc = gridres * np.arange(ni + 1)[:, None] * np.ones((1, nj + 1))
     yc = gridres * np.arange(nj + 1)[None, :] * np.ones((ni + 1, 1))
@@ -65,16 +68,21 @@ def build_grid_and_forcing(cfg, drv, dtype=None):
         vo = np.where(xc > 10000., -ibvo, ibvo)
         frc = frc.replace(vo=jnp.asarray(vo, jnp.float32))
     if drv.get("big_grounding_test"):
-        # Gaussian seamount bathymetry (driver:288-307)
+        # Gaussian seamount bathymetry + N/S land strips (driver:288-307):
+        # height a = 1000 - bump_depth, width c = 5 km, center (63, 60) km
         xm = gridres * (np.arange(ni) + 0.5)
         ym = gridres * (np.arange(nj) + 0.5)
         X, Y = np.meshgrid(xm, ym, indexing="ij")
-        x0 = 0.5 * ni * gridres
-        y0 = 0.5 * nj * gridres
-        depth = 1000. - 900. * np.exp(-((X - x0) ** 2 + (Y - y0) ** 2)
-                                      / (2 * (3 * gridres) ** 2))
-        od = np.pad(depth, 1)
+        a = 1000.0 - float(drv.get("bump_depth", 0.0))
+        c = 5.e3
+        bump = a * np.exp(-((X - 63.e3) ** 2 + (Y - 60.e3) ** 2)
+                          / (2. * c * c))
+        od = np.pad(1000.0 - bump, 1)
         grid = grid.replace(ocean_depth=jnp.asarray(od, jnp.float32))
+        msk2 = np.asarray(grid.msk).copy()
+        land = (Y <= -5.e3) | (Y >= 220.e3)
+        msk2[1:-1, 1:-1] = np.where(land, 0.0, msk2[1:-1, 1:-1])
+        grid = grid.replace(msk=jnp.asarray(msk2, jnp.float32))
     else:
         # default deep ocean so nothing grounds spuriously
         grid = grid.replace(ocean_depth=jnp.full_like(grid.ocean_depth,
