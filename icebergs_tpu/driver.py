@@ -106,7 +106,24 @@ def run(nml_path: str, input_dir: str = ".", output_dir: str = ".",
         raise SystemExit(f"icebergs_tpu.driver: namelist not found: "
                          f"{nml_path}")
     cfg, drv = config_from_namelist(nml_path)
-    grid, frc = build_grid_and_forcing(cfg, drv)
+    # transient A68 hindcast (driver:254-272, 368-385): hourly GFDL
+    # forcing files from data_dir, 30-min or 1-hr steps
+    a68_data = None
+    start_ind = int(drv.get("transient_a68_data_start_ind", 0))
+    if drv.get("a68_test") and start_ind > 0:
+        from .io import a68 as a68io
+        if cfg.dt not in (1800.0, 3600.0):
+            raise SystemExit("icebergs_tpu.driver: transient A68 data "
+                             "requires ibdt of 30 min or 1 hr")
+        data_dir = str(drv.get("data_dir", input_dir))
+        a68_data = a68io.load_a68(data_dir, cfg)
+        grid = a68_data.grid
+        frc = a68io.forcing_at_hour(a68_data, start_ind - 1)
+        print(f"KID-TPU driver: transient A68 forcing from {data_dir} "
+              f"({a68_data.n_hours} hourly frames, start index "
+              f"{start_ind})")
+    else:
+        grid, frc = build_grid_and_forcing(cfg, drv)
     # bathymetry from topog.nc when provided (read_ocean_depth,
     # icebergs_fms2io.F90:1600-1629)
     grid = rio.read_ocean_depth(os.path.join(input_dir, "topog.nc"), grid)
@@ -183,6 +200,26 @@ def run(nml_path: str, input_dir: str = ".", output_dir: str = ".",
     melt_total = 0.0
     melt_interval = 0.0
     for n in range(nsteps):
+        if a68_data is not None:
+            # hourly frame selection (driver:368-385): ns2 advances by
+            # dt/3600 per step; half-hour steps blend the velocity fields
+            # 0.5*(prev + next frame) while SSH takes the floor frame
+            from .io import a68 as a68io
+            ns2 = 1.0 + n * cfg.dt / 3600.0
+            if cfg.dt == 3600.0 or float(ns2).is_integer():
+                frc = a68io.forcing_at_hour(
+                    a68_data, start_ind + int(ns2) - 2)
+            else:
+                import math
+                fnew = a68io.forcing_at_hour(
+                    a68_data, start_ind + math.ceil(ns2) - 2)
+                frc = frc.replace(
+                    ua=0.5 * (frc.ua + fnew.ua),
+                    va=0.5 * (frc.va + fnew.va),
+                    uo=0.5 * (frc.uo + fnew.uo),
+                    vo=0.5 * (frc.vo + fnew.vo),
+                    ssh=a68io.forcing_at_hour(
+                        a68_data, start_ind + int(ns2) - 2).ssh)
         st, diags = step(st, frc)
         if diags.floating_melt is not None:
             m = float(np.sum(np.asarray(
