@@ -73,3 +73,57 @@ def test_driver_end_to_end(tmp_path, capsys):
     with netcdf_file(str(out / "iceberg_trajectories.nc"), "r",
                      mmap=False) as f:
         assert np.asarray(f.variables["lon"][:]).shape[0] == 12
+
+
+def test_driver_transient_a68_branch(tmp_path, monkeypatch, capsys):
+    """a68_test + transient_a68_data_start_ind: hourly frame swap with the
+    half-hour blend (driver:368-385), through driver.run()."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    import run_a68
+    import numpy as np
+    import icebergs_tpu as ibt
+    from icebergs_tpu.io import restart as rio, a68
+    from icebergs_tpu.grid import pos_to_cell
+    from icebergs_tpu import driver
+
+    d = tmp_path / "data"
+    d.mkdir()
+    run_a68.write_synthetic(str(d), ni=24, nj=16, nt=12)
+    (tmp_path / "input.nml").write_text("""
+&icebergs_driver_nml
+  a68_test=.true.
+  transient_a68_data_start_ind=2
+  data_dir='%s/'
+  ibdt=1800.
+  ibhrs=2
+  saverestart=.true.
+/
+&icebergs_nml
+  grid_is_latlon=.true.
+  grid_is_regular=.true.
+  Lx=360.
+  set_melt_rates_to_zero=.true.
+  verbose_hrs=2
+/
+""" % d)
+    cfg = ibt.IcebergsConfig(grid_is_latlon=True, grid_is_regular=True,
+                             Lx=360.)
+    data = a68.load_a68(str(d), cfg)
+    lon_c = float(np.asarray(data.grid.lon0)) \
+        + 0.5 * data.grid.nx * float(np.asarray(data.grid.dlon))
+    lat_c = float(np.asarray(data.grid.lat0)) \
+        + 0.5 * data.grid.ny * float(np.asarray(data.grid.dlat))
+    st = ibt.create_bergs(16, lon=[lon_c], lat=[lat_c], mass=8.5e10,
+                          thickness=200., width=2000., length=2000.,
+                          mass_scaling=1., id_cnt=[1])
+    i, j, xi, yj = pos_to_cell(data.grid, st.lon, st.lat, 360.)
+    rio.write_restart_bergs(str(tmp_path / "icebergs.res.nc"),
+                            st.replace(ine=i, jne=j, xi=xi, yj=yj), cfg)
+
+    out = driver.run(str(tmp_path / "input.nml"), str(tmp_path),
+                     str(tmp_path / "out"), capacity=16, verbose=False)
+    lon1 = float(np.asarray(out.lon)[0])
+    assert np.isfinite(lon1) and lon1 != lon_c   # advected by the jet
+    assert (tmp_path / "out" / "icebergs.res.nc").exists()
