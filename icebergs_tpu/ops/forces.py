@@ -527,6 +527,31 @@ def initialize_bonds_host(st, cfg: IcebergsConfig, capacity_bonds=None):
     L = np.asarray(st.length, np.float64)[idx]
     W = np.asarray(st.width, np.float64)[idx]
 
+    # large populations: O(n) cell-hashed native kernel (csrc/kidhost.cpp)
+    # instead of the O(n^2) pairwise matrix below
+    from .. import native
+    if n > 512 and native.available():
+        A = L * W
+        R = (np.sqrt(A / (2. * np.sqrt(3.))) if cfg.hexagonal_icebergs
+             else 0.5 * np.sqrt(A))
+        crit_const = (-1.0 if cfg.manually_initialize_bonds_from_radii
+                      else cfg.length_for_manually_initialize_bonds)
+        bi, blen, nbv = native.bond_init(lon, lat, R, crit_const,
+                                         cfg.grid_is_latlon, cfg.Rearth,
+                                         st.max_bonds)
+        B = st.max_bonds
+        bond_idx = np.full((st.capacity, B), -1, np.int32)
+        bond_len = np.zeros((st.capacity, B))
+        nb = np.zeros((st.capacity,))
+        # remap compact row/partner indices back to state slots
+        bond_idx[idx] = np.where(bi >= 0, idx[np.clip(bi, 0, None)], -1)
+        bond_len[idx] = blen
+        nb[idx] = np.minimum(nbv, B)
+        st = st.replace(bond_idx=jnp.asarray(bond_idx),
+                        bond_length=jnp.asarray(bond_len, st.dtype),
+                        n_bonds=jnp.asarray(nb, st.dtype))
+        return compute_conglom_ids_host(st)
+
     lat_ref = 0.5 * (lat[:, None] + lat[None, :])
     if cfg.grid_is_latlon:
         dxl = (np.pi / 180.) * cfg.Rearth * np.cos((np.pi / 180.) * lat_ref)
@@ -579,11 +604,22 @@ def compute_conglom_ids_host(st):
     giving unbonded bergs unique labels.
     """
     import numpy as np
-    from scipy.sparse import coo_matrix
-    from scipy.sparse.csgraph import connected_components
 
     N = st.capacity
     bond_idx = np.asarray(st.bond_idx)
+
+    from .. import native
+    if N > 512 and native.available():
+        labels = native.conglom_label(bond_idx).astype(np.int64)
+        # native labels unbonded bergs 0; give them unique singleton
+        # labels (as scipy connected_components does) so two unbonded
+        # bergs never compare as the same conglomerate
+        unb = labels == 0
+        labels[unb] = labels.max() + 1 + np.arange(int(unb.sum()))
+        return st.replace(conglom_id=jnp.asarray(labels, jnp.int32))
+
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components
     rows, cols = [], []
     for k in range(bond_idx.shape[1]):
         m = bond_idx[:, k] >= 0
