@@ -8,7 +8,7 @@
 // for test fixtures but not for makeberg-scale initial conditions
 // (e.g. rasterized A68 outlines with 10^5+ elements).
 //
-// Built by icebergs_tpu/native.py with `g++ -O2 -shared -fPIC`; loaded
+// Built by native.py with `g++ -O2 -shared -fPIC`; loaded
 // via ctypes.  Pure C ABI, no Python dependencies.
 
 #include <cmath>

@@ -25,7 +25,7 @@ def _build_and_load():
         return _LIB
     _TRIED = True
     here = os.path.dirname(os.path.abspath(__file__))
-    src = os.path.join(os.path.dirname(here), "csrc", "kidhost.cpp")
+    src = os.path.join(here, "csrc", "kidhost.cpp")
     so = os.path.join(here, "_kidhost.so")
     try:
         if (not os.path.exists(so)
