@@ -240,7 +240,8 @@ def run(nml_path: str, input_dir: str = ".", output_dir: str = ".",
                                melt_kg=melt_interval)
             b_prev = b_now
             melt_interval = 0.0
-        if verbose and (n + 1) % max(1, nsteps // 10) == 0:
+        if verbose and (n + 1) % max(1, int(drv.get("write_time_inc",
+                                                    nsteps // 10))) == 0:
             print(f"step {n + 1}/{nsteps} bergs={int(diags.nbergs)} "
                   f"wall={time.time() - t_wall:.1f}s", flush=True)
         if cfg.debug and (n + 1) % verbose_every == 0:
