@@ -152,8 +152,13 @@ def can_use_quadrant_window(st, grid, cfg: IcebergsConfig) -> bool:
     alive = np.asarray(st.alive)
     if not alive.any():
         return True
-    A = (np.asarray(st.length, np.float64)
-         * np.asarray(st.width, np.float64))[alive]
+    # conservative against shape evolution: melting only shrinks bergs,
+    # but rolling can widen them (W <-> T exchange), so bound the area by
+    # the largest dimension squared
+    dmax_berg = np.maximum(np.maximum(np.asarray(st.length, np.float64),
+                                      np.asarray(st.width, np.float64)),
+                           np.asarray(st.thickness, np.float64))[alive]
+    A = dmax_berg ** 2
     rmax = float(np.max(np.asarray(
         _interaction_radius(cfg, jnp.asarray(A)))))
     cutoff = max(2. * rmax, float(cfg.contact_distance))
