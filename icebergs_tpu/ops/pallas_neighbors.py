@@ -14,9 +14,14 @@ icebergs.F90:611-804) with pure-distance engagement.  Equal to the XLA
 extent (the same class of precondition as the quadrant window) — beyond
 one cell the window mask and distance mask diverge.
 
-Currently validated in interpret mode (CPU); the TPU lowering needs the
-window load expressed as an explicit HBM->VMEM async copy, which is the
-round-2 work item.
+Status: validated exactly against the XLA path in interpret mode, and
+the Pallas->Mosaic MLIR frontend lowering passes on TPU (scalar-prefetch
+window starts, explicit HBM->VMEM async copies, transposed window matrix
+so column reads are plain row slices, 128-aligned dynamic lane offsets —
+each was a required fix).  The remote AOT Mosaic backend of this dev
+environment still rejects the kernel with a diagnostic the compile
+tunnel does not relay (HTTP 500); finishing the backend debug needs a
+directly-attached TPU and is the round-2 work item.
 """
 
 from __future__ import annotations
@@ -24,17 +29,20 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..config import IcebergsConfig
 from ..constants import PI_180
 from .accel import IA
 
 
-def _pack(st):
+def _pack(st, u0, v0, u1, v1):
     alive = st.alive.astype(st.lon.dtype)
+    # iterate velocities ride in the matrix so the kernel has no rank-1
+    # blocked operands (Mosaic tiling constraint)
     return jnp.stack([st.lon_old, st.lat_old, st.uvel_old, st.vvel_old,
-                      st.fl_k, st.length * st.width, st.mass, alive],
-                     axis=-1)
+                      st.fl_k, st.length * st.width, st.mass, alive,
+                      u0, v0, u1, v1], axis=-1)
 
 
 def fused_pair_ia_sorted(st_sorted, cell_starts, grid, cfg: IcebergsConfig,
@@ -54,11 +62,14 @@ def fused_pair_ia_sorted(st_sorted, cell_starts, grid, cfg: IcebergsConfig,
     nx, ny = grid.nx, grid.ny
     ncells = nx * ny
 
-    P = _pack(st_sorted)
+    P = _pack(st_sorted, u0, v0, u1, v1)
     F = P.shape[-1]
-    # pad so any window start is loadable at full width
+    # pad so any window start is loadable at full width; the transposed
+    # copy lets the kernel read window columns as (1, W) row slices —
+    # Mosaic cannot relayout a (W, 1) slice into (1, W)
     Ppad = jnp.concatenate(
         [P, jnp.zeros((W, F), P.dtype)], axis=0)
+    PTpad = Ppad.T
 
     # per-block window start rows from the sorted cell keys
     key = jnp.where(st_sorted.alive,
@@ -68,7 +79,9 @@ def fused_pair_ia_sorted(st_sorted, cell_starts, grid, cfg: IcebergsConfig,
     c_hi = jnp.minimum(order_key[BN - 1::BN], ncells - 1)
     lo_cell = jnp.clip(c_lo - nx - 1, 0, ncells)
     hi_cell = jnp.clip(c_hi + nx + 2, 0, ncells)
-    win_start = cell_starts[lo_cell]
+    # align window starts down to 128 rows: dynamic DMA offsets in the
+    # transposed matrix's lane (minor) dimension must be lane-aligned
+    win_start = (cell_starts[lo_cell] // 128) * 128
     win_need = cell_starts[hi_cell] - win_start
     overflow = jnp.sum(jnp.maximum(win_need - W, 0))
 
@@ -92,13 +105,22 @@ def fused_pair_ia_sorted(st_sorted, cell_starts, grid, cfg: IcebergsConfig,
             return 0.5 * jnp.sqrt(A)
         return jnp.sqrt(A / jnp.pi)
 
-    def kernel(ws_ref, wn_ref, P_ref, u0_ref, v0_ref, u1_ref, v1_ref,
-               out_ref):
+    def kernel(ws_ref, wn_ref, P_ref, PT_ref, out_ref, rows_v, win_v,
+               sem):
         b = pl.program_id(0)
-        ws = ws_ref[0]
-        wn = wn_ref[0]
-        rows = P_ref[pl.ds(b * BN, BN), :]
-        win = P_ref[pl.ds(ws, W), :]
+        ws = ws_ref[b]
+        wn = wn_ref[b]
+        # explicit HBM -> VMEM window copies (ANY refs are DMA-only)
+        cp_rows = pltpu.make_async_copy(
+            P_ref.at[pl.ds(b * BN, BN), :], rows_v, sem)
+        cp_rows.start()
+        cp_win = pltpu.make_async_copy(
+            PT_ref.at[:, pl.ds(ws, W)], win_v, sem)
+        cp_win.start()
+        cp_rows.wait()
+        cp_win.wait()
+        rows = rows_v[...]
+        win = win_v[...]          # (F, W)
 
         lon1 = rows[:, 0:1]
         lat1 = rows[:, 1:2]
@@ -106,21 +128,26 @@ def fused_pair_ia_sorted(st_sorted, cell_starts, grid, cfg: IcebergsConfig,
         A1 = rows[:, 5:6]
         M1 = rows[:, 6:7]
         al1 = rows[:, 7:8]
-        lon2 = win[None, :, 0]
-        lat2 = win[None, :, 1]
-        uo2 = win[None, :, 2]
-        vo2 = win[None, :, 3]
-        fl2 = win[None, :, 4]
-        A2 = win[None, :, 5]
-        M2 = win[None, :, 6]
-        al2 = win[None, :, 7]
+        def wcol(k):
+            # (1, W) row slice of the transposed window: plain slicing,
+            # no gather and no relayout
+            return win[k:k + 1, :]
 
-        # self-exclusion by global row index
-        gid = b * BN + jax.lax.iota(jnp.int32, BN)[:, None]
-        wid = ws + jax.lax.iota(jnp.int32, W)[None, :]
+        lon2 = wcol(0)
+        lat2 = wcol(1)
+        uo2 = wcol(2)
+        vo2 = wcol(3)
+        fl2 = wcol(4)
+        A2 = wcol(5)
+        M2 = wcol(6)
+        al2 = wcol(7)
+
+        # self-exclusion by global row index (2-D iotas for Mosaic)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+        gid = b * BN + jax.lax.broadcasted_iota(jnp.int32, (BN, 1), 0)
+        wid = ws + col
         valid = (gid != wid) & (al1 > 0.5) & (al2 > 0.5) \
-            & (jax.lax.iota(jnp.int32, W)[None, :] < wn) \
-            & (fl1 != -1.) & (fl2 != -1.)
+            & (col < wn) & (fl1 != -1.) & (fl2 != -1.)
 
         lat_ref = 0.5 * (lat1 + lat2)
         if cfg.grid_is_latlon:
@@ -150,10 +177,10 @@ def fused_pair_ia_sorted(st_sorted, cell_starts, grid, cfg: IcebergsConfig,
         P11 = (rx * rx) / (rsafe * rsafe)
         P12 = (rx * ry) / (rsafe * rsafe)
         P22 = (ry * ry) / (rsafe * rsafe)
-        u0b = u0_ref[:][:, None]
-        v0b = v0_ref[:][:, None]
-        u1b = u1_ref[:][:, None]
-        v1b = v1_ref[:][:, None]
+        u0b = rows[:, 8:9]
+        v0b = rows[:, 9:10]
+        u1b = rows[:, 10:11]
+        v1b = rows[:, 11:12]
 
         def pmag(p11, p12, p22, coef):
             if not cfg.scale_damping_by_pmag:
@@ -180,23 +207,23 @@ def fused_pair_ia_sorted(st_sorted, cell_starts, grid, cfg: IcebergsConfig,
             jnp.zeros_like(IA_x)], axis=-1)
         out_ref[...] = out
 
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nblocks,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((BN, 8), lambda b, ws, wn: (b, 0)),
+        scratch_shapes=[pltpu.VMEM((BN, F), P.dtype),
+                        pltpu.VMEM((F, W), P.dtype),
+                        pltpu.SemaphoreType.DMA],
+    )
     out = pl.pallas_call(
         kernel,
-        grid=(nblocks,),
-        in_specs=[
-            pl.BlockSpec((1,), lambda b: (b,)),
-            pl.BlockSpec((1,), lambda b: (b,)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((BN,), lambda b: (b,)),
-            pl.BlockSpec((BN,), lambda b: (b,)),
-            pl.BlockSpec((BN,), lambda b: (b,)),
-            pl.BlockSpec((BN,), lambda b: (b,)),
-        ],
-        out_specs=pl.BlockSpec((BN, 8), lambda b: (b, 0)),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((N, 8), P.dtype),
         interpret=interpret,
     )(win_start.astype(jnp.int32), win_need.astype(jnp.int32), Ppad,
-      u0, v0, u1, v1)
+      PTpad)
 
     return IA(IA_x=out[:, 0], IA_y=out[:, 1], P11=out[:, 2],
               P12=out[:, 3], P21=out[:, 3], P22=out[:, 4],
