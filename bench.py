@@ -15,7 +15,17 @@ import numpy as np
 
 
 def main():
+    import os
     import jax
+    # persistent compile cache: the scanned 1M-berg program takes several
+    # minutes to compile on the tunneled dev TPU; cache it next to the repo
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     import icebergs_tpu as ibt
     from icebergs_tpu.grid import pos_to_cell
