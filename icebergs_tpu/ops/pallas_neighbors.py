@@ -36,13 +36,19 @@ from ..constants import PI_180
 from .accel import IA
 
 
+_NFEAT = 12          # used feature columns
+_FPAD = 128          # Mosaic: lane-dim slice extents must be 128-aligned
+
+
 def _pack(st, u0, v0, u1, v1):
     alive = st.alive.astype(st.lon.dtype)
     # iterate velocities ride in the matrix so the kernel has no rank-1
-    # blocked operands (Mosaic tiling constraint)
-    return jnp.stack([st.lon_old, st.lat_old, st.uvel_old, st.vvel_old,
-                      st.fl_k, st.length * st.width, st.mass, alive,
-                      u0, v0, u1, v1], axis=-1)
+    # blocked operands (Mosaic tiling constraint); the feature dim is
+    # padded to 128 so per-block row DMAs are lane-aligned slices
+    P = jnp.stack([st.lon_old, st.lat_old, st.uvel_old, st.vvel_old,
+                   st.fl_k, st.length * st.width, st.mass, alive,
+                   u0, v0, u1, v1], axis=-1)
+    return jnp.pad(P, ((0, 0), (0, _FPAD - _NFEAT)))
 
 
 def fused_pair_ia_sorted(st_sorted, cell_starts, grid, cfg: IcebergsConfig,
@@ -108,7 +114,9 @@ def fused_pair_ia_sorted(st_sorted, cell_starts, grid, cfg: IcebergsConfig,
     def kernel(ws_ref, wn_ref, P_ref, PT_ref, out_ref, rows_v, win_v,
                sem):
         b = pl.program_id(0)
-        ws = ws_ref[b]
+        # ws_ref holds win_start/128; multiplying back by 128 here lets
+        # Mosaic statically prove the slice offset's lane alignment
+        ws = ws_ref[b] * 128
         wn = wn_ref[b]
         # explicit HBM -> VMEM window copies (ANY refs are DMA-only)
         cp_rows = pltpu.make_async_copy(
@@ -222,8 +230,8 @@ def fused_pair_ia_sorted(st_sorted, cell_starts, grid, cfg: IcebergsConfig,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((N, 8), P.dtype),
         interpret=interpret,
-    )(win_start.astype(jnp.int32), win_need.astype(jnp.int32), Ppad,
-      PTpad)
+    )((win_start // 128).astype(jnp.int32), win_need.astype(jnp.int32),
+      Ppad, PTpad)
 
     return IA(IA_x=out[:, 0], IA_y=out[:, 1], P11=out[:, 2],
               P12=out[:, 3], P21=out[:, 3], P22=out[:, 4],
