@@ -1,0 +1,195 @@
+"""Fused contact-search prepass over the cell-sorted slab (Pallas).
+
+The legacy interactive force (``interactive_force`` + ``calculate_force``,
+/root/reference/src/icebergs.F90:479-804) engages only bergs within
+``crit = max(R1+R2, contact_distance)`` of each other — a few percent at
+production densities.  The expensive part on TPU is the *search*: the XLA
+path gathers ~50 candidate rows per berg from HBM (random access, slow);
+this kernel instead streams the cell-sorted slab through VMEM in three
+contiguous row strips (grid rows j-1, j, j+1 of each block's cell range)
+and does a dense distance test — contiguous DMA + VPU compares, no
+gathers.
+
+Output per berg: engaged-candidate count and the min/max engaged partner
+slot.  Bergs with count <= 2 have their full partner set in {pmin, pmax};
+the (rare) count >= 3 bergs and any block whose strip exceeds the static
+window are flagged for an exact XLA fallback pass, so the wrapped search
+is exact, not a truncation (cf. round-1 MAX_PER_CELL dropping).
+
+Precondition (same as the quadrant window): the largest pair cutoff must
+not exceed the smallest cell extent, so distance-engagement implies the
+3x3-cell window.  ``can_use_quadrant_window`` checks exactly this.
+
+The engagement test uses r^2 <= crit^2 * (1+1e-6): a strict superset of
+the XLA path's sqrt-based test under f32 rounding.  Spurious extras are
+re-masked by ``precompute_pair_data`` on the compacted pairs, so parity
+is exact.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import IcebergsConfig
+from ..constants import PI_180
+from . import forces as _forces
+
+# packed feature columns: lon_old, lat_old, radius, fl_k, alive, key
+_F_LON, _F_LAT, _F_RAD, _F_FLK, _F_ALIVE, _F_KEY = range(6)
+_NFEAT = 8           # sublane tile (f32) for the transposed window matrix
+_FPAD = 128          # lane tile for the per-block rows matrix
+
+
+def _pack(st, grid, cfg):
+    dtype = st.lon.dtype
+    alive = st.alive.astype(dtype)
+    A = st.length * st.width
+    R = _forces._interaction_radius(cfg, A)
+    key = jnp.where(st.alive, st.jne * grid.nx + st.ine,
+                    grid.nx * grid.ny).astype(dtype)
+    P = jnp.stack([st.lon_old, st.lat_old, R, st.fl_k, alive, key,
+                   jnp.zeros_like(alive), jnp.zeros_like(alive)], axis=-1)
+    return P
+
+
+def contact_prepass_sorted(st_sorted, cell_starts, grid,
+                           cfg: IcebergsConfig, *, block_n: int = 256,
+                           window: int = 512, interpret: bool = False):
+    """Engaged-contact search on a cell-sorted state.
+
+    Returns ``(cnt, pmin, pmax, bad_block)`` where for each slot i of the
+    sorted slab: ``cnt[i]`` counts engaged candidates (distance superset),
+    ``pmin/pmax[i]`` are the smallest/largest engaged partner slots, and
+    ``bad_block[i]`` is True when slot i's block could not be searched
+    exactly (strip window overflow or block cell-span > nx-3) and must go
+    through the XLA fallback.
+    """
+    N = st_sorted.capacity
+    BN, W = block_n, window
+    assert N % BN == 0
+    nblocks = N // BN
+    nx, ny = grid.nx, grid.ny
+    ncells = nx * ny
+    dtype = st_sorted.lon.dtype
+
+    P = _pack(st_sorted, grid, cfg)
+    Ppad = jnp.concatenate([P, jnp.zeros((W, _NFEAT), dtype)], axis=0)
+    # rows matrix: lane-dim padded to 128 so per-block row DMAs are
+    # lane-aligned slices (Mosaic: slice extents must be 128-multiples)
+    Prows = jnp.pad(Ppad, ((0, 0), (0, _FPAD - _NFEAT)))
+    PT = Ppad.T                      # (8, N+W): window strips read here
+
+    key = jnp.where(st_sorted.alive,
+                    st_sorted.jne * nx + st_sorted.ine, ncells)
+    c0 = key[::BN]
+    c1 = key[BN - 1::BN]
+    c1c = jnp.minimum(c1, ncells - 1)            # all-dead block -> c1c<c0
+    span_bad = (c1c - c0) > (nx - 3)
+
+    # inclusive cell ranges of the three strips (grid rows j-1, j, j+1)
+    offs = jnp.array([-nx, 0, nx], jnp.int32)
+    c_lo = jnp.clip(c0[:, None] - 1 + offs[None, :], 0, ncells - 1)
+    c_hi = jnp.clip(c1c[:, None] + 1 + offs[None, :], -1, ncells - 1)
+    ws = cell_starts[c_lo]
+    ws128 = ws // 128
+    win_need = cell_starts[c_hi + 1] - ws128 * 128
+    win_bad = jnp.any(win_need > W, axis=1)
+    bad = span_bad | win_bad
+
+    slack = 1. + 1e-6
+    cd = float(cfg.contact_distance)
+    if cfg.grid_is_latlon:
+        rearth = float(cfg.Rearth)
+    BIG = float(2 * N)
+
+    def kernel(ws_ref, clo_ref, chi_ref, PT_ref, PR_ref, out_ref,
+               rows_v, win_v, sem):
+        b = pl.program_id(0)
+        cp_rows = pltpu.make_async_copy(
+            PR_ref.at[pl.ds(b * BN, BN), :], rows_v, sem)
+        cp_rows.start()
+        cp_rows.wait()
+        rows = rows_v[...]
+        lon1 = rows[:, _F_LON:_F_LON + 1]
+        lat1 = rows[:, _F_LAT:_F_LAT + 1]
+        R1 = rows[:, _F_RAD:_F_RAD + 1]
+        fl1 = rows[:, _F_FLK:_F_FLK + 1]
+        al1 = rows[:, _F_ALIVE:_F_ALIVE + 1]
+
+        gid = b * BN + jax.lax.broadcasted_iota(jnp.int32, (BN, 1), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+
+        cnt = jnp.zeros((BN,), dtype)
+        vmin = jnp.full((BN,), BIG, dtype)
+        vmax = jnp.full((BN,), -1., dtype)
+
+        for s in range(3):
+            ws_s = ws_ref[b, s] * 128
+            cp = pltpu.make_async_copy(
+                PT_ref.at[:, pl.ds(ws_s, W)], win_v, sem)
+            cp.start()
+            cp.wait()
+            win = win_v[...]
+            lon2 = win[_F_LON:_F_LON + 1, :]
+            lat2 = win[_F_LAT:_F_LAT + 1, :]
+            R2 = win[_F_RAD:_F_RAD + 1, :]
+            fl2 = win[_F_FLK:_F_FLK + 1, :]
+            al2 = win[_F_ALIVE:_F_ALIVE + 1, :]
+            key2 = win[_F_KEY:_F_KEY + 1, :]
+
+            clo = clo_ref[b, s].astype(dtype)
+            chi = chi_ref[b, s].astype(dtype)
+            wid = ws_s + col
+            valid = ((key2 >= clo) & (key2 <= chi) & (al2 > 0.5)
+                     & (al1 > 0.5) & (wid != gid)
+                     & (fl1 != -1.) & (fl2 != -1.))
+
+            if cfg.grid_is_latlon:
+                lat_ref = 0.5 * (lat1 + lat2)
+                dx_dlon = PI_180 * rearth * jnp.cos(PI_180 * lat_ref)
+                rx = (lon1 - lon2) * dx_dlon
+                ry = (lat1 - lat2) * (PI_180 * rearth)
+            else:
+                rx = lon1 - lon2
+                ry = lat1 - lat2
+            r2 = rx * rx + ry * ry
+            crit = jnp.maximum(R1 + R2, cd)
+            engaged = valid & (r2 > 0.) & (r2 <= crit * crit * slack)
+
+            cnt = cnt + jnp.sum(jnp.where(engaged, 1., 0.),
+                                axis=-1, dtype=dtype)
+            widf = wid.astype(dtype)
+            vmin = jnp.minimum(vmin, jnp.min(
+                jnp.where(engaged, widf, BIG), axis=-1))
+            vmax = jnp.maximum(vmax, jnp.max(
+                jnp.where(engaged, widf, -1.), axis=-1))
+
+        out_ref[...] = jnp.stack(
+            [cnt, vmin, vmax, jnp.zeros_like(cnt)], axis=-1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nblocks,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((BN, 4), lambda b, *_: (b, 0)),
+        scratch_shapes=[pltpu.VMEM((BN, _FPAD), dtype),
+                        pltpu.VMEM((_NFEAT, W), dtype),
+                        pltpu.SemaphoreType.DMA],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((N, 4), dtype),
+        interpret=interpret,
+    )(ws128.astype(jnp.int32), c_lo.astype(jnp.int32),
+      c_hi.astype(jnp.int32), PT, Prows)
+
+    cnt = out[:, 0].astype(jnp.int32)
+    pmin = jnp.where(out[:, 1] >= BIG, -1, out[:, 1]).astype(jnp.int32)
+    pmax = jnp.where(out[:, 2] < 0., -1, out[:, 2]).astype(jnp.int32)
+    bad_block = jnp.repeat(bad, BN, total_repeat_length=N)
+    return cnt, pmin, pmax, bad_block

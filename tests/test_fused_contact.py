@@ -1,0 +1,77 @@
+"""Fused contact path (Pallas prepass + compact XLA eval, interpret mode):
+must match the XLA 3x3-window path exactly, including through the >= 3
+contact fallback."""
+
+import numpy as np
+
+import icebergs_tpu as ibt
+from icebergs_tpu.grid import pos_to_cell
+from icebergs_tpu.ops import forces
+from icebergs_tpu.ops.sorted import sort_state_by_cell
+from icebergs_tpu.ops.fused_contact import make_ia_fn_fused
+
+
+def _world(n, seed, cluster=False):
+    cfg = ibt.IcebergsConfig(grid_is_latlon=False, Lx=-1.0,
+                             use_f_plane=True, lat_ref=30., dt=60.,
+                             interactive_icebergs_on=True)
+    grid = ibt.make_uniform_grid(16, 16, 0., 0., 1000., 1000.,
+                                 grid_is_latlon=False)
+    rng = np.random.RandomState(seed)
+    lon = rng.uniform(4e3, 12e3, n)
+    lat = rng.uniform(4e3, 12e3, n)
+    if cluster:
+        # pile a dense knot into one cell so several bergs have >= 3
+        # engaged contacts (exercises the exact fallback)
+        k = n // 4
+        lon[:k] = 7.5e3 + rng.uniform(-120., 120., k)
+        lat[:k] = 7.5e3 + rng.uniform(-120., 120., k)
+    st = ibt.create_bergs(512, lon=lon, lat=lat,
+                          uvel=rng.uniform(-.3, .3, n),
+                          vvel=rng.uniform(-.3, .3, n),
+                          mass=850. * 40. * 150. * 150., thickness=40.,
+                          width=150., length=150., mass_scaling=1.,
+                          id_cnt=np.arange(n) + 1)
+    i, j, xi, yj = pos_to_cell(grid, st.lon, st.lat, -1.)
+    st = st.replace(ine=i, jne=j, xi=xi, yj=yj)
+    return cfg, grid, st
+
+
+def _check(cfg, grid, st, **kw):
+    ss, starts = sort_state_by_cell(st, grid)
+    nbr = forces.build_neighbor_tables(ss, grid, cfg, max_per_cell=140)
+    ia_fn_ref = forces.make_ia_fn(ss, nbr, cfg)
+    ia_ref = ia_fn_ref(ss.uvel, ss.vvel)
+
+    ia_fn, stats = make_ia_fn_fused(ss, starts, grid, cfg,
+                                    interpret=True, **kw)
+    ia = ia_fn(ss.uvel, ss.vvel)
+    assert int(stats.overflow) == 0
+    alive = np.asarray(ss.alive)
+    for f in ("IA_x", "IA_y", "P11", "P12", "P22", "Pu_x", "Pu_y"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(ia, f))[alive],
+            np.asarray(getattr(ia_ref, f))[alive],
+            rtol=0, atol=1e-9, err_msg=f)
+    return stats
+
+
+def test_fused_matches_xla_sparse():
+    cfg, grid, st = _world(400, seed=9)
+    stats = _check(cfg, grid, st, block_n=64, window=512)
+
+
+def test_fused_matches_xla_clustered_fallback():
+    cfg, grid, st = _world(400, seed=3, cluster=True)
+    stats = _check(cfg, grid, st, block_n=64, window=512,
+                   fallback_strip_width=140)
+    assert int(stats.n_fallback) > 0, \
+        "cluster case must exercise the >=3-contact fallback"
+
+
+def test_fused_window_overflow_goes_to_fallback():
+    # tiny window forces every block into the exact fallback path
+    cfg, grid, st = _world(300, seed=5)
+    stats = _check(cfg, grid, st, block_n=64, window=128,
+                   fallback_cap=512, fallback_strip_width=140)
+    assert int(stats.n_fallback) > 0

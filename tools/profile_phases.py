@@ -1,0 +1,120 @@
+"""Scan-batched phase breakdown at 1M bergs on the real device.
+
+Each phase runs inside one jitted lax.scan of INNER iterations with the
+state chained through, so per-dispatch overhead (~0.3 s on the tunneled
+dev TPU) and caching cannot skew the numbers; reported time is per
+iteration.
+"""
+
+import time
+
+import numpy as np
+
+INNER = 4
+
+
+def scan_timeit(fn, arg, reps=2):
+    import jax
+
+    @jax.jit
+    def many(a):
+        def body(c, _):
+            return fn(c), None
+        out, _ = jax.lax.scan(body, a, None, length=INNER)
+        return out
+
+    out = jax.block_until_ready(many(arg))   # compile
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = jax.block_until_ready(many(out))
+    return (time.perf_counter() - t0) / (reps * INNER)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import icebergs_tpu as ibt
+    from icebergs_tpu.grid import pos_to_cell
+    from icebergs_tpu import model, dynamics
+    from icebergs_tpu.ops import thermo as _thermo
+    from icebergs_tpu.ops import spread as _spread
+    from icebergs_tpu.ops import forces as _forces
+    from icebergs_tpu.ops.sorted import sort_state_by_cell
+
+    NBERGS = 1_000_000
+    NX = NY = 512
+    DXY = 2000.0
+    cfg = ibt.IcebergsConfig(
+        grid_is_latlon=False, Lx=-1.0, use_f_plane=True, lat_ref=45.0,
+        dt=600.0, Runge_not_Verlet=False, interactive_icebergs_on=True,
+        use_new_predictive_corrective=True, allow_bergs_to_roll=True)
+    grid = ibt.make_uniform_grid(NX, NY, 0., 0., DXY, DXY,
+                                 grid_is_latlon=False)
+    frc = ibt.uniform_forcing(NX, NY, uo=0.3, vo=0.1, ua=5.0, sst=4.0,
+                              sss=33.0)
+    rng = np.random.RandomState(0)
+    st = ibt.create_bergs(NBERGS,
+                          lon=rng.uniform(2 * DXY, (NX - 2) * DXY, NBERGS),
+                          lat=rng.uniform(2 * DXY, (NY - 2) * DXY, NBERGS),
+                          mass=850. * 40. * 150. * 150., thickness=40.,
+                          width=150., length=150., mass_scaling=1.0)
+    i, j, xi, yj = pos_to_cell(grid, st.lon, st.lat, -1.0)
+    st = st.replace(ine=i, jne=j, xi=xi, yj=yj)
+    print("device:", jax.devices()[0], flush=True)
+
+    def f_interp(s):
+        s2 = model.interp_to_bergs(s, grid, frc, cfg)
+        return s.replace(lon=s.lon + 1e-12 * s2.uo, uo=s2.uo, vo=s2.vo)
+
+    def f_evolve(s):
+        out = dynamics.evolve_icebergs(s, grid, frc, cfg)
+        return out.state
+
+    def f_walk(s):
+        lon2, lat2, i2, j2, xi2, yj2, b = dynamics.adjust_index_and_ground(
+            grid, cfg, s.lon, s.lat, s.ine, s.jne)
+        return s.replace(lon=s.lon + 1e-12 * xi2)
+
+    def f_sort(s):
+        ss, starts = sort_state_by_cell(s, grid)
+        return ss
+
+    def f_thermo(s):
+        s2, d = _thermo.thermodynamics(s, grid, frc, cfg)
+        return s2
+
+    def f_spread(s):
+        sp = _spread.create_gridded_icebergs_fields(s, grid, frc, cfg)
+        return s.replace(lon=s.lon + 1e-12 * sp.spread_mass[0, 0])
+
+    def f_ia_quadrant(s):
+        nbr = _forces.build_neighbor_tables(s, grid, cfg, ncells_radius=1,
+                                            max_per_cell=6,
+                                            window="quadrant")
+        ia_fn = _forces.make_ia_fn(s, nbr, cfg, contact_cap=131072)
+        ia = ia_fn(s.uvel, s.vvel)
+        return s.replace(uvel=s.uvel + 1e-12 * ia.IA_x,
+                         vvel=s.vvel + 1e-12 * ia.IA_y)
+
+    st_i = jax.block_until_ready(jax.jit(
+        lambda s: model.interp_to_bergs(s, grid, frc, cfg))(st))
+
+    for name, fn, arg in (
+            ("sort_by_cell", f_sort, st),
+            ("interp", f_interp, st),
+            ("evolve_noia", f_evolve, st_i),
+            ("index_walk", f_walk, st_i),
+            ("thermo", f_thermo, st_i),
+            ("spread", f_spread, st_i),
+            ("ia_xla_quadrant", f_ia_quadrant, st_i),
+    ):
+        try:
+            t = scan_timeit(fn, arg)
+            print(f"{name}: {t*1e3:.1f} ms", flush=True)
+        except Exception as e:
+            print(f"{name}: FAILED {type(e).__name__}: {str(e)[:200]}",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()
