@@ -187,6 +187,13 @@ class IcebergsConfig:
     verbose_hrs: float = 24.0
     traj_area_thres: float = 0.0
     traj_area_thres_fl: float = 1.0e9
+    # class-filtered trajectory saving (framework:763-766, 688;
+    # used in record_posn framework:5370-5388)
+    save_all_traj_year: float = 1.0e30   # huge(0.0) default
+    save_nonfl_traj_by_class: bool = False
+    save_traj_by_class_start_mass_thres_n: float = 0.0
+    save_traj_by_class_start_mass_thres_s: float = 0.0
+    traj_area_thres_sntbc: float = 0.0
     save_short_traj: bool = True
     save_fl_traj: bool = True
     save_bond_traj: bool = False

@@ -42,6 +42,36 @@ def berg_chksum(st, fields=CHKSUM_FIELDS):
     return total, n
 
 
+def bergs_per_cell(st, grid):
+    """Per-cell berg count field (id_count diagnostic,
+    icebergs.F90:5620-5627)."""
+    alive = st.alive & (st.halo_berg < 0.5)
+    I, J = st.ine + 1, st.jne + 1
+    return jnp.zeros((grid.nx + 2, grid.ny + 2), jnp.int32).at[I, J].add(
+        jnp.where(alive, 1, 0).astype(jnp.int32))
+
+
+def list_chksum_per_cell(st, grid, fields=CHKSUM_FIELDS):
+    """Per-cell particle-state hash field (id_chksum diagnostic,
+    icebergs.F90:5628-5634; list_chksum framework:6889-...)."""
+    alive = st.alive & (st.halo_berg < 0.5)
+    total = jnp.zeros(st.lon.shape, jnp.uint32)
+    for f in fields:
+        arr = getattr(st, f)
+        if arr.dtype == jnp.float32:
+            bits = jax.lax.bitcast_convert_type(arr, jnp.uint32)
+        elif arr.dtype == jnp.float64:
+            b2 = jax.lax.bitcast_convert_type(arr, jnp.uint32)
+            bits = b2[..., 0] + b2[..., 1]
+        else:
+            bits = arr.astype(jnp.uint32)
+        total = total + jnp.where(alive, bits, jnp.uint32(0))
+    I, J = st.ine + 1, st.jne + 1
+    out = jnp.zeros((grid.nx + 2, grid.ny + 2), jnp.uint32).at[I, J].add(
+        jnp.where(alive, total, jnp.uint32(0)))
+    return out.astype(jnp.int32)
+
+
 def grd_chksum2(field):
     """Gridded-field hash + stats (grd_chksum2)."""
     if field.dtype == jnp.float32:

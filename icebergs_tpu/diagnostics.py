@@ -20,14 +20,32 @@ import jax.numpy as jnp
 import numpy as np
 from scipy.io import netcdf_file
 
-# the reference's diagnostic catalog (subset of register_diag_field names,
-# icebergs_framework.F90:210-224 / icebergs.F90:5529-5634)
+# the reference's diagnostic catalog (register_diag_field names,
+# icebergs_framework.F90:210-229 registrations / send_data block
+# icebergs.F90:5529-5634).  One row per reference field; `melt` is the
+# reference's name for floating_melt's registered field and
+# melt_m_per_year its unit-converted twin (icebergs.F90:5551-5553).
 CATALOG = (
-    "calving", "calving_hflx", "floating_melt", "berg_melt", "melt_buoy",
-    "melt_eros", "melt_conv", "bergy_src", "bergy_melt", "fl_bits_melt",
-    "fl_bits_src", "spread_mass", "spread_area", "spread_uvel",
-    "spread_vvel", "ustar_iceberg", "mass_on_ocean", "u_iceberg",
-    "v_iceberg", "real_calving", "stored_ice", "stored_heat", "berg_count",
+    # calving pipeline
+    "calving", "calving_hflx", "calving_hflx_in", "accum_calving",
+    "unused_calving", "real_calving", "stored_ice", "stored_heat",
+    "running_mean_calving", "running_mean_calving_hflx",
+    # melt
+    "melt", "melt_m_per_year", "floating_melt", "berg_melt", "melt_buoy",
+    "melt_eros", "melt_conv", "melt_by_class", "melt_buoy_fl",
+    "melt_eros_fl", "melt_conv_fl", "fl_parent_melt", "fl_child_melt",
+    # bits
+    "bergy_src", "bergy_melt", "bergy_mass", "fl_bits_src", "fl_bits_melt",
+    "fl_bits_mass", "fl_bergy_bits_mass",
+    # spread / gridded state
+    "spread_mass", "spread_area", "spread_uvel", "spread_vvel",
+    "ustar_iceberg", "mass_on_ocean", "mass", "virtual_area", "u_iceberg",
+    "v_iceberg",
+    # forcing copies (icebergs.F90:5529-5548, 5604-5610)
+    "uo", "vo", "ui", "vi", "ua", "va", "sst", "sss", "cn", "hi", "ssh",
+    "taux", "tauy", "depth",
+    # per-cell bookkeeping (icebergs.F90:5620-5634)
+    "berg_count", "bergs_per_cell", "list_chksum",
 )
 
 
@@ -43,6 +61,7 @@ class DiagManager:
         self.grid = grid
         self.names = tuple(selected) if selected is not None else CATALOG
         self.average = average
+        self._history: list = []     # [(time_value, {name: np.ndarray})]
 
     def init_state(self, dtype=jnp.float32) -> DiagState:
         shape = (self.grid.nx + 2, self.grid.ny + 2)
@@ -65,33 +84,75 @@ class DiagManager:
         return DiagState(sums=sums, count=dstate.count + 1)
 
     def flush(self, dstate: DiagState, path: str, time_value: float = 0.):
-        """Write accumulated (time-averaged) fields to a history NetCDF
-        and reset the accumulator."""
+        """Append the accumulated (time-averaged) record to the history
+        and rewrite the file with the full time series, then reset the
+        accumulator.  Repeated flushes grow the Time axis (the
+        diag_manager history-file behavior)."""
         n = max(int(dstate.count), 1)
-        mode = "w"
-        with netcdf_file(path, mode) as f:
+        rec = {}
+        for name, arr in dstate.sums.items():
+            a = np.asarray(arr)[1:-1, 1:-1]
+            if self.average:
+                a = a / n
+            rec[name] = a
+        self._history.append((float(time_value), rec))
+
+        with netcdf_file(path, "w") as f:
             f.createDimension("xaxis_1", self.grid.nx)
             f.createDimension("yaxis_1", self.grid.ny)
-            f.createDimension("Time", 1)
+            f.createDimension("Time", len(self._history))
             tv = f.createVariable("Time", "d", ("Time",))
-            tv[:] = [time_value]
-            for name, arr in dstate.sums.items():
-                a = np.asarray(arr)[1:-1, 1:-1]
-                if self.average:
-                    a = a / n
+            tv[:] = [t for t, _ in self._history]
+            for name in self._history[0][1]:
                 v = f.createVariable(name, "d",
                                      ("Time", "yaxis_1", "xaxis_1"))
-                v[:] = a.T[None]
+                v[:] = np.stack([r[name].T for _, r in self._history])
         return self.init_state(next(iter(dstate.sums.values())).dtype)
 
 
-def collect_step_fields(outputs, extra: Optional[dict] = None) -> dict:
-    """Build the send_data field dict from RunOutputs / StepDiags."""
+def collect_step_fields(outputs, extra: Optional[dict] = None, *,
+                        frc=None, grid=None, st=None, cfg=None) -> dict:
+    """Build the send_data field dict from RunOutputs / StepDiags.
+
+    Optionally adds the forcing-copy fields (icebergs.F90:5529-5548),
+    grid depth, and the per-cell count/chksum fields (5620-5634)."""
     d = {}
     for name in CATALOG:
         v = getattr(outputs, name, None)
         if v is not None:
             d[name] = v
+    fm = d.get("floating_melt")
+    if fm is not None:
+        d.setdefault("melt", fm)
+        if cfg is not None:
+            d.setdefault("melt_m_per_year",
+                         fm * (86400.0 * 365.0 / cfg.rho_bergs))
+    if frc is not None:
+        # corner (B-grid) velocities averaged to centers so every catalog
+        # field shares the (nx+2, ny+2) cell shape
+        def to_center(a):
+            c = 0.25 * (a[:-1, :-1] + a[1:, :-1] + a[:-1, 1:] + a[1:, 1:])
+            out = jnp.zeros((c.shape[0] + 2, c.shape[1] + 2), a.dtype)
+            return out.at[1:-1, 1:-1].set(c)
+        for n in ("uo", "vo", "ui", "vi", "ua", "va"):
+            v = getattr(frc, n, None)
+            if v is not None:
+                d[n] = to_center(v)
+        for n in ("sst", "sss", "cn", "hi", "ssh"):
+            v = getattr(frc, n, None)
+            if v is not None:
+                d[n] = v
+        for n in ("taux", "tauy"):
+            v = getattr(frc, n, None)
+            if v is not None:
+                d[n] = to_center(v) if v.ndim == 2 and \
+                    v.shape[0] != d.get("sst", v).shape[0] else v
+    if grid is not None and getattr(grid, "ocean_depth", None) is not None:
+        d["depth"] = grid.ocean_depth
+    if st is not None and grid is not None:
+        from .diag import bergs_per_cell, list_chksum_per_cell
+        d["bergs_per_cell"] = bergs_per_cell(st, grid)
+        d["list_chksum"] = list_chksum_per_cell(st, grid)
     if extra:
         d.update(extra)
     return d

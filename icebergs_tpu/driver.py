@@ -186,11 +186,8 @@ def run(nml_path: str, input_dir: str = ".", output_dir: str = ".",
         st.capacity, cfg.max_bonds,
         nsamples=max(2, nsteps // traj_every + 2)) \
         if cfg.save_bond_traj else None
-    from .diagnostics import DiagManager
-    dmgr = DiagManager(grid, selected=("floating_melt", "berg_melt",
-                                       "spread_mass", "spread_area",
-                                       "spread_uvel", "spread_vvel",
-                                       "ustar_iceberg", "mass_on_ocean"))
+    from .diagnostics import DiagManager, collect_step_fields
+    dmgr = DiagManager(grid)     # full reference catalog
     dstate = dmgr.init_state()
     verbose_every = max(1, int(round(cfg.verbose_hrs * 3600.0 / ibdt)))
 
@@ -226,8 +223,12 @@ def run(nml_path: str, input_dir: str = ".", output_dir: str = ".",
                 diags.floating_melt * grid.area))) * cfg.dt
             melt_total += m
             melt_interval += m
-        dstate = dmgr.send_data(dstate, {
-            k: getattr(diags, k, None) for k in dmgr.names})
+        dstate = dmgr.send_data(dstate, collect_step_fields(
+            diags, frc=frc, grid=grid, st=st, cfg=cfg,
+            extra={"stored_ice": calv.stored_ice,
+                   "stored_heat": calv.stored_heat,
+                   "running_mean_calving": calv.rmean_calving,
+                   "running_mean_calving_hflx": calv.rmean_calving_hflx}))
         if (n + 1) % traj_every == 0 and not cfg.ignore_traj:
             day = (n + 1) * ibdt / 86400.0
             buf = tio.record_posn(buf, st, cfg, day=day, year=0)

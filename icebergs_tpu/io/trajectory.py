@@ -63,15 +63,32 @@ def record_posn(buf: TrajBuffer, st, cfg: IcebergsConfig, day, year,
                 sample_mask=None) -> TrajBuffer:
     """Append one snapshot row for eligible bergs (record_posn).
 
-    Eligibility mirrors the area-threshold filters
-    (icebergs_framework.F90:5328-5500): bergs above traj_area_thres (km^2),
-    footloose children above traj_area_thres_fl.
+    Eligibility mirrors icebergs_framework.F90:5370-5388: save when
+    ``current_year > save_all_traj_year`` OR the class filter
+    (save_nonfl_traj_by_class + hemisphere start-mass thresholds) OR
+    ``berg_area >= traj_area_thres`` OR the berg has any bond OR it is a
+    footloose child above traj_area_thres_fl.  Areas use the reference's
+    mass/(rho_bergs*thickness) definition; thresholds are km^2 in the
+    namelist, m^2 here (framework:5362-5364).
     """
-    area_km2 = st.length * st.width * 1e-6
-    ok = st.alive & (st.halo_berg < 0.5)
+    thick_safe = jnp.maximum(st.thickness, 1e-30)
+    berg_area = st.mass / (cfg.rho_bergs * thick_safe)       # m^2
+    alive_ok = st.alive & (st.halo_berg < 0.5)
     is_child = st.fl_k < 0.
-    ok = ok & jnp.where(is_child, area_km2 > cfg.traj_area_thres_fl,
-                        area_km2 > cfg.traj_area_thres)
+
+    ok = berg_area >= cfg.traj_area_thres * 1e6
+    ok = ok | (is_child & (berg_area > cfg.traj_area_thres_fl * 1e6))
+    if cfg.save_nonfl_traj_by_class:
+        thres = jnp.where(st.lat < 0.,
+                          cfg.save_traj_by_class_start_mass_thres_s,
+                          cfg.save_traj_by_class_start_mass_thres_n)
+        ok = ok | (~is_child
+                   & (berg_area > cfg.traj_area_thres_sntbc * 1e6)
+                   & (st.start_mass >= thres))
+    ok = ok | (jnp.asarray(year, st.lon.dtype) > cfg.save_all_traj_year)
+    if cfg.iceberg_bonds_on:
+        ok = ok | jnp.any(st.bond_idx >= 0, axis=1)
+    ok = ok & alive_ok
     if sample_mask is not None:
         ok = ok & sample_mask
 

@@ -33,6 +33,8 @@ class StepDiags(NamedTuple):
     tickets: jnp.ndarray
     bounced: jnp.ndarray
     total_mass: jnp.ndarray          # sum alive mass*mass_scaling (kg)
+    contact_overflow: Optional[jnp.ndarray] = None  # fused-path cap drops
+    contact_fallback: Optional[jnp.ndarray] = None  # bergs on exact fallback
     floating_melt: Optional[jnp.ndarray] = None   # (nx+2,ny+2) kg/m2/s
     calving_hflx: Optional[jnp.ndarray] = None    # W/m2
     berg_melt: Optional[jnp.ndarray] = None
@@ -43,6 +45,28 @@ class StepDiags(NamedTuple):
     ustar_iceberg: Optional[jnp.ndarray] = None
     mass_on_ocean: Optional[jnp.ndarray] = None
     net_melt_heat: Optional[jnp.ndarray] = None
+    # extended gridded diagnostics (unused ones are DCE'd under jit)
+    melt_buoy: Optional[jnp.ndarray] = None
+    melt_eros: Optional[jnp.ndarray] = None
+    melt_conv: Optional[jnp.ndarray] = None
+    bergy_src: Optional[jnp.ndarray] = None
+    bergy_melt: Optional[jnp.ndarray] = None
+    fl_bits_melt: Optional[jnp.ndarray] = None
+    fl_parent_melt: Optional[jnp.ndarray] = None
+    fl_child_melt: Optional[jnp.ndarray] = None
+    melt_buoy_fl: Optional[jnp.ndarray] = None
+    melt_eros_fl: Optional[jnp.ndarray] = None
+    melt_conv_fl: Optional[jnp.ndarray] = None
+    melt_by_class: Optional[jnp.ndarray] = None
+    u_iceberg: Optional[jnp.ndarray] = None
+    v_iceberg: Optional[jnp.ndarray] = None
+    mass: Optional[jnp.ndarray] = None
+    virtual_area: Optional[jnp.ndarray] = None
+    bergy_mass: Optional[jnp.ndarray] = None
+    fl_bits_mass: Optional[jnp.ndarray] = None
+    fl_bergy_bits_mass: Optional[jnp.ndarray] = None
+    bergs_per_cell: Optional[jnp.ndarray] = None
+    list_chksum: Optional[jnp.ndarray] = None
 
 
 def interp_to_bergs(st: BergState, grid: Grid, frc, cfg: IcebergsConfig,
@@ -71,10 +95,18 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
               max_per_cell: int = 16, neighbor_mode: str = "buckets",
               neighbor_window: str = "full",
               use_pallas: bool = False, contact_cap: Optional[int] = None,
-              mts_pair_cap: Optional[int] = None):
+              mts_pair_cap: Optional[int] = None,
+              fused_block_n: int = 256, fused_window: int = 512,
+              fused_fallback_cap: int = 8192,
+              fused_interpret: bool = False):
     """Build the full jitted coupling step.
 
     Returns ``step(state, forcing[, calving_flux]) -> (state, StepDiags)``.
+
+    ``neighbor_mode="fused"`` routes the legacy contact search through the
+    Pallas strip-search prepass (`ops/pallas_prepass.py`) + compact eval —
+    exact (overflow goes through an XLA fallback, counted in
+    ``StepDiags.contact_overflow``), no ``max_per_cell`` truncation.
     """
     from .ops import thermo as _thermo
     from .ops import spread as _spread
@@ -90,7 +122,7 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
         # 0. (sorted layout) physically reorder the slab by cell so the
         # neighbor search reads contiguous strips
         cell_starts = None
-        if interactive and neighbor_mode == "sorted":
+        if interactive and neighbor_mode in ("sorted", "fused"):
             with jax.named_scope("kid_binning"):
                 from .ops.sorted import sort_state_by_cell
                 st, cell_starts = sort_state_by_cell(st, grid)
@@ -100,6 +132,7 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
             st = interp_to_bergs(st, grid, frc, cfg)
 
         # 2. dynamics (MTS dispatch mirrors icebergs_run 5426-5441)
+        fstats = None
         with jax.named_scope("kid_momentum"):
             if cfg.mts:
                 from .mts import evolve_icebergs_mts
@@ -112,7 +145,15 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
             else:
                 ia_fn = None
                 if interactive:
-                    if neighbor_mode == "sorted":
+                    if neighbor_mode == "fused":
+                        from .ops.fused_contact import make_ia_fn_fused
+                        ia_fn, fstats = make_ia_fn_fused(
+                            st, cell_starts, grid, cfg,
+                            block_n=fused_block_n, window=fused_window,
+                            contact_cap=(contact_cap or 65536),
+                            fallback_cap=fused_fallback_cap,
+                            interpret=fused_interpret)
+                    elif neighbor_mode == "sorted":
                         from .ops.sorted import strip_neighbor_tables
                         nbr = strip_neighbor_tables(
                             st, grid, cfg, cell_starts,
@@ -123,9 +164,10 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
                             st, grid, cfg, ncells_radius=nbr_radius,
                             max_per_cell=max_per_cell,
                             window=neighbor_window)
-                    ia_fn = _forces.make_ia_fn(st, nbr, cfg,
-                                               use_pallas=use_pallas,
-                                               contact_cap=contact_cap)
+                    if neighbor_mode != "fused":
+                        ia_fn = _forces.make_ia_fn(st, nbr, cfg,
+                                                   use_pallas=use_pallas,
+                                                   contact_cap=contact_cap)
                 out = evolve_icebergs(st, grid, frc, cfg, ia_fn=ia_fn)
                 st = out.state
 
@@ -143,6 +185,8 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
             nbergs=st.count(), tickets=out.tickets, bounced=out.bounced,
             total_mass=jnp.sum(jnp.where(st.alive,
                                          st.mass * st.mass_scaling, 0.)),
+            contact_overflow=(fstats.overflow if fstats else None),
+            contact_fallback=(fstats.n_fallback if fstats else None),
             floating_melt=(melt_diags.floating_melt if melt_diags else None),
             calving_hflx=(melt_diags.calving_hflx if melt_diags else None),
             berg_melt=(melt_diags.berg_melt if melt_diags else None),
@@ -150,6 +194,25 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
             spread_uvel=sp.spread_uvel, spread_vvel=sp.spread_vvel,
             ustar_iceberg=sp.ustar_iceberg, mass_on_ocean=sp.mass_on_ocean,
             net_melt_heat=(melt_diags.net_heat if melt_diags else None),
+            melt_buoy=(melt_diags.melt_buoy if melt_diags else None),
+            melt_eros=(melt_diags.melt_eros if melt_diags else None),
+            melt_conv=(melt_diags.melt_conv if melt_diags else None),
+            bergy_src=(melt_diags.bergy_src if melt_diags else None),
+            bergy_melt=(melt_diags.bergy_melt if melt_diags else None),
+            fl_bits_melt=(melt_diags.fl_bits_melt if melt_diags else None),
+            fl_parent_melt=(melt_diags.fl_parent_melt
+                            if melt_diags else None),
+            fl_child_melt=(melt_diags.fl_child_melt
+                           if melt_diags else None),
+            melt_buoy_fl=(melt_diags.melt_buoy_fl if melt_diags else None),
+            melt_eros_fl=(melt_diags.melt_eros_fl if melt_diags else None),
+            melt_conv_fl=(melt_diags.melt_conv_fl if melt_diags else None),
+            melt_by_class=(melt_diags.melt_by_class
+                           if melt_diags else None),
+            u_iceberg=sp.u_iceberg, v_iceberg=sp.v_iceberg,
+            mass=sp.mass, virtual_area=sp.virtual_area,
+            bergy_mass=sp.bergy_mass, fl_bits_mass=sp.fl_bits_mass,
+            fl_bergy_bits_mass=sp.fl_bergy_bits_mass,
         )
         return st, diags
 
@@ -158,16 +221,30 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
     return step
 
 
-def make_multi_step(grid: Grid, cfg: IcebergsConfig, n_inner: int, **kw):
+def make_multi_step(grid: Grid, cfg: IcebergsConfig, n_inner: int,
+                    with_stats: bool = False, **kw):
     """Jit a scan of ``n_inner`` coupling steps (fixed forcing) — one
-    compiled program, no per-step dispatch."""
+    compiled program, no per-step dispatch.
+
+    ``with_stats=True`` returns ``(state, max_contact_overflow,
+    max_contact_fallback)`` accumulated over the scan (0 when the
+    neighbor mode reports none) — the honesty counters for benchmarks.
+    """
     step = make_step(grid, cfg, jit=False, **kw)
 
     @jax.jit
     def multi(st: BergState, frc):
-        def body(s, _):
+        zero = jnp.zeros((), jnp.int32)
+
+        def body(carry, _):
+            s, ov, fb = carry
             s, d = step(s, frc)
-            return s, None
-        st, _ = jax.lax.scan(body, st, None, length=n_inner)
-        return st
+            if d.contact_overflow is not None:
+                ov = jnp.maximum(ov, d.contact_overflow)
+            if d.contact_fallback is not None:
+                fb = jnp.maximum(fb, d.contact_fallback)
+            return (s, ov, fb), None
+        (st, ov, fb), _ = jax.lax.scan(body, (st, zero, zero), None,
+                                       length=n_inner)
+        return (st, ov, fb) if with_stats else st
     return multi

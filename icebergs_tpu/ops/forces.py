@@ -644,22 +644,41 @@ def connect_bonds_by_id(st):
     Jit-compatible analog of ``connect_all_bonds``
     (icebergs_framework.F90:4713-...): after particles moved between
     devices, partner slot indices are stale; rebuild them by id equality
-    against all live slots.  O(N^2 B) equality — intended for bonded
-    configurations (N up to ~10^4 conglomerate elements).
+    against all live slots.  Lexicographic sort of the slot ids + an
+    O(N B log N) vectorized binary search — no int64 needed (x64 may be
+    off), no (N, N) equality slab.
     """
     N, B = st.bond_idx.shape
     has = (st.bond_id_cnt != 0) | (st.bond_id_ij != 0)
     has = has & st.alive[:, None]
-    slot_cnt = jnp.where(st.alive, st.id_cnt, -2147483647)
-    slot_ij = st.id_ij
-    new_idx = jnp.full((N, B), -1, jnp.int32)
-    for b in range(B):
-        eq = (st.bond_id_cnt[:, b:b + 1] == slot_cnt[None, :]) \
-            & (st.bond_id_ij[:, b:b + 1] == slot_ij[None, :])   # (N, N)
-        found = jnp.any(eq, axis=1)
-        slot = jnp.argmax(eq, axis=1).astype(jnp.int32)
-        new_idx = new_idx.at[:, b].set(
-            jnp.where(has[:, b] & found, slot, -1))
+
+    # dead slots sort last (cnt = int32 max is never a real id)
+    DEAD = jnp.int32(2147483647)
+    cnt = jnp.where(st.alive, st.id_cnt, DEAD)
+    ij = st.id_ij
+    # stable lexicographic order by (cnt, ij): sort by minor key first
+    o1 = jnp.argsort(ij, stable=True)
+    o2 = jnp.argsort(cnt[o1], stable=True)
+    order = o1[o2].astype(jnp.int32)
+    cnt_s = cnt[order]
+    ij_s = ij[order]
+
+    qc = st.bond_id_cnt            # (N, B)
+    qi = st.bond_id_ij
+    lo = jnp.zeros((N, B), jnp.int32)
+    hi = jnp.full((N, B), N, jnp.int32)
+    nbits = max(1, (N - 1).bit_length())
+    for _ in range(nbits + 1):
+        mid = (lo + hi) // 2
+        mc = cnt_s[jnp.minimum(mid, N - 1)]
+        mi = ij_s[jnp.minimum(mid, N - 1)]
+        less = (mc < qc) | ((mc == qc) & (mi < qi))
+        lo = jnp.where(less, mid + 1, lo)
+        hi = jnp.where(less, hi, mid)
+    pos = jnp.minimum(lo, N - 1)
+    found = (cnt_s[pos] == qc) & (ij_s[pos] == qi)
+    slot = order[pos]
+    new_idx = jnp.where(has & found, slot, -1).astype(jnp.int32)
     return st.replace(bond_idx=new_idx)
 
 

@@ -69,21 +69,24 @@ def contact_prepass_sorted(st_sorted, cell_starts, grid,
     """
     N = st_sorted.capacity
     BN, W = block_n, window
-    assert N % BN == 0
-    nblocks = N // BN
+    nblocks = -(-N // BN)            # ceil: last block zero-padded
+    Npad = nblocks * BN
     nx, ny = grid.nx, grid.ny
     ncells = nx * ny
     dtype = st_sorted.lon.dtype
 
     P = _pack(st_sorted, grid, cfg)
-    Ppad = jnp.concatenate([P, jnp.zeros((W, _NFEAT), dtype)], axis=0)
+    Ppad = jnp.concatenate(
+        [P, jnp.zeros((Npad - N + W, _NFEAT), dtype)], axis=0)
     # rows matrix: lane-dim padded to 128 so per-block row DMAs are
     # lane-aligned slices (Mosaic: slice extents must be 128-multiples)
     Prows = jnp.pad(Ppad, ((0, 0), (0, _FPAD - _NFEAT)))
-    PT = Ppad.T                      # (8, N+W): window strips read here
+    PT = Ppad.T                      # (8, Npad+W): window strips read here
 
     key = jnp.where(st_sorted.alive,
                     st_sorted.jne * nx + st_sorted.ine, ncells)
+    key = jnp.concatenate(
+        [key, jnp.full((Npad - N,), ncells, key.dtype)])
     c0 = key[::BN]
     c1 = key[BN - 1::BN]
     c1c = jnp.minimum(c1, ncells - 1)            # all-dead block -> c1c<c0
@@ -183,13 +186,13 @@ def contact_prepass_sorted(st_sorted, cell_starts, grid,
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((N, 4), dtype),
+        out_shape=jax.ShapeDtypeStruct((Npad, 4), dtype),
         interpret=interpret,
     )(ws128.astype(jnp.int32), c_lo.astype(jnp.int32),
-      c_hi.astype(jnp.int32), PT, Prows)
+      c_hi.astype(jnp.int32), PT, Prows)[:N]
 
     cnt = out[:, 0].astype(jnp.int32)
     pmin = jnp.where(out[:, 1] >= BIG, -1, out[:, 1]).astype(jnp.int32)
     pmax = jnp.where(out[:, 2] < 0., -1, out[:, 2]).astype(jnp.int32)
-    bad_block = jnp.repeat(bad, BN, total_repeat_length=N)
+    bad_block = jnp.repeat(bad, BN, total_repeat_length=Npad)[:N]
     return cnt, pmin, pmax, bad_block

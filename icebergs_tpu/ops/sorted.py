@@ -26,6 +26,52 @@ from ..grid import Grid
 from .forces import NeighborTables
 
 
+def permute_tree_rows(tree, order):
+    """Permute every (N, ...) leaf of a pytree by ``order`` using packed
+    row gathers.
+
+    ``tree.map(lambda x: x[order])`` issues one random scalar gather per
+    leaf (~70 for BergState) — measured 2.4 s at 1M bergs on v5e.  Packing
+    same-dtype leaves into one (N, K) matrix first makes the permutation a
+    handful of contiguous row gathers (~15 ms).  Bools ride as int8.
+    """
+    N = order.shape[0]
+    leaves, treedef = jax.tree.flatten(tree)
+    groups: dict = {}
+    for i, leaf in enumerate(leaves):
+        cols = 1 if leaf.ndim == 1 else int(np_prod(leaf.shape[1:]))
+        dt = leaf.dtype
+        gdt = jnp.int8 if dt == jnp.bool_ else dt
+        groups.setdefault(jnp.dtype(gdt).name, []).append((i, leaf, cols))
+
+    out = list(leaves)
+    for gname, entries in groups.items():
+        if len(entries) == 1:
+            i, leaf, _ = entries[0]
+            out[i] = (leaf.astype(jnp.int8)[order].astype(jnp.bool_)
+                      if leaf.dtype == jnp.bool_ else leaf[order])
+            continue
+        mats = []
+        for i, leaf, cols in entries:
+            x = leaf.astype(jnp.int8) if leaf.dtype == jnp.bool_ else leaf
+            mats.append(x.reshape(N, cols))
+        packed = jnp.concatenate(mats, axis=1)[order]
+        off = 0
+        for i, leaf, cols in entries:
+            sl = packed[:, off:off + cols]
+            off += cols
+            sl = sl.reshape(leaf.shape)
+            out[i] = sl.astype(jnp.bool_) if leaf.dtype == jnp.bool_ else sl
+    return jax.tree.unflatten(treedef, out)
+
+
+def np_prod(shape):
+    p = 1
+    for s in shape:
+        p *= int(s)
+    return p
+
+
 def sort_state_by_cell(st, grid: Grid):
     """Reorder every state leaf by cell key (dead bergs last).
 
@@ -40,10 +86,7 @@ def sort_state_by_cell(st, grid: Grid):
     inv = jnp.zeros_like(order).at[order].set(
         jnp.arange(order.shape[0], dtype=order.dtype))
 
-    def permute(leaf):
-        return leaf[order]
-
-    new = jax.tree.map(permute, st)
+    new = permute_tree_rows(st, order)
     # remap bond partner slots through the permutation
     bidx = new.bond_idx
     remapped = jnp.where(bidx >= 0, inv[jnp.maximum(bidx, 0)], -1)

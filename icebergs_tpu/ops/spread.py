@@ -33,6 +33,13 @@ class SpreadDiags(NamedTuple):
     mass_on_ocean: jnp.ndarray   # kg per cell (not divided by area)
     u_iceberg: jnp.ndarray
     v_iceberg: jnp.ndarray
+    # per-cell (non-spread) sums, calculate_sum_over_bergs_diagnositcs
+    # (icebergs.F90:5026-5070)
+    mass: jnp.ndarray            # kg/m2 per cell
+    virtual_area: jnp.ndarray    # m2
+    bergy_mass: jnp.ndarray      # kg/m2
+    fl_bits_mass: jnp.ndarray    # kg/m2
+    fl_bergy_bits_mass: jnp.ndarray  # kg/m2
 
 
 def find_orientation_using_iceberg_bonds(st, cfg: IcebergsConfig,
@@ -281,11 +288,58 @@ def create_gridded_icebergs_fields(st, grid, frc, cfg: IcebergsConfig):
     ustar_h = jnp.maximum(cfg.ustar_icebergs_bg, ustar)
     ustar_iceberg = jnp.where(spread_area == 0., 0., ustar_h)
 
-    # mass-weighted mean berg velocity (u_iceberg diagnostics)
-    u_ice = jnp.where(mass_on > 0., U_on / jnp.maximum(mass_on, 1e-30), 0.)
-    v_ice = jnp.where(mass_on > 0., V_on / jnp.maximum(mass_on, 1e-30), 0.)
+    # per-cell sums (calculate_sum_over_bergs_diagnositcs,
+    # icebergs.F90:5026-5070): berg mass / momentum / bit masses at the
+    # OWNING cell only (no 9-point spreading)
+    alive = st.alive
+    I, J = st.ine + 1, st.jne + 1
+    area_c = jnp.maximum(grid.area[I, J], 1e-30)
+    w_cell = jnp.where(alive, st.mass_scaling / area_c, 0.)
+    L, W, T = st.length, st.width, st.thickness
+    if cfg.bergy_bit_erosion_fraction > 0.:
+        Lbits = jnp.maximum(jnp.minimum(jnp.minimum(L, W),
+                                        jnp.minimum(T, 40.)), 1e-30)
+        Abits = (st.mass_of_bits / cfg.rho_bergs) / Lbits
+    else:
+        Abits = jnp.zeros_like(L)
+    if cfg.fl_style == 'fl_bits':
+        Lfl, Wfl, Tfl = fl_bits_dimensions(cfg, T)
+        Abits_fl = (st.mass_of_fl_bits / cfg.rho_bergs) \
+            / jnp.maximum(Tfl, 1e-30)
+        if cfg.bergy_bit_erosion_fraction > 0.:
+            Lb2 = jnp.maximum(jnp.minimum(jnp.minimum(Lfl, Wfl),
+                                          jnp.minimum(Tfl, 40.)), 1e-30)
+            Abits_flb = (st.mass_of_fl_bergy_bits / cfg.rho_bergs) / Lb2
+        else:
+            Abits_flb = jnp.zeros_like(L)
+    else:
+        Abits_fl = jnp.zeros_like(L)
+        Abits_flb = jnp.zeros_like(L)
+
+    cols = [st.mass * w_cell,
+            st.mass * w_cell * st.uvel,
+            st.mass * w_cell * st.vvel,
+            (W * L + Abits + Abits_fl + Abits_flb)
+            * jnp.where(alive, st.mass_scaling, 0.),
+            (st.mass_of_bits + st.mass_of_fl_bergy_bits) * w_cell,
+            st.mass_of_fl_bits * w_cell,
+            st.mass_of_fl_bergy_bits * w_cell]
+    vals = jnp.stack([jnp.where(alive, c, 0.) for c in cols], axis=-1)
+    packed = jnp.zeros(spread_mass.shape + (len(cols),),
+                       spread_mass.dtype).at[I, J].add(vals)
+    (mass_cell, mom_u, mom_v, virtual_area, bergy_mass, fl_bits_mass,
+     fl_bergy_bits_mass) = [packed[..., k] for k in range(len(cols))]
+
+    # mass-weighted mean berg velocity over the OWNING cell
+    # (icebergs.F90:3451-3465: u_iceberg/mass with per-cell mass)
+    msafe = jnp.maximum(mass_cell, 1e-30)
+    u_ice = jnp.where(mass_cell > 0., mom_u / msafe, 0.)
+    v_ice = jnp.where(mass_cell > 0., mom_v / msafe, 0.)
 
     return SpreadDiags(spread_mass=spread_mass, spread_area=spread_area,
                        spread_uvel=spread_uvel, spread_vvel=spread_vvel,
                        ustar_iceberg=ustar_iceberg, mass_on_ocean=mass_on,
-                       u_iceberg=u_ice, v_iceberg=v_ice)
+                       u_iceberg=u_ice, v_iceberg=v_ice,
+                       mass=mass_cell, virtual_area=virtual_area,
+                       bergy_mass=bergy_mass, fl_bits_mass=fl_bits_mass,
+                       fl_bergy_bits_mass=fl_bergy_bits_mass)

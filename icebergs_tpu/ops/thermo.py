@@ -35,6 +35,12 @@ class MeltDiags(NamedTuple):
     net_heat: jnp.ndarray        # J into ocean this step (scalar)
     nbergs_melted: jnp.ndarray
     melt_by_class: jnp.ndarray = None   # (nx+2,ny+2,nclasses) kg/m2/s
+    # footloose melt splits (icebergs.F90:3145-3199)
+    fl_parent_melt: jnp.ndarray = None
+    fl_child_melt: jnp.ndarray = None
+    melt_buoy_fl: jnp.ndarray = None
+    melt_eros_fl: jnp.ndarray = None
+    melt_conv_fl: jnp.ndarray = None
 
 
 def melt_by_class_field(st, grid, cfg: IcebergsConfig, melt_rate_w, alive):
@@ -503,14 +509,30 @@ def thermodynamics(st, grid, frc, cfg: IcebergsConfig,
     melt_tot = (dM - (dMbitsE - dMbitsM) + dMfl - (dMbitsE_fl - dMbitsM_fl))
     net_heat = jnp.sum(jnp.where(alive, melt_tot * st.heat_density * scale,
                                  0.))
-    # all melt diagnostics in ONE packed row scatter (9 fields)
+    # all melt diagnostics in ONE packed row scatter (14 fields).
+    # melt_buoy/eros/conv accumulate only for non-footloose bergs; the
+    # *_fl twins take the fl-bits melt (parents, when dMfl>0) or the
+    # child berg's own melt (fl_k<0) — icebergs.F90:3145-3199.
+    parent = fl_k >= 0.
+    child_melt = jnp.where(parent, dMfl - (dMbitsE_fl - dMbitsM_fl),
+                           dM - (dMbitsE - dMbitsM))
+    fl_gate = parent & (dMfl > 0.)
     cols = [melt_tot * w, melt_tot * st.heat_density * w, dM * w,
             (dMbitsE + dMbitsE_fl) * w, (dMbitsM + dMbitsM_fl) * w,
-            dMfl * w, dMb * w, dMe * w, dMv * w]
+            dMfl * w,
+            jnp.where(parent, dMb, 0.) * w,
+            jnp.where(parent, dMe, 0.) * w,
+            jnp.where(parent, dMv, 0.) * w,
+            jnp.where(parent, dM - (dMbitsE - dMbitsM), 0.) * w,
+            child_melt * w,
+            jnp.where(fl_gate, dMb_fl, jnp.where(parent, 0., dMb)) * w,
+            jnp.where(fl_gate, dMe_fl, jnp.where(parent, 0., dMe)) * w,
+            jnp.where(fl_gate, dMv_fl, jnp.where(parent, 0., dMv)) * w]
     vals = jnp.stack([jnp.where(alive, v, 0.) for v in cols], axis=-1)
     packed = jnp.zeros(shape + (len(cols),), dtype).at[I, J].add(vals)
     (floating_melt, calving_hflx, berg_melt, bergy_src, bergy_melt,
-     fl_bits_melt, melt_buoy, melt_eros, melt_conv) = [
+     fl_bits_melt, melt_buoy, melt_eros, melt_conv, fl_parent_melt,
+     fl_child_melt, melt_buoy_fl, melt_eros_fl, melt_conv_fl) = [
         packed[..., k] for k in range(len(cols))]
 
     # rolling for unbonded bergs (icebergs.F90:3140)
@@ -575,5 +597,8 @@ def thermodynamics(st, grid, frc, cfg: IcebergsConfig,
         berg_melt=berg_melt, bergy_src=bergy_src, bergy_melt=bergy_melt,
         fl_bits_melt=fl_bits_melt, melt_buoy=melt_buoy, melt_eros=melt_eros,
         melt_conv=melt_conv, net_heat=net_heat, nbergs_melted=nbergs_melted,
-        melt_by_class=mbc)
+        melt_by_class=mbc,
+        fl_parent_melt=fl_parent_melt, fl_child_melt=fl_child_melt,
+        melt_buoy_fl=melt_buoy_fl, melt_eros_fl=melt_eros_fl,
+        melt_conv_fl=melt_conv_fl)
     return st, diags
