@@ -110,6 +110,9 @@ def contact_prepass_sorted(st_sorted, cell_starts, grid,
 
     def kernel(ws_ref, clo_ref, chi_ref, PT_ref, PR_ref, out_ref,
                rows_v, win_v, sem):
+        # NOTE: the scalar-prefetch refs are 1-D (nblocks*3,) — SMEM pads
+        # the minor dim of 2-D scalar operands to 128 lanes, which blows
+        # the 1 MB SMEM budget at 1M bergs (3907 blocks -> 2 MB each).
         b = pl.program_id(0)
         cp_rows = pltpu.make_async_copy(
             PR_ref.at[pl.ds(b * BN, BN), :], rows_v, sem)
@@ -130,7 +133,7 @@ def contact_prepass_sorted(st_sorted, cell_starts, grid,
         vmax = jnp.full((BN,), -1., dtype)
 
         for s in range(3):
-            ws_s = ws_ref[b, s] * 128
+            ws_s = ws_ref[b * 3 + s] * 128
             cp = pltpu.make_async_copy(
                 PT_ref.at[:, pl.ds(ws_s, W)], win_v, sem)
             cp.start()
@@ -143,8 +146,8 @@ def contact_prepass_sorted(st_sorted, cell_starts, grid,
             al2 = win[_F_ALIVE:_F_ALIVE + 1, :]
             key2 = win[_F_KEY:_F_KEY + 1, :]
 
-            clo = clo_ref[b, s].astype(dtype)
-            chi = chi_ref[b, s].astype(dtype)
+            clo = clo_ref[b * 3 + s].astype(dtype)
+            chi = chi_ref[b * 3 + s].astype(dtype)
             wid = ws_s + col
             valid = ((key2 >= clo) & (key2 <= chi) & (al2 > 0.5)
                      & (al1 > 0.5) & (wid != gid)
@@ -188,8 +191,9 @@ def contact_prepass_sorted(st_sorted, cell_starts, grid,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Npad, 4), dtype),
         interpret=interpret,
-    )(ws128.astype(jnp.int32), c_lo.astype(jnp.int32),
-      c_hi.astype(jnp.int32), PT, Prows)[:N]
+    )(ws128.astype(jnp.int32).reshape(-1),
+      c_lo.astype(jnp.int32).reshape(-1),
+      c_hi.astype(jnp.int32).reshape(-1), PT, Prows)[:N]
 
     cnt = out[:, 0].astype(jnp.int32)
     pmin = jnp.where(out[:, 1] >= BIG, -1, out[:, 1]).astype(jnp.int32)

@@ -27,62 +27,42 @@ from .forces import NeighborTables
 
 
 def permute_tree_rows(tree, order):
-    """Permute every (N, ...) leaf of a pytree by ``order`` using packed
-    row gathers.
+    """Permute every (N, ...) leaf of a pytree by ``order``.
 
-    ``tree.map(lambda x: x[order])`` issues one random scalar gather per
-    leaf (~70 for BergState) — measured 2.4 s at 1M bergs on v5e.  Packing
-    same-dtype leaves into one (N, K) matrix first makes the permutation a
-    handful of contiguous row gathers (~15 ms).  Bools ride as int8.
+    Plain per-leaf row gathers: measured 15 ms for the full 70-leaf
+    BergState at 1M bergs on v5e.  (A packed-matrix variant was tried and
+    rejected: (N, 1) reshape temps tile as T(8, 128) on TPU — a 128x
+    padding expansion that OOMs HBM at 1M bergs.)
     """
-    N = order.shape[0]
-    leaves, treedef = jax.tree.flatten(tree)
-    groups: dict = {}
-    for i, leaf in enumerate(leaves):
-        cols = 1 if leaf.ndim == 1 else int(np_prod(leaf.shape[1:]))
-        dt = leaf.dtype
-        gdt = jnp.int8 if dt == jnp.bool_ else dt
-        groups.setdefault(jnp.dtype(gdt).name, []).append((i, leaf, cols))
-
-    out = list(leaves)
-    for gname, entries in groups.items():
-        if len(entries) == 1:
-            i, leaf, _ = entries[0]
-            out[i] = (leaf.astype(jnp.int8)[order].astype(jnp.bool_)
-                      if leaf.dtype == jnp.bool_ else leaf[order])
-            continue
-        mats = []
-        for i, leaf, cols in entries:
-            x = leaf.astype(jnp.int8) if leaf.dtype == jnp.bool_ else leaf
-            mats.append(x.reshape(N, cols))
-        packed = jnp.concatenate(mats, axis=1)[order]
-        off = 0
-        for i, leaf, cols in entries:
-            sl = packed[:, off:off + cols]
-            off += cols
-            sl = sl.reshape(leaf.shape)
-            out[i] = sl.astype(jnp.bool_) if leaf.dtype == jnp.bool_ else sl
-    return jax.tree.unflatten(treedef, out)
+    return jax.tree.map(lambda x: x[order], tree)
 
 
-def np_prod(shape):
-    p = 1
-    for s in shape:
-        p *= int(s)
-    return p
-
-
-def sort_state_by_cell(st, grid: Grid):
-    """Reorder every state leaf by cell key (dead bergs last).
+def sort_state_by_cell(st, grid: Grid, *, id_tiebreak: bool = True):
+    """Reorder every state leaf by (cell key, id) — dead bergs last.
 
     Returns (sorted_state, cell_starts) where cell_starts[(j*nx+i)] is the
     first sorted slot of cell (i, j) (length ncells+1 exclusive end).
     Bond indices are remapped through the permutation.
+
+    The id tiebreak gives a layout-invariant within-cell order, which
+    makes strip-window pair sums (and hence interactive runs) bitwise
+    reproducible across device layouts — the role played by the
+    reference's id-ordered per-cell lists (parallel_reprod contract,
+    icebergs_framework.F90:33; insert_berg_into_list ordering
+    framework:1638-1676).
     """
     nx, ny = grid.nx, grid.ny
     ncells = nx * ny
     key = jnp.where(st.alive, st.jne * nx + st.ine, ncells)
-    order = jnp.argsort(key)                 # stable
+    if id_tiebreak:
+        # stable 3-pass lexicographic argsort: minor keys first
+        o1 = jnp.argsort(st.id_ij, stable=True)
+        o2 = jnp.argsort(st.id_cnt[o1], stable=True)
+        o12 = o1[o2]
+        o3 = jnp.argsort(key[o12], stable=True)
+        order = o12[o3]
+    else:
+        order = jnp.argsort(key)             # stable
     inv = jnp.zeros_like(order).at[order].set(
         jnp.arange(order.shape[0], dtype=order.dtype))
 

@@ -653,8 +653,11 @@ def shard_state_2d(world: ShardedWorld2D, st_global: BergState,
 
 
 def make_sharded_step_2d(world: ShardedWorld2D, *, with_thermo=True,
-                         exchange_width: int = 64):
-    """Jitted 2-D sharded coupling step (x pass then y pass exchanges)."""
+                         exchange_width: int = 64, **step_kw):
+    """Jitted 2-D sharded coupling step (x pass then y pass exchanges).
+
+    ``step_kw`` is forwarded to :func:`icebergs_tpu.model.make_step`
+    (e.g. ``neighbor_mode="sorted"`` for layout-invariant pair sums)."""
     cfg = world.cfg
     nxl, nyl, H = world.nxl, world.nyl, world.halo
     mesh = world.mesh
@@ -665,7 +668,7 @@ def make_sharded_step_2d(world: ShardedWorld2D, *, with_thermo=True,
         frc = jax.tree.map(lambda x: x[0, 0], frc)
 
         from ..model import make_step as _ms
-        step = _ms(grid, cfg, with_thermo=with_thermo, jit=False)
+        step = _ms(grid, cfg, with_thermo=with_thermo, jit=False, **step_kw)
         st, diags = step(st, frc)
 
         fold = ((world.fold_lon_sum, world.fold_lat_sum)
@@ -758,12 +761,43 @@ def shard_forcing_2d(world: ShardedWorld2D, frc_global: Forcing) -> Forcing:
                                                      P(AXIS, AXIS_Y)))
 
 
+def make_halo_fill(world: ShardedWorld, exchange_width: int = 64):
+    """Jitted halo prefill: one particle exchange with no physics.
+
+    ``shard_state`` distributes only owned bergs; the coupling step runs
+    physics *before* its exchange, so without this the first step's pair
+    forces miss cross-tile partners.  The reference fills halos during
+    initialization (update_halo_icebergs called from icebergs_init,
+    icebergs_framework.F90:1847-1905).
+    """
+    cfg = world.cfg
+    nxl, H = world.nxl, world.halo
+    mesh = world.mesh
+
+    def local_fn(grids, st):
+        grid = jax.tree.map(lambda x: x[0], grids)
+        st = jax.tree.map(lambda x: x[0], st)
+        st, overflow = exchange_particles(st, grid, cfg, nxl, H,
+                                          exchange_width)
+        return jax.tree.map(lambda x: x[None], st), overflow[None]
+
+    @functools.partial(jax.jit)
+    def halo_fill(st):
+        fn = jax.shard_map(local_fn, mesh=mesh, in_specs=(P(AXIS), P(AXIS)),
+                           out_specs=(P(AXIS), P(AXIS)))
+        return fn(world.grids, st)
+
+    return halo_fill
+
+
 def make_sharded_step(world: ShardedWorld, *, with_thermo=True,
-                      exchange_width: int = 64):
+                      exchange_width: int = 64, **step_kw):
     """Build the jitted multi-device coupling step.
 
     Runs the full single-tile physics per device under shard_map, with
     particle migration/halo exchange and psum'd budget diagnostics.
+    ``step_kw`` is forwarded to :func:`icebergs_tpu.model.make_step`
+    (e.g. ``neighbor_mode="sorted"`` for layout-invariant pair sums).
     """
     cfg = world.cfg
     nxl, H = world.nxl, world.halo
@@ -776,7 +810,7 @@ def make_sharded_step(world: ShardedWorld, *, with_thermo=True,
 
         # physics on the local tile (single-device step)
         from ..model import make_step as _ms
-        step = _ms(grid, cfg, with_thermo=with_thermo, jit=False)
+        step = _ms(grid, cfg, with_thermo=with_thermo, jit=False, **step_kw)
         st, diags = step(st, frc)
 
         # particle migration + halo refresh
