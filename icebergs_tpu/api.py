@@ -135,6 +135,138 @@ def prepare_forcing(grid: Grid, cfg: IcebergsConfig, frc: Forcing,
                    hi=scrub(frc.hi))
 
 
+
+def run_coupling_sequence(cfg: IcebergsConfig, grid: Grid, state: ModelState,
+                          frc: Forcing, calving, calving_hflx, *,
+                          nbr_radius: int, max_per_cell: int = 16,
+                          neighbor_mode: str = "buckets"):
+    """The full icebergs_run coupling sequence (icebergs.F90:5389-5679) as
+    a pure function over (grid, cfg): calving buckets -> spawn -> interp ->
+    evolve -> footloose -> thermo -> spread -> coupler returns.
+
+    Shared by IcebergsModel (single controller) and the sharded per-tile
+    step (parallel/domain.make_sharded_run); on a tile grid, spawning is
+    restricted to owned cells and ids are global (grid.i_off/nxg).
+    """
+    st = state.bergs
+    calv = state.calving
+    key = state.key
+    b0 = compute_budgets(st, calv)
+
+    # 2-3. calving buckets -> new bergs
+    calv, calving, calving_hflx = get_running_mean_calving(
+        calv, calving, calving_hflx, cfg)
+    calv, calving_res, hflx_res, used_kg, used_J = accumulate_calving(
+        calv, grid, calving, calving_hflx, cfg)
+    st, calv, calv_diag = calve_icebergs(
+        st, calv, grid, frc, cfg,
+        current_year=state.current_year,
+        current_yearday=state.current_yearday)
+
+    # 4. interpolate fields onto bergs (with stochastic tidal drift if
+    # enabled — per-berg uniforms on [-1,1], the reference seeds its
+    # stream from cell index + ssh hash, icebergs.F90:4697-4701)
+    if cfg.tidal_drift > 0.:
+        key, sub = jax.random.split(key)
+        r = jax.random.uniform(sub, (2, st.capacity), st.dtype,
+                               -1., 1.)
+        st = interp_to_bergs(st, grid, frc, cfg, rx=r[0], ry=r[1])
+    else:
+        st = interp_to_bergs(st, grid, frc, cfg)
+
+    # 5. evolve
+    if cfg.mts:
+        from .mts import evolve_icebergs_mts
+        st, _ = evolve_icebergs_mts(st, grid, frc, cfg)
+    else:
+        ia_fn = None
+        nbr = None
+        if cfg.interactive_icebergs_on:
+            if neighbor_mode == "sorted":
+                # cell+id sorted slab: layout-invariant pair sums
+                from .ops.sorted import (sort_state_by_cell,
+                                         strip_neighbor_tables)
+                st, cell_starts = sort_state_by_cell(st, grid)
+                nbr = strip_neighbor_tables(st, grid, cfg, cell_starts,
+                                            ncells_radius=nbr_radius)
+            else:
+                nbr = _forces.build_neighbor_tables(
+                    st, grid, cfg, ncells_radius=nbr_radius,
+                    max_per_cell=max_per_cell)
+            ia_fn = _forces.make_ia_fn(st, nbr, cfg)
+        out = evolve_icebergs(st, grid, frc, cfg, ia_fn=ia_fn)
+        st = out.state
+
+    # 6. footloose calving + interactivity bookkeeping
+    fl_diag = None
+    if cfg.footloose:
+        key, sub = jax.random.split(key)
+        st, fl_diag = footloose_calving(
+            st, grid, cfg, sub, current_year=state.current_year,
+            current_yearday=state.current_yearday)
+        st, _ = delete_fully_fl_calved(st)
+        if cfg.interactive_icebergs_on:
+            if neighbor_mode == "sorted":
+                from .ops.sorted import (sort_state_by_cell,
+                                         strip_neighbor_tables)
+                st, cs2 = sort_state_by_cell(st, grid)
+                nbr2 = strip_neighbor_tables(st, grid, cfg, cs2,
+                                             ncells_radius=nbr_radius)
+            else:
+                nbr2 = _forces.build_neighbor_tables(
+                    st, grid, cfg, ncells_radius=nbr_radius,
+                    max_per_cell=max_per_cell)
+            st = adjust_fl_berg_interactivity(st, nbr2, cfg)
+
+    # 7. thermodynamics
+    melt = None
+    st, melt = _thermo.thermodynamics(st, grid, frc, cfg)
+
+    # 8. gridded fields
+    sp = _spread.create_gridded_icebergs_fields(st, grid, frc, cfg)
+
+    # melt from the spread-mass difference (find_melt_using_spread_mass,
+    # icebergs.F90:3424-3440)
+    floating_melt = melt.floating_melt
+    hflx_melt = melt.calving_hflx
+    if cfg.find_melt_using_spread_mass:
+        floating_melt = jnp.where(
+            grid.area > 0.,
+            jnp.maximum((state.spread_mass_old - sp.spread_mass)
+                        / cfg.dt, 0.), 0.)
+        hflx_melt = floating_melt * C.HLF
+
+    # melt cutoff over thin ocean (apply_thickness_cutoff_to_gridded_melt,
+    # icebergs.F90:3471-3483)
+    if cfg.apply_thickness_cutoff_to_gridded_melt and cfg.melt_cutoff >= 0.:
+        ave_thick = sp.spread_mass / jnp.maximum(
+            sp.spread_area * cfg.rho_bergs, 1e-30)
+        ave_draft = ave_thick * (cfg.rho_bergs / C.RHO_SEAWATER)
+        thin = (sp.spread_area > 0.) & (
+            (grid.ocean_depth - ave_draft) < cfg.melt_cutoff)
+        floating_melt = jnp.where(thin, 0., floating_melt)
+        hflx_melt = jnp.where(thin, 0., hflx_melt)
+
+    # 9. coupler return: residual calving +- melt
+    calving_out = calving_res + floating_melt * (grid.msk > 0.)
+    hflx_out = hflx_res + hflx_melt
+
+    b1 = compute_budgets(st, calv)
+    outputs = RunOutputs(
+        calving=calving_out, calving_hflx=hflx_out,
+        floating_melt=floating_melt, berg_melt=melt.berg_melt,
+        spread_mass=sp.spread_mass, spread_area=sp.spread_area,
+        spread_uvel=sp.spread_uvel, spread_vvel=sp.spread_vvel,
+        ustar_iceberg=sp.ustar_iceberg, mass_on_ocean=sp.mass_on_ocean,
+        nbergs=st.count(), budgets=b1)
+
+    day = state.current_yearday + cfg.dt / 86400.
+    state = state.replace(bergs=st, calving=calv, key=key,
+                          current_yearday=day,
+                          spread_mass_old=sp.spread_mass)
+    return state, outputs
+
+
 class IcebergsModel:
     """icebergs_init equivalent: bind grid + config, build the jitted run."""
 
@@ -172,109 +304,9 @@ class IcebergsModel:
 
     def _run_impl(self, state: ModelState, frc: Forcing, calving,
                   calving_hflx):
-        cfg, grid = self.cfg, self.grid
-        st = state.bergs
-        calv = state.calving
-        key = state.key
-        b0 = compute_budgets(st, calv)
-
-        # 2-3. calving buckets -> new bergs
-        calv, calving, calving_hflx = get_running_mean_calving(
-            calv, calving, calving_hflx, cfg)
-        calv, calving_res, hflx_res, used_kg, used_J = accumulate_calving(
-            calv, grid, calving, calving_hflx, cfg)
-        st, calv, calv_diag = calve_icebergs(
-            st, calv, grid, frc, cfg,
-            current_year=state.current_year,
-            current_yearday=state.current_yearday)
-
-        # 4. interpolate fields onto bergs (with stochastic tidal drift if
-        # enabled — per-berg uniforms on [-1,1], the reference seeds its
-        # stream from cell index + ssh hash, icebergs.F90:4697-4701)
-        if cfg.tidal_drift > 0.:
-            key, sub = jax.random.split(key)
-            r = jax.random.uniform(sub, (2, st.capacity), st.dtype,
-                                   -1., 1.)
-            st = interp_to_bergs(st, grid, frc, cfg, rx=r[0], ry=r[1])
-        else:
-            st = interp_to_bergs(st, grid, frc, cfg)
-
-        # 5. evolve
-        if cfg.mts:
-            from .mts import evolve_icebergs_mts
-            st, _ = evolve_icebergs_mts(st, grid, frc, cfg)
-        else:
-            ia_fn = None
-            nbr = None
-            if cfg.interactive_icebergs_on:
-                nbr = _forces.build_neighbor_tables(
-                    st, grid, cfg, ncells_radius=self._nbr_radius,
-                    max_per_cell=self.max_per_cell)
-                ia_fn = _forces.make_ia_fn(st, nbr, cfg)
-            out = evolve_icebergs(st, grid, frc, cfg, ia_fn=ia_fn)
-            st = out.state
-
-        # 6. footloose calving + interactivity bookkeeping
-        fl_diag = None
-        if cfg.footloose:
-            key, sub = jax.random.split(key)
-            st, fl_diag = footloose_calving(
-                st, grid, cfg, sub, current_year=state.current_year,
-                current_yearday=state.current_yearday)
-            st, _ = delete_fully_fl_calved(st)
-            if cfg.interactive_icebergs_on:
-                nbr2 = _forces.build_neighbor_tables(
-                    st, grid, cfg, ncells_radius=self._nbr_radius,
-                    max_per_cell=self.max_per_cell)
-                st = adjust_fl_berg_interactivity(st, nbr2, cfg)
-
-        # 7. thermodynamics
-        melt = None
-        st, melt = _thermo.thermodynamics(st, grid, frc, cfg)
-
-        # 8. gridded fields
-        sp = _spread.create_gridded_icebergs_fields(st, grid, frc, cfg)
-
-        # melt from the spread-mass difference (find_melt_using_spread_mass,
-        # icebergs.F90:3424-3440)
-        floating_melt = melt.floating_melt
-        hflx_melt = melt.calving_hflx
-        if cfg.find_melt_using_spread_mass:
-            floating_melt = jnp.where(
-                grid.area > 0.,
-                jnp.maximum((state.spread_mass_old - sp.spread_mass)
-                            / cfg.dt, 0.), 0.)
-            hflx_melt = floating_melt * C.HLF
-
-        # melt cutoff over thin ocean (apply_thickness_cutoff_to_gridded_melt,
-        # icebergs.F90:3471-3483)
-        if cfg.apply_thickness_cutoff_to_gridded_melt and cfg.melt_cutoff >= 0.:
-            ave_thick = sp.spread_mass / jnp.maximum(
-                sp.spread_area * cfg.rho_bergs, 1e-30)
-            ave_draft = ave_thick * (cfg.rho_bergs / C.RHO_SEAWATER)
-            thin = (sp.spread_area > 0.) & (
-                (grid.ocean_depth - ave_draft) < cfg.melt_cutoff)
-            floating_melt = jnp.where(thin, 0., floating_melt)
-            hflx_melt = jnp.where(thin, 0., hflx_melt)
-
-        # 9. coupler return: residual calving +- melt
-        calving_out = calving_res + floating_melt * (grid.msk > 0.)
-        hflx_out = hflx_res + hflx_melt
-
-        b1 = compute_budgets(st, calv)
-        outputs = RunOutputs(
-            calving=calving_out, calving_hflx=hflx_out,
-            floating_melt=floating_melt, berg_melt=melt.berg_melt,
-            spread_mass=sp.spread_mass, spread_area=sp.spread_area,
-            spread_uvel=sp.spread_uvel, spread_vvel=sp.spread_vvel,
-            ustar_iceberg=sp.ustar_iceberg, mass_on_ocean=sp.mass_on_ocean,
-            nbergs=st.count(), budgets=b1)
-
-        day = state.current_yearday + cfg.dt / 86400.
-        state = state.replace(bergs=st, calving=calv, key=key,
-                              current_yearday=day,
-                              spread_mass_old=sp.spread_mass)
-        return state, outputs
+        return run_coupling_sequence(
+            self.cfg, self.grid, state, frc, calving, calving_hflx,
+            nbr_radius=self._nbr_radius, max_per_cell=self.max_per_cell)
 
     # -- coupler queries -----------------------------------------------------
 

@@ -143,9 +143,12 @@ def calve_icebergs(st, calv: CalvingState, grid: Grid, frc,
     cap = im * ms
     n_want = jnp.floor(stored / jnp.maximum(cap, 1e-30)).astype(jnp.int32)
     n_want = jnp.clip(n_want, 0, max_spawn_per_bucket)
-    # only interior ocean cells spawn
+    # only interior ocean cells spawn; on a halo-extended tile the
+    # non-owned ring is excluded so each global cell spawns on exactly
+    # one device
+    hx, hy = grid.own_halo_x, grid.own_halo_y
     interior = jnp.zeros_like(south)
-    interior = interior.at[1:nx + 1, 1:ny + 1].set(True)
+    interior = interior.at[1 + hx:nx + 1 - hx, 1 + hy:ny + 1 - hy].set(True)
     n_want = jnp.where((interior & (grid.msk > 0.))[:, :, None], n_want, 0)
 
     # heat density per class, sequential over classes (H shrinks as classes
@@ -212,11 +215,15 @@ def calve_icebergs(st, calv: CalvingState, grid: Grid, frc,
                     + grid.latc[cell_i + 1, cell_j + 1])
     ddt = -cfg.dt * (2. / 17.) * m_of.astype(dtype)   # start-day stagger
 
-    # id generation: (per-cell counter, i + iNg*j) packed as two ints
-    # (generate_id, icebergs_framework.F90:4165-4243)
+    # id generation: (per-cell counter, GLOBAL i + iNg*j) packed as two
+    # ints (generate_id, icebergs_framework.F90:4165-4243); on a tile the
+    # global cell makes ids unique and layout-invariant across devices
     cnt0 = calv.id_counter[Ic, Jc]
     id_cnt = cnt0 + 1 + m_of * NCLASSES + k_of   # unique-ish per request
-    id_ij = (cell_i + 1) + nx * cell_j
+    nxg = grid.nxg if grid.nxg else nx
+    gi = cell_i + (grid.i_off if grid.i_off is not None else 0)
+    gj = cell_j + (grid.j_off if grid.j_off is not None else 0)
+    id_ij = (gi + 1) + nxg * gj
 
     def place(field, values):
         # non-granted requests scatter out of bounds and are dropped
@@ -238,14 +245,14 @@ def calve_icebergs(st, calv: CalvingState, grid: Grid, frc,
         mass_scaling=msr, mass_of_bits=zero, mass_of_fl_bits=zero,
         mass_of_fl_bergy_bits=zero, fl_k=zero, halo_berg=zero,
         static_berg=zero, heat_density=hdr,
-        start_day=jnp.full_like(lon_b, current_yearday) + ddt / 86400.,
+        start_day=jnp.zeros_like(lon_b) + current_yearday + ddt / 86400.,
         sst=zero, sss=zero, cn=zero, hi=zero, od=zero,
         uo=zero, vo=zero, ui=zero, vi=zero, ua=zero, va=zero,
         ssh_x=zero, ssh_y=zero,
     )
     int_updates = dict(
         ine=cell_i.astype(jnp.int32), jne=cell_j.astype(jnp.int32),
-        start_year=jnp.full_like(cell_i, current_year).astype(jnp.int32),
+        start_year=(jnp.zeros_like(cell_i) + current_year).astype(jnp.int32),
         id_cnt=id_cnt.astype(jnp.int32), id_ij=id_ij.astype(jnp.int32),
         conglom_id=jnp.zeros_like(cell_i, jnp.int32),
     )

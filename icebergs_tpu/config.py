@@ -216,6 +216,10 @@ class IcebergsConfig:
     old_interp_flds_order: bool = False
     rev_mind: bool = False
     parallel_reprod: bool = True
+    # static per-cell slot count for the fixed-tree reproducing scatters
+    # (ops/spread.scatter9_slots); cells denser than this still sum
+    # exactly but through a per-program-deterministic overflow pass
+    reprod_max_per_cell: int = 16
     use_slow_find: bool = True
 
     # --- restart ---------------------------------------------------------------------------------

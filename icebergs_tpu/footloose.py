@@ -156,16 +156,30 @@ def footloose_calving(st, grid: Grid, cfg: IcebergsConfig, key,
                               spawn_overflow=overflow)
 
 
+def _id_uniform(key, st, dtype):
+    """Per-berg uniform in [0,1) derived by folding the berg id into the
+    step key: independent of slot position and device layout
+    (parallel_reprod for the stochastic footloose placement)."""
+    def one(cnt, ij):
+        return jax.random.uniform(
+            jax.random.fold_in(jax.random.fold_in(key, cnt), ij), (),
+            jnp.float32)
+    return jax.vmap(one)(st.id_cnt, st.id_ij).astype(dtype)
+
+
 def _spawn_children(st, grid: Grid, cfg: IcebergsConfig, key, want, k, l_b,
                     current_year, current_yearday, *, berg_from_bits):
     """Create child bergs in free slots (calve_fl_icebergs)."""
     dtype = st.dtype
     capacity = st.capacity
+    # halo replicas never spawn: the owner device spawns the child
+    # (duplicate suppression, like the reference's PE-ownership check)
+    want = want & (st.halo_berg < 0.5)
     granted, slots = allocate_slots(st.alive, want)
     pidx = jnp.arange(capacity)
 
-    # random displacement along one of the parent's sides
-    rn = jax.random.uniform(key, (capacity,), dtype)
+    # random displacement along one of the parent's sides, id-derived
+    rn = _id_uniform(key, st, dtype)
     if not cfg.displace_fl_bergs:
         disp_x = jnp.zeros_like(rn)
         disp_y = jnp.zeros_like(rn)
@@ -243,7 +257,7 @@ def _spawn_children(st, grid: Grid, cfg: IcebergsConfig, key, want, k, l_b,
         mass_scaling=c_scal, mass_of_bits=c_bits,
         mass_of_fl_bits=zero, mass_of_fl_bergy_bits=zero,
         fl_k=zero - 1.0, halo_berg=zero,
-        start_day=jnp.full_like(lon_c, current_yearday),
+        start_day=jnp.zeros_like(lon_c) + current_yearday,
         start_mass=st.start_mass,
         uvel=st.uvel, vvel=st.vvel, axn=st.axn, ayn=st.ayn,
         bxn=st.bxn, byn=st.byn, uvel_prev=st.uvel_prev,
@@ -255,11 +269,16 @@ def _spawn_children(st, grid: Grid, cfg: IcebergsConfig, key, want, k, l_b,
         axn_fast=st.axn_fast, ayn_fast=st.ayn_fast,
         bxn_fast=st.bxn_fast, byn_fast=st.byn_fast,
         ang_vel=zero, ang_accel=zero, rot=zero, n_bonds=zero,
+        fl_spawn_count=zero,
     )
+    # unique, layout-invariant child ids: the parent's id offset by its
+    # running child count (the reference regenerates ids via generate_id;
+    # the offset scheme keeps the parent traceable from the child id)
+    child_no = 1. + st.fl_spawn_count
     int_updates = dict(
         ine=ci, jne=cj,
-        start_year=jnp.full_like(ci, current_year).astype(jnp.int32),
-        id_cnt=st.id_cnt + 100000,     # derived id; proper ids via calving
+        start_year=(jnp.zeros_like(ci) + current_year).astype(jnp.int32),
+        id_cnt=st.id_cnt + (100000. * child_no).astype(jnp.int32),
         id_ij=st.id_ij,
         conglom_id=st.conglom_id,
     )
@@ -272,6 +291,9 @@ def _spawn_children(st, grid: Grid, cfg: IcebergsConfig, key, want, k, l_b,
     reborn = jnp.zeros((capacity,), bool).at[tgt].set(True, mode='drop')
     kw["bond_idx"] = jnp.where(reborn[:, None], -1, st.bond_idx)
     kw["bond_broken"] = jnp.where(reborn[:, None], 0, st.bond_broken)
+    # bump the parents' child counters (after child rows were placed)
+    kw["fl_spawn_count"] = kw["fl_spawn_count"] + jnp.where(
+        granted_to_parent(granted, want) & ~reborn, 1., 0.)
     st = st.replace(alive=st.alive | reborn, **kw)
     nspawned = jnp.sum(granted.astype(jnp.int32))
     overflow = jnp.sum((want & ~granted).astype(jnp.int32))

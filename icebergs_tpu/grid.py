@@ -55,6 +55,19 @@ class Grid:
     dlon: jnp.ndarray = None     # corner spacing in x (deg or m)
     dlat: jnp.ndarray = None     # corner spacing in y (deg or m)
 
+    # tile metadata: position of this (possibly halo-extended) tile
+    # inside the global grid, for globally-unique spawn ids
+    # (generate_id uses the GLOBAL cell, framework:4165-4243) and for
+    # excluding non-owned halo cells from spawning/accumulation.
+    # i_off/j_off are traced scalars (they differ per stacked tile);
+    # None means 0 (a stand-alone global grid).
+    i_off: jnp.ndarray = None    # global i of local cell 0
+    j_off: jnp.ndarray = None
+    nxg: int = static_field(default=0)     # global extent; 0 -> nx
+    nyg: int = static_field(default=0)
+    own_halo_x: int = static_field(default=0)  # non-owned ring width
+    own_halo_y: int = static_field(default=0)
+
     @property
     def shape_centers(self):
         return (self.nx + 2, self.ny + 2)
@@ -189,8 +202,24 @@ def pos_to_cell(grid: Grid, lon, lat, Lx: float):
     fy = (lat - grid.lat0) / grid.dlat
     i = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, grid.nx - 1)
     j = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, grid.ny - 1)
-    xi = fx - i.astype(fx.dtype)
-    yj = fy - j.astype(fy.dtype)
+    # refine against the shared corner arrays, then measure xi/yj from the
+    # cell's own corner: tile grids slice the global corners bitwise, so
+    # both the cell assignment and the intra-cell coordinate are
+    # independent of the decomposition (parallel_reprod) — the regular-
+    # grid counterpart of corner-based pos_within_cell/calc_xiyj
+    # (icebergs_framework.F90:6366-6430, 5994-6070).  The origin formula
+    # alone rounds differently per tile (lon0 differs), which shifts xi by
+    # an ulp and floor() by a whole cell near corners.
+    lonc_i = grid.lonc[:, 0]
+    latc_j = grid.latc[0, :]
+    i = jnp.where(cx < lonc_i[i], i - 1, i)
+    i = jnp.where(cx >= lonc_i[jnp.minimum(i + 1, grid.nx)], i + 1, i)
+    i = jnp.clip(i, 0, grid.nx - 1)
+    j = jnp.where(lat < latc_j[j], j - 1, j)
+    j = jnp.where(lat >= latc_j[jnp.minimum(j + 1, grid.ny)], j + 1, j)
+    j = jnp.clip(j, 0, grid.ny - 1)
+    xi = (cx - lonc_i[i]) / grid.dlon
+    yj = (lat - latc_j[j]) / grid.dlat
     return i, j, xi, yj
 
 

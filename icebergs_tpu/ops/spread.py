@@ -177,6 +177,119 @@ def spread_weights(st, grid, cfg: IcebergsConfig, *, Tn=None, Area=None):
     return w, I_frac
 
 
+def _lex_cell_id_order(st, key):
+    """Layout-invariant (cell, id) lexicographic permutation."""
+    o1 = jnp.argsort(st.id_ij, stable=True)
+    o2 = jnp.argsort(st.id_cnt[o1], stable=True)
+    o12 = o1[o2]
+    o3 = jnp.argsort(key[o12], stable=True)
+    return o12[o3]
+
+
+def _cell_slot_sums(key_s, rank, contrib, ncells, K):
+    """Per-cell sums of sorted, ranked rows with a fixed reduction tree.
+
+    Rows with rank < K land in unique (cell, rank) slots and are reduced
+    with a static width-K tree; rank >= K overflow rows (cells denser
+    than K bergs) are scatter-added afterwards — still deterministic per
+    program, and bitwise layout-invariant whenever density <= K.
+    """
+    F = contrib.shape[-1]
+    main = rank < K
+    idx = jnp.where(main & (key_s < ncells), key_s * K + rank, ncells * K)
+    buf = jnp.zeros((ncells * K, F), contrib.dtype).at[idx].add(
+        contrib, mode='drop')
+    # explicit pairwise-add tree, NOT jnp.sum: XLA's reduce lowering (and
+    # hence fp association) varies with the surrounding shape, breaking
+    # bitwise layout invariance; explicit adds are never reassociated
+    x = buf.reshape(ncells, K, F)
+    k = K
+    while k > 1:
+        if k % 2:
+            x = jnp.concatenate(
+                [x, jnp.zeros((ncells, 1, F), x.dtype)], axis=1)
+            k += 1
+        x = x[:, 0::2] + x[:, 1::2]
+        k //= 2
+    S = x[:, 0]
+    idx_o = jnp.where((~main) & (key_s < ncells), key_s, ncells)
+    return S.at[idx_o].add(contrib, mode='drop')
+
+
+def scatter9_slots(grid, st, w, I_frac, value_list, alive, K: int = 16):
+    """Layout-invariant 9-point scatter: the reference's 9-slot
+    ``mass_on_ocean(i,j,1:9)`` buffers (calculate_mass_on_ocean,
+    icebergs.F90:4970-5013).
+
+    Bergs are ordered (cell, id) — the reference's id-ordered per-cell
+    lists — so each target cell's slot k is a fixed-tree sum over one
+    source cell's bergs in id order: bitwise independent of the device
+    layout (parallel_reprod, icebergs_framework.F90:33).
+
+    Returns ``out9`` of shape (nx+2, ny+2, 9, F).  ``sum_slots`` folds it
+    to fields; the sharded layer halo-folds the slot planes first.
+    """
+    nx, ny = grid.nx, grid.ny
+    ncells = nx * ny
+    N = st.capacity
+    F = len(value_list)
+    key = jnp.where(alive, st.jne * nx + st.ine, ncells)
+    order = _lex_cell_id_order(st, key)
+    key_s = key[order]
+    starts = jnp.searchsorted(
+        key_s, jnp.arange(ncells + 1, dtype=key_s.dtype)).astype(jnp.int32)
+    rank = jnp.arange(N, dtype=jnp.int32) - starts[jnp.minimum(key_s,
+                                                               ncells)]
+    vals = jnp.stack(value_list, axis=-1)[order]          # (N, F)
+    wT = w.T[order]                                       # (N, 9)
+    scale = jnp.where(alive, I_frac, 0.)[order][:, None]
+
+    out9 = jnp.zeros((nx + 2, ny + 2, 9, F), vals.dtype)
+    k = 0
+    for dj in (-1, 0, 1):
+        for di in (-1, 0, 1):
+            contrib = vals * (wT[:, k:k + 1] * scale)
+            S = _cell_slot_sums(key_s, rank, contrib, ncells, K)
+            Sg = S.reshape(ny, nx, F).transpose(1, 0, 2)  # (nx, ny, F)
+            out9 = out9.at[1 + di:nx + 1 + di,
+                           1 + dj:ny + 1 + dj, k].add(Sg)
+            k += 1
+    return out9
+
+
+def sum_slots(out9):
+    """Fixed-order sum over the 9 slots (sum_up_spread_fields,
+    icebergs.F90:6077-6152): returns a list of F (nx+2, ny+2) fields."""
+    F = out9.shape[-1]
+    acc = out9[:, :, 0, :]
+    for k in range(1, 9):
+        acc = acc + out9[:, :, k, :]
+    return [acc[..., f] for f in range(F)]
+
+
+def scatter_cell_deterministic(grid, st, value_list, alive, K: int = 16):
+    """Layout-invariant owning-cell scatter (no spreading): fixed-tree
+    per-cell sums in (cell, id) order.  The deterministic counterpart of
+    ``.at[I, J].add`` for the per-cell diagnostics/melt fields."""
+    nx, ny = grid.nx, grid.ny
+    ncells = nx * ny
+    N = st.capacity
+    key = jnp.where(alive, st.jne * nx + st.ine, ncells)
+    order = _lex_cell_id_order(st, key)
+    key_s = key[order]
+    starts = jnp.searchsorted(
+        key_s, jnp.arange(ncells + 1, dtype=key_s.dtype)).astype(jnp.int32)
+    rank = jnp.arange(N, dtype=jnp.int32) - starts[jnp.minimum(key_s,
+                                                               ncells)]
+    vals = jnp.stack(value_list, axis=-1)[order]
+    S = _cell_slot_sums(key_s, rank, vals, ncells, K)
+    F = len(value_list)
+    Sg = S.reshape(ny, nx, F).transpose(1, 0, 2)
+    out = jnp.zeros((nx + 2, ny + 2, F), vals.dtype)
+    out = out.at[1:-1, 1:-1, :].set(Sg)
+    return [out[..., f] for f in range(F)]
+
+
 def _scatter9_packed(grid, st, w, I_frac, value_list, alive):
     """Scatter-add the 9-point footprints of F fields in ONE scatter.
 
@@ -251,16 +364,28 @@ def berg_spread_mass(st, grid, frc, cfg: IcebergsConfig, *, Mberg=None,
 
 def calculate_mass_on_ocean(st, grid, frc, cfg: IcebergsConfig):
     """Scatter mass/area/momentum onto the grid
-    (calculate_mass_on_ocean, icebergs.F90:4970-5013)."""
+    (calculate_mass_on_ocean, icebergs.F90:4970-5013).
+
+    With ``cfg.parallel_reprod`` (default, the reference's reproducing
+    mode) the scatter goes through the 9-slot fixed-order machinery so
+    the fields are bitwise independent of the device layout; halo
+    replicas spread too, which reproduces the owner's interior
+    contributions without a gridded fold."""
     alive = st.alive
     w, I_frac = spread_weights(st, grid, cfg)
     Mass = berg_spread_mass(st, grid, frc, cfg)
     Area = st.length * st.width
-    mass_on_ocean, area_on_ocean, U_on_ocean, V_on_ocean = _scatter9_packed(
-        grid, st, w, I_frac,
-        [Mass, Area * st.mass_scaling,
-         st.uvel * Area * st.mass_scaling,
-         st.vvel * Area * st.mass_scaling], alive)
+    value_list = [Mass, Area * st.mass_scaling,
+                  st.uvel * Area * st.mass_scaling,
+                  st.vvel * Area * st.mass_scaling]
+    if cfg.parallel_reprod:
+        out9 = scatter9_slots(grid, st, w, I_frac, value_list, alive,
+                              K=cfg.reprod_max_per_cell)
+        mass_on_ocean, area_on_ocean, U_on_ocean, V_on_ocean = \
+            sum_slots(out9)
+    else:
+        mass_on_ocean, area_on_ocean, U_on_ocean, V_on_ocean = \
+            _scatter9_packed(grid, st, w, I_frac, value_list, alive)
     return mass_on_ocean, area_on_ocean, U_on_ocean, V_on_ocean
 
 
@@ -324,11 +449,17 @@ def create_gridded_icebergs_fields(st, grid, frc, cfg: IcebergsConfig):
             (st.mass_of_bits + st.mass_of_fl_bergy_bits) * w_cell,
             st.mass_of_fl_bits * w_cell,
             st.mass_of_fl_bergy_bits * w_cell]
-    vals = jnp.stack([jnp.where(alive, c, 0.) for c in cols], axis=-1)
-    packed = jnp.zeros(spread_mass.shape + (len(cols),),
-                       spread_mass.dtype).at[I, J].add(vals)
-    (mass_cell, mom_u, mom_v, virtual_area, bergy_mass, fl_bits_mass,
-     fl_bergy_bits_mass) = [packed[..., k] for k in range(len(cols))]
+    cols = [jnp.where(alive, c, 0.) for c in cols]
+    if cfg.parallel_reprod:
+        (mass_cell, mom_u, mom_v, virtual_area, bergy_mass, fl_bits_mass,
+         fl_bergy_bits_mass) = scatter_cell_deterministic(
+            grid, st, cols, alive, K=cfg.reprod_max_per_cell)
+    else:
+        vals = jnp.stack(cols, axis=-1)
+        packed = jnp.zeros(spread_mass.shape + (len(cols),),
+                           spread_mass.dtype).at[I, J].add(vals)
+        (mass_cell, mom_u, mom_v, virtual_area, bergy_mass, fl_bits_mass,
+         fl_bergy_bits_mass) = [packed[..., k] for k in range(len(cols))]
 
     # mass-weighted mean berg velocity over the OWNING cell
     # (icebergs.F90:3451-3465: u_iceberg/mass with per-cell mass)

@@ -528,12 +528,23 @@ def thermodynamics(st, grid, frc, cfg: IcebergsConfig,
             jnp.where(fl_gate, dMb_fl, jnp.where(parent, 0., dMb)) * w,
             jnp.where(fl_gate, dMe_fl, jnp.where(parent, 0., dMe)) * w,
             jnp.where(fl_gate, dMv_fl, jnp.where(parent, 0., dMv)) * w]
-    vals = jnp.stack([jnp.where(alive, v, 0.) for v in cols], axis=-1)
-    packed = jnp.zeros(shape + (len(cols),), dtype).at[I, J].add(vals)
-    (floating_melt, calving_hflx, berg_melt, bergy_src, bergy_melt,
-     fl_bits_melt, melt_buoy, melt_eros, melt_conv, fl_parent_melt,
-     fl_child_melt, melt_buoy_fl, melt_eros_fl, melt_conv_fl) = [
-        packed[..., k] for k in range(len(cols))]
+    cols = [jnp.where(alive, v, 0.) for v in cols]
+    if cfg.parallel_reprod:
+        # fixed-tree per-cell sums in (cell, id) order: melt fields hash
+        # identically on any device layout (parallel_reprod)
+        from .spread import scatter_cell_deterministic
+        (floating_melt, calving_hflx, berg_melt, bergy_src, bergy_melt,
+         fl_bits_melt, melt_buoy, melt_eros, melt_conv, fl_parent_melt,
+         fl_child_melt, melt_buoy_fl, melt_eros_fl, melt_conv_fl) = \
+            scatter_cell_deterministic(grid, st, cols, alive,
+                                       K=cfg.reprod_max_per_cell)
+    else:
+        vals = jnp.stack(cols, axis=-1)
+        packed = jnp.zeros(shape + (len(cols),), dtype).at[I, J].add(vals)
+        (floating_melt, calving_hflx, berg_melt, bergy_src, bergy_melt,
+         fl_bits_melt, melt_buoy, melt_eros, melt_conv, fl_parent_melt,
+         fl_child_melt, melt_buoy_fl, melt_eros_fl, melt_conv_fl) = [
+            packed[..., k] for k in range(len(cols))]
 
     # rolling for unbonded bergs (icebergs.F90:3140)
     if cfg.allow_bergs_to_roll:

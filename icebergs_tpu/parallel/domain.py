@@ -59,6 +59,67 @@ def _stack(pytrees):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *pytrees)
 
 
+def _slice_tile_grid(gg: Grid, sx: int, sy: int, nxt: int, nyt: int, *,
+                     periodic: bool, folded_north: bool = False,
+                     own_hx: int = 0, own_hy: int = 0,
+                     dtype=jnp.float32) -> Grid:
+    """Tile grid covering global cells [sx, sx+nxt) x [sy, sy+nyt).
+
+    Interior values are bitwise SLICES of the global arrays (tile grids
+    recomputed from a shifted origin round differently at the ulp level,
+    breaking parallel_reprod).  Halo cells beyond the global domain are
+    land except folded-north msk/depth images; corner coordinates extend
+    linearly (virtual coordinates, as the fold/periodic particle
+    transforms expect).  Records i_off/j_off/nxg/nyg for globally-unique
+    spawn ids and own_halo_* so spawning skips non-owned cells.
+    """
+    nx, ny = gg.nx, gg.ny
+    gx = np.asarray(gg.lonc)[:, 0].astype(np.float64)
+    gy = np.asarray(gg.latc)[0, :].astype(np.float64)
+    dlon = float(np.asarray(gg.dlon))
+    dlat = float(np.asarray(gg.dlat))
+    ix = np.arange(sx, sx + nxt + 1)
+    iy = np.arange(sy, sy + nyt + 1)
+    cx = np.clip(ix, 0, nx)
+    cy = np.clip(iy, 0, ny)
+    xc = gx[cx] + (ix - cx) * dlon
+    yc = gy[cy] + (iy - cy) * dlat
+    lonc, latc = np.meshgrid(xc, yc, indexing="ij")
+
+    pcx = np.arange(sx, sx + nxt + 2)        # global padded-center indices
+    pcy = np.arange(sy, sy + nyt + 2)
+    if periodic:
+        gcx = np.where((pcx >= 1) & (pcx <= nx), pcx, (pcx - 1) % nx + 1)
+    else:
+        gcx = np.clip(pcx, 0, nx + 1)
+    gcy = np.clip(pcy, 0, ny + 1)
+
+    def centers(a, fold: bool):
+        a = np.asarray(a)
+        out = a[np.ix_(gcx, gcy)].copy()
+        if folded_north and fold:
+            # padded center p images (nx+1-p, 2ny+1-p') like shard_forcing
+            for k in np.nonzero(pcy >= ny + 1)[0]:
+                pyf = 2 * ny + 1 - pcy[k]
+                if 1 <= pyf <= ny:
+                    out[:, k] = a[np.clip(nx + 1 - gcx, 0, nx + 1), pyf]
+        return jnp.asarray(out, dtype)
+
+    return Grid(
+        nx=nxt, ny=nyt,
+        lonc=jnp.asarray(lonc, dtype), latc=jnp.asarray(latc, dtype),
+        cosc=jnp.ones((nxt + 1, nyt + 1), dtype),
+        sinc=jnp.zeros((nxt + 1, nyt + 1), dtype),
+        msk=centers(gg.msk, True), area=centers(gg.area, True),
+        dx=centers(gg.dx, True), dy=centers(gg.dy, True),
+        ocean_depth=centers(gg.ocean_depth, True),
+        lat_center=centers(gg.lat_center, False),
+        lon0=jnp.asarray(xc[0], dtype), lat0=jnp.asarray(yc[0], dtype),
+        dlon=gg.dlon, dlat=gg.dlat,
+        i_off=jnp.asarray(sx, jnp.int32), j_off=jnp.asarray(sy, jnp.int32),
+        nxg=nx, nyg=ny, own_halo_x=own_hx, own_halo_y=own_hy)
+
+
 def make_sharded_world(cfg: IcebergsConfig, mesh: Mesh, *, nx, ny, lon0,
                        lat0, dlon, dlat, msk=None, ocean_depth=None,
                        dtype=jnp.float32) -> ShardedWorld:
@@ -74,27 +135,15 @@ def make_sharded_world(cfg: IcebergsConfig, mesh: Mesh, *, nx, ny, lon0,
         ocean_depth = np.zeros((nx, ny))
     periodic = cfg.grid_is_latlon and cfg.Lx > 0.
 
-    def slice_x(a, s, e):
-        idx = np.arange(s, e)
-        if periodic:
-            return np.take(a, idx % nx, axis=0)
-        idx = np.clip(idx, 0, nx - 1)
-        out = np.take(a, idx, axis=0)
-        # outside the global domain -> land
-        bad = (np.arange(s, e) < 0) | (np.arange(s, e) >= nx)
-        out[bad] = 0.0
-        return out
-
+    gg = make_uniform_grid(nx, ny, lon0, lat0, dlon, dlat,
+                           grid_is_latlon=cfg.grid_is_latlon,
+                           Rearth=cfg.Rearth, msk=msk,
+                           ocean_depth=ocean_depth, dtype=dtype)
     grids = []
     for d in range(ndev):
-        s = d * nxl - H
-        e = (d + 1) * nxl + H
-        g = make_uniform_grid(
-            nxl + 2 * H, ny, lon0 + s * dlon, lat0, dlon, dlat,
-            grid_is_latlon=cfg.grid_is_latlon, Rearth=cfg.Rearth,
-            msk=slice_x(msk, s, e), ocean_depth=slice_x(ocean_depth, s, e),
-            dtype=dtype)
-        grids.append(g)
+        grids.append(_slice_tile_grid(
+            gg, d * nxl - H, 0, nxl + 2 * H, ny, periodic=periodic,
+            own_hx=H, own_hy=0, dtype=dtype))
     grids = _stack(grids)
     grids = jax.device_put(grids, jax.NamedSharding(mesh, P(AXIS)))
     return ShardedWorld(mesh=mesh, grids=grids, cfg=cfg, nxl=nxl, halo=H)
@@ -552,40 +601,18 @@ def make_sharded_world_2d(cfg: IcebergsConfig, mesh: Mesh, *, nx, ny,
         ocean_depth = np.zeros((nx, ny))
     periodic = cfg.grid_is_latlon and cfg.Lx > 0.
 
-    def slice_xy(a, sx, ex, sy, ey):
-        ix = np.arange(sx, ex)
-        iy = np.arange(sy, ey)
-        ix_c = ix % nx if periodic else np.clip(ix, 0, nx - 1)
-        iy_c = np.clip(iy, 0, ny - 1)
-        out = a[np.ix_(ix_c, iy_c)].astype(float).copy()
-        badx = (ix < 0) | (ix >= nx)
-        bady = (iy < 0) | (iy >= ny)
-        if folded_north:
-            # north halo rows hold the fold image (nx-1-i, 2ny-1-iy)
-            for k in np.nonzero(iy >= ny)[0]:
-                iyf = 2 * ny - 1 - iy[k]
-                if 0 <= iyf < ny:
-                    out[:, k] = a[(nx - 1 - ix_c), iyf]
-            bady = iy < 0
-        if not periodic:
-            out[badx, :] = 0.0
-        out[:, bady] = 0.0
-        return out
-
+    gg = make_uniform_grid(nx, ny, lon0, lat0, dlon, dlat,
+                           grid_is_latlon=cfg.grid_is_latlon,
+                           Rearth=cfg.Rearth, msk=msk,
+                           ocean_depth=ocean_depth, dtype=dtype)
     rows = []
     for dx in range(ndx):
         col = []
         for dy in range(ndy):
-            sx, ex = dx * nxl - H, (dx + 1) * nxl + H
-            sy, ey = dy * nyl - H, (dy + 1) * nyl + H
-            g = make_uniform_grid(
-                nxl + 2 * H, nyl + 2 * H, lon0 + sx * dlon,
-                lat0 + sy * dlat, dlon, dlat,
-                grid_is_latlon=cfg.grid_is_latlon, Rearth=cfg.Rearth,
-                msk=slice_xy(msk, sx, ex, sy, ey),
-                ocean_depth=slice_xy(ocean_depth, sx, ex, sy, ey),
-                dtype=dtype)
-            col.append(g)
+            col.append(_slice_tile_grid(
+                gg, dx * nxl - H, dy * nyl - H, nxl + 2 * H, nyl + 2 * H,
+                periodic=periodic, folded_north=folded_north,
+                own_hx=H, own_hy=H, dtype=dtype))
         rows.append(_stack(col))
     grids = _stack(rows)
     grids = jax.device_put(grids, jax.NamedSharding(mesh, P(AXIS, AXIS_Y)))
@@ -759,6 +786,120 @@ def shard_forcing_2d(world: ShardedWorld2D, frc_global: Forcing) -> Forcing:
     stacked = _stack(rows)
     return jax.device_put(stacked, jax.NamedSharding(world.mesh,
                                                      P(AXIS, AXIS_Y)))
+
+
+def shard_calving_field(world: ShardedWorld, field) -> jnp.ndarray:
+    """Slice a global (nx+2, ny+2) calving/hflx field into per-tile slabs
+    with the NON-OWNED halo ring zeroed, so each global cell's bucket
+    accumulates on exactly one device (the reference accumulates only on
+    the compute domain, icebergs.F90:5389-5402)."""
+    ndev = world.mesh.devices.size
+    nxl, H = world.nxl, world.halo
+    a = np.asarray(field)
+    tiles = []
+    for d in range(ndev):
+        idx = np.clip(np.arange(d * nxl - H, (d + 1) * nxl + 2 + H), 0,
+                      nxl * ndev + 1)
+        t = a[idx].copy()
+        t[:1 + H] = 0.0
+        t[1 + H + nxl:] = 0.0
+        tiles.append(jnp.asarray(t))
+    return jax.device_put(jnp.stack(tiles),
+                          jax.NamedSharding(world.mesh, P(AXIS)))
+
+
+def init_sharded_model_state(world: ShardedWorld, st_s, *, seed: int = 0,
+                             year: int = 0, yearday: float = 0.):
+    """Stacked per-tile ModelState (calving buckets on tile grids, the
+    SAME PRNG key on every tile — per-berg randomness is id-derived, so
+    identical keys keep stochastic spawning layout-invariant)."""
+    from ..api import ModelState
+    from ..calving import init_calving_state
+    ndev = world.mesh.devices.size
+    g0 = jax.tree.map(lambda x: x[0], world.grids)
+    calv0 = init_calving_state(g0, dtype=st_s.lon.dtype)
+
+    def rep(x):
+        return jnp.broadcast_to(x[None], (ndev,) + x.shape)
+
+    ms = ModelState(
+        bergs=st_s,
+        calving=jax.tree.map(rep, calv0),
+        key=rep(jax.random.PRNGKey(seed)),
+        current_year=rep(jnp.asarray(year, jnp.int32)),
+        current_yearday=rep(jnp.asarray(yearday, jnp.float32)),
+        spread_mass_old=rep(jnp.zeros((g0.nx + 2, g0.ny + 2),
+                                      st_s.lon.dtype)))
+    sh = jax.NamedSharding(world.mesh, P(AXIS))
+    return jax.tree.map(lambda x: jax.device_put(x, sh), ms)
+
+
+def make_sharded_run(world: ShardedWorld, *, neighbor_mode: str = "buckets",
+                     max_per_cell: int = 16, exchange_width: int = 64):
+    """Jitted multi-device FULL coupling step: the entire icebergs_run
+    sequence (calving spawn + footloose + thermo + spread,
+    icebergs.F90:5389-5679) per tile, then particle exchange.
+
+    Spawning inside the sharded step relies on tile grids carrying
+    i_off/nxg (global ids) and own_halo_x (no spawning in the halo ring);
+    footloose placement randomness is id-derived so any layout spawns the
+    same children.  Returns ``run(mstate, frc, calving, calving_hflx) ->
+    (mstate, outputs, nbergs, overflow)`` with outputs' gridded fields
+    stacked per tile and scalar budgets psum'd.
+    """
+    cfg = world.cfg
+    nxl, H = world.nxl, world.halo
+    mesh = world.mesh
+
+    def local_fn(grids, mstate, frc, calving, calving_hflx):
+        grid = jax.tree.map(lambda x: x[0], grids)
+        mstate = jax.tree.map(lambda x: x[0], mstate)
+        frc = jax.tree.map(lambda x: x[0], frc)
+        calving = calving[0]
+        calving_hflx = calving_hflx[0]
+
+        from ..api import run_coupling_sequence
+        from ..ops.forces import neighbor_radius
+        state2, outputs = run_coupling_sequence(
+            cfg, grid, mstate, frc, calving, calving_hflx,
+            nbr_radius=neighbor_radius(grid, cfg),
+            max_per_cell=max_per_cell, neighbor_mode=neighbor_mode)
+
+        st, overflow = exchange_particles(state2.bergs, grid, cfg, nxl, H,
+                                          exchange_width)
+        state2 = state2.replace(bergs=st)
+
+        owned = st.alive & (st.halo_berg < 0.5)
+        nbergs = jax.lax.psum(jnp.sum(owned.astype(jnp.int32)), AXIS)
+        budgets = jax.tree.map(lambda x: jax.lax.psum(x, AXIS),
+                               outputs.budgets)
+        outputs = outputs._replace(
+            budgets=budgets,
+            nbergs=nbergs)
+        out_stacked = jax.tree.map(
+            lambda x: x[None] if getattr(x, "ndim", 0) >= 2 else x, outputs)
+        return (jax.tree.map(lambda x: x[None], state2), out_stacked,
+                nbergs, overflow[None])
+
+    @functools.partial(jax.jit)
+    def run(mstate, frc, calving, calving_hflx):
+        from ..api import RunOutputs
+        gridded = P(AXIS)
+        rep = P()
+        fn = jax.shard_map(
+            local_fn, mesh=mesh,
+            in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+            out_specs=(P(AXIS), RunOutputs(
+                calving=gridded, calving_hflx=gridded,
+                floating_melt=gridded, berg_melt=gridded,
+                spread_mass=gridded, spread_area=gridded,
+                spread_uvel=gridded, spread_vvel=gridded,
+                ustar_iceberg=gridded, mass_on_ocean=gridded,
+                nbergs=rep, budgets=rep), rep, P(AXIS)),
+        )
+        return fn(world.grids, mstate, frc, calving, calving_hflx)
+
+    return run
 
 
 def make_halo_fill(world: ShardedWorld, exchange_width: int = 64):

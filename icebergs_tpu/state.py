@@ -40,8 +40,9 @@ FLOAT_FIELDS = (
     # cached interpolated environment (icebergs_framework.F90:330-340)
     "uo", "vo", "ui", "vi", "ua", "va",
     "ssh_x", "ssh_y", "sst", "sss", "cn", "hi", "od",
-    # footloose (fl_k counter; fl masses)
-    "fl_k", "mass_of_fl_bits", "mass_of_fl_bergy_bits",
+    # footloose (fl_k counter; fl masses; per-parent child counter for
+    # unique child ids)
+    "fl_k", "mass_of_fl_bits", "mass_of_fl_bergy_bits", "fl_spawn_count",
     # MTS fast accelerations (axn_fast.., icebergs_framework.F90:345-350)
     "axn_fast", "ayn_fast", "bxn_fast", "byn_fast",
     # DEM angular state (ang_vel/ang_accel/rot, icebergs_framework.F90:352-356)
@@ -128,6 +129,7 @@ class BergState:
     fl_k: jnp.ndarray = None
     mass_of_fl_bits: jnp.ndarray = None
     mass_of_fl_bergy_bits: jnp.ndarray = None
+    fl_spawn_count: jnp.ndarray = None
     axn_fast: jnp.ndarray = None
     ayn_fast: jnp.ndarray = None
     bxn_fast: jnp.ndarray = None
