@@ -37,16 +37,95 @@ def _frac_coords(grid: Grid, cfg: IcebergsConfig, lon, lat):
     return fx, fy
 
 
+def _cell_to_pos_curvilinear(grid: Grid, cfg: IcebergsConfig, i, j, xi, yj):
+    """Bilinear quad map (xi, yj) -> position from the cell corners (the
+    inverse of calc_xiyj; yj2x/xi2y in pos_within_cell,
+    icebergs_framework.F90:6350-6364)."""
+    from .geometry import cell_corners
+    from .grid import apply_modulo_around_point
+    Lx = cfg.Lx if cfg.grid_is_latlon else -1.
+    x1, x2, x3, x4, y1, y2, y3, y4 = cell_corners(grid, i, j)
+    x2 = apply_modulo_around_point(x2, x1, Lx)
+    x3 = apply_modulo_around_point(x3, x1, Lx)
+    x4 = apply_modulo_around_point(x4, x1, Lx)
+    w1 = (1. - xi) * (1. - yj)
+    w2 = xi * (1. - yj)
+    w3 = xi * yj
+    w4 = (1. - xi) * yj
+    return (w1 * x1 + w2 * x2 + w3 * x3 + w4 * x4,
+            w1 * y1 + w2 * y2 + w3 * y3 + w4 * y4)
+
+
+def adjust_index_and_ground_curvilinear(grid: Grid, cfg: IcebergsConfig,
+                                        lon, lat, i, j):
+    """Curvilinear-grid re-localization: the general quad-cell walk of
+    ``adjust_index_and_ground`` (icebergs.F90:7819-8100) driven by
+    ``pos_within_cell``'s calc_xiyj coordinates instead of global
+    fractional coordinates.  Active when ``cfg.grid_is_regular`` is False
+    (grid_is_regular, icebergs_framework.F90:749)."""
+    from .geometry import pos_within_cell_curvilinear
+    Lx = cfg.Lx if cfg.grid_is_latlon else -1.
+    msk = grid.msk
+    bounced = jnp.zeros(lon.shape, bool)
+
+    for _ in range(4):  # icount<4 walk (icebergs.F90:7941)
+        xi, yj, in_cell = pos_within_cell_curvilinear(grid, lon, lat, i, j,
+                                                      Lx)
+        move_w = xi < 0.
+        move_e = xi >= 1.
+        ti = jnp.clip(i - move_w.astype(jnp.int32)
+                      + move_e.astype(jnp.int32), 0, grid.nx - 1)
+        ocean_x = msk[ti + 1, j + 1] > 0.
+        stepped_x = (~in_cell) & (move_w | move_e)
+        b_x = stepped_x & ((~ocean_x) | (ti == i))
+        i = jnp.where(stepped_x & ocean_x, ti, i)
+
+        move_s = yj < 0.
+        move_n = yj >= 1.
+        tj = jnp.clip(j - move_s.astype(jnp.int32)
+                      + move_n.astype(jnp.int32), 0, grid.ny - 1)
+        ocean_y = msk[i + 1, tj + 1] > 0.
+        stepped_y = (~in_cell) & (move_s | move_n)
+        b_y = stepped_y & ((~ocean_y) | (tj == j))
+        j = jnp.where(stepped_y & ocean_y, tj, j)
+
+        newly_bounced = b_x | b_y
+        bounced = bounced | newly_bounced
+
+        xi2, yj2, _ = pos_within_cell_curvilinear(grid, lon, lat, i, j, Lx)
+        xi_c = jnp.clip(xi2, POSN_EPS, 1. - POSN_EPS)
+        yj_c = jnp.clip(yj2, POSN_EPS, 1. - POSN_EPS)
+        blon, blat = _cell_to_pos_curvilinear(grid, cfg, i, j, xi_c, yj_c)
+        lon = jnp.where(newly_bounced, blon, lon)
+        lat = jnp.where(newly_bounced, blat, lat)
+
+    # final safety clamp (icebergs.F90:8058-8066)
+    xi, yj, _ = pos_within_cell_curvilinear(grid, lon, lat, i, j, Lx)
+    bad = (xi < 0.) | (xi >= 1.) | (yj <= 0.) | (yj > 1.)
+    xi_c = jnp.clip(xi, POSN_EPS, 1. - POSN_EPS)
+    yj_c = jnp.clip(yj, POSN_EPS, 1. - POSN_EPS)
+    clon, clat = _cell_to_pos_curvilinear(grid, cfg, i, j, xi_c, yj_c)
+    lon = jnp.where(bad, clon, lon)
+    lat = jnp.where(bad, clat, lat)
+    xi = jnp.where(bad, xi_c, xi)
+    yj = jnp.where(bad, yj_c, yj)
+    return lon, lat, i, j, xi, yj, bounced
+
+
 def adjust_index_and_ground(grid: Grid, cfg: IcebergsConfig, lon, lat, i, j):
     """Re-localize bergs after motion, bouncing off land cells.
 
     Port of ``adjust_index_and_ground`` (icebergs.F90:7819-8100), regular
     grid path: walk at most 4 cells from the old cell toward the new
     position; where the walk would enter a land cell, clamp the position
-    just inside the current cell (posn_eps pushback).
+    just inside the current cell (posn_eps pushback).  On
+    ``grid_is_regular=False`` dispatches to the curvilinear quad walk.
 
     Returns (lon, lat, i, j, xi, yj, bounced).
     """
+    if not cfg.grid_is_regular:
+        return adjust_index_and_ground_curvilinear(grid, cfg, lon, lat,
+                                                   i, j)
     msk = grid.msk
     dtype = lon.dtype
     bounced = jnp.zeros(lon.shape, bool)

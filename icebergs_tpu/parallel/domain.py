@@ -445,7 +445,8 @@ def _exchange_axis(st: BergState, axis: str, idx_field: str, nl: int,
 def exchange_particles(st: BergState, grid: Grid, cfg: IcebergsConfig,
                        nxl: int, H: int, width: int, *,
                        nyl: int | None = None, y_axis: str | None = None,
-                       fold_north: tuple | None = None):
+                       fold_north: tuple | None = None,
+                       conglom_id_cap: int = 64):
     """Ownership migration + halo replication via ppermute.
 
     The SoA analog of ``send_bergs_to_other_pes`` + ``update_halo_icebergs``.
@@ -485,8 +486,9 @@ def exchange_particles(st: BergState, grid: Grid, cfg: IcebergsConfig,
         overflow = overflow + ov_f
 
     if cfg.iceberg_bonds_on:
-        st, ov_b = replicate_bonded_bergs(st, width, nxl, H,
-                                          nyl=nyl, y_axis=y_axis)
+        st, ov_b = replicate_bonded_bergs(
+            st, width, nxl, H, nyl=nyl, y_axis=y_axis, grid=grid,
+            conglom_id_cap=conglom_id_cap, fold_north=fold_north)
         overflow = overflow + ov_b
         st = _forces.connect_bonds_by_id(st)
         st = _forces.count_bonds(st)
@@ -505,32 +507,78 @@ def exchange_particles(st: BergState, grid: Grid, cfg: IcebergsConfig,
     return st, overflow
 
 
+def _wanted_conglom_ids(st, cap: int):
+    """Fixed-width list of distinct conglomerate ids with a member on
+    this device (owned or strip-halo copy).  0 = unlabeled; returns
+    (ids[cap] with 0 padding, n_dropped)."""
+    present = st.alive & (st.conglom_id > 0) & jnp.any(
+        (st.bond_id_cnt != 0) | (st.bond_id_ij != 0), axis=1)
+    ids = jnp.where(present, st.conglom_id, 0)
+    s = jnp.sort(ids)                       # zeros first
+    first = (s > 0) & (s != jnp.concatenate([jnp.zeros((1,), s.dtype),
+                                             s[:-1]]))
+    rank = jnp.cumsum(first.astype(jnp.int32)) - 1
+    out = jnp.zeros((cap,), s.dtype).at[
+        jnp.where(first & (rank < cap), rank, cap)].set(s, mode='drop')
+    dropped = jnp.sum((first & (rank >= cap)).astype(jnp.int32))
+    return out, dropped
+
+
 def replicate_bonded_bergs(st: BergState, width: int, nxl: int, H: int, *,
                            nyl: int | None = None,
-                           y_axis: str | None = None):
-    """Replicate every owned bonded berg to every device (halo copies).
+                           y_axis: str | None = None,
+                           grid: Grid | None = None,
+                           conglom_id_cap: int = 64,
+                           fold_north: tuple | None = None):
+    """Replicate conglomerate members to the devices that overlap them.
 
     TPU-native realization of ``transfer_mts_bergs``' invariant — "each PE
-    holds a complete copy of any conglomerate it overlaps" — simplified to
-    full replication (conglomerates are small relative to device memory;
-    the reference's direction-bitmask bookkeeping becomes one all_gather).
-    Copies land with halo_berg=1 so they are dropped next exchange.
+    holds a complete copy of any conglomerate it overlaps"
+    (icebergs_framework.F90:2136-2313).  Each device publishes the id set
+    of conglomerates with a member on its extended tile (owned bergs plus
+    strip-halo copies, i.e. members within H cells of the boundary); only
+    members of conglomerates wanted by ANOTHER device enter the
+    all-gather, and each receiver keeps only rows of conglomerates it
+    wants — devices far from any shared conglomerate contribute and
+    retain nothing, unlike the round-1 full replication.  Unlabeled
+    members (conglom_id == 0) fall back to full replication.  Copies land
+    with halo_berg=1 so they are dropped next exchange.
+
+    ``fold_north=(lon_sum, lat_sum)`` adds the tripolar fold image
+    (icebergs_framework.F90:2908-2961): a received member whose fold
+    image lies closer to this tile is mirrored (positions reflected,
+    velocities rotated 180 degrees) so cross-fold bonds measure correct
+    distances in the local virtual frame.
     """
     owned = st.alive & (st.halo_berg < 0.5)
     # bondedness from the id stamps: partner slots may not be connected yet
     has_stamp = jnp.any((st.bond_id_cnt != 0) | (st.bond_id_ij != 0), axis=1)
     bonded = owned & has_stamp
+
+    # wanted sets BEFORE deleting strip copies (they witness overlap)
+    my_wanted, ov_ids = _wanted_conglom_ids(st, conglom_id_cap)
+
     # don't duplicate bergs already replicated by the strip-halo phase:
     # mark strip halo copies of bonded bergs dead first
     halo_bonded = st.alive & (st.halo_berg >= 0.5) & has_stamp
     st = st.replace(alive=st.alive & ~halo_bonded)
 
-    buf, valid, ov1 = _pack_to(st, bonded, width)
-
     axes = [AXIS] + ([y_axis] if y_axis is not None else [])
+    all_wanted = my_wanted
+    for ax in axes:
+        all_wanted = jax.lax.all_gather(all_wanted, ax, axis=0,
+                                        tiled=False)
+    all_wanted = all_wanted.reshape(-1)          # (ndev*cap,)
+
+    # ship owned members that some OTHER device wants (or unlabeled)
+    wanted_by_other = all_wanted                 # own ids harmless: the
+    # receive filter drops rows from src == me anyway
+    ship = bonded & ((st.conglom_id <= 0) | jnp.any(
+        st.conglom_id[:, None] == wanted_by_other[None, :], axis=1))
+    buf, valid, ov1 = _pack_to(st, ship, width)
+
     bufs = buf
     valids = valid
-    my = None
     for ax in axes:
         bufs = jax.tree.map(
             lambda x: jax.lax.all_gather(x, ax, axis=0, tiled=False), bufs)
@@ -552,7 +600,40 @@ def replicate_bonded_bergs(st: BergState, width: int, nxl: int, H: int, *,
     src = jnp.arange(valids.shape[0]) // width
     valids = valids & (src != my_lin)
 
-    overflow = ov1
+    # receive filter: rows of conglomerates I want (or unlabeled)
+    keep = (bufs.conglom_id <= 0) | jnp.any(
+        bufs.conglom_id[:, None] == my_wanted[None, :], axis=1)
+    valids = valids & keep
+
+    if fold_north is not None and grid is not None:
+        # pick the representation (native or fold image) nearer my tile
+        # center in BOTH coordinates (a cross-fold partner's latitude is
+        # near the fold on either representation; longitude discriminates)
+        lon_sum, lat_sum = fold_north
+        cx = grid.lon0 + 0.5 * grid.dlon * grid.nx
+        cy = grid.lat0 + 0.5 * grid.dlat * grid.ny
+        lon_f = lon_sum - bufs.lon
+        lat_f = lat_sum - bufs.lat
+        d2_n = (bufs.lon - cx) ** 2 + (bufs.lat - cy) ** 2
+        d2_f = (lon_f - cx) ** 2 + (lat_f - cy) ** 2
+        use_f = d2_f < d2_n
+        bufs = bufs.replace(
+            lon=jnp.where(use_f, lon_sum - bufs.lon, bufs.lon),
+            lat=jnp.where(use_f, lat_f, bufs.lat),
+            lon_old=jnp.where(use_f, lon_sum - bufs.lon_old, bufs.lon_old),
+            lat_old=jnp.where(use_f, lat_sum - bufs.lat_old, bufs.lat_old),
+            uvel=jnp.where(use_f, -bufs.uvel, bufs.uvel),
+            vvel=jnp.where(use_f, -bufs.vvel, bufs.vvel),
+            uvel_old=jnp.where(use_f, -bufs.uvel_old, bufs.uvel_old),
+            vvel_old=jnp.where(use_f, -bufs.vvel_old, bufs.vvel_old),
+            uvel_prev=jnp.where(use_f, -bufs.uvel_prev, bufs.uvel_prev),
+            vvel_prev=jnp.where(use_f, -bufs.vvel_prev, bufs.vvel_prev),
+            axn=jnp.where(use_f, -bufs.axn, bufs.axn),
+            ayn=jnp.where(use_f, -bufs.ayn, bufs.ayn),
+            bxn=jnp.where(use_f, -bufs.bxn, bufs.bxn),
+            byn=jnp.where(use_f, -bufs.byn, bufs.byn))
+
+    overflow = ov1 + ov_ids
     st, ov2 = _unpack_from(st, bufs, valids, halo_flag=1.0)
     return st, overflow + ov2
 

@@ -1,0 +1,124 @@
+"""Curvilinear grids in the stepping path (grid_is_regular=False,
+icebergs_framework.F90:749): the quad-cell walk
+(adjust_index_and_ground_curvilinear) + calc_xiyj localization replace
+the regular-grid fast path.
+
+Main check: rotation equivariance.  Stepping on a 30-degree-rotated
+Cartesian grid with rotated forcing must yield the rotated trajectory of
+the regular-grid run — every kernel downstream of localization (interp,
+accel, walk) is coordinate-frame covariant.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import icebergs_tpu as ibt
+from icebergs_tpu.grid import make_curvilinear_grid, pos_to_cell
+from icebergs_tpu.geometry import is_point_in_cell, find_cell_local
+import icebergs_tpu.model as model
+
+N, DXY = 20, 1000.0
+TH = math.radians(30.0)
+
+
+def rot(x, y, th=TH):
+    c, s = math.cos(th), math.sin(th)
+    return c * x - s * y, c * y + s * x
+
+
+def make_worlds(uo=(0.5, 0.2), ua=(4.0, -2.0)):
+    cfg = ibt.IcebergsConfig(grid_is_latlon=False, Lx=-1.0, use_f_plane=True,
+                             lat_ref=40.0, dt=600.0, Runge_not_Verlet=True)
+    cfg_c = cfg.replace(grid_is_regular=False) if hasattr(cfg, "replace") \
+        else None
+    import dataclasses
+    cfg_c = dataclasses.replace(cfg, grid_is_regular=False)
+
+    grid_r = ibt.make_uniform_grid(N, N, 0., 0., DXY, DXY,
+                                   grid_is_latlon=False)
+    xc = np.arange(N + 1) * DXY
+    X, Y = np.meshgrid(xc, xc, indexing="ij")
+    Xr, Yr = rot(X, Y)
+    grid_c = make_curvilinear_grid(Xr, Yr)
+
+    frc_r = ibt.uniform_forcing(N, N, uo=uo[0], vo=uo[1], ua=ua[0],
+                                va=ua[1], sst=2.0, sss=33.)
+    uor, vor = rot(uo[0], uo[1])
+    uar, var = rot(ua[0], ua[1])
+    frc_c = ibt.uniform_forcing(N, N, uo=uor, vo=vor, ua=uar, va=var,
+                                sst=2.0, sss=33.)
+    return cfg, cfg_c, grid_r, grid_c, frc_r, frc_c
+
+
+def bergs_at(grid, cfg, x, y, curvilinear=False):
+    st = ibt.create_bergs(16, lon=[x], lat=[y], mass=8.5e8, thickness=40.,
+                          width=100., length=250., mass_scaling=1.0)
+    if curvilinear:
+        i, j, found = find_cell_local(
+            grid, st.lon, st.lat,
+            jnp.full_like(st.ine, N // 2), jnp.full_like(st.jne, N // 2),
+            -1.0, radius=N // 2)
+        from icebergs_tpu.geometry import pos_within_cell_curvilinear
+        xi, yj, _ = pos_within_cell_curvilinear(grid, st.lon, st.lat,
+                                                i, j, -1.0)
+        return st.replace(ine=i, jne=j, xi=xi, yj=yj)
+    i, j, xi, yj = pos_to_cell(grid, st.lon, st.lat, -1.0)
+    return st.replace(ine=i, jne=j, xi=xi, yj=yj)
+
+
+def test_rotation_equivariant_trajectory():
+    cfg, cfg_c, grid_r, grid_c, frc_r, frc_c = make_worlds()
+    x0 = y0 = 10.2 * DXY
+    st_r = bergs_at(grid_r, cfg, x0, y0)
+    xr0, yr0 = rot(x0, y0)
+    st_c = bergs_at(grid_c, cfg_c, xr0, yr0, curvilinear=True)
+
+    step_r = model.make_step(grid_r, cfg, with_thermo=True)
+    step_c = model.make_step(grid_c, cfg_c, with_thermo=True)
+    for _ in range(40):
+        st_r, _ = step_r(st_r, frc_r)
+        st_c, _ = step_c(st_c, frc_c)
+        # the curvilinear run keeps its cell assignment consistent
+        ok = np.asarray(is_point_in_cell(grid_c, st_c.lon, st_c.lat,
+                                         st_c.ine, st_c.jne, -1.0))
+        assert ok[np.asarray(st_c.alive)].all()
+
+    xe, ye = rot(float(st_r.lon[0]), float(st_r.lat[0]))
+    np.testing.assert_allclose(float(st_c.lon[0]), xe, atol=2.0)  # meters
+    np.testing.assert_allclose(float(st_c.lat[0]), ye, atol=2.0)
+    # velocities rotate too
+    ue, ve = rot(float(st_r.uvel[0]), float(st_r.vvel[0]))
+    np.testing.assert_allclose(float(st_c.uvel[0]), ue, atol=1e-3)
+    np.testing.assert_allclose(float(st_c.vvel[0]), ve, atol=1e-3)
+
+
+def test_curvilinear_walk_bounces_at_land():
+    """A berg driven at a masked cell on a rotated grid bounces instead of
+    entering it (the posn_eps pushback of adjust_index_and_ground)."""
+    import dataclasses
+    cfg = ibt.IcebergsConfig(grid_is_latlon=False, Lx=-1.0, use_f_plane=True,
+                             lat_ref=40.0, dt=600.0, Runge_not_Verlet=True)
+    cfg_c = dataclasses.replace(cfg, grid_is_regular=False)
+    xc = np.arange(N + 1) * DXY
+    X, Y = np.meshgrid(xc, xc, indexing="ij")
+    Xr, Yr = rot(X, Y)
+    msk = np.ones((N, N))
+    msk[12:, :] = 0.0          # land wall east of column 12
+    grid_c = make_curvilinear_grid(Xr, Yr, msk=msk)
+    uor, vor = rot(1.0, 0.0)
+    frc_c = ibt.uniform_forcing(N, N, uo=uor, vo=vor, sst=2.0, sss=33.)
+
+    xr0, yr0 = rot(11.5 * DXY, 10.5 * DXY)
+    st = bergs_at(grid_c, cfg_c, xr0, yr0, curvilinear=True)
+    step = model.make_step(grid_c, cfg_c, with_thermo=False)
+    for _ in range(60):    # 1 m/s * 600 s * 60 = 36 km >> 0.5 cells
+        st, diags = step(st, frc_c)
+    # berg never entered land
+    i = int(st.ine[0])
+    assert i <= 11, i
+    ok = np.asarray(is_point_in_cell(grid_c, st.lon, st.lat, st.ine,
+                                     st.jne, -1.0))
+    assert ok[np.asarray(st.alive)].all()

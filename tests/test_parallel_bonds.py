@@ -168,3 +168,140 @@ def test_bonded_pair_across_2d_tile_corner():
         assert abs(got[k][0] - ref[k][0]) < 1.0, (k, got[k], ref[k])
         assert abs(got[k][1] - ref[k][1]) < 1.0, (k, got[k], ref[k])
         assert abs(got[k][2] - ref[k][2]) < 1e-4, (k, got[k], ref[k])
+
+
+def test_conglomerate_lands_only_on_overlapped_devices():
+    """Overlap-aware replication (transfer_mts_bergs,
+    icebergs_framework.F90:2136-2313): a conglomerate straddling the
+    tile-0/1 boundary must NOT be replicated onto tiles 2 and 3."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    cfg = cfg_bonded()
+    NX4 = 32
+    grid = ibt.make_uniform_grid(NX4, NY, 0., 0., DXY, DXY,
+                                 grid_is_latlon=False)
+    st = ibt.create_bergs(64, lon=[7800., 8200.], lat=[4500., 4500.],
+                          mass=850. * 100 * 200 * 200, thickness=100.,
+                          width=200., length=200., mass_scaling=1.,
+                          id_cnt=[1, 2], id_ij=[10, 11], max_bonds=4)
+    i, j, xi, yj = pos_to_cell(grid, st.lon, st.lat, -1.0)
+    st = st.replace(ine=i, jne=j, xi=xi, yj=yj)
+    st = forces.initialize_bonds_host(
+        st, cfg.replace(length_for_manually_initialize_bonds=500.))
+    st = forces.compute_conglom_ids_host(st)
+    assert int(np.asarray(st.conglom_id)[0]) > 0
+
+    mesh = Mesh(np.array(jax.devices()[:4]), (dd.AXIS,))
+    world = dd.make_sharded_world(cfg, mesh, nx=NX4, ny=NY, lon0=0.,
+                                  lat0=0., dlon=DXY, dlat=DXY)
+    st_s = dd.shard_state(world, st, local_capacity=16)
+    st_s = jax.jit(jax.shard_map(
+        lambda g, s: jax.tree.map(
+            lambda x: x[None],
+            dd.relocalize(jax.tree.map(lambda x: x[0], s),
+                          jax.tree.map(lambda x: x[0], g), cfg)),
+        mesh=mesh, in_specs=(P(dd.AXIS), P(dd.AXIS)),
+        out_specs=P(dd.AXIS)))(world.grids, st_s)
+    st_s, _ = dd.make_halo_fill(world)(st_s)
+
+    alive = np.asarray(jax.device_get(st_s.alive))
+    halo = np.asarray(jax.device_get(st_s.halo_berg))
+    # devices 0 and 1 both hold the full pair (owned + replicas)
+    for d in (0, 1):
+        assert (alive[d].sum()) == 2, f"device {d} misses the pair"
+    # devices 2 and 3 hold NOTHING (round 1 all-gather put copies there)
+    for d in (2, 3):
+        assert alive[d].sum() == 0, \
+            f"device {d} received non-overlapping conglomerate copies"
+
+
+def test_bond_spanning_tripolar_fold():
+    """A bonded pair straddling the fold line: the replica of the
+    cross-fold partner must arrive fold-imaged (positions reflected
+    through (lon_sum - lon, lat_sum - lat), velocities rotated 180
+    degrees) so the bond measures its physical length
+    (icebergs_framework.F90:2908-2961)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    cfg = cfg_bonded()
+    NXF, NYF = 16, 8
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2),
+                (dd.AXIS, dd.AXIS_Y))
+    world = dd.make_sharded_world_2d(cfg, mesh, nx=NXF, ny=NYF, lon0=0.,
+                                     lat0=0., dlon=DXY, dlat=DXY,
+                                     folded_north=True)
+    lon_sum, lat_sum = world.fold_lon_sum, world.fold_lat_sum
+    # A at (2.5 cells, just below the top edge); B is its physical
+    # neighbor across the fold: lon_B = lon_sum - lon_A - 100
+    lat_top = NYF * DXY
+    lon_a = 2.5 * DXY
+    lon_b = lon_sum - lon_a - 100.0
+    st = ibt.create_bergs(64, lon=[lon_a, lon_b],
+                          lat=[lat_top - 80., lat_top - 120.],
+                          mass=850. * 100 * 200 * 200, thickness=100.,
+                          width=200., length=200., mass_scaling=1.,
+                          id_cnt=[1, 2], id_ij=[10, 11], max_bonds=4)
+    gg = ibt.make_uniform_grid(NXF, NYF, 0., 0., DXY, DXY,
+                               grid_is_latlon=False)
+    i, j, xi, yj = pos_to_cell(gg, st.lon, st.lat, -1.0)
+    st = st.replace(ine=i, jne=j, xi=xi, yj=yj)
+    # bond A-B by id stamps (physical bond across the fold; too far apart
+    # in virtual coordinates for distance-based init)
+    bic = np.asarray(st.bond_id_cnt).copy()
+    bij = np.asarray(st.bond_id_ij).copy()
+    bic[0, 0], bij[0, 0] = 2, 11
+    bic[1, 0], bij[1, 0] = 1, 10
+    st = st.replace(bond_id_cnt=jnp.asarray(bic),
+                    bond_id_ij=jnp.asarray(bij))
+    bidx = np.full((64, st.max_bonds), -1, np.int32)
+    bidx[0, 0] = 1
+    bidx[1, 0] = 0
+    st = forces.compute_conglom_ids_host(
+        st.replace(bond_idx=jnp.asarray(bidx)))
+
+    st_s = dd.shard_state_2d(world, st, local_capacity=16)
+    from jax.sharding import PartitionSpec as P2
+    st_s = jax.jit(jax.shard_map(
+        lambda g, s: jax.tree.map(
+            lambda x: x[None, None],
+            dd.relocalize(jax.tree.map(lambda x: x[0, 0], s),
+                          jax.tree.map(lambda x: x[0, 0], g), cfg)),
+        mesh=mesh, in_specs=(P2(dd.AXIS, dd.AXIS_Y),
+                             P2(dd.AXIS, dd.AXIS_Y)),
+        out_specs=P2(dd.AXIS, dd.AXIS_Y)))(world.grids, st_s)
+
+    nxl, nyl, H = world.nxl, world.nyl, world.halo
+
+    def fill(grids, s):
+        grid = jax.tree.map(lambda x: x[0, 0], grids)
+        s = jax.tree.map(lambda x: x[0, 0], s)
+        fold = (world.fold_lon_sum, world.fold_lat_sum)
+        s, ov = dd.exchange_particles(s, grid, cfg, nxl, H, 16, nyl=nyl,
+                                      y_axis=dd.AXIS_Y, fold_north=fold)
+        return jax.tree.map(lambda x: x[None, None], s), ov[None, None]
+
+    st_s, _ = jax.jit(jax.shard_map(
+        fill, mesh=mesh,
+        in_specs=(P2(dd.AXIS, dd.AXIS_Y), P2(dd.AXIS, dd.AXIS_Y)),
+        out_specs=(P2(dd.AXIS, dd.AXIS_Y), P2(dd.AXIS, dd.AXIS_Y))))(
+        world.grids, st_s)
+
+    alive = np.asarray(jax.device_get(st_s.alive))
+    halo = np.asarray(jax.device_get(st_s.halo_berg))
+    lon = np.asarray(jax.device_get(st_s.lon))
+    lat = np.asarray(jax.device_get(st_s.lat))
+    idc = np.asarray(jax.device_get(st_s.id_cnt))
+    # owner tile of A is (0, 1) (top-left).  Find B's replica there.
+    d = (0, 1)
+    rep = alive[d] & (halo[d] >= 0.5) & (idc[d] == 2)
+    assert rep.any(), "no replica of the cross-fold partner on A's tile"
+    k = int(np.nonzero(rep)[0][0])
+    # fold image of B: (lon_sum - lon_b, lat_sum - lat_b)
+    np.testing.assert_allclose(lon[d][k], lon_sum - lon_b, atol=1.0)
+    np.testing.assert_allclose(lat[d][k], lat_sum - (lat_top - 120.),
+                               atol=1.0)
+    # distance A <-> replica is the physical bond length (~109 m), far
+    # below the untransformed separation (~10 km)
+    ka = int(np.nonzero(alive[d] & (halo[d] < 0.5) & (idc[d] == 1))[0][0])
+    dist = np.hypot(lon[d][k] - lon[d][ka], lat[d][k] - lat[d][ka])
+    assert dist < 300.0, dist

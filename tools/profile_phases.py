@@ -96,18 +96,62 @@ def main():
         return s.replace(uvel=s.uvel + 1e-12 * ia.IA_x,
                          vvel=s.vvel + 1e-12 * ia.IA_y)
 
+    import dataclasses as _dc
+    cfg_noreprod = _dc.replace(cfg, parallel_reprod=False)
+
+    def f_sort_plain(s):
+        ss, starts = sort_state_by_cell(s, grid, id_tiebreak=False)
+        return ss
+
+    def f_prepass(s):
+        from icebergs_tpu.ops.pallas_prepass import contact_prepass_sorted
+        ss, starts = sort_state_by_cell(s, grid)
+        cnt, pmin, pmax, bad = contact_prepass_sorted(ss, starts, grid, cfg,
+                                                      block_n=256,
+                                                      window=512)
+        return ss.replace(uvel=ss.uvel + 1e-12 * cnt.astype(ss.dtype))
+
+    def f_ia_fused(s):
+        from icebergs_tpu.ops.fused_contact import make_ia_fn_fused
+        ss, starts = sort_state_by_cell(s, grid)
+        ia_fn, stats = make_ia_fn_fused(ss, starts, grid, cfg,
+                                        block_n=256, window=512,
+                                        contact_cap=131072,
+                                        fallback_cap=16384)
+        ia = ia_fn(ss.uvel, ss.vvel)
+        return ss.replace(uvel=ss.uvel + 1e-12 * ia.IA_x,
+                          vvel=ss.vvel + 1e-12 * ia.IA_y)
+
+    def f_spread_noreprod(s):
+        sp = _spread.create_gridded_icebergs_fields(s, grid, frc,
+                                                    cfg_noreprod)
+        return s.replace(lon=s.lon + 1e-12 * sp.spread_mass[0, 0])
+
+    def f_thermo_noreprod(s):
+        s2, d = _thermo.thermodynamics(s, grid, frc, cfg_noreprod)
+        return s2
+
     st_i = jax.block_until_ready(jax.jit(
         lambda s: model.interp_to_bergs(s, grid, frc, cfg))(st))
 
+    import sys
+    only = sys.argv[1:] if len(sys.argv) > 1 else None
     for name, fn, arg in (
-            ("sort_by_cell", f_sort, st),
+            ("sort_plain", f_sort_plain, st),
+            ("sort_by_cell_id", f_sort, st),
+            ("sort+prepass", f_prepass, st),
+            ("ia_fused_total", f_ia_fused, st_i),
             ("interp", f_interp, st),
             ("evolve_noia", f_evolve, st_i),
             ("index_walk", f_walk, st_i),
-            ("thermo", f_thermo, st_i),
-            ("spread", f_spread, st_i),
+            ("thermo_reprod", f_thermo, st_i),
+            ("thermo_plain", f_thermo_noreprod, st_i),
+            ("spread_reprod", f_spread, st_i),
+            ("spread_plain", f_spread_noreprod, st_i),
             ("ia_xla_quadrant", f_ia_quadrant, st_i),
     ):
+        if only and name not in only:
+            continue
         try:
             t = scan_timeit(fn, arg)
             print(f"{name}: {t*1e3:.1f} ms", flush=True)
