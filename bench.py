@@ -5,6 +5,16 @@ clocks are printed per run only.  The north star recorded in BASELINE.json
 is >100 steps/s at 1M bergs with DEM contacts on one chip -> we report
 steps/s at 1M bergs and vs_baseline = steps_per_sec / 100.
 
+The contact search is the EXACT sortless fused path (Pallas strip-search
+prepass + compact evaluation, ops/fused_contact.make_ia_fn_fused2): no
+MAX_PER_CELL truncation; the JSON carries the dropped-candidate and
+fallback counters so the fidelity of the measured physics is explicit
+(dropped_candidates must be 0 for an exact run).
+
+A second metric in the same JSON line is the MTS/DEM contact benchmark
+(20k bonded elements x 60 substeps, the iKID/A68 regime), reported as
+element-substeps/s.
+
 Run on whatever jax.devices()[0] is (TPU under the driver).
 """
 
@@ -14,32 +24,22 @@ import time
 import numpy as np
 
 
-def main():
-    import os
+def _sync(x):
     import jax
-    # persistent compile cache: the scanned 1M-berg program takes several
-    # minutes to compile on the tunneled dev TPU; cache it next to the repo
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    return np.asarray(jax.tree.leaves(x)[0]).ravel()[:1]
+
+
+def bench_1m_contacts():
+    import jax
     import jax.numpy as jnp
     import icebergs_tpu as ibt
     from icebergs_tpu.grid import pos_to_cell
     from icebergs_tpu.model import make_multi_step
 
     NBERGS = 1_000_000
-    CAP = NBERGS
     NX = NY = 512
     DXY = 2000.0
     INNER = 2          # keep the scanned program's compile time bounded
-    # ~3.8 bergs/cell mean at this density; K=6 drops candidates in the
-    # ~8% of cells holding >6 bergs (the reference's lists are unbounded;
-    # K=8 measured 1.53 s/step vs 0.89 here -- fidelity/cost knob)
-    MAX_PER_CELL = 6
 
     cfg = ibt.IcebergsConfig(
         grid_is_latlon=False, Lx=-1.0, use_f_plane=True, lat_ref=45.0,
@@ -55,41 +55,70 @@ def main():
     rng = np.random.RandomState(0)
     lon = rng.uniform(2 * DXY, (NX - 2) * DXY, NBERGS)
     lat = rng.uniform(2 * DXY, (NY - 2) * DXY, NBERGS)
-    st = ibt.create_bergs(CAP, lon=lon, lat=lat,
+    st = ibt.create_bergs(NBERGS, lon=lon, lat=lat,
                           mass=850. * 40. * 150. * 150., thickness=40.,
                           width=150., length=150., mass_scaling=1.0)
     i, j, xi, yj = pos_to_cell(grid, st.lon, st.lat, -1.0)
     st = st.replace(ine=i, jne=j, xi=xi, yj=yj)
 
-    # The quadrant window (2x2 candidate block nearest (xi, yj)) is an
-    # equal candidate superset here (cutoff ~170 m << half-cell 1000 m)
-    # at 4/9 the candidate bandwidth: 2.16 -> 1.13 s/step measured.
-    # Contact compaction on top (position-only prepass -> compact eval of
-    # the ~3% engaged subset) gives 1.13 -> 0.89 s/step.
-    from icebergs_tpu.ops.forces import can_use_quadrant_window
-    window = ("quadrant" if can_use_quadrant_window(st, grid, cfg)
-              else "full")
-    multi = make_multi_step(grid, cfg, INNER, with_thermo=True,
-                            max_per_cell=MAX_PER_CELL,
-                            neighbor_window=window,
-                            contact_cap=131072)
+    multi = make_multi_step(grid, cfg, INNER, with_stats=True,
+                            with_thermo=True, neighbor_mode="fused",
+                            fused_block_n=256, fused_window=512,
+                            contact_cap=131072, fused_fallback_cap=16384)
 
-    # warmup/compile
-    st = jax.block_until_ready(multi(st, frc))
-
+    out = multi(st, frc)           # warmup/compile
+    _sync(out)
     t0 = time.perf_counter()
     reps = 2
     for _ in range(reps):
-        st = jax.block_until_ready(multi(st, frc))
+        out = multi(out[0], frc)
+        _sync(out)
     dt_wall = (time.perf_counter() - t0) / (reps * INNER)
+    dropped = int(np.asarray(out[1]))
+    fallback = int(np.asarray(out[2]))
+    return 1.0 / dt_wall, NBERGS, dropped, fallback
 
-    steps_per_sec = 1.0 / dt_wall
-    berg_steps = steps_per_sec * NBERGS
+
+def bench_dem_mts():
+    """MTS+DEM bonded-contact benchmark (the iKID/A68 regime): hex-packed
+    conglomerates, 20k elements x 60 explicit DEM substeps per outer step
+    (tools/bench_mts.py)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tools"))
+    import bench_mts
+    return bench_mts.main(20000, 60)
+
+
+def main():
+    import os
+    import jax
+    # persistent compile cache: the scanned 1M-berg program takes several
+    # minutes to compile on the tunneled dev TPU; cache it next to the repo
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    steps_per_sec, nbergs, dropped, fallback = bench_1m_contacts()
+    try:
+        dem_esps = bench_dem_mts()
+    except Exception:
+        dem_esps = -1.0
+    berg_steps = steps_per_sec * nbergs
     print(json.dumps({
         "metric": "berg_steps_per_sec_1M_contacts",
         "value": round(berg_steps, 1),
         "unit": "berg-steps/s/chip",
         "vs_baseline": round(steps_per_sec / 100.0, 3),
+        "dropped_candidates": dropped,
+        "fallback_bergs": fallback,
+        "exact_contact_search": dropped == 0,
+        "dem_element_substeps_per_sec": round(dem_esps, 1),
     }))
 
 

@@ -121,8 +121,11 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
         # (icebergs_framework.F90:896-908) for jax.profiler traces
         # 0. (sorted layout) physically reorder the slab by cell so the
         # neighbor search reads contiguous strips
+        # ("fused" no longer reorders the state: the sortless closure
+        # gathers only the feature columns it needs — the full-state sort
+        # measured 1.5 s/step at 1M bergs)
         cell_starts = None
-        if interactive and neighbor_mode in ("sorted", "fused"):
+        if interactive and neighbor_mode == "sorted":
             with jax.named_scope("kid_binning"):
                 from .ops.sorted import sort_state_by_cell
                 st, cell_starts = sort_state_by_cell(st, grid)
@@ -146,13 +149,14 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
                 ia_fn = None
                 if interactive:
                     if neighbor_mode == "fused":
-                        from .ops.fused_contact import make_ia_fn_fused
-                        ia_fn, fstats = make_ia_fn_fused(
-                            st, cell_starts, grid, cfg,
-                            block_n=fused_block_n, window=fused_window,
-                            contact_cap=(contact_cap or 65536),
-                            fallback_cap=fused_fallback_cap,
-                            interpret=fused_interpret)
+                        from .ops.fused_contact import make_ia_fn_fused2
+                        with jax.named_scope("kid_binning"):
+                            ia_fn, fstats = make_ia_fn_fused2(
+                                st, grid, cfg,
+                                block_n=fused_block_n, window=fused_window,
+                                contact_cap=(contact_cap or 65536),
+                                fallback_cap=fused_fallback_cap,
+                                interpret=fused_interpret)
                     elif neighbor_mode == "sorted":
                         from .ops.sorted import strip_neighbor_tables
                         nbr = strip_neighbor_tables(

@@ -212,7 +212,7 @@ def precompute_pair_data(st, cfg: IcebergsConfig, other, mask, *,
     """
     if partner_st is None:
         partner_st = st
-    dtype = st.lon.dtype
+    dtype = st.lon_old.dtype
     packed = jnp.stack(
         [partner_st.lon_old, partner_st.lat_old, partner_st.uvel_old,
          partner_st.vvel_old, partner_st.fl_k, partner_st.thickness,

@@ -57,7 +57,8 @@ def _pack(st, grid, cfg):
 
 def contact_prepass_sorted(st_sorted, cell_starts, grid,
                            cfg: IcebergsConfig, *, block_n: int = 256,
-                           window: int = 512, interpret: bool = False):
+                           window: int = 512, interpret: bool = False,
+                           P=None, key=None):
     """Engaged-contact search on a cell-sorted state.
 
     Returns ``(cnt, pmin, pmax, bad_block)`` where for each slot i of the
@@ -66,16 +67,21 @@ def contact_prepass_sorted(st_sorted, cell_starts, grid,
     ``bad_block[i]`` is True when slot i's block could not be searched
     exactly (strip window overflow or block cell-span > nx-3) and must go
     through the XLA fallback.
+
+    ``P``/``key`` let the sortless fused path pass pre-gathered packed
+    features and cell keys directly instead of a physically sorted state
+    (``st_sorted`` is then only consulted for capacity/dtype).
     """
-    N = st_sorted.capacity
+    N = st_sorted.capacity if st_sorted is not None else P.shape[0]
     BN, W = block_n, window
     nblocks = -(-N // BN)            # ceil: last block zero-padded
     Npad = nblocks * BN
     nx, ny = grid.nx, grid.ny
     ncells = nx * ny
-    dtype = st_sorted.lon.dtype
 
-    P = _pack(st_sorted, grid, cfg)
+    if P is None:
+        P = _pack(st_sorted, grid, cfg)
+    dtype = P.dtype
     Ppad = jnp.concatenate(
         [P, jnp.zeros((Npad - N + W, _NFEAT), dtype)], axis=0)
     # rows matrix: lane-dim padded to 128 so per-block row DMAs are
@@ -83,8 +89,9 @@ def contact_prepass_sorted(st_sorted, cell_starts, grid,
     Prows = jnp.pad(Ppad, ((0, 0), (0, _FPAD - _NFEAT)))
     PT = Ppad.T                      # (8, Npad+W): window strips read here
 
-    key = jnp.where(st_sorted.alive,
-                    st_sorted.jne * nx + st_sorted.ine, ncells)
+    if key is None:
+        key = jnp.where(st_sorted.alive,
+                        st_sorted.jne * nx + st_sorted.ine, ncells)
     key = jnp.concatenate(
         [key, jnp.full((Npad - N,), ncells, key.dtype)])
     c0 = key[::BN]

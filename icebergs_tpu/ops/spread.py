@@ -244,15 +244,19 @@ def scatter9_slots(grid, st, w, I_frac, value_list, alive, K: int = 16):
     wT = w.T[order]                                       # (N, 9)
     scale = jnp.where(alive, I_frac, 0.)[order][:, None]
 
+    # ONE row scatter for all 9 offsets x F fields (nine separate
+    # scatter+reduce rounds measured +120 ms at 1M bergs on v5e)
+    contrib = (vals[:, None, :] * (wT * scale)[:, :, None]).reshape(N,
+                                                                    9 * F)
+    S = _cell_slot_sums(key_s, rank, contrib, ncells, K)   # (ncells, 9F)
+    Sg = S.reshape(ny, nx, 9, F).transpose(1, 0, 2, 3)     # (nx, ny, 9, F)
+
     out9 = jnp.zeros((nx + 2, ny + 2, 9, F), vals.dtype)
     k = 0
     for dj in (-1, 0, 1):
         for di in (-1, 0, 1):
-            contrib = vals * (wT[:, k:k + 1] * scale)
-            S = _cell_slot_sums(key_s, rank, contrib, ncells, K)
-            Sg = S.reshape(ny, nx, F).transpose(1, 0, 2)  # (nx, ny, F)
             out9 = out9.at[1 + di:nx + 1 + di,
-                           1 + dj:ny + 1 + dj, k].add(Sg)
+                           1 + dj:ny + 1 + dj, k].add(Sg[:, :, k])
             k += 1
     return out9
 

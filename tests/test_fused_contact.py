@@ -75,3 +75,50 @@ def test_fused_window_overflow_goes_to_fallback():
     stats = _check(cfg, grid, st, block_n=64, window=128,
                    fallback_cap=512, fallback_strip_width=140)
     assert int(stats.n_fallback) > 0
+
+
+def _check_v2(cfg, grid, st, **kw):
+    from icebergs_tpu.ops.fused_contact import make_ia_fn_fused2
+    nbr = forces.build_neighbor_tables(st, grid, cfg, max_per_cell=140)
+    ia_fn_ref = forces.make_ia_fn(st, nbr, cfg)
+    ia_ref = ia_fn_ref(st.uvel, st.vvel)
+
+    ia_fn, stats = make_ia_fn_fused2(st, grid, cfg, interpret=True, **kw)
+    ia = ia_fn(st.uvel, st.vvel)
+    assert int(stats.overflow) == 0
+    alive = np.asarray(st.alive)
+    for f in ("IA_x", "IA_y", "P11", "P12", "P22", "Pu_x", "Pu_y"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(ia, f))[alive],
+            np.asarray(getattr(ia_ref, f))[alive],
+            rtol=0, atol=1e-9, err_msg=f)
+    return stats
+
+
+def test_fused2_sortless_matches_xla_sparse():
+    """v2 (no state reorder): results come back in ORIGINAL slot order."""
+    cfg, grid, st = _world(400, seed=9)
+    _check_v2(cfg, grid, st, block_n=64, window=512)
+
+
+def test_fused2_sortless_clustered_fallback():
+    cfg, grid, st = _world(400, seed=3, cluster=True)
+    stats = _check_v2(cfg, grid, st, block_n=64, window=512,
+                      fallback_strip_width=140)
+    assert int(stats.n_fallback) > 0
+
+
+def test_fused2_step_runs_and_conserves():
+    """make_step(neighbor_mode='fused') end-to-end (interpret mode)."""
+    import jax.numpy as jnp
+    import icebergs_tpu.model as model
+    cfg, grid, st = _world(300, seed=7, cluster=True)
+    step = model.make_step(grid, cfg, with_thermo=False,
+                           neighbor_mode="fused", fused_block_n=64,
+                           fused_window=512, fused_interpret=True)
+    m0 = float(jnp.sum(jnp.where(st.alive, st.mass * st.mass_scaling, 0.)))
+    for _ in range(5):
+        st, d = step(st, None if False else ibt.uniform_forcing(
+            16, 16, uo=0.1, sst=2.0))
+    m1 = float(jnp.sum(jnp.where(st.alive, st.mass * st.mass_scaling, 0.)))
+    np.testing.assert_allclose(m1, m0, rtol=1e-6)

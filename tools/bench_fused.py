@@ -50,9 +50,12 @@ def main():
                                     contact_cap=131072,
                                     fused_fallback_cap=16384)
             try:
-                out = jax.block_until_ready(multi(st, frc))
+                import numpy as _np
+                out = multi(st, frc)
+                _ = _np.asarray(out[0].lon[:1])        # real sync
                 t0 = time.perf_counter()
-                out = jax.block_until_ready(multi(out[0], frc))
+                out = multi(out[0], frc)
+                _ = _np.asarray(out[0].lon[:1])
                 dt = (time.perf_counter() - t0) / INNER
                 print(f"fused bn={bn} W={W}: {dt*1e3:.1f} ms/step  "
                       f"overflow={int(out[1])} fallback={int(out[2])}",
@@ -65,9 +68,12 @@ def main():
         multi = make_multi_step(grid, cfg, INNER, with_thermo=True,
                                 max_per_cell=6, neighbor_window="quadrant",
                                 contact_cap=131072)
-        out = jax.block_until_ready(multi(st, frc))
+        import numpy as _np
+        out = multi(st, frc)
+        _ = _np.asarray(out.lon[:1])
         t0 = time.perf_counter()
-        out = jax.block_until_ready(multi(out, frc))
+        out = multi(out, frc)
+        _ = _np.asarray(out.lon[:1])
         dt = (time.perf_counter() - t0) / INNER
         print(f"quadrant K=6: {dt*1e3:.1f} ms/step", flush=True)
 

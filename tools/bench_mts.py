@@ -106,20 +106,22 @@ def main(n_target=20000, sub_steps=60):
                          contact_cap=max(4096, n // 4))
     s = st
     s, _ = step(s, frc)
-    jax.block_until_ready(s.lon)
+    _ = np.asarray(s.lon[:1])         # real sync (host read)
     t0 = time.perf_counter()
     reps = 3
     for _ in range(reps):
         s, _ = step(s, frc)
-        jax.block_until_ready(s.lon)
+        _ = np.asarray(s.lon[:1])
     dt_wall = (time.perf_counter() - t0) / reps
+    esps = n * sub_steps / dt_wall
     print(json.dumps({
         "metric": "dem_element_substeps_per_sec",
-        "value": round(n * sub_steps / dt_wall, 1),
+        "value": round(esps, 1),
         "unit": "element-substeps/s/chip",
         "s_per_outer_step": round(dt_wall, 4),
         "elements": n,
-    }))
+    }), file=sys.stderr)
+    return esps
 
 
 if __name__ == "__main__":
