@@ -152,6 +152,12 @@ def run(nml_path: str, input_dir: str = ".", output_dir: str = ".",
     else:
         from . import empty_state
         st = empty_state(capacity, max_bonds=cfg.max_bonds)
+    if cfg.static_icebergs:
+        # Static_icebergs master switch: hold every berg in place
+        # (icebergs_framework.F90:826; static_berg honored per-berg in
+        # the momentum update)
+        import jax.numpy as _jnp
+        st = st.replace(static_berg=_jnp.ones_like(st.static_berg))
     bond_restart = os.path.join(input_dir, "bonds_iceberg.res.nc")
     if cfg.iceberg_bonds_on and os.path.exists(bond_restart):
         st = rio.read_restart_bonds(bond_restart, st, cfg)

@@ -311,3 +311,78 @@ def read_ocean_depth(path: str, grid: Grid) -> Grid:
                          f"grid ({grid.nx}, {grid.ny})")
     od = np.pad(depth, 1)
     return grid.replace(ocean_depth=jnp.asarray(od, np.float32))
+
+
+# --------------------------------------------------------------------------
+# distributed (io_layout) restarts: one file per device tile
+# --------------------------------------------------------------------------
+
+def write_restart_bergs_tiled(basepath: str, st_s, cfg: IcebergsConfig):
+    """Per-tile restart files ``<basepath>.NNNN`` from a sharded state.
+
+    The analog of the reference's io_layout-decomposed restart writes
+    (fms2_io domain-decomposed files; icebergs_fms2io.F90:124-633 with a
+    non-trivial io_layout).  Each device writes only its OWNED bergs, so
+    the union of files is the global state with no duplicates.  Leaves
+    of ``st_s`` are stacked (ndev, capacity, ...) host-fetchable arrays.
+    """
+    import dataclasses
+    import jax
+    cap = st_s.lon.shape[-1]
+    host = {}
+    for f in dataclasses.fields(st_s):
+        v = np.asarray(jax.device_get(getattr(st_s, f.name)))
+        # flatten leading device dims; keep (cap,) or (cap, B) trailing
+        trail = 2 if (v.ndim >= 2 and v.shape[-2] == cap) else 1
+        host[f.name] = v.reshape((-1,) + v.shape[v.ndim - trail:])
+    ndev_flat = host["lon"].shape[0]
+    paths = []
+    for d in range(ndev_flat):
+        stl = BergState(**{k: jnp.asarray(v[d]) for k, v in host.items()})
+        p = f"{basepath}.{d:04d}"
+        write_restart_bergs(p, stl, cfg)
+        paths.append(p)
+    return paths
+
+
+def read_restart_bergs_tiled(basepath: str, capacity: int, grid: Grid,
+                             cfg: IcebergsConfig,
+                             dtype=jnp.float32) -> BergState:
+    """Assemble a global BergState from ``<basepath>.NNNN`` tile files
+    (the reference reassembles distributed restarts through fms2_io's
+    domain reads)."""
+    import glob
+    files = sorted(glob.glob(basepath + ".[0-9][0-9][0-9][0-9]"))
+    if not files:
+        raise FileNotFoundError(f"no tiled restarts at {basepath}.NNNN")
+    datas = []
+    for p in files:
+        with netcdf_file(p, "r", mmap=False) as f:
+            datas.append({name: np.asarray(f.variables[name][:])
+                          for name in f.variables})
+    merged = {k: np.concatenate([d[k] for d in datas])
+              for k in datas[0]}
+    n = len(merged["lon"])
+    if n > capacity:
+        raise ValueError(f"tiled restarts hold {n} bergs > capacity")
+    st = empty_state(capacity, max_bonds=cfg.max_bonds, dtype=dtype)
+    kw = {}
+    known = {name: field for name, field, _ in
+             BERG_VARS + FL_VARS + MTS_VARS + DEM_VARS}
+    for name, arr in merged.items():
+        field = known.get(name)
+        if field is None:
+            continue
+        tgt = np.asarray(getattr(st, field)).copy()
+        if field in ("ine", "jne"):
+            tgt[:n] = arr - 1
+        else:
+            tgt[:n] = arr
+        kw[field] = jnp.asarray(tgt)
+    kw["alive"] = jnp.asarray(np.arange(capacity) < n)
+    st = st.replace(**kw)
+    st = st.replace(lon_old=st.lon, lat_old=st.lat,
+                    uvel_old=st.uvel, vvel_old=st.vvel)
+    Lx = cfg.Lx if cfg.grid_is_latlon else -1.
+    i, j, xi, yj = pos_to_cell(grid, st.lon, st.lat, Lx)
+    return st.replace(ine=i, jne=j, xi=xi, yj=yj)

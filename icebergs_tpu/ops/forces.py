@@ -601,12 +601,11 @@ def initialize_bonds_host(st, cfg: IcebergsConfig, capacity_bonds=None):
 def compute_conglom_ids_host(st):
     """Label bonded conglomerates (host-side union-find).
 
-    The SoA analog of ``set_conglom_ids`` (icebergs_framework.F90:2737) —
-    every berg in a connected bond component gets the same positive label;
-    unbonded bergs get 0 -- wait, the reference labels unbonded bergs with
-    unique negative... we use 0 for unbonded and 1..K for components, and
-    treat "same conglomerate" as (label equal AND label > 0) upstream by
-    giving unbonded bergs unique labels.
+    The SoA analog of ``set_conglom_ids`` (icebergs_framework.F90:2737):
+    every berg in a connected bond component gets the same positive
+    label, and unbonded bergs get unique singleton labels so two
+    unbonded bergs never compare as the same conglomerate (the reference
+    uses unique ids for them as well).
     """
     import numpy as np
 

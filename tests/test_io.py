@@ -203,3 +203,54 @@ def test_read_ocean_depth(tmp_path):
     g4 = rio.read_ocean_depth(str(tmp_path / "empty.nc"), grid)
     np.testing.assert_array_equal(np.asarray(g4.ocean_depth),
                                   np.asarray(grid.ocean_depth))
+
+
+def test_tiled_restart_roundtrip(tmp_path):
+    """Distributed (io_layout) restarts: per-tile icebergs.res.nc.NNNN
+    written from a sharded state reassemble to the global state."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh, PartitionSpec as P
+    import icebergs_tpu as ibt
+    from icebergs_tpu.grid import pos_to_cell
+    from icebergs_tpu.io import restart as rio
+    from icebergs_tpu.parallel import domain as dd
+    if len(jax.devices()) < 4:
+        import pytest
+        pytest.skip("needs 4 devices")
+
+    NX, NY, DXY = 32, 8, 5000.0
+    cfg = ibt.IcebergsConfig(grid_is_latlon=False, Lx=-1.0,
+                             use_f_plane=True, lat_ref=30.0, dt=600.0,
+                             halo=2)
+    grid = ibt.make_uniform_grid(NX, NY, 0., 0., DXY, DXY,
+                                 grid_is_latlon=False)
+    rng = np.random.RandomState(4)
+    n = 17
+    st = ibt.create_bergs(64, lon=rng.uniform(2*DXY, (NX-2)*DXY, n),
+                          lat=rng.uniform(DXY, (NY-1)*DXY, n),
+                          mass=rng.uniform(1e8, 9e8, n), thickness=30.,
+                          width=70., length=90., mass_scaling=1.0,
+                          id_cnt=np.arange(n) + 1)
+    i, j, xi, yj = pos_to_cell(grid, st.lon, st.lat, -1.0)
+    st = st.replace(ine=i, jne=j, xi=xi, yj=yj)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), (dd.AXIS,))
+    world = dd.make_sharded_world(cfg, mesh, nx=NX, ny=NY, lon0=0.,
+                                  lat0=0., dlon=DXY, dlat=DXY)
+    st_s = dd.shard_state(world, st, local_capacity=32)
+
+    base = str(tmp_path / "icebergs.res.nc")
+    paths = rio.write_restart_bergs_tiled(base, st_s, cfg)
+    assert len(paths) == 4
+
+    back = rio.read_restart_bergs_tiled(base, 64, grid, cfg)
+    a = np.asarray(st.alive)
+    b = np.asarray(back.alive)
+    assert a.sum() == b.sum() == n
+    oa = np.argsort(np.asarray(st.id_cnt)[a])
+    ob = np.argsort(np.asarray(back.id_cnt)[b])
+    for f in ("lon", "lat", "mass", "uvel", "id_cnt"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(st, f))[a][oa],
+            np.asarray(getattr(back, f))[b][ob], rtol=1e-6, err_msg=f)

@@ -23,10 +23,13 @@ def scan_timeit(fn, arg, reps=2):
         out, _ = jax.lax.scan(body, a, None, length=INNER)
         return out
 
-    out = jax.block_until_ready(many(arg))   # compile
+    import numpy as _np
+    out = many(arg)   # compile
+    _ = _np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]   # real sync
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = jax.block_until_ready(many(out))
+        out = many(out)
+        _ = _np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
     return (time.perf_counter() - t0) / (reps * INNER)
 
 
@@ -68,6 +71,15 @@ def main():
 
     def f_evolve(s):
         out = dynamics.evolve_icebergs(s, grid, frc, cfg)
+        return out.state
+
+    def f_evolve_ia(s):
+        from icebergs_tpu.ops.fused_contact import make_ia_fn_fused2
+        ia_fn, stats = make_ia_fn_fused2(s, grid, cfg,
+                                         block_n=256, window=512,
+                                         contact_cap=131072,
+                                         fallback_cap=16384)
+        out = dynamics.evolve_icebergs(s, grid, frc, cfg, ia_fn=ia_fn)
         return out.state
 
     def f_walk(s):
@@ -112,15 +124,14 @@ def main():
         return ss.replace(uvel=ss.uvel + 1e-12 * cnt.astype(ss.dtype))
 
     def f_ia_fused(s):
-        from icebergs_tpu.ops.fused_contact import make_ia_fn_fused
-        ss, starts = sort_state_by_cell(s, grid)
-        ia_fn, stats = make_ia_fn_fused(ss, starts, grid, cfg,
-                                        block_n=256, window=512,
-                                        contact_cap=131072,
-                                        fallback_cap=16384)
-        ia = ia_fn(ss.uvel, ss.vvel)
-        return ss.replace(uvel=ss.uvel + 1e-12 * ia.IA_x,
-                          vvel=ss.vvel + 1e-12 * ia.IA_y)
+        from icebergs_tpu.ops.fused_contact import make_ia_fn_fused2
+        ia_fn, stats = make_ia_fn_fused2(s, grid, cfg,
+                                         block_n=256, window=512,
+                                         contact_cap=131072,
+                                         fallback_cap=16384)
+        ia = ia_fn(s.uvel, s.vvel)
+        return s.replace(uvel=s.uvel + 1e-12 * ia.IA_x,
+                         vvel=s.vvel + 1e-12 * ia.IA_y)
 
     def f_spread_noreprod(s):
         sp = _spread.create_gridded_icebergs_fields(s, grid, frc,
@@ -141,6 +152,7 @@ def main():
             ("sort_by_cell_id", f_sort, st),
             ("sort+prepass", f_prepass, st),
             ("ia_fused_total", f_ia_fused, st_i),
+            ("evolve_with_fused_ia", f_evolve_ia, st_i),
             ("interp", f_interp, st),
             ("evolve_noia", f_evolve, st_i),
             ("index_walk", f_walk, st_i),
