@@ -176,14 +176,21 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
                 st = out.state
 
         # 4. thermodynamics (melt + rolling + death)
+        # one shared (cell, id) lexsort feeds every deterministic scatter
+        # in the step (melt fields, per-cell sums, 9-slot spreading)
+        sort_ctx = None
+        if cfg.parallel_reprod:
+            sort_ctx = _spread.make_sort_ctx(st, grid)
         melt_diags = None
         if with_thermo:
             with jax.named_scope("kid_thermodyn"):
-                st, melt_diags = _thermo.thermodynamics(st, grid, frc, cfg)
+                st, melt_diags = _thermo.thermodynamics(
+                    st, grid, frc, cfg, sort_ctx=sort_ctx)
 
         # 6. spread mass + gridded fields
         with jax.named_scope("kid_diagnostics"):
-            sp = _spread.create_gridded_icebergs_fields(st, grid, frc, cfg)
+            sp = _spread.create_gridded_icebergs_fields(
+                st, grid, frc, cfg, sort_ctx=sort_ctx)
 
         diags = StepDiags(
             nbergs=st.count(), tickets=out.tickets, bounced=out.bounced,

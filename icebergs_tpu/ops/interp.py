@@ -84,14 +84,16 @@ def interp_flds(grid: Grid, frc, cfg: IcebergsConfig, lon, lat, i, j, xi, yj,
     coastal/tidal drift, grid-rotation of vectors, quadratic ocean depth.
     """
     ob = cfg.old_bug_bilin
-    # pack the 8 corner fields and gather the 4 cell corners once each
-    # (one row gather per corner instead of 32 scalar gathers)
+    # pack the 8 corner fields x the (j, j+1) pair: TWO row gathers for
+    # all 4 cell corners (each random row gather costs ~3 ms at 1M bergs
+    # on v5e, so gather count is the whole cost here)
     cmat = jnp.stack([grid.cosc, grid.sinc, frc.uo, frc.vo, frc.ui, frc.vi,
                       frc.ua, frc.va], axis=-1)
-    f00 = cmat[i, j]
-    f10 = cmat[i + 1, j]
-    f01 = cmat[i, j + 1]
-    f11 = cmat[i + 1, j + 1]
+    cmat2 = jnp.concatenate([cmat[:, :-1], cmat[:, 1:]], axis=-1)
+    g0 = cmat2[i, j]          # [corner (i, j) | corner (i, j+1)]
+    g1 = cmat2[i + 1, j]
+    f00, f01 = g0[..., :8], g0[..., 8:]
+    f10, f11 = g1[..., :8], g1[..., 8:]
     if ob:
         vals = ((f11 * (1. - xi[..., None]) + f01 * xi[..., None])
                 * (1. - yj[..., None])
@@ -135,13 +137,18 @@ def interp_flds(grid: Grid, frc, cfg: IcebergsConfig, lon, lat, i, j, xi, yj,
     # row gathers, memoized across the 8 ddx/ddy evaluations.
     smat = jnp.stack([frc.ssh, grid.dx, grid.dy, grid.msk,
                       frc.sst, frc.sss, frc.cn, frc.hi], axis=-1)
+    # 5-wide j-blocks: ONE row gather per di covers all dj in [-2, 2]
+    # (edge padding reproduces jit's clamp-at-boundary indexing)
+    ny2 = smat.shape[1]
+    smat_pad = jnp.pad(smat, ((0, 0), (2, 2), (0, 0)), mode='edge')
+    smat5 = jnp.concatenate([smat_pad[:, k:k + ny2] for k in range(5)],
+                            axis=-1)                     # (nx+2, ny+2, 40)
     _rows = {}
 
     def at(di, dj):
-        key = (di, dj)
-        if key not in _rows:
-            _rows[key] = smat[I + di, J + dj]
-        return _rows[key]
+        if di not in _rows:
+            _rows[di] = smat5[I + di, J]
+        return _rows[di][..., (dj + 2) * 8:(dj + 3) * 8]
 
     def ddx(ii_off, jj_off):
         """ddx_ssh at cell (i+ii_off, j+jj_off) via packed rows."""

@@ -116,7 +116,7 @@ def contact_prepass_sorted(st_sorted, cell_starts, grid,
     BIG = float(2 * N)
 
     def kernel(ws_ref, clo_ref, chi_ref, PT_ref, PR_ref, out_ref,
-               rows_v, win_v, sem):
+               rows_v, win_v, sem, wsem):
         # NOTE: the scalar-prefetch refs are 1-D (nblocks*3,) — SMEM pads
         # the minor dim of 2-D scalar operands to 128 lanes, which blows
         # the 1 MB SMEM budget at 1M bergs (3907 blocks -> 2 MB each).
@@ -124,6 +124,16 @@ def contact_prepass_sorted(st_sorted, cell_starts, grid,
         cp_rows = pltpu.make_async_copy(
             PR_ref.at[pl.ds(b * BN, BN), :], rows_v, sem)
         cp_rows.start()
+        # prefetch ALL three window strips up front so the DMAs overlap
+        # each other and the row DMA (the serialized start/wait version
+        # was DMA-latency bound)
+        wcps = []
+        for s in range(3):
+            ws_s = ws_ref[b * 3 + s] * 128
+            cp = pltpu.make_async_copy(
+                PT_ref.at[:, pl.ds(ws_s, W)], win_v.at[s], wsem.at[s])
+            cp.start()
+            wcps.append(cp)
         cp_rows.wait()
         rows = rows_v[...]
         lon1 = rows[:, _F_LON:_F_LON + 1]
@@ -141,11 +151,8 @@ def contact_prepass_sorted(st_sorted, cell_starts, grid,
 
         for s in range(3):
             ws_s = ws_ref[b * 3 + s] * 128
-            cp = pltpu.make_async_copy(
-                PT_ref.at[:, pl.ds(ws_s, W)], win_v, sem)
-            cp.start()
-            cp.wait()
-            win = win_v[...]
+            wcps[s].wait()
+            win = win_v[s]
             lon2 = win[_F_LON:_F_LON + 1, :]
             lat2 = win[_F_LAT:_F_LAT + 1, :]
             R2 = win[_F_RAD:_F_RAD + 1, :]
@@ -190,8 +197,9 @@ def contact_prepass_sorted(st_sorted, cell_starts, grid,
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((BN, 4), lambda b, *_: (b, 0)),
         scratch_shapes=[pltpu.VMEM((BN, _FPAD), dtype),
-                        pltpu.VMEM((_NFEAT, W), dtype),
-                        pltpu.SemaphoreType.DMA],
+                        pltpu.VMEM((3, _NFEAT, W), dtype),
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA((3,))],
     )
     out = pl.pallas_call(
         kernel,

@@ -186,6 +186,24 @@ def _lex_cell_id_order(st, key):
     return o12[o3]
 
 
+def make_sort_ctx(st, grid, alive=None):
+    """(order, key_s, rank) for the deterministic scatters, shared by
+    the melt-field, per-cell-sum and 9-slot spreading scatters in one
+    step (one lexsort instead of three)."""
+    nx, ny = grid.nx, grid.ny
+    ncells = nx * ny
+    if alive is None:
+        alive = st.alive
+    key = jnp.where(alive, st.jne * nx + st.ine, ncells)
+    order = _lex_cell_id_order(st, key)
+    key_s = key[order]
+    starts = jnp.searchsorted(
+        key_s, jnp.arange(ncells + 1, dtype=key_s.dtype)).astype(jnp.int32)
+    rank = jnp.arange(st.capacity, dtype=jnp.int32) - starts[
+        jnp.minimum(key_s, ncells)]
+    return order, key_s, rank
+
+
 def _cell_slot_sums(key_s, rank, contrib, ncells, K):
     """Per-cell sums of sorted, ranked rows with a fixed reduction tree.
 
@@ -216,7 +234,8 @@ def _cell_slot_sums(key_s, rank, contrib, ncells, K):
     return S.at[idx_o].add(contrib, mode='drop')
 
 
-def scatter9_slots(grid, st, w, I_frac, value_list, alive, K: int = 16):
+def scatter9_slots(grid, st, w, I_frac, value_list, alive, K: int = 16,
+                   sort_ctx=None):
     """Layout-invariant 9-point scatter: the reference's 9-slot
     ``mass_on_ocean(i,j,1:9)`` buffers (calculate_mass_on_ocean,
     icebergs.F90:4970-5013).
@@ -233,13 +252,8 @@ def scatter9_slots(grid, st, w, I_frac, value_list, alive, K: int = 16):
     ncells = nx * ny
     N = st.capacity
     F = len(value_list)
-    key = jnp.where(alive, st.jne * nx + st.ine, ncells)
-    order = _lex_cell_id_order(st, key)
-    key_s = key[order]
-    starts = jnp.searchsorted(
-        key_s, jnp.arange(ncells + 1, dtype=key_s.dtype)).astype(jnp.int32)
-    rank = jnp.arange(N, dtype=jnp.int32) - starts[jnp.minimum(key_s,
-                                                               ncells)]
+    order, key_s, rank = (sort_ctx if sort_ctx is not None
+                          else make_sort_ctx(st, grid, alive))
     vals = jnp.stack(value_list, axis=-1)[order]          # (N, F)
     wT = w.T[order]                                       # (N, 9)
     scale = jnp.where(alive, I_frac, 0.)[order][:, None]
@@ -271,20 +285,16 @@ def sum_slots(out9):
     return [acc[..., f] for f in range(F)]
 
 
-def scatter_cell_deterministic(grid, st, value_list, alive, K: int = 16):
+def scatter_cell_deterministic(grid, st, value_list, alive, K: int = 16,
+                               sort_ctx=None):
     """Layout-invariant owning-cell scatter (no spreading): fixed-tree
     per-cell sums in (cell, id) order.  The deterministic counterpart of
     ``.at[I, J].add`` for the per-cell diagnostics/melt fields."""
     nx, ny = grid.nx, grid.ny
     ncells = nx * ny
     N = st.capacity
-    key = jnp.where(alive, st.jne * nx + st.ine, ncells)
-    order = _lex_cell_id_order(st, key)
-    key_s = key[order]
-    starts = jnp.searchsorted(
-        key_s, jnp.arange(ncells + 1, dtype=key_s.dtype)).astype(jnp.int32)
-    rank = jnp.arange(N, dtype=jnp.int32) - starts[jnp.minimum(key_s,
-                                                               ncells)]
+    order, key_s, rank = (sort_ctx if sort_ctx is not None
+                          else make_sort_ctx(st, grid, alive))
     vals = jnp.stack(value_list, axis=-1)[order]
     S = _cell_slot_sums(key_s, rank, vals, ncells, K)
     F = len(value_list)
@@ -366,7 +376,8 @@ def berg_spread_mass(st, grid, frc, cfg: IcebergsConfig, *, Mberg=None,
     return Mass
 
 
-def calculate_mass_on_ocean(st, grid, frc, cfg: IcebergsConfig):
+def calculate_mass_on_ocean(st, grid, frc, cfg: IcebergsConfig,
+                            sort_ctx=None):
     """Scatter mass/area/momentum onto the grid
     (calculate_mass_on_ocean, icebergs.F90:4970-5013).
 
@@ -384,7 +395,8 @@ def calculate_mass_on_ocean(st, grid, frc, cfg: IcebergsConfig):
                   st.vvel * Area * st.mass_scaling]
     if cfg.parallel_reprod:
         out9 = scatter9_slots(grid, st, w, I_frac, value_list, alive,
-                              K=cfg.reprod_max_per_cell)
+                              K=cfg.reprod_max_per_cell,
+                              sort_ctx=sort_ctx)
         mass_on_ocean, area_on_ocean, U_on_ocean, V_on_ocean = \
             sum_slots(out9)
     else:
@@ -393,10 +405,14 @@ def calculate_mass_on_ocean(st, grid, frc, cfg: IcebergsConfig):
     return mass_on_ocean, area_on_ocean, U_on_ocean, V_on_ocean
 
 
-def create_gridded_icebergs_fields(st, grid, frc, cfg: IcebergsConfig):
+def create_gridded_icebergs_fields(st, grid, frc, cfg: IcebergsConfig,
+                                   sort_ctx=None):
     """Derive spread_mass/area/uvel/vvel and gridded ustar
     (create_gridded_icebergs_fields, icebergs.F90:3390-3491)."""
-    mass_on, area_on, U_on, V_on = calculate_mass_on_ocean(st, grid, frc, cfg)
+    if cfg.parallel_reprod and sort_ctx is None:
+        sort_ctx = make_sort_ctx(st, grid)
+    mass_on, area_on, U_on, V_on = calculate_mass_on_ocean(
+        st, grid, frc, cfg, sort_ctx=sort_ctx)
     area_g = jnp.maximum(grid.area, 1e-30)
     spread_mass = mass_on / area_g * (grid.msk > 0.)
     spread_area = area_on / area_g * (grid.msk > 0.)
@@ -457,7 +473,8 @@ def create_gridded_icebergs_fields(st, grid, frc, cfg: IcebergsConfig):
     if cfg.parallel_reprod:
         (mass_cell, mom_u, mom_v, virtual_area, bergy_mass, fl_bits_mass,
          fl_bergy_bits_mass) = scatter_cell_deterministic(
-            grid, st, cols, alive, K=cfg.reprod_max_per_cell)
+            grid, st, cols, alive, K=cfg.reprod_max_per_cell,
+            sort_ctx=sort_ctx)
     else:
         vals = jnp.stack(cols, axis=-1)
         packed = jnp.zeros(spread_mass.shape + (len(cols),),

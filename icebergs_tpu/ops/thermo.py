@@ -327,7 +327,7 @@ def fl_bits_dimensions(cfg: IcebergsConfig, thickness):
 # the main thermodynamics pass
 # --------------------------------------------------------------------------
 
-def thermodynamics(st, grid, frc, cfg: IcebergsConfig,
+def thermodynamics(st, grid, frc, cfg: IcebergsConfig, sort_ctx=None,
                    with_class_melt: bool = False):
     """Melt every berg, update dimensions, roll, kill fully-melted bergs,
     and accumulate gridded melt diagnostics.
@@ -537,7 +537,8 @@ def thermodynamics(st, grid, frc, cfg: IcebergsConfig,
          fl_bits_melt, melt_buoy, melt_eros, melt_conv, fl_parent_melt,
          fl_child_melt, melt_buoy_fl, melt_eros_fl, melt_conv_fl) = \
             scatter_cell_deterministic(grid, st, cols, alive,
-                                       K=cfg.reprod_max_per_cell)
+                                       K=cfg.reprod_max_per_cell,
+                                       sort_ctx=sort_ctx)
     else:
         vals = jnp.stack(cols, axis=-1)
         packed = jnp.zeros(shape + (len(cols),), dtype).at[I, J].add(vals)

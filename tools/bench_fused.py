@@ -43,7 +43,11 @@ def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
 
     if which in ("both", "fused"):
-        for bn, W in ((256, 512), (512, 1024)):
+        cfgs = ((256, 512), (512, 1024))
+        if len(sys.argv) > 2:
+            cfgs = tuple((int(a.split("x")[0]), int(a.split("x")[1]))
+                         for a in sys.argv[2:])
+        for bn, W in cfgs:
             multi = make_multi_step(grid, cfg, INNER, with_stats=True,
                                     with_thermo=True, neighbor_mode="fused",
                                     fused_block_n=bn, fused_window=W,
