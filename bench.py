@@ -63,7 +63,7 @@ def bench_1m_contacts():
 
     multi = make_multi_step(grid, cfg, INNER, with_stats=True,
                             with_thermo=True, neighbor_mode="fused",
-                            fused_block_n=256, fused_window=512,
+                            fused_block_n=128, fused_window=384,
                             contact_cap=131072, fused_fallback_cap=16384)
 
     out = multi(st, frc)           # warmup/compile

@@ -240,10 +240,17 @@ def compact_conglom_pairs(st, nbr, cap: int, cfg: IcebergsConfig = None,
             rad = 0.5 * jnp.sqrt(A1)
         else:
             rad = jnp.sqrt(A1 / _m.pi)
-        crit = jnp.maximum(rad[:, None] + rad[other], cfg.contact_distance)
-        v2 = jnp.where(st.alive, st.uvel ** 2 + st.vvel ** 2, 0.)
-        vmax = jnp.sqrt(jnp.max(v2))
-        reach = crit + 2. * vmax * dt
+        # DEM/MTS contact engages at r < R1+R2 (dem.py:267,369;
+        # use_c_crit_dist pair forces likewise) — contact_distance does
+        # NOT enter.  Skin = the pair's closing displacement over the
+        # outer step (x4 safety) + 5%: bonded-raft pairs have ~zero
+        # relative velocity, so the frozen list stays near touching size
+        # instead of everything the absolute drift could reach.
+        crit = rad[:, None] + rad[other]
+        dvx = st.uvel[:, None] - st.uvel[other]
+        dvy = st.vvel[:, None] - st.vvel[other]
+        vrel = jnp.sqrt(dvx * dvx + dvy * dvy)
+        reach = 1.05 * crit + 4. * vrel * dt
         keepM = keepM & (r2 <= reach * reach)
     F = keepM.reshape(-1)
     rank = jnp.cumsum(F.astype(jnp.int32)) - 1
@@ -450,7 +457,9 @@ def _grounding_drag_coeff(st, cfg: IcebergsConfig, area_form: str):
 
 def evolve_icebergs_mts(st, grid: Grid, frc, cfg: IcebergsConfig,
                         pair_cap: int | None = None,
-                        contact_cap: int | None = None):
+                        contact_cap: int | None = None,
+                        substep_sync=None,
+                        ncells_radius: int | None = None):
     """Full MTS cycle: Part 1 slow solve, Part 2 half-kick, Part 3 substeps.
 
     ``pair_cap`` compacts the substep contact candidates (frozen per outer
@@ -458,6 +467,12 @@ def evolve_icebergs_mts(st, grid: Grid, frc, cfg: IcebergsConfig,
     :func:`compact_conglom_pairs`.  Size it >= the number of
     same-conglomerate neighbor-cell pairs (~elements x conglomerate
     coordination); overflow drops the excess pairs.
+
+    ``substep_sync`` (state -> state), if given, runs at the top of every
+    substep — the ring ghost-state refresh hook for conglomerates sharded
+    across devices (transfer_mts_bergs' per-substep analog when an
+    aggregate exceeds one device; the ring-pipelined design slot of
+    SURVEY §2.6).
 
     Returns (state, MtsDiags)."""
     dt = cfg.dt
@@ -470,7 +485,9 @@ def evolve_icebergs_mts(st, grid: Grid, frc, cfg: IcebergsConfig,
 
     # neighbor tables for cross-conglomerate collisions (Part 1)
     nbr = _forces.build_neighbor_tables(
-        st, grid, cfg, ncells_radius=_forces.neighbor_radius(grid, cfg))
+        st, grid, cfg,
+        ncells_radius=(ncells_radius if ncells_radius is not None
+                       else _forces.neighbor_radius(grid, cfg)))
 
     # ---- PART 1: slow forces --------------------------------------------
     def part1_once(s):
@@ -560,6 +577,8 @@ def evolve_icebergs_mts(st, grid: Grid, frc, cfg: IcebergsConfig,
         pairs = (me_p, ot_p, pv_p)
 
     def substep(s, _):
+        if substep_sync is not None:
+            s = substep_sync(s)
         # drift (icebergs.F90:6790-6831)
         uvel2 = s.uvel + dtf_2 * (s.axn_fast + s.bxn_fast)
         vvel2 = s.vvel + dtf_2 * (s.ayn_fast + s.byn_fast)

@@ -983,6 +983,200 @@ def make_sharded_run(world: ShardedWorld, *, neighbor_mode: str = "buckets",
     return run
 
 
+_GHOST_DYN_FIELDS = ("lon", "lat", "lon_old", "lat_old", "uvel", "vvel",
+                     "uvel_old", "vvel_old", "axn_fast", "ayn_fast",
+                     "bxn_fast", "byn_fast", "ang_vel", "ang_accel", "rot")
+
+
+def make_sharded_mts_step(world: ShardedWorld, *,
+                          exchange_width: int = 64,
+                          ghost_width: int = 128,
+                          ghost_slots: int = 256,
+                          pair_cap: int | None = None,
+                          contact_cap: int | None = None):
+    """Sharded MTS/DEM step with PER-SUBSTEP ghost-state refresh.
+
+    The replicate-then-local-compute pattern (transfer_mts_bergs) keeps
+    the ``N_substeps x bonds`` inner loop communication-free but caps the
+    aggregate at one device.  This step instead refreshes the dynamic
+    state of conglomerate replicas INSIDE the substep scan — the
+    ring-pipelined design slot of SURVEY §2.6 for aggregates larger than
+    a device: membership (who ships, which replica slots receive) is
+    frozen per outer step, so each substep is one small all_gather of
+    the packed dynamic rows plus masked row updates.
+
+    Owned elements then integrate against partner state that is one
+    substep old at most — matching the single-device semantics where
+    forces read the partners' start-of-substep state.
+
+    Returns ``step(st, frc) -> (st, nbergs, total_mass, overflow)``.
+    """
+    cfg = world.cfg
+    nxl, H = world.nxl, world.halo
+    mesh = world.mesh
+    # neighbor radius needs host values; world.grids is concrete here
+    from ..ops.forces import neighbor_radius as _nr
+    nbr_radius = _nr(jax.tree.map(lambda x: x[0], world.grids), cfg)
+
+    def local_fn(grids, st, frc):
+        grid = jax.tree.map(lambda x: x[0], grids)
+        st = jax.tree.map(lambda x: x[0], st)
+        frc = jax.tree.map(lambda x: x[0], frc)
+        N = st.capacity
+
+        # replicas must exist BEFORE the physics: exchange first
+        st, overflow = exchange_particles(st, grid, cfg, nxl, H,
+                                          exchange_width)
+
+        # ---- frozen ghost-sync setup ---------------------------------
+        has_stamp = jnp.any((st.bond_id_cnt != 0) | (st.bond_id_ij != 0),
+                            axis=1)
+        ship = st.alive & (st.halo_berg < 0.5) & has_stamp
+        rank = jnp.cumsum(ship.astype(jnp.int32)) - 1
+        granted = ship & (rank < ghost_width)
+        ship_sel = jnp.zeros((ghost_width,), jnp.int32).at[
+            jnp.where(granted, rank, ghost_width)].set(
+            jnp.arange(N, dtype=jnp.int32), mode='drop')
+        ship_valid = jnp.arange(ghost_width) < jnp.sum(
+            granted.astype(jnp.int32))
+        ov_ship = jnp.sum((ship & ~granted).astype(jnp.int32))
+
+        sid_cnt = jnp.where(ship_valid, st.id_cnt[ship_sel], 0)
+        sid_ij = jnp.where(ship_valid, st.id_ij[ship_sel], 0)
+        all_cnt = jax.lax.all_gather(sid_cnt, AXIS, axis=0,
+                                     tiled=False).reshape(-1)
+        all_ij = jax.lax.all_gather(sid_ij, AXIS, axis=0,
+                                    tiled=False).reshape(-1)
+        all_valid = jax.lax.all_gather(ship_valid, AXIS, axis=0,
+                                       tiled=False).reshape(-1)
+
+        rep = st.alive & (st.halo_berg >= 0.5) & has_stamp
+        rrank = jnp.cumsum(rep.astype(jnp.int32)) - 1
+        rgrant = rep & (rrank < ghost_slots)
+        rep_sel = jnp.zeros((ghost_slots,), jnp.int32).at[
+            jnp.where(rgrant, rrank, ghost_slots)].set(
+            jnp.arange(N, dtype=jnp.int32), mode='drop')
+        rep_valid = jnp.arange(ghost_slots) < jnp.sum(
+            rgrant.astype(jnp.int32))
+        ov_rep = jnp.sum((rep & ~rgrant).astype(jnp.int32))
+        overflow = overflow + ov_ship + ov_rep
+
+        rcnt = st.id_cnt[rep_sel]
+        rij = st.id_ij[rep_sel]
+        eq = (rcnt[:, None] == all_cnt[None, :]) \
+            & (rij[:, None] == all_ij[None, :]) & all_valid[None, :]
+        src = jnp.argmax(eq, axis=1).astype(jnp.int32)
+        found = jnp.any(eq, axis=1) & rep_valid
+        tgt_slots = jnp.where(found, rep_sel, N)     # N -> dropped
+
+        F = len(_GHOST_DYN_FIELDS)
+
+        def sync(s):
+            M = jnp.stack([getattr(s, f) for f in _GHOST_DYN_FIELDS],
+                          axis=-1)
+            rows = M[ship_sel]                       # (ghost_width, F)
+            all_rows = jax.lax.all_gather(rows, AXIS, axis=0,
+                                          tiled=False).reshape(-1, F)
+            upd = all_rows[src]                      # (ghost_slots, F)
+            kw = {}
+            for fi, f in enumerate(_GHOST_DYN_FIELDS):
+                kw[f] = getattr(s, f).at[tgt_slots].set(
+                    upd[:, fi], mode='drop')
+            return s.replace(**kw)
+
+        from ..model import interp_to_bergs
+        from ..mts import evolve_icebergs_mts
+        st = interp_to_bergs(st, grid, frc, cfg)
+        st, _d = evolve_icebergs_mts(st, grid, frc, cfg,
+                                     pair_cap=pair_cap,
+                                     contact_cap=contact_cap,
+                                     substep_sync=sync,
+                                     ncells_radius=nbr_radius)
+
+        owned = st.alive & (st.halo_berg < 0.5)
+        nbergs = jax.lax.psum(jnp.sum(owned.astype(jnp.int32)), AXIS)
+        total_mass = jax.lax.psum(
+            jnp.sum(jnp.where(owned, st.mass * st.mass_scaling, 0.)), AXIS)
+        return (jax.tree.map(lambda x: x[None], st), nbergs, total_mass,
+                overflow[None])
+
+    @functools.partial(jax.jit)
+    def step(st, frc):
+        fn = jax.shard_map(
+            local_fn, mesh=mesh,
+            in_specs=(P(AXIS), P(AXIS), P(AXIS)),
+            out_specs=(P(AXIS), P(), P(), P(AXIS)))
+        return fn(world.grids, st, frc)
+
+    return step
+
+
+def make_forcing_halo_update(world: ShardedWorld):
+    """On-device halo refresh for time-varying forcing tiles.
+
+    The reference calls ``mpp_update_domains`` on every forcing field
+    each coupling step (icebergs.F90:5240-5351).  A coupled host model
+    writes each tile's INTERIOR forcing; this jitted update fills the
+    H-wide halo columns from the neighbors with two ppermutes per
+    direction — no host round-trip (round-1 re-sliced globally on host).
+
+    Corner (B-grid) leaves have x-extent nxl+2H+1, centers nxl+2H+2;
+    both exchange the columns adjacent to the interior.  Non-periodic
+    edge tiles keep their existing boundary values.
+    """
+    cfg = world.cfg
+    nxl, H = world.nxl, world.halo
+    mesh = world.mesh
+    ndev = mesh.devices.size
+    periodic = cfg.grid_is_latlon and cfg.Lx > 0.
+
+    def local_fn(frc):
+        frc = jax.tree.map(lambda x: x[0], frc)
+        me = jax.lax.axis_index(AXIS)
+        right = [(d, (d + 1) % ndev) for d in range(ndev)]
+        left = [(d, (d - 1) % ndev) for d in range(ndev)]
+
+        def exch(a, corner: bool):
+            # index map: local k <-> global (d*nxl - H + k); corner
+            # leaves share boundary corners between tiles so the halo
+            # strips are H wide, center leaves carry an extra pad column
+            # (H+1 wide).  Right neighbor's west halo = my
+            # [nxl, nxl+w); left neighbor's east halo = my [i0, i0+w).
+            if corner:
+                w, i0, e0 = H, H + 1, H + nxl + 1
+            else:
+                w, i0, e0 = H + 1, H + 1, H + nxl + 1
+            east_strip = jax.lax.slice_in_dim(a, nxl, nxl + w, axis=0)
+            west_strip = jax.lax.slice_in_dim(a, i0, i0 + w, axis=0)
+            from_west = jax.lax.ppermute(east_strip, AXIS, right)
+            from_east = jax.lax.ppermute(west_strip, AXIS, left)
+
+            def put(buf, strip, start, ok):
+                upd = jax.lax.dynamic_update_slice_in_dim(buf, strip,
+                                                          start, axis=0)
+                return jnp.where(ok, upd, buf)
+            a = put(a, from_west, 0, (me > 0) | periodic)
+            a = put(a, from_east, e0, (me < ndev - 1) | periodic)
+            return a
+
+        out = Forcing(
+            uo=exch(frc.uo, True), vo=exch(frc.vo, True),
+            ui=exch(frc.ui, True), vi=exch(frc.vi, True),
+            ua=exch(frc.ua, True), va=exch(frc.va, True),
+            ssh=exch(frc.ssh, False), sst=exch(frc.sst, False),
+            sss=exch(frc.sss, False), cn=exch(frc.cn, False),
+            hi=exch(frc.hi, False))
+        return jax.tree.map(lambda x: x[None], out)
+
+    @functools.partial(jax.jit)
+    def update(frc):
+        fn = jax.shard_map(local_fn, mesh=mesh, in_specs=(P(AXIS),),
+                           out_specs=P(AXIS))
+        return fn(frc)
+
+    return update
+
+
 def make_halo_fill(world: ShardedWorld, exchange_width: int = 64):
     """Jitted halo prefill: one particle exchange with no physics.
 

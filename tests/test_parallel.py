@@ -234,3 +234,66 @@ def test_chksum_invariant_interactive_sorted():
     cs4, n4 = jax.jit(diag.berg_chksum)(merged)
     assert int(n1) == int(n4)
     assert int(cs1) == int(cs4), (int(cs1), int(cs4))
+
+
+def test_forcing_halo_update_on_device():
+    """On-device forcing halo refresh (mpp_update_domains analog,
+    icebergs.F90:5240-5351): zeroed halo columns are refilled from the
+    neighbors bitwise-identically to the host-side global re-slice."""
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    cfg, grid, _ = global_world()
+    rng = np.random.RandomState(11)
+
+    def field(shape):
+        return jnp.asarray(rng.rand(*shape).astype(np.float32))
+
+    frc = ibt.Forcing(
+        uo=field((NX + 1, NY + 1)), vo=field((NX + 1, NY + 1)),
+        ui=field((NX + 1, NY + 1)), vi=field((NX + 1, NY + 1)),
+        ua=field((NX + 1, NY + 1)), va=field((NX + 1, NY + 1)),
+        ssh=field((NX + 2, NY + 2)), sst=field((NX + 2, NY + 2)),
+        sss=field((NX + 2, NY + 2)), cn=field((NX + 2, NY + 2)),
+        hi=field((NX + 2, NY + 2)))
+
+    mesh = make_mesh(4)
+    world = dd.make_sharded_world(cfg, mesh, nx=NX, ny=NY, lon0=0., lat0=0.,
+                                  dlon=DXY, dlat=DXY)
+    truth = dd.shard_forcing(world, frc)
+    nxl, H = world.nxl, world.halo
+
+    # stale: halo columns zeroed on every tile
+    def stale_leaf(a, corner):
+        a = np.asarray(a).copy()
+        if corner:
+            a[:, :H] = 0.
+            a[:, H + nxl + 1:] = 0.
+        else:
+            a[:, :H + 1] = 0.
+            a[:, H + 1 + nxl:] = 0.
+        return jnp.asarray(a)
+
+    import dataclasses as dc
+    is_corner = {"uo": True, "vo": True, "ui": True, "vi": True,
+                 "ua": True, "va": True, "ssh": False, "sst": False,
+                 "sss": False, "cn": False, "hi": False}
+    stale = ibt.Forcing(**{
+        k: jax.device_put(stale_leaf(getattr(truth, k), c),
+                          jax.NamedSharding(mesh, P(dd.AXIS)))
+        for k, c in is_corner.items()})
+
+    upd = dd.make_forcing_halo_update(world)(stale)
+
+    for k, corner in is_corner.items():
+        got = np.asarray(jax.device_get(getattr(upd, k)))
+        want = np.asarray(jax.device_get(getattr(truth, k)))
+        w = H if corner else H + 1
+        for d in range(4):
+            # inner-side halos must match bitwise; outer halos of edge
+            # tiles stay stale (the host slice clamps at the domain edge)
+            if d > 0:
+                assert np.array_equal(got[d][:w], want[d][:w]), (k, d, "W")
+            if d < 3:
+                assert np.array_equal(got[d][-w:], want[d][-w:]), (k, d, "E")
+            # interiors untouched
+            assert np.array_equal(got[d][w:-w], want[d][w:-w]), (k, d)

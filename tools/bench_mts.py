@@ -100,7 +100,9 @@ def main(n_target=20000, sub_steps=60):
 
     # substep contact pairs: ~37 same-conglomerate neighbor-cell mates per
     # element; cap with 2x headroom
-    pair_cap = 1 << int(np.ceil(np.log2(n * 40)))
+    # relative-velocity skin keeps the frozen list near touching pairs
+    # (~coordination 6-8 per element); cap with 2x headroom
+    pair_cap = 1 << int(np.ceil(np.log2(n * 16)))
     step = ibt.make_step(grid, cfg, with_thermo=True,
                          mts_pair_cap=pair_cap,
                          contact_cap=max(4096, n // 4))

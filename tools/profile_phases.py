@@ -133,6 +133,17 @@ def main():
         return s.replace(uvel=s.uvel + 1e-12 * ia.IA_x,
                          vvel=s.vvel + 1e-12 * ia.IA_y)
 
+    def f_ia_fused_2evals(s):
+        from icebergs_tpu.ops.fused_contact import make_ia_fn_fused2
+        ia_fn, stats = make_ia_fn_fused2(s, grid, cfg,
+                                         block_n=256, window=512,
+                                         contact_cap=131072,
+                                         fallback_cap=16384)
+        ia = ia_fn(s.uvel, s.vvel)
+        ia2 = ia_fn(s.uvel + 1e-12 * ia.IA_x, s.vvel)
+        return s.replace(uvel=s.uvel + 1e-12 * ia2.IA_x,
+                         vvel=s.vvel + 1e-12 * ia2.IA_y)
+
     def f_spread_noreprod(s):
         sp = _spread.create_gridded_icebergs_fields(s, grid, frc,
                                                     cfg_noreprod)
@@ -153,6 +164,7 @@ def main():
             ("sort+prepass", f_prepass, st),
             ("ia_fused_total", f_ia_fused, st_i),
             ("evolve_with_fused_ia", f_evolve_ia, st_i),
+            ("ia_fused_2evals", f_ia_fused_2evals, st_i),
             ("interp", f_interp, st),
             ("evolve_noia", f_evolve, st_i),
             ("index_walk", f_walk, st_i),

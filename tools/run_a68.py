@@ -61,11 +61,13 @@ def write_synthetic(d, ni=48, nj=32, nt=48, lon0=-38.0, lat0=-56.0):
                           * np.cos(2 * np.pi * t / 48.)})
 
 
-def a68_config(dt=60.0):
+def a68_config(dt=60.0, regular=True):
     import icebergs_tpu as ibt
-    # the a68_test namelist configuration (mts + dem + contact distance)
+    # the a68_test namelist configuration (mts + dem + contact distance).
+    # regular=False exercises the general quad-cell localization
+    # (pos_within_cell/calc_xiyj) on the a68 metric.
     return ibt.IcebergsConfig(
-        grid_is_latlon=True, grid_is_regular=True, Lx=360., dt=dt,
+        grid_is_latlon=True, grid_is_regular=regular, Lx=360., dt=dt,
         Runge_not_Verlet=False, mts=True, mts_sub_steps=18,
         explicit_inner_mts=True, dem=True, dem_spring_coef=5.e6,
         dem_damping_coef=1.0, interactive_icebergs_on=True,
@@ -110,6 +112,9 @@ def main():
     p.add_argument("--hours", type=int, default=12)
     p.add_argument("--dt", type=float, default=60.)
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--curvilinear", action="store_true",
+                   help="general quad-cell localization "
+                        "(grid_is_regular=False)")
     p.add_argument("--R", type=float, default=12e3,
                    help="conglomerate radius (m)")
     p.add_argument("--radius", type=float, default=1500.,
@@ -121,7 +126,7 @@ def main():
     from icebergs_tpu.io import a68, trajectory as tio, restart as rio
     from icebergs_tpu import diag
 
-    cfg = a68_config(a.dt)
+    cfg = a68_config(a.dt, regular=not a.curvilinear)
     if a.synthetic:
         os.makedirs(a.data_dir, exist_ok=True)
         if not os.path.exists(os.path.join(a.data_dir, a68.GRID_FILE)):
