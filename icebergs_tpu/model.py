@@ -141,7 +141,8 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
                 from .mts import evolve_icebergs_mts
                 st, mts_d = evolve_icebergs_mts(st, grid, frc, cfg,
                                                 pair_cap=mts_pair_cap,
-                                                contact_cap=contact_cap)
+                                                contact_cap=contact_cap,
+                                                max_per_cell=max_per_cell)
                 from .dynamics import EvolveOut
                 out = EvolveOut(st, jnp.zeros((), jnp.int32),
                                 jnp.zeros((), jnp.int32))

@@ -242,17 +242,47 @@ def compact_conglom_pairs(st, nbr, cap: int, cfg: IcebergsConfig = None,
             rad = jnp.sqrt(A1 / _m.pi)
         # DEM/MTS contact engages at r < R1+R2 (dem.py:267,369;
         # use_c_crit_dist pair forces likewise) — contact_distance does
-        # NOT enter.  Skin = the pair's closing displacement over the
-        # outer step (x4 safety) + 5%: bonded-raft pairs have ~zero
-        # relative velocity, so the frozen list stays near touching size
-        # instead of everything the absolute drift could reach.
+        # NOT enter.  Skin = 4x the worst INTERNAL closing speed of any
+        # conglomerate (|v - own conglomerate's mean velocity|) over the
+        # outer step, +5%: same-conglomerate pairs share the advection
+        # velocity, so the skin stays near zero for rigidly drifting
+        # rafts and the frozen list stays near touching size.
         crit = rad[:, None] + rad[other]
-        dvx = st.uvel[:, None] - st.uvel[other]
-        dvy = st.vvel[:, None] - st.vvel[other]
-        vrel = jnp.sqrt(dvx * dvx + dvy * dvy)
-        reach = 1.05 * crit + 4. * vrel * dt
+        cid = jnp.maximum(st.conglom_id, 0)
+        ncid = int(st.capacity)          # ids bounded by slot count
+        w = jnp.where(st.alive, 1., 0.)
+        su = jnp.zeros((ncid,), st.uvel.dtype).at[cid].add(w * st.uvel)
+        sv = jnp.zeros((ncid,), st.uvel.dtype).at[cid].add(w * st.vvel)
+        sn = jnp.zeros((ncid,), st.uvel.dtype).at[cid].add(w)
+        mu = su[cid] / jnp.maximum(sn[cid], 1.)
+        mv = sv[cid] / jnp.maximum(sn[cid], 1.)
+        vint = jnp.sqrt((st.uvel - mu) ** 2 + (st.vvel - mv) ** 2)
+        vint_max = jnp.max(jnp.where(st.alive, vint, 0.))
+        reach = 1.05 * crit + 4. * vint_max * dt
         keepM = keepM & (r2 <= reach * reach)
-    F = keepM.reshape(-1)
+
+    # two-level compaction: rows with any keeper first (an N-element
+    # scatter), then the flat stage over act*M only.  The single-stage
+    # flat cumsum+scatter over all N*M entries measured 272 ms at
+    # 20k x 400 on v5e, and a lane-axis argsort pre-pass 228 ms; with
+    # the internal-velocity skin almost every row is contact-free, so
+    # this is ~free at rest and scales with the colliding subset.
+    N = keepM.shape[0]
+    act_cap = max(1024, cap // 64)
+    rowany = jnp.any(keepM, axis=1)
+    rrank = jnp.cumsum(rowany.astype(jnp.int32)) - 1
+    rgrant = rowany & (rrank < act_cap)
+    rsel = jnp.zeros((act_cap,), jnp.int32).at[
+        jnp.where(rgrant, rrank, act_cap)].set(
+        jnp.arange(N, dtype=jnp.int32), mode='drop')
+    row_overflow = jnp.sum((rowany & ~rgrant).astype(jnp.int32))
+
+    keep2 = keepM[rsel]                        # (act_cap, M)
+    cand2 = nbr.cand_idx[rsel]
+    rvalid = jnp.arange(act_cap) < jnp.sum(rgrant.astype(jnp.int32))
+    keep2 = keep2 & rvalid[:, None]
+
+    F = keep2.reshape(-1)
     rank = jnp.cumsum(F.astype(jnp.int32)) - 1
     granted = F & (rank < cap)
     sel = jnp.zeros((cap,), jnp.int32).at[
@@ -260,9 +290,9 @@ def compact_conglom_pairs(st, nbr, cap: int, cfg: IcebergsConfig = None,
         jnp.arange(F.shape[0], dtype=jnp.int32), mode='drop')
     npair = jnp.sum(granted.astype(jnp.int32))
     pvalid = jnp.arange(cap) < npair
-    me = sel // M
-    other = nbr.cand_idx.reshape(-1)[sel]
-    overflow = jnp.sum((F & ~granted).astype(jnp.int32))
+    me = rsel[jnp.minimum(sel // M, act_cap - 1)]
+    other = cand2.reshape(-1)[sel]
+    overflow = row_overflow * M + jnp.sum((F & ~granted).astype(jnp.int32))
     return me, other, pvalid, overflow
 
 
@@ -459,7 +489,8 @@ def evolve_icebergs_mts(st, grid: Grid, frc, cfg: IcebergsConfig,
                         pair_cap: int | None = None,
                         contact_cap: int | None = None,
                         substep_sync=None,
-                        ncells_radius: int | None = None):
+                        ncells_radius: int | None = None,
+                        max_per_cell: int = 16):
     """Full MTS cycle: Part 1 slow solve, Part 2 half-kick, Part 3 substeps.
 
     ``pair_cap`` compacts the substep contact candidates (frozen per outer
@@ -485,7 +516,7 @@ def evolve_icebergs_mts(st, grid: Grid, frc, cfg: IcebergsConfig,
 
     # neighbor tables for cross-conglomerate collisions (Part 1)
     nbr = _forces.build_neighbor_tables(
-        st, grid, cfg,
+        st, grid, cfg, max_per_cell=max_per_cell,
         ncells_radius=(ncells_radius if ncells_radius is not None
                        else _forces.neighbor_radius(grid, cfg)))
 

@@ -213,15 +213,30 @@ def precompute_pair_data(st, cfg: IcebergsConfig, other, mask, *,
     if partner_st is None:
         partner_st = st
     dtype = st.lon_old.dtype
-    packed = jnp.stack(
-        [partner_st.lon_old, partner_st.lat_old, partner_st.uvel_old,
-         partner_st.vvel_old, partner_st.fl_k, partner_st.thickness,
-         partner_st.length, partner_st.width, partner_st.mass], axis=-1)
-    g = packed[other]                     # (N, M, 9): single row gather
-    lon2, lat2 = g[..., 0], g[..., 1]
-    u2, v2 = g[..., 2], g[..., 3]
-    fl_k2, T2g = g[..., 4], g[..., 5]
-    L2g, W2g, M2g = g[..., 6], g[..., 7], g[..., 8]
+    if other.shape[0] * other.shape[1] <= 2_000_000:
+        packed = jnp.stack(
+            [partner_st.lon_old, partner_st.lat_old, partner_st.uvel_old,
+             partner_st.vvel_old, partner_st.fl_k, partner_st.thickness,
+             partner_st.length, partner_st.width, partner_st.mass],
+            axis=-1)
+        g = packed[other]                 # (N, M, 9): single row gather
+        lon2, lat2 = g[..., 0], g[..., 1]
+        u2, v2 = g[..., 2], g[..., 3]
+        fl_k2, T2g = g[..., 4], g[..., 5]
+        L2g, W2g, M2g = g[..., 6], g[..., 7], g[..., 8]
+    else:
+        # wide tables: the packed row gather's flattened T(8,128)
+        # intermediate pads 9 -> 128 lanes (14x) and drives the graph
+        # into rematerialization; per-column (N, M) gathers are unpadded
+        lon2 = partner_st.lon_old[other]
+        lat2 = partner_st.lat_old[other]
+        u2 = partner_st.uvel_old[other]
+        v2 = partner_st.vvel_old[other]
+        fl_k2 = partner_st.fl_k[other]
+        T2g = partner_st.thickness[other]
+        L2g = partner_st.length[other]
+        W2g = partner_st.width[other]
+        M2g = partner_st.mass[other]
 
     lon1 = st.lon_old[:, None]
     lat1 = st.lat_old[:, None]
@@ -347,12 +362,25 @@ def active_contact_bergs(st, cfg: IcebergsConfig, other, mask,
     ~90% of the heavy slab work (the linked-list analog: empty cells cost
     nothing in the reference either).
     """
-    packed = jnp.stack([st.lon_old, st.lat_old, st.length, st.width,
-                        st.fl_k], axis=-1)
-    g = packed[other]
-    lon2, lat2 = g[..., 0], g[..., 1]
-    A2 = g[..., 2] * g[..., 3]
-    mask = mask & (st.fl_k[:, None] != -1.) & (g[..., 4] != -1.)
+    # adaptive gather layout: the packed (N, M, 5) row gather is faster
+    # in isolation, but its flattened T(8,128) intermediate pads the
+    # 5-wide minor dim 25.6x — at 13M candidates that is a 6.7 GB temp
+    # which pushes the whole MTS graph into XLA rematerialization
+    # (observed as .remat_compressed copies and a ~2 s phantom cost);
+    # per-column (N, M) gathers (minor dim M, unpadded) above 2M.
+    if other.shape[0] * other.shape[1] <= 2_000_000:
+        packed = jnp.stack([st.lon_old, st.lat_old, st.length, st.width,
+                            st.fl_k], axis=-1)
+        g = packed[other]
+        lon2, lat2 = g[..., 0], g[..., 1]
+        A2 = g[..., 2] * g[..., 3]
+        fl2 = g[..., 4]
+    else:
+        lon2 = st.lon_old[other]
+        lat2 = st.lat_old[other]
+        A2 = st.length[other] * st.width[other]
+        fl2 = st.fl_k[other]
+    mask = mask & (st.fl_k[:, None] != -1.) & (fl2 != -1.)
 
     lat_ref = 0.5 * (st.lat_old[:, None] + lat2)
     dx_dlon, dy_dlat = convert_from_grid_to_meters(

@@ -100,21 +100,35 @@ def main(n_target=20000, sub_steps=60):
 
     # substep contact pairs: ~37 same-conglomerate neighbor-cell mates per
     # element; cap with 2x headroom
-    # relative-velocity skin keeps the frozen list near touching pairs
-    # (~coordination 6-8 per element); cap with 2x headroom
-    pair_cap = 1 << int(np.ceil(np.log2(n * 16)))
-    step = ibt.make_step(grid, cfg, with_thermo=True,
-                         mts_pair_cap=pair_cap,
-                         contact_cap=max(4096, n // 4))
-    s = st
-    s, _ = step(s, frc)
+    # internal-velocity skin keeps the frozen list near touching pairs
+    # (hex coordination ~6); the SUBSTEP cost scales with this static cap
+    # (masked rows are still gathered), so size it tightly — overflow is
+    # counted and reported
+    pair_cap = 1 << int(np.ceil(np.log2(n * 6)))
+    # candidate tables at K=16/cell: raft density is ~25-37 elements per
+    # 2 km cell, so binning drops some same-cell candidates — counted
+    # honestly below (bin_overflow in the JSON; K=40 measured 12x slower
+    # in Part 1 for ~0.1% physics difference).  Two outer steps per
+    # dispatch (lax.scan): the tunneled dev runtime costs ~0.35 s per
+    # dispatch, which would otherwise dominate.
+    K_BIN = 16
+    counts = np.zeros((NX * NY,), np.int64)
+    cells = (np.asarray(st.jne)[:n] * NX + np.asarray(st.ine)[:n])
+    np.add.at(counts, cells, 1)
+    bin_overflow = int(np.maximum(counts - K_BIN, 0).sum())
+    from icebergs_tpu.model import make_multi_step
+    INNER = 2
+    multi = make_multi_step(grid, cfg, INNER, with_thermo=True,
+                            mts_pair_cap=pair_cap, max_per_cell=K_BIN,
+                            contact_cap=max(4096, n // 4))
+    s = multi(st, frc)
     _ = np.asarray(s.lon[:1])         # real sync (host read)
     t0 = time.perf_counter()
-    reps = 3
+    reps = 2
     for _ in range(reps):
-        s, _ = step(s, frc)
+        s = multi(s, frc)
         _ = np.asarray(s.lon[:1])
-    dt_wall = (time.perf_counter() - t0) / reps
+    dt_wall = (time.perf_counter() - t0) / (reps * INNER)
     esps = n * sub_steps / dt_wall
     print(json.dumps({
         "metric": "dem_element_substeps_per_sec",
@@ -122,6 +136,7 @@ def main(n_target=20000, sub_steps=60):
         "unit": "element-substeps/s/chip",
         "s_per_outer_step": round(dt_wall, 4),
         "elements": n,
+        "bin_overflow": bin_overflow,
     }), file=sys.stderr)
     return esps
 

@@ -15,7 +15,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
     __file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-N_SUB = 20
+N_SUB = 4
 
 
 def scan_timeit(fn, arg, reps=2):
@@ -116,6 +116,9 @@ def main(n_target=20000):
     # frozen pair list like evolve_icebergs_mts part 3
     nbr = forces.build_neighbor_tables(
         st, grid, cfg, ncells_radius=forces.neighbor_radius(grid, cfg))
+    nbr40 = forces.build_neighbor_tables(
+        st, grid, cfg, max_per_cell=40,
+        ncells_radius=forces.neighbor_radius(grid, cfg))
     pair_cap = 1 << int(np.ceil(np.log2(n * 16)))
     me_p, ot_p, pv_p, pov = _mts.compact_conglom_pairs(st, nbr, pair_cap,
                                                        cfg=cfg, dt=cfg.dt)
@@ -175,7 +178,65 @@ def main(n_target=20000):
         s2, nb = _dem.break_bonds_dem(s, cfg)
         return f_drift_kick(s2)
 
-    for name, fn in (("drift_kick", f_drift_kick),
+    def f_nbr_build(s):
+        nbr2 = forces.build_neighbor_tables(
+            s, grid, cfg, ncells_radius=forces.neighbor_radius(grid, cfg))
+        return s.replace(uvel=s.uvel + 1e-12 * nbr2.cand_idx[:, 0])
+
+    def f_part1_once(s):
+        ia_fn = forces.make_ia_fn(s, nbr, cfg, mts_part=1,
+                                  contact_cap=max(4096, n // 4))
+        ax, ay, axn, ayn, bxn, byn, fdc = _mts._slow_accel_mts(s, cfg,
+                                                               ia_fn)
+        return s.replace(uvel=s.uvel + 1e-12 * ax,
+                         vvel=s.vvel + 1e-12 * ay)
+
+    def f_compact_pairs(s):
+        me2, ot2, pv2, _ = _mts.compact_conglom_pairs(s, nbr, pair_cap,
+                                                      cfg=cfg, dt=cfg.dt)
+        return s.replace(uvel=s.uvel + 1e-12 * me2[0])
+
+    def f_nbr40_build(s):
+        nbr2 = forces.build_neighbor_tables(
+            s, grid, cfg, max_per_cell=40,
+            ncells_radius=forces.neighbor_radius(grid, cfg))
+        return s.replace(uvel=s.uvel + 1e-12 * nbr2.cand_idx[:, 0])
+
+    def f_compact_pairs40(s):
+        me2, ot2, pv2, _ = _mts.compact_conglom_pairs(s, nbr40, pair_cap,
+                                                      cfg=cfg, dt=cfg.dt)
+        return s.replace(uvel=s.uvel + 1e-12 * me2[0])
+
+    def f_part1_once40(s):
+        ia_fn = forces.make_ia_fn(s, nbr40, cfg, mts_part=1,
+                                  contact_cap=max(4096, n // 4))
+        ax, ay, axn, ayn, bxn, byn, fdc = _mts._slow_accel_mts(s, cfg,
+                                                               ia_fn)
+        return s.replace(uvel=s.uvel + 1e-12 * ax,
+                         vvel=s.vvel + 1e-12 * ay)
+
+    def f_outer_sub60(s):
+        s2, _d = _mts.evolve_icebergs_mts(s, grid, frc, cfg,
+                                          pair_cap=pair_cap,
+                                          contact_cap=max(4096, n // 4))
+        return s2
+
+    def f_outer_sub0(s):
+        import dataclasses as _dc
+        cfg1 = _dc.replace(cfg, mts_sub_steps=0)
+        s2, _d = _mts.evolve_icebergs_mts(s, grid, frc, cfg1,
+                                          pair_cap=pair_cap,
+                                          contact_cap=max(4096, n // 4))
+        return s2
+
+    for name, fn in (("nbr_build", f_nbr_build),
+                     ("nbr40_build", f_nbr40_build),
+                     ("part1_once", f_part1_once),
+                     ("part1_once40", f_part1_once40),
+                     ("compact_pairs", f_compact_pairs),
+                     ("outer_sub60_evolve_only", f_outer_sub60),
+                     ("outer_sub0", f_outer_sub0),
+                     ("drift_kick", f_drift_kick),
                      ("bond_forces", f_bond_forces),
                      ("pair_contact", f_pair_contact),
                      ("broken_bond_contact", f_broken_bond_contact),
