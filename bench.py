@@ -25,8 +25,11 @@ import numpy as np
 
 
 def _sync(x):
+    # slice ON DEVICE first: np.asarray on a full leaf transfers the
+    # whole 4 MB array through the tunnel (~100+ ms of fake time)
     import jax
-    return np.asarray(jax.tree.leaves(x)[0]).ravel()[:1]
+    leaf = jax.tree.leaves(x)[0]
+    return np.asarray(leaf.ravel()[:1])
 
 
 def bench_1m_contacts():
@@ -39,7 +42,7 @@ def bench_1m_contacts():
     NBERGS = 1_000_000
     NX = NY = 512
     DXY = 2000.0
-    INNER = 2          # keep the scanned program's compile time bounded
+    INNER = 6          # amortize the tunneled runtime's ~0.35 s/dispatch
 
     cfg = ibt.IcebergsConfig(
         grid_is_latlon=False, Lx=-1.0, use_f_plane=True, lat_ref=45.0,
@@ -63,7 +66,7 @@ def bench_1m_contacts():
 
     multi = make_multi_step(grid, cfg, INNER, with_stats=True,
                             with_thermo=True, neighbor_mode="fused",
-                            fused_block_n=128, fused_window=384,
+                            fused_block_n=128, fused_window=288,
                             contact_cap=131072, fused_fallback_cap=16384)
 
     out = multi(st, frc)           # warmup/compile

@@ -96,7 +96,7 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
               neighbor_window: str = "full",
               use_pallas: bool = False, contact_cap: Optional[int] = None,
               mts_pair_cap: Optional[int] = None,
-              fused_block_n: int = 128, fused_window: int = 384,
+              fused_block_n: int = 128, fused_window: int = 288,
               fused_fallback_cap: int = 8192,
               fused_interpret: bool = False):
     """Build the full jitted coupling step.

@@ -84,10 +84,12 @@ def contact_prepass_sorted(st_sorted, cell_starts, grid,
     dtype = P.dtype
     Ppad = jnp.concatenate(
         [P, jnp.zeros((Npad - N + W, _NFEAT), dtype)], axis=0)
-    # rows matrix: lane-dim padded to 128 so per-block row DMAs are
-    # lane-aligned slices (Mosaic: slice extents must be 128-multiples)
+    # rows matrix: lane-dim padded to 128; window strips are ROW slices
+    # of this matrix (sublane granularity: starts align to 8, so the
+    # alignment slop is <= 7 rows — the lane-aligned strip layout wasted
+    # up to 127 window rows, a third of the compute at W=384)
     Prows = jnp.pad(Ppad, ((0, 0), (0, _FPAD - _NFEAT)))
-    PT = Ppad.T                      # (8, Npad+W): window strips read here
+    PT = Ppad.T                      # (8, Npad+W): per-block self rows
 
     if key is None:
         key = jnp.where(st_sorted.alive,
@@ -104,8 +106,8 @@ def contact_prepass_sorted(st_sorted, cell_starts, grid,
     c_lo = jnp.clip(c0[:, None] - 1 + offs[None, :], 0, ncells - 1)
     c_hi = jnp.clip(c1c[:, None] + 1 + offs[None, :], -1, ncells - 1)
     ws = cell_starts[c_lo]
-    ws128 = ws // 128
-    win_need = cell_starts[c_hi + 1] - ws128 * 128
+    ws8 = ws // 8
+    win_need = cell_starts[c_hi + 1] - ws8 * 8
     win_bad = jnp.any(win_need > W, axis=1)
     bad = span_bad | win_bad
 
@@ -120,49 +122,50 @@ def contact_prepass_sorted(st_sorted, cell_starts, grid,
         # NOTE: the scalar-prefetch refs are 1-D (nblocks*3,) — SMEM pads
         # the minor dim of 2-D scalar operands to 128 lanes, which blows
         # the 1 MB SMEM budget at 1M bergs (3907 blocks -> 2 MB each).
+        # Compute orientation: window candidates on SUBLANES (W, 1),
+        # block self-rows on LANES (1, BN) — both operands slice natively
+        # from their DMA layouts, no in-kernel transposes.
         b = pl.program_id(0)
         cp_rows = pltpu.make_async_copy(
-            PR_ref.at[pl.ds(b * BN, BN), :], rows_v, sem)
+            PT_ref.at[:, pl.ds(b * BN, BN)], rows_v, sem)
         cp_rows.start()
         # prefetch ALL three window strips up front so the DMAs overlap
-        # each other and the row DMA (the serialized start/wait version
-        # was DMA-latency bound)
         wcps = []
         for s in range(3):
-            ws_s = ws_ref[b * 3 + s] * 128
+            ws_s = ws_ref[b * 3 + s] * 8
             cp = pltpu.make_async_copy(
-                PT_ref.at[:, pl.ds(ws_s, W)], win_v.at[s], wsem.at[s])
+                PR_ref.at[pl.ds(ws_s, W), :], win_v.at[s], wsem.at[s])
             cp.start()
             wcps.append(cp)
         cp_rows.wait()
-        rows = rows_v[...]
-        lon1 = rows[:, _F_LON:_F_LON + 1]
-        lat1 = rows[:, _F_LAT:_F_LAT + 1]
-        R1 = rows[:, _F_RAD:_F_RAD + 1]
-        fl1 = rows[:, _F_FLK:_F_FLK + 1]
-        al1 = rows[:, _F_ALIVE:_F_ALIVE + 1]
+        rows = rows_v[...]               # (8, BN)
+        lon1 = rows[_F_LON:_F_LON + 1, :]
+        lat1 = rows[_F_LAT:_F_LAT + 1, :]
+        R1 = rows[_F_RAD:_F_RAD + 1, :]
+        fl1 = rows[_F_FLK:_F_FLK + 1, :]
+        al1 = rows[_F_ALIVE:_F_ALIVE + 1, :]
 
-        gid = b * BN + jax.lax.broadcasted_iota(jnp.int32, (BN, 1), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+        gid = b * BN + jax.lax.broadcasted_iota(jnp.int32, (1, BN), 1)
+        rowi = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
 
         cnt = jnp.zeros((BN,), dtype)
         vmin = jnp.full((BN,), BIG, dtype)
         vmax = jnp.full((BN,), -1., dtype)
 
         for s in range(3):
-            ws_s = ws_ref[b * 3 + s] * 128
+            ws_s = ws_ref[b * 3 + s] * 8
             wcps[s].wait()
-            win = win_v[s]
-            lon2 = win[_F_LON:_F_LON + 1, :]
-            lat2 = win[_F_LAT:_F_LAT + 1, :]
-            R2 = win[_F_RAD:_F_RAD + 1, :]
-            fl2 = win[_F_FLK:_F_FLK + 1, :]
-            al2 = win[_F_ALIVE:_F_ALIVE + 1, :]
-            key2 = win[_F_KEY:_F_KEY + 1, :]
+            win = win_v[s]               # (W, 128)
+            lon2 = win[:, _F_LON:_F_LON + 1]
+            lat2 = win[:, _F_LAT:_F_LAT + 1]
+            R2 = win[:, _F_RAD:_F_RAD + 1]
+            fl2 = win[:, _F_FLK:_F_FLK + 1]
+            al2 = win[:, _F_ALIVE:_F_ALIVE + 1]
+            key2 = win[:, _F_KEY:_F_KEY + 1]
 
             clo = clo_ref[b * 3 + s].astype(dtype)
             chi = chi_ref[b * 3 + s].astype(dtype)
-            wid = ws_s + col
+            wid = ws_s + rowi            # (W, 1)
             valid = ((key2 >= clo) & (key2 <= chi) & (al2 > 0.5)
                      & (al1 > 0.5) & (wid != gid)
                      & (fl1 != -1.) & (fl2 != -1.))
@@ -180,12 +183,12 @@ def contact_prepass_sorted(st_sorted, cell_starts, grid,
             engaged = valid & (r2 > 0.) & (r2 <= crit * crit * slack)
 
             cnt = cnt + jnp.sum(jnp.where(engaged, 1., 0.),
-                                axis=-1, dtype=dtype)
+                                axis=0, dtype=dtype)
             widf = wid.astype(dtype)
             vmin = jnp.minimum(vmin, jnp.min(
-                jnp.where(engaged, widf, BIG), axis=-1))
+                jnp.where(engaged, widf, BIG), axis=0))
             vmax = jnp.maximum(vmax, jnp.max(
-                jnp.where(engaged, widf, -1.), axis=-1))
+                jnp.where(engaged, widf, -1.), axis=0))
 
         out_ref[...] = jnp.stack(
             [cnt, vmin, vmax, jnp.zeros_like(cnt)], axis=-1)
@@ -196,8 +199,8 @@ def contact_prepass_sorted(st_sorted, cell_starts, grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((BN, 4), lambda b, *_: (b, 0)),
-        scratch_shapes=[pltpu.VMEM((BN, _FPAD), dtype),
-                        pltpu.VMEM((3, _NFEAT, W), dtype),
+        scratch_shapes=[pltpu.VMEM((_NFEAT, BN), dtype),
+                        pltpu.VMEM((3, W, _FPAD), dtype),
                         pltpu.SemaphoreType.DMA,
                         pltpu.SemaphoreType.DMA((3,))],
     )
@@ -206,7 +209,7 @@ def contact_prepass_sorted(st_sorted, cell_starts, grid,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Npad, 4), dtype),
         interpret=interpret,
-    )(ws128.astype(jnp.int32).reshape(-1),
+    )(ws8.astype(jnp.int32).reshape(-1),
       c_lo.astype(jnp.int32).reshape(-1),
       c_hi.astype(jnp.int32).reshape(-1), PT, Prows)[:N]
 
