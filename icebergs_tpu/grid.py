@@ -269,3 +269,97 @@ def bilin_corner(fld_c, i, j, xi, yj, old_bug_bilin: bool):
 def center_at(fld, i, j):
     """Gather a halo-padded center field at 0-based cell offsets."""
     return fld[i + 1, j + 1]
+
+
+def make_tripolar_grid(nx: int, ny: int, *, lat0: float = 30.0,
+                       lat_join: float = 65.0, lat_poles: float = 75.0,
+                       lon0: float = 0.0, msk=None, ocean_depth=None,
+                       Rearth: float = C.REARTH_DEFAULT,
+                       dtype=jnp.float32) -> Grid:
+    """True tripolar corner coordinates: regular lat-lon below
+    ``lat_join``, a two-pole Arctic cap above (Murray-1996-style
+    topology).
+
+    The cap rows interpolate along great circles between the join circle
+    and the fold line; the fold line runs from pole 1 (lon0+90,
+    lat_poles) over the geographic north pole to pole 2 (lon0+270,
+    lat_poles), so the top corner row satisfies the tripolar pairing
+    corner(i, ny) == corner(nx-i, ny) — the FOLD_NORTH_EDGE invariant
+    (icebergs_framework.F90:649, 933).  Cells are general quads; bergs
+    step through the curvilinear path (grid_is_regular=False).
+
+    ``ny`` is split so cap rows get roughly the same meridional extent
+    as lat-lon rows.  The two polar cells are degenerate quads
+    (pentagon analog); keep them land-masked in ocean applications.
+    """
+    import numpy as _np
+
+    frac_cap = (90.0 - lat_join) / (90.0 - lat0)
+    ny_cap = max(2, int(round(ny * frac_cap)))
+    ny_ll = ny - ny_cap
+    assert ny_ll >= 1, "ny too small for the requested cap"
+
+    lons = lon0 + 360.0 * _np.arange(nx + 1) / nx
+    lonc = _np.zeros((nx + 1, ny + 1))
+    latc = _np.zeros((nx + 1, ny + 1))
+
+    # regular lat-lon part (rows 0..ny_ll): lat0 -> lat_join
+    for j in range(ny_ll + 1):
+        latc[:, j] = lat0 + (lat_join - lat0) * j / ny_ll
+        lonc[:, j] = lons
+
+    def sph(lon, lat):
+        p = _np.pi / 180.0
+        return _np.array([_np.cos(lat * p) * _np.cos(lon * p),
+                          _np.cos(lat * p) * _np.sin(lon * p),
+                          _np.sin(lat * p)])
+
+    def geo(v):
+        v = v / _np.linalg.norm(v)
+        lat = _np.degrees(_np.arcsin(_np.clip(v[2], -1., 1.)))
+        lon = _np.degrees(_np.arctan2(v[1], v[0])) % 360.0
+        return lon, lat
+
+    def slerp(a, b, t):
+        a = a / _np.linalg.norm(a)
+        b = b / _np.linalg.norm(b)
+        w = _np.arccos(_np.clip(a @ b, -1., 1.))
+        if w < 1e-12:
+            return a
+        return (_np.sin((1 - t) * w) * a + _np.sin(t * w) * b) / _np.sin(w)
+
+    # fold line: pole1 -> north pole -> pole2 and mirrored back.
+    # i in [0, nx/2] walks P1 -> NP -> P2; i in [nx/2, nx] mirrors.
+    p1 = sph(lon0 + 90.0, lat_poles)
+    p2 = sph(lon0 + 270.0, lat_poles)
+    npole = _np.array([0.0, 0.0, 1.0])
+    half = nx // 2
+    fold = _np.zeros((nx + 1, 3))
+    for i in range(half + 1):
+        t = i / half
+        if t <= 0.5:
+            fold[i] = slerp(p1, npole, 2 * t)
+        else:
+            fold[i] = slerp(npole, p2, 2 * t - 1)
+    for i in range(half + 1, nx + 1):
+        fold[i] = fold[nx - i]          # tripolar pairing
+
+    # cap rows: great-circle interpolation join circle -> fold line
+    for i in range(nx + 1):
+        q = sph(lons[i], lat_join)
+        for k in range(1, ny_cap + 1):
+            t = k / ny_cap
+            lon_c, lat_c = geo(slerp(q, fold[i], t))
+            lonc[i, ny_ll + k] = lon_c
+            latc[i, ny_ll + k] = lat_c
+    # keep longitudes continuous along each column (no 360 jumps)
+    for i in range(nx + 1):
+        for j in range(ny_ll + 1, ny + 1):
+            d = lonc[i, j] - lonc[i, j - 1]
+            if d > 180.0:
+                lonc[i, j] -= 360.0
+            elif d < -180.0:
+                lonc[i, j] += 360.0
+
+    return make_curvilinear_grid(lonc, latc, Rearth=Rearth, msk=msk,
+                                 ocean_depth=ocean_depth, dtype=dtype)
