@@ -46,7 +46,11 @@ BERG_VARS = [
 ]
 FL_VARS = [("fl_k", "fl_k", "d"),
            ("mass_of_fl_bits", "mass_of_fl_bits", "d"),
-           ("mass_of_fl_bergy_bits", "mass_of_fl_bergy_bits", "d")]
+           ("mass_of_fl_bergy_bits", "mass_of_fl_bergy_bits", "d"),
+           # extension beyond the reference schema: per-parent child
+           # counter keeps footloose child ids unique across restarts
+           # (readers that don't know the name skip it)
+           ("fl_spawn_count", "fl_spawn_count", "d")]
 MTS_VARS = [("axn_fast", "axn_fast", "d"), ("ayn_fast", "ayn_fast", "d"),
             ("bxn_fast", "bxn_fast", "d"), ("byn_fast", "byn_fast", "d")]
 DEM_VARS = [("ang_vel", "ang_vel", "d"), ("ang_accel", "ang_accel", "d"),
