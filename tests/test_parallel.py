@@ -297,3 +297,30 @@ def test_forcing_halo_update_on_device():
                 assert np.array_equal(got[d][-w:], want[d][-w:]), (k, d, "E")
             # interiors untouched
             assert np.array_equal(got[d][w:-w], want[d][w:-w]), (k, d)
+
+
+def test_multihost_scaffolding_single_process():
+    """Multi-host helpers on the single-process path: init is a no-op,
+    the global mesh covers all (virtual) devices in process-contiguous
+    order, and the sharded step compiles over it unchanged."""
+    from icebergs_tpu.parallel import multihost as mh
+    assert mh.initialize_multihost() == 1
+    mesh = mh.make_global_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    lo, hi = mh.local_tile_range(mesh)
+    assert (lo, hi) == (0, mesh.devices.size)
+
+    if mesh.devices.size < 4:
+        pytest.skip("needs 4 devices")
+    mesh4 = mh.make_global_mesh(devices=list(mesh.devices.reshape(-1))[:4])
+    cfg, grid, frc = global_world()
+    st = bergs_global(grid, cfg)
+    world = dd.ShardedWorld(
+        mesh=mesh4, grids=dd.make_sharded_world(
+            cfg, mesh4, nx=NX, ny=NY, lon0=0., lat0=0., dlon=DXY,
+            dlat=DXY).grids, cfg=cfg, nxl=NX // 4, halo=2)
+    frc_s = dd.shard_forcing(world, frc)
+    st_s = dd.shard_state(world, st, local_capacity=32)
+    step = dd.make_sharded_step(world, with_thermo=False)
+    st_s, nbergs, total_mass, overflow = step(st_s, frc_s)
+    assert int(np.asarray(nbergs)) == int(st.count())
