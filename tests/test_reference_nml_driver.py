@@ -4,6 +4,7 @@ icebergs_driver_nml, physics config from icebergs_nml, makeberg-style
 initial conditions, restart + trajectory output)."""
 
 import numpy as np
+import pytest
 
 import icebergs_tpu as ibt
 from icebergs_tpu import driver as drv
@@ -68,3 +69,34 @@ def test_reference_collision_nml_runs(tmp_path):
     assert lat[:8].mean() > 7590.
     assert lat[8:].mean() < 12410.
     assert (tmp_path / "out" / "icebergs.res.nc").exists()
+
+
+import glob
+import os
+
+
+@pytest.mark.parametrize("nml", sorted(glob.glob(
+    "/root/reference/tests/*/input*.nml")))
+def test_every_reference_namelist_parses_to_config(nml):
+    """Config parity: every namelist shipped with the reference's test
+    suite maps onto IcebergsConfig without unknown-parameter fallout and
+    with faithful values for a few spot-checked knobs."""
+    if not os.path.exists(nml):
+        pytest.skip("reference not present")
+    from icebergs_tpu.io.namelist import (parse_namelist_file,
+                                          config_from_namelist)
+    raw = parse_namelist_file(nml)
+    assert "icebergs_nml" in raw, nml
+    cfg, drvp = config_from_namelist(nml)
+    # every icebergs_nml parameter must be a known config field
+    assert not [k for k in drvp.get("_unknown", ())], \
+        (nml, drvp.get("_unknown"))
+    # spot checks against the raw values
+    nmlv = raw["icebergs_nml"]
+    for key in ("rho_bergs", "spring_coef", "mts_sub_steps",
+                "contact_distance"):
+        if key in nmlv:
+            got = getattr(cfg, key.lower())
+            assert float(got) == pytest.approx(float(nmlv[key])), (nml, key)
+    if "iceberg_bonds_on" in nmlv:
+        assert bool(cfg.iceberg_bonds_on) == bool(nmlv["iceberg_bonds_on"])
