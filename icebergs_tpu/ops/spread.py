@@ -208,13 +208,19 @@ def _cell_slot_sums(key_s, rank, contrib, ncells, K):
     """Per-cell sums of sorted, ranked rows with a fixed reduction tree.
 
     Rows with rank < K land in unique (cell, rank) slots and are reduced
-    with a static width-K tree; rank >= K overflow rows (cells denser
-    than K bergs) are scatter-added afterwards — still deterministic per
-    program, and bitwise layout-invariant whenever density <= K.
+    with a static pairwise-add tree; rank >= K overflow rows (cells
+    denser than K bergs) clamp onto slot K-1 where the scatter
+    accumulates them exactly — deterministic per program, and bitwise
+    layout-invariant whenever density <= K.
     """
     F = contrib.shape[-1]
-    main = rank < K
-    idx = jnp.where(main & (key_s < ncells), key_s * K + rank, ncells * K)
+    # overflow rows (cells denser than K) clamp onto slot K-1, where
+    # scatter-add accumulates them exactly (order deterministic per
+    # program; bitwise layout invariance holds for density <= K, the
+    # documented bound).  ONE scatter — the previous separate overflow
+    # scatter was a second full-N pass for almost always zero rows.
+    idx = jnp.where(key_s < ncells,
+                    key_s * K + jnp.minimum(rank, K - 1), ncells * K)
     buf = jnp.zeros((ncells * K, F), contrib.dtype).at[idx].add(
         contrib, mode='drop')
     # explicit pairwise-add tree, NOT jnp.sum: XLA's reduce lowering (and
@@ -229,9 +235,7 @@ def _cell_slot_sums(key_s, rank, contrib, ncells, K):
             k += 1
         x = x[:, 0::2] + x[:, 1::2]
         k //= 2
-    S = x[:, 0]
-    idx_o = jnp.where((~main) & (key_s < ncells), key_s, ncells)
-    return S.at[idx_o].add(contrib, mode='drop')
+    return x[:, 0]
 
 
 def scatter9_slots(grid, st, w, I_frac, value_list, alive, K: int = 16,

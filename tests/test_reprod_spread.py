@@ -155,3 +155,31 @@ def test_spread_tile_interior_bitwise_vs_global():
         got = local[1 + H:1 + H + nxl, 1:-1]
         want = ref[1 + d * nxl:1 + (d + 1) * nxl, 1:-1]
         assert np.array_equal(got, want), f"tile {d}"
+
+
+def test_overflow_density_is_exact():
+    """Cells denser than reprod_max_per_cell still conserve mass: the
+    overflow rows clamp onto the last slot where the scatter accumulates
+    them exactly (layout invariance is only guaranteed <= K, exactness
+    always)."""
+    cfg, grid, frc = world()
+    cfg = dataclasses.replace(cfg, reprod_max_per_cell=4)
+    cfg_off = dataclasses.replace(cfg, parallel_reprod=False)
+    # 12 bergs piled into one cell (density 3x the slot count)
+    n = 12
+    lon = 10.5 * DXY + np.linspace(-200., 200., n)
+    lat = np.full(n, 4.5 * DXY)
+    st = ibt.create_bergs(32, lon=lon, lat=lat, mass=2e8, thickness=20.,
+                          width=60., length=80., mass_scaling=1.0,
+                          id_cnt=np.arange(n) + 1)
+    from icebergs_tpu.grid import pos_to_cell
+    i, j, xi, yj = pos_to_cell(grid, st.lon, st.lat, -1.0)
+    st = st.replace(ine=i, jne=j, xi=xi, yj=yj)
+    a = jax.jit(lambda s: sp.create_gridded_icebergs_fields(
+        s, grid, frc, cfg))(st)
+    b = jax.jit(lambda s: sp.create_gridded_icebergs_fields(
+        s, grid, frc, cfg_off))(st)
+    for name in ("spread_mass", "mass_on_ocean", "mass"):
+        np.testing.assert_allclose(np.asarray(getattr(a, name)),
+                                   np.asarray(getattr(b, name)),
+                                   rtol=2e-6, err_msg=name)
