@@ -89,6 +89,11 @@ class IcebergsConfig:
     short_step_mts_grounding: bool = False
     remove_unused_bergs: bool = True
     ewsame: bool = False
+    # TPU-framework knob (no reference namelist equivalent): velocity
+    # factor of the frozen substep-pair-list skin prefilter
+    # (mts.compact_conglom_pairs); <= 0 disables the prefilter and keeps
+    # every same-conglomerate candidate pair
+    mts_pair_skin: float = 4.0
 
     # --- DEM (bonded-particle model, Huth et al 2022b) -----------------------
     dem: bool = False

@@ -61,7 +61,7 @@ class DiagManager:
         self.grid = grid
         self.names = tuple(selected) if selected is not None else CATALOG
         self.average = average
-        self._history: list = []     # [(time_value, {name: np.ndarray})]
+        self._created: set = set()   # paths this manager created this run
 
     def init_state(self, dtype=jnp.float32) -> DiagState:
         shape = (self.grid.nx + 2, self.grid.ny + 2)
@@ -84,10 +84,11 @@ class DiagManager:
         return DiagState(sums=sums, count=dstate.count + 1)
 
     def flush(self, dstate: DiagState, path: str, time_value: float = 0.):
-        """Append the accumulated (time-averaged) record to the history
-        and rewrite the file with the full time series, then reset the
-        accumulator.  Repeated flushes grow the Time axis (the
-        diag_manager history-file behavior)."""
+        """Append the accumulated (time-averaged) record to the NetCDF
+        history file and reset the accumulator.  Repeated flushes grow
+        the unlimited Time axis in place (the diag_manager history-file
+        behavior) — O(record) memory and I/O per flush, nothing retained
+        on the host between flushes."""
         n = max(int(dstate.count), 1)
         rec = {}
         for name, arr in dstate.sums.items():
@@ -95,18 +96,23 @@ class DiagManager:
             if self.average:
                 a = a / n
             rec[name] = a
-        self._history.append((float(time_value), rec))
 
-        with netcdf_file(path, "w") as f:
-            f.createDimension("xaxis_1", self.grid.nx)
-            f.createDimension("yaxis_1", self.grid.ny)
-            f.createDimension("Time", len(self._history))
-            tv = f.createVariable("Time", "d", ("Time",))
-            tv[:] = [t for t, _ in self._history]
-            for name in self._history[0][1]:
-                v = f.createVariable(name, "d",
+        first = path not in self._created
+        self._created.add(path)
+        with netcdf_file(path, "w" if first else "a") as f:
+            if first:
+                f.createDimension("Time", None)  # unlimited; must be first
+                f.createDimension("xaxis_1", self.grid.nx)
+                f.createDimension("yaxis_1", self.grid.ny)
+                tv = f.createVariable("Time", "d", ("Time",))
+                for name in rec:
+                    f.createVariable(name, "d",
                                      ("Time", "yaxis_1", "xaxis_1"))
-                v[:] = np.stack([r[name].T for _, r in self._history])
+            tv = f.variables["Time"]
+            t = tv.shape[0] if tv.shape and tv.shape[0] else 0
+            tv[t] = float(time_value)
+            for name, a in rec.items():
+                f.variables[name][t] = a.T
         return self.init_state(next(iter(dstate.sums.values())).dtype)
 
 

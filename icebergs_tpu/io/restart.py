@@ -132,24 +132,37 @@ def read_restart_bergs(path: str, capacity: int, grid: Grid,
 
 def write_restart_bonds(path: str, st: BergState, cfg: IcebergsConfig):
     """bonds_iceberg.res.nc: one record per directed bond
-    (write_restart_bonds path of icebergs_fms2io.F90:321-...)."""
+    (write_restart_bonds path of icebergs_fms2io.F90:321-...).
+
+    Partner identity comes from the id STAMPS (bond_id_cnt/bond_id_ij)
+    when present, falling back to the connected slot: on a device tile a
+    bond can cross the tile boundary, so its partner row is not local and
+    only the stamps identify it (the reference likewise writes stored
+    partner ids, not pointers)."""
     alive = np.asarray(st.alive) & (np.asarray(st.halo_berg) < 0.5)
     bond_idx = np.asarray(st.bond_idx)
-    recs = []
-    for a in np.nonzero(alive)[0]:
-        for b in range(bond_idx.shape[1]):
-            o = bond_idx[a, b]
-            if o >= 0:
-                recs.append((a, b, o))
-    n = len(recs)
-
-    def col(vals, kind=np.float64):
-        return np.asarray(vals, kind)
-
+    sid_cnt = np.asarray(st.bond_id_cnt)
+    sid_ij = np.asarray(st.bond_id_ij)
     ine = np.asarray(st.ine) + 1
     jne = np.asarray(st.jne) + 1
     id_cnt = np.asarray(st.id_cnt)
     id_ij = np.asarray(st.id_ij)
+
+    # (first_slot, bond_slot, other_id_cnt, other_id_ij, other_slot_or_-1)
+    recs = []
+    for a in np.nonzero(alive)[0]:
+        for b in range(bond_idx.shape[1]):
+            o = int(bond_idx[a, b])
+            stamped = (sid_cnt[a, b] != 0) or (sid_ij[a, b] != 0)
+            if o >= 0 and not stamped:
+                recs.append((a, b, int(id_cnt[o]), int(id_ij[o]), o))
+            elif stamped:
+                recs.append((a, b, int(sid_cnt[a, b]), int(sid_ij[a, b]),
+                             o))
+    n = len(recs)
+
+    def col(vals, kind=np.float64):
+        return np.asarray(vals, kind)
 
     with netcdf_file(path, "w") as f:
         f.createDimension("i", n)
@@ -159,17 +172,18 @@ def write_restart_bonds(path: str, st: BergState, cfg: IcebergsConfig):
             v[:] = col(vals, np.float64 if kind == "d" else np.int32)
 
         a_idx = [r[0] for r in recs]
-        o_idx = [r[2] for r in recs]
+        o_idx = [r[4] for r in recs]           # -1 when partner off-tile
+        o_ine = [ine[o] if o >= 0 else 0 for o in o_idx]
+        o_jne = [jne[o] if o >= 0 else 0 for o in o_idx]
         wvar("first_berg_ine", ine[a_idx], "i")
         wvar("first_berg_jne", jne[a_idx], "i")
         wvar("first_id_cnt", id_cnt[a_idx], "i")
         wvar("first_id_ij", id_ij[a_idx], "i")
-        wvar("other_berg_ine", ine[o_idx], "i")
-        wvar("other_berg_jne", jne[o_idx], "i")
-        wvar("other_id_cnt", id_cnt[o_idx], "i")
-        wvar("other_id_ij", id_ij[o_idx], "i")
+        wvar("other_berg_ine", o_ine, "i")
+        wvar("other_berg_jne", o_jne, "i")
+        wvar("other_id_cnt", [r[2] for r in recs], "i")
+        wvar("other_id_ij", [r[3] for r in recs], "i")
         if cfg.dem:
-            slots = [r[1] for r in recs]
             for name, field in (("broken", "bond_broken"),
                                 ("tangd1", "bond_tangd1"),
                                 ("tangd2", "bond_tangd2"),
@@ -177,8 +191,7 @@ def write_restart_bonds(path: str, st: BergState, cfg: IcebergsConfig):
                                 ("sstress", "bond_sstress"),
                                 ("rel_rotation", "bond_rel_rotation")):
                 arr = np.asarray(getattr(st, field))
-                wvar(name, [arr[a, s] for (a, s, _) in
-                            [(r[0], r[1], r[2]) for r in recs]],
+                wvar(name, [arr[a, s] for (a, s, *_r) in recs],
                      "i" if name == "broken" else "d")
 
 
@@ -189,6 +202,11 @@ def read_restart_bonds(path: str, st: BergState,
     icebergs_fms2io.F90:1190-1482)."""
     with netcdf_file(path, "r", mmap=False) as f:
         data = {k: np.asarray(v[:]) for k, v in f.variables.items()}
+    return _apply_bond_records(st, data, cfg)
+
+
+def _apply_bond_records(st: BergState, data: dict,
+                        cfg: IcebergsConfig) -> BergState:
     nb = len(data["first_id_cnt"])
 
     id_cnt = np.asarray(st.id_cnt)
@@ -346,7 +364,40 @@ def write_restart_bergs_tiled(basepath: str, st_s, cfg: IcebergsConfig):
         p = f"{basepath}.{d:04d}"
         write_restart_bergs(p, stl, cfg)
         paths.append(p)
+        if cfg.iceberg_bonds_on:
+            # per-tile bond files alongside the berg tiles, so bonded/DEM
+            # state survives a tiled save/load round-trip (the
+            # single-controller path writes bonds_iceberg.res.nc)
+            write_restart_bonds(_bond_tile_path(basepath, d), stl, cfg)
     return paths
+
+
+def _bond_tile_path(basepath: str, d: int) -> str:
+    import os
+    head, tail = os.path.split(basepath)
+    return os.path.join(head, f"bonds_{tail}.{d:04d}")
+
+
+def read_restart_bonds_tiled(basepath: str, st: BergState,
+                             cfg: IcebergsConfig) -> BergState:
+    """Re-match bonds from the per-tile ``bonds_<name>.NNNN`` files onto a
+    (merged) global state — counterpart of :func:`read_restart_bergs_tiled`
+    for bonded/DEM configurations."""
+    import glob
+    import os
+    head, tail = os.path.split(basepath)
+    files = sorted(glob.glob(os.path.join(
+        head, f"bonds_{tail}") + ".[0-9][0-9][0-9][0-9]"))
+    if not files:
+        raise FileNotFoundError(
+            f"no tiled bond restarts bonds_{tail}.NNNN next to {basepath}")
+    datas = []
+    for p in files:
+        with netcdf_file(p, "r", mmap=False) as f:
+            datas.append({k: np.asarray(v[:]) for k, v in
+                          f.variables.items()})
+    merged = {k: np.concatenate([d[k] for d in datas]) for k in datas[0]}
+    return _apply_bond_records(st, merged, cfg)
 
 
 def read_restart_bergs_tiled(basepath: str, capacity: int, grid: Grid,

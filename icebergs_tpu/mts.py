@@ -32,6 +32,10 @@ from .ops.accel import IA, zero_ia
 
 class MtsDiags(NamedTuple):
     broken_bonds: jnp.ndarray
+    # same-conglomerate candidate pairs excluded from the frozen substep
+    # pair list by the velocity/acceleration skin prefilter (see
+    # compact_conglom_pairs; 0 when the prefilter is disabled)
+    skin_dropped: jnp.ndarray = jnp.zeros((), jnp.int32)
 
 
 def _slow_accel_mts(st, cfg: IcebergsConfig, ia_fn):
@@ -208,18 +212,27 @@ def compact_conglom_pairs(st, nbr, cap: int, cfg: IcebergsConfig = None,
     are likewise frozen during accel_explicit_inner_mts): only
     same-conglomerate membership and cand_valid enter here; the dynamic
     terms (bond breakage, open slots) are evaluated per substep in
-    :func:`_pair_contact_masks`.  Returns (me, other, pvalid, overflow).
+    :func:`_pair_contact_masks`.
+    Returns (me, other, pvalid, overflow, skin_dropped).
 
-    With ``cfg``/``dt``: pairs further than ``crit + 2*vmax*dt`` apart
-    cannot reach contact during this outer step (vmax is the live max
-    speed), so they are dropped from the frozen list — this is exact
-    under the frozen-candidate-set semantics and cuts the per-substep
-    pair evaluation ~10x for dense conglomerates (cell >> element size).
+    With ``cfg``/``dt`` and ``cfg.mts_pair_skin > 0``: pairs further apart
+    than ``1.05*crit + mts_pair_skin*vint_max*dt + a_rel*dt^2`` are dropped
+    from the frozen list.  ``vint_max`` is the worst internal (relative to
+    own conglomerate mean) speed at freeze time and ``a_rel`` a
+    fracture-release acceleration bound (a breaking bond can release at
+    most its fracture-threshold force, ``frac_thres * 2R*T / M``), so the
+    reach survives mid-step bond fracture accelerating fragments.  This is
+    a HEURISTIC prefilter, not exact: pathological stiffening beyond the
+    release bound could in principle close faster than the margin.  Pairs
+    dropped by it are counted in ``skin_dropped``
+    (``MtsDiags.skin_dropped``); set ``mts_pair_skin <= 0`` to disable the
+    prefilter and keep every same-conglomerate candidate.
     """
     M = nbr.cand_idx.shape[1]
     same = st.conglom_id[:, None] == st.conglom_id[nbr.cand_idx]
     keepM = nbr.cand_valid & same
-    if cfg is not None and dt is not None:
+    skin_dropped = jnp.zeros((), jnp.int32)
+    if cfg is not None and dt is not None and cfg.mts_pair_skin > 0.:
         other = nbr.cand_idx
         from .grid import convert_from_grid_to_meters
         lat_ref = 0.5 * (st.lat[:, None] + st.lat[other])
@@ -242,9 +255,10 @@ def compact_conglom_pairs(st, nbr, cap: int, cfg: IcebergsConfig = None,
             rad = jnp.sqrt(A1 / _m.pi)
         # DEM/MTS contact engages at r < R1+R2 (dem.py:267,369;
         # use_c_crit_dist pair forces likewise) — contact_distance does
-        # NOT enter.  Skin = 4x the worst INTERNAL closing speed of any
-        # conglomerate (|v - own conglomerate's mean velocity|) over the
-        # outer step, +5%: same-conglomerate pairs share the advection
+        # NOT enter.  Skin = mts_pair_skin x the worst INTERNAL closing
+        # speed of any conglomerate (|v - own conglomerate's mean
+        # velocity|) over the outer step, +5%, plus a fracture-release
+        # acceleration term: same-conglomerate pairs share the advection
         # velocity, so the skin stays near zero for rigidly drifting
         # rafts and the frozen list stays near touching size.
         crit = rad[:, None] + rad[other]
@@ -258,8 +272,26 @@ def compact_conglom_pairs(st, nbr, cap: int, cfg: IcebergsConfig = None,
         mv = sv[cid] / jnp.maximum(sn[cid], 1.)
         vint = jnp.sqrt((st.uvel - mu) ** 2 + (st.vvel - mv) ** 2)
         vint_max = jnp.max(jnp.where(st.alive, vint, 0.))
-        reach = 1.05 * crit + 4. * vint_max * dt
-        keepM = keepM & (r2 <= reach * reach)
+        # acceleration floor: a bond fracturing mid-outer-step releases at
+        # most its fracture-threshold force (break_bonds_dem breaks at
+        # stress >= frac_thres * scaling; bond area ~ 2R*T), so a fragment
+        # of a raft at rest can close at most ~a_rel*dt^2 within the step
+        a_rel = jnp.zeros((), rad.dtype)
+        if cfg.dem and cfg.fracture_criterion != 'none':
+            sig = max(cfg.frac_thres_n, cfg.frac_thres_t) \
+                * cfg.frac_thres_scaling
+            if cfg.constant_interaction_LW:
+                Mb = (cfg.constant_length * cfg.constant_width
+                      * st.thickness * cfg.rho_bergs)
+            else:
+                Mb = st.mass
+            a_berg = sig * 2. * rad * st.thickness / jnp.maximum(Mb, 1.)
+            a_rel = jnp.max(jnp.where(st.alive, a_berg, 0.))
+        reach = 1.05 * crit + cfg.mts_pair_skin * vint_max * dt \
+            + a_rel * dt * dt
+        drop = keepM & (r2 > reach * reach)
+        skin_dropped = jnp.sum(drop.astype(jnp.int32))
+        keepM = keepM & ~drop
 
     # two-level compaction: rows with any keeper first (an N-element
     # scatter), then the flat stage over act*M only.  The single-stage
@@ -293,7 +325,7 @@ def compact_conglom_pairs(st, nbr, cap: int, cfg: IcebergsConfig = None,
     me = rsel[jnp.minimum(sel // M, act_cap - 1)]
     other = cand2.reshape(-1)[sel]
     overflow = row_overflow * M + jnp.sum((F & ~granted).astype(jnp.int32))
-    return me, other, pvalid, overflow
+    return me, other, pvalid, overflow, skin_dropped
 
 
 def _pair_contact_masks(st, me, other, pvalid, cfg: IcebergsConfig):
@@ -601,10 +633,11 @@ def evolve_icebergs_mts(st, grid: Grid, frc, cfg: IcebergsConfig,
     # frozen substep-contact pair list (candidate set is constant across
     # substeps; only breakage/slot masks change)
     pairs = None
+    skin_dropped = jnp.zeros((), jnp.int32)
     if (pair_cap is not None and cfg.dem
             and not cfg.use_broken_bonds_for_substep_contact):
-        me_p, ot_p, pv_p, _pov = compact_conglom_pairs(st, nbr, pair_cap,
-                                                       cfg=cfg, dt=cfg.dt)
+        me_p, ot_p, pv_p, _pov, skin_dropped = compact_conglom_pairs(
+            st, nbr, pair_cap, cfg=cfg, dt=cfg.dt)
         pairs = (me_p, ot_p, pv_p)
 
     def substep(s, _):
@@ -727,4 +760,5 @@ def evolve_icebergs_mts(st, grid: Grid, frc, cfg: IcebergsConfig,
                     ine=jnp.where(moving, i, st.ine),
                     jne=jnp.where(moving, j, st.jne),
                     xi=sel(xi, st.xi), yj=sel(yj, st.yj))
-    return st, MtsDiags(broken_bonds=broken_total)
+    return st, MtsDiags(broken_bonds=broken_total,
+                        skin_dropped=skin_dropped)

@@ -570,9 +570,22 @@ def replicate_bonded_bergs(st: BergState, width: int, nxl: int, H: int, *,
                                         tiled=False)
     all_wanted = all_wanted.reshape(-1)          # (ndev*cap,)
 
-    # ship owned members that some OTHER device wants (or unlabeled)
-    wanted_by_other = all_wanted                 # own ids harmless: the
-    # receive filter drops rows from src == me anyway
+    # my linear device position in the gathered axes (each all_gather
+    # prepends its axis, so after gathering x then y the leading axes
+    # are (y, x))
+    if y_axis is not None:
+        ndx = jax.lax.axis_size(AXIS)
+        my_lin = jax.lax.axis_index(y_axis) * ndx + jax.lax.axis_index(AXIS)
+    else:
+        my_lin = jax.lax.axis_index(AXIS)
+
+    # ship owned members that some OTHER device wants (or unlabeled):
+    # zero out my own slice of the gathered id sets, else every owned
+    # bonded berg ships (its conglomerate id is in my own wanted set)
+    # and the send-side filter is a no-op
+    cap = my_wanted.shape[0]
+    slice_owner = jnp.arange(all_wanted.shape[0]) // cap
+    wanted_by_other = jnp.where(slice_owner == my_lin, 0, all_wanted)
     ship = bonded & ((st.conglom_id <= 0) | jnp.any(
         st.conglom_id[:, None] == wanted_by_other[None, :], axis=1))
     buf, valid, ov1 = _pack_to(st, ship, width)
@@ -589,14 +602,7 @@ def replicate_bonded_bergs(st: BergState, width: int, nxl: int, H: int, *,
     bufs = jax.tree.map(flat, bufs)
     valids = valids.reshape(-1)
 
-    # skip my own contribution (my linear position in the gathered axes;
-    # each all_gather prepends its axis, so after gathering x then y the
-    # leading axes are (y, x))
-    if y_axis is not None:
-        ndx = jax.lax.axis_size(AXIS)
-        my_lin = jax.lax.axis_index(y_axis) * ndx + jax.lax.axis_index(AXIS)
-    else:
-        my_lin = jax.lax.axis_index(AXIS)
+    # skip my own contribution
     src = jnp.arange(valids.shape[0]) // width
     valids = valids & (src != my_lin)
 

@@ -254,3 +254,64 @@ def test_tiled_restart_roundtrip(tmp_path):
         np.testing.assert_allclose(
             np.asarray(getattr(st, f))[a][oa],
             np.asarray(getattr(back, f))[b][ob], rtol=1e-6, err_msg=f)
+
+
+def test_tiled_restart_with_bonds(tmp_path):
+    """Tiled save/load round-trips BOND state too: per-tile
+    bonds_<name>.NNNN files are written next to the berg tiles and
+    re-matched by id on read (a bonded pair split across two tiles must
+    survive)."""
+    import jax
+    from jax.sharding import Mesh
+    from icebergs_tpu.parallel import domain as dd
+    import pytest
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+
+    NX, NY, DXY = 32, 8, 5000.0
+    cfg = ibt.IcebergsConfig(grid_is_latlon=False, Lx=-1.0,
+                             use_f_plane=True, lat_ref=30.0, dt=600.0,
+                             halo=2, iceberg_bonds_on=True, dem=True,
+                             mts=True, max_bonds=4)
+    grid = ibt.make_uniform_grid(NX, NY, 0., 0., DXY, DXY,
+                                 grid_is_latlon=False)
+    # 4 bergs: pair (1,2) inside one tile, pair (3,4) straddling the
+    # tile boundary at x = 16*DXY (devices split the x axis 4 ways)
+    lon = np.array([3.2, 3.3, 15.9, 16.1]) * DXY
+    lat = np.array([4.0, 4.0, 4.0, 4.0]) * DXY
+    st = ibt.create_bergs(64, lon=lon, lat=lat, mass=1e9, thickness=30.,
+                          width=300., length=300., mass_scaling=1.0,
+                          id_cnt=np.arange(4) + 1, max_bonds=4)
+    i, j, xi, yj = pos_to_cell(grid, st.lon, st.lat, -1.0)
+    st = st.replace(ine=i, jne=j, xi=xi, yj=yj)
+    st = forces.initialize_bonds_host(
+        st, cfg.replace(length_for_manually_initialize_bonds=1.2 * DXY))
+    st = st.replace(bond_tangd1=jnp.where(st.bond_idx >= 0, 0.5, 0.),
+                    bond_nstress=jnp.where(st.bond_idx >= 0, 7.0, 0.))
+    assert int(st.n_bonds[0]) == 1 and int(st.n_bonds[2]) == 1
+
+    mesh = Mesh(np.array(jax.devices()[:4]), (dd.AXIS,))
+    world = dd.make_sharded_world(cfg, mesh, nx=NX, ny=NY, lon0=0.,
+                                  lat0=0., dlon=DXY, dlat=DXY)
+    st_s = dd.shard_state(world, st, local_capacity=32)
+
+    base = str(tmp_path / "icebergs.res.nc")
+    rio.write_restart_bergs_tiled(base, st_s, cfg)
+    assert os.path.exists(str(tmp_path / "bonds_icebergs.res.nc.0000"))
+
+    back = rio.read_restart_bergs_tiled(base, 64, grid, cfg)
+    back = rio.read_restart_bonds_tiled(base, back, cfg)
+    ids = np.asarray(back.id_cnt)
+    bidx = np.asarray(back.bond_idx)
+    nb = np.asarray(back.n_bonds)
+    alive = np.asarray(back.alive)
+    slot = {int(ids[s]): s for s in np.nonzero(alive)[0]}
+    # both pairs re-matched by id
+    assert int(bidx[slot[1], 0]) == slot[2]
+    assert int(bidx[slot[3], 0]) == slot[4]
+    assert nb[alive].sum() == 4
+    # DEM per-bond state survived
+    np.testing.assert_allclose(
+        np.asarray(back.bond_tangd1)[slot[1], 0], 0.5, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(back.bond_nstress)[slot[3], 0], 7.0, rtol=1e-6)

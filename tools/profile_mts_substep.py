@@ -120,7 +120,7 @@ def main(n_target=20000):
         st, grid, cfg, max_per_cell=40,
         ncells_radius=forces.neighbor_radius(grid, cfg))
     pair_cap = 1 << int(np.ceil(np.log2(n * 16)))
-    me_p, ot_p, pv_p, pov = _mts.compact_conglom_pairs(st, nbr, pair_cap,
+    me_p, ot_p, pv_p, pov, _sd = _mts.compact_conglom_pairs(st, nbr, pair_cap,
                                                        cfg=cfg, dt=cfg.dt)
     print("pair_cap:", pair_cap, "npair:",
           int(np.asarray(jnp.sum(pv_p.astype(jnp.int32)))),
@@ -192,7 +192,7 @@ def main(n_target=20000):
                          vvel=s.vvel + 1e-12 * ay)
 
     def f_compact_pairs(s):
-        me2, ot2, pv2, _ = _mts.compact_conglom_pairs(s, nbr, pair_cap,
+        me2, ot2, pv2, _, _sd = _mts.compact_conglom_pairs(s, nbr, pair_cap,
                                                       cfg=cfg, dt=cfg.dt)
         return s.replace(uvel=s.uvel + 1e-12 * me2[0])
 
@@ -203,7 +203,7 @@ def main(n_target=20000):
         return s.replace(uvel=s.uvel + 1e-12 * nbr2.cand_idx[:, 0])
 
     def f_compact_pairs40(s):
-        me2, ot2, pv2, _ = _mts.compact_conglom_pairs(s, nbr40, pair_cap,
+        me2, ot2, pv2, _, _sd = _mts.compact_conglom_pairs(s, nbr40, pair_cap,
                                                       cfg=cfg, dt=cfg.dt)
         return s.replace(uvel=s.uvel + 1e-12 * me2[0])
 
