@@ -98,6 +98,7 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
               mts_pair_cap: Optional[int] = None,
               fused_block_n: int = 128, fused_window: int = 288,
               fused_fallback_cap: int = 8192,
+              fused_fallback_strip_width: int = 64,
               fused_interpret: bool = False):
     """Build the full jitted coupling step.
 
@@ -157,6 +158,8 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
                                 block_n=fused_block_n, window=fused_window,
                                 contact_cap=(contact_cap or 65536),
                                 fallback_cap=fused_fallback_cap,
+                                fallback_strip_width=(
+                                    fused_fallback_strip_width),
                                 interpret=fused_interpret)
                     elif neighbor_mode == "sorted":
                         from .ops.sorted import strip_neighbor_tables
@@ -231,6 +234,114 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
     if jit:
         step = jax.jit(step)
     return step
+
+
+def make_persistent_multi_step(grid: Grid, cfg: IcebergsConfig,
+                               n_inner: int, with_stats: bool = False, *,
+                               with_thermo: bool = True,
+                               contact_cap: int = 65536,
+                               fused_block_n: int = 128,
+                               fused_window: int = 288,
+                               fused_fallback_cap: int = 8192,
+                               fused_fallback_strip_width: int = 64,
+                               fused_interpret: bool = False):
+    """Persistent-sorted-layout coupling step, scanned ``n_inner`` times.
+
+    The particle slab is kept PHYSICALLY sorted by (cell, id) across
+    steps, so per-step neighbor-search setup disappears:
+
+    * the contact prepass reads the slab directly (no per-step lexsort,
+      no packed feature re-gather — the two setup costs that bounded the
+      round-2 fused path);
+    * one re-sort per step (after the dynamics walk) serves THREE
+      consumers: the thermodynamic melt scatters, the reproducible
+      9-slot spreading (their reduction frame IS the post-dynamics cell
+      order), and the next step's contact search;
+    * all deterministic reductions run with ``order=None`` (identity) —
+      the rows already sit in the (cell, id) order the reference's
+      id-ordered per-cell lists define (parallel_reprod,
+      icebergs_framework.F90:33).
+
+    Physics is bitwise identical per berg id to ``make_multi_step`` with
+    ``neighbor_mode="fused"``; only the slab ordering differs.
+
+    Single-device, no mid-scan spawning (calving/footloose children
+    would land unsorted; the driver path re-sorts per step instead).
+    Returns ``multi(st, frc) -> st_sorted`` (+ overflow/fallback stats
+    with ``with_stats``).
+    """
+    from .ops import thermo as _thermo
+    from .ops import spread as _spread
+    from .ops.sorted import sort_state_by_cell
+    from .ops.fused_contact import make_ia_fn_fused
+
+    nx, ny = grid.nx, grid.ny
+    ncells = nx * ny
+    assert cfg.interactive_icebergs_on and not cfg.mts
+
+    def step(st: BergState, cell_starts, frc):
+        with jax.named_scope("kid_interface"):
+            st = interp_to_bergs(st, grid, frc, cfg)
+
+        with jax.named_scope("kid_momentum"):
+            ia_fn, fstats = make_ia_fn_fused(
+                st, cell_starts, grid, cfg, block_n=fused_block_n,
+                window=fused_window, contact_cap=contact_cap,
+                fallback_cap=fused_fallback_cap,
+                fallback_strip_width=fused_fallback_strip_width,
+                interpret=fused_interpret)
+            out = evolve_icebergs(st, grid, frc, cfg, ia_fn=ia_fn)
+            st = out.state
+
+        # one re-sort serves thermo, spreading AND the next step's search
+        with jax.named_scope("kid_binning"):
+            st, cell_starts = sort_state_by_cell(st, grid)
+            key_s = jnp.where(st.alive, st.jne * nx + st.ine,
+                              ncells).astype(cell_starts.dtype)
+            rank = (jnp.arange(st.capacity, dtype=jnp.int32)
+                    - cell_starts[jnp.minimum(key_s, ncells)])
+            sort_ctx = (None, key_s, rank)   # identity: already sorted
+
+        melt_diags = None
+        if with_thermo:
+            with jax.named_scope("kid_thermodyn"):
+                st, melt_diags = _thermo.thermodynamics(
+                    st, grid, frc, cfg, sort_ctx=sort_ctx)
+
+        with jax.named_scope("kid_diagnostics"):
+            sp = _spread.create_gridded_icebergs_fields(
+                st, grid, frc, cfg, sort_ctx=sort_ctx)
+
+        diags = StepDiags(
+            nbergs=st.count(), tickets=out.tickets, bounced=out.bounced,
+            total_mass=jnp.sum(jnp.where(st.alive,
+                                         st.mass * st.mass_scaling, 0.)),
+            contact_overflow=fstats.overflow,
+            contact_fallback=fstats.n_fallback,
+            floating_melt=(melt_diags.floating_melt if melt_diags else None),
+            berg_melt=(melt_diags.berg_melt if melt_diags else None),
+            spread_mass=sp.spread_mass, spread_area=sp.spread_area,
+            spread_uvel=sp.spread_uvel, spread_vvel=sp.spread_vvel,
+            ustar_iceberg=sp.ustar_iceberg, mass_on_ocean=sp.mass_on_ocean)
+        return st, cell_starts, diags
+
+    @jax.jit
+    def multi(st: BergState, frc):
+        zero = jnp.zeros((), jnp.int32)
+        st, cs = sort_state_by_cell(st, grid)
+
+        def body(carry, _):
+            s, cs, ov, fb = carry
+            s, cs, d = step(s, cs, frc)
+            ov = jnp.maximum(ov, d.contact_overflow)
+            fb = jnp.maximum(fb, d.contact_fallback)
+            return (s, cs, ov, fb), None
+
+        (st, cs, ov, fb), _ = jax.lax.scan(body, (st, cs, zero, zero),
+                                           None, length=n_inner)
+        return (st, ov, fb) if with_stats else st
+
+    return multi
 
 
 def make_multi_step(grid: Grid, cfg: IcebergsConfig, n_inner: int,

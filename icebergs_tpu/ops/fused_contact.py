@@ -117,11 +117,8 @@ def make_ia_fn_fused2(st, grid, cfg: IcebergsConfig, *,
 
     key = jnp.where(st.alive, st.jne * nx + st.ine, ncells)
     if deterministic:
-        o1 = jnp.argsort(st.id_ij, stable=True)
-        o2 = jnp.argsort(st.id_cnt[o1], stable=True)
-        o12 = o1[o2]
-        o3 = jnp.argsort(key[o12], stable=True)
-        order = o12[o3]
+        from .sorted import lex_cell_id_order
+        order = lex_cell_id_order(key, st.id_cnt, st.id_ij)
     else:
         order = jnp.argsort(key)
     key_s = key[order]

@@ -179,11 +179,8 @@ def spread_weights(st, grid, cfg: IcebergsConfig, *, Tn=None, Area=None):
 
 def _lex_cell_id_order(st, key):
     """Layout-invariant (cell, id) lexicographic permutation."""
-    o1 = jnp.argsort(st.id_ij, stable=True)
-    o2 = jnp.argsort(st.id_cnt[o1], stable=True)
-    o12 = o1[o2]
-    o3 = jnp.argsort(key[o12], stable=True)
-    return o12[o3]
+    from .sorted import lex_cell_id_order
+    return lex_cell_id_order(key, st.id_cnt, st.id_ij)
 
 
 def make_sort_ctx(st, grid, alive=None):
@@ -258,9 +255,13 @@ def scatter9_slots(grid, st, w, I_frac, value_list, alive, K: int = 16,
     F = len(value_list)
     order, key_s, rank = (sort_ctx if sort_ctx is not None
                           else make_sort_ctx(st, grid, alive))
-    vals = jnp.stack(value_list, axis=-1)[order]          # (N, F)
-    wT = w.T[order]                                       # (N, 9)
-    scale = jnp.where(alive, I_frac, 0.)[order][:, None]
+    # order=None: rows are already physically (cell, id)-sorted (the
+    # persistent layout) — skip the permutation gathers
+    vals = jnp.stack(value_list, axis=-1)                 # (N, F)
+    wT = w.T                                              # (N, 9)
+    scale = jnp.where(alive, I_frac, 0.)[:, None]
+    if order is not None:
+        vals, wT, scale = vals[order], wT[order], scale[order]
 
     # ONE row scatter for all 9 offsets x F fields (nine separate
     # scatter+reduce rounds measured +120 ms at 1M bergs on v5e)
@@ -299,7 +300,9 @@ def scatter_cell_deterministic(grid, st, value_list, alive, K: int = 16,
     N = st.capacity
     order, key_s, rank = (sort_ctx if sort_ctx is not None
                           else make_sort_ctx(st, grid, alive))
-    vals = jnp.stack(value_list, axis=-1)[order]
+    vals = jnp.stack(value_list, axis=-1)
+    if order is not None:
+        vals = vals[order]
     S = _cell_slot_sums(key_s, rank, vals, ncells, K)
     F = len(value_list)
     Sg = S.reshape(ny, nx, F).transpose(1, 0, 2)

@@ -122,3 +122,38 @@ def test_fused2_step_runs_and_conserves():
             16, 16, uo=0.1, sst=2.0))
     m1 = float(jnp.sum(jnp.where(st.alive, st.mass * st.mass_scaling, 0.)))
     np.testing.assert_allclose(m1, m0, rtol=1e-6)
+
+
+def _state_by_id(st):
+    """Alive rows of every per-berg leaf, ordered by id (layout-free)."""
+    import numpy as np
+    alive = np.asarray(st.alive)
+    idc = np.asarray(st.id_cnt)[alive]
+    idj = np.asarray(st.id_ij)[alive]
+    order = np.lexsort((idj, idc))
+    out = {}
+    for f in ("lon", "lat", "uvel", "vvel", "mass", "thickness",
+              "width", "length", "ine", "jne", "xi", "yj"):
+        out[f] = np.asarray(getattr(st, f))[alive][order]
+    return out
+
+
+def test_persistent_layout_matches_per_step_fused():
+    """make_persistent_multi_step == make_multi_step(fused) bitwise per
+    berg id (interactions + thermo + melt death over several steps)."""
+    import icebergs_tpu.model as model
+    cfg, grid, st = _world(300, seed=11, cluster=True)
+    frc = ibt.uniform_forcing(16, 16, uo=0.1, vo=0.05, ua=4.0,
+                              sst=6.0, sss=33.0)
+    kw = dict(fused_block_n=64, fused_window=512, fused_interpret=True,
+              fused_fallback_strip_width=140)
+    multi_ref = model.make_multi_step(grid, cfg, 4, with_stats=True,
+                                      neighbor_mode="fused", **kw)
+    multi_per = model.make_persistent_multi_step(grid, cfg, 4,
+                                                 with_stats=True, **kw)
+    st_ref, ov_r, fb_r = multi_ref(st, frc)
+    st_per, ov_p, fb_p = multi_per(st, frc)
+    assert int(ov_r) == 0 and int(ov_p) == 0
+    a, b = _state_by_id(st_ref), _state_by_id(st_per)
+    for f, va in a.items():
+        np.testing.assert_array_equal(va, b[f], err_msg=f)
