@@ -34,6 +34,9 @@ def berg_chksum(st, fields=CHKSUM_FIELDS):
         arr = getattr(st, f)
         if arr.dtype == jnp.float32:
             bits = jax.lax.bitcast_convert_type(arr, jnp.uint32)
+        elif arr.dtype == jnp.float64:
+            b2 = jax.lax.bitcast_convert_type(arr, jnp.uint32)
+            bits = b2[..., 0] + b2[..., 1]
         else:
             bits = arr.astype(jnp.uint32)
         total = total + jnp.sum(jnp.where(alive, bits, jnp.uint32(0)),

@@ -168,8 +168,8 @@ def monitor_a_berg(st, berg_id: int, label: str = ""):
     """Single-particle tracing (monitor_a_berg / debug_iceberg_with_id,
     icebergs_framework.F90:4245-4269): print the berg's vitals if present.
     Host-side diagnostic."""
-    ids = np.asarray(st.id_cnt).astype(np.int64) * (2 ** 32) \
-        + np.asarray(st.id_ij)
+    from .ids import ids_of_state
+    ids = np.asarray(ids_of_state(st))
     alive = np.asarray(st.alive)
     hit = np.nonzero(alive & (ids == berg_id))[0]
     for s in hit:

@@ -28,6 +28,9 @@ def build_grid_and_forcing(cfg, drv, dtype=None):
     from . import forcing as F
     from . import grid as G
 
+    if dtype is None:
+        dtype = jnp.float32
+
     ni = int(drv.get("ni", 20))
     nj = int(drv.get("nj", 20))
     gridres = float(drv.get("gridres", 1000.0))
@@ -47,13 +50,15 @@ def build_grid_and_forcing(cfg, drv, dtype=None):
         lat0 = float(drv.get("lat0", -70.0))
         dll = float(drv.get("dlonlat", 0.125))
         grid = G.make_uniform_grid(ni, nj, lon0, lat0, dll, dll,
-                                   grid_is_latlon=True, Rearth=cfg.Rearth)
+                                   grid_is_latlon=True, Rearth=cfg.Rearth,
+                                   dtype=dtype)
     else:
         grid = G.make_uniform_grid(ni, nj, 0.0, 0.0, gridres, gridres,
-                                   grid_is_latlon=False)
+                                   grid_is_latlon=False, dtype=dtype)
 
     frc = F.uniform_forcing(grid.nx, grid.ny, uo=ibuo, vo=ibvo, ui=ibui,
-                            vi=ibvi, ua=ibua, va=ibva, sst=sst0, sss=33.0)
+                            vi=ibvi, ua=ibua, va=ibva, sst=sst0, sss=33.0,
+                            dtype=dtype)
 
     xc = gridres * np.arange(ni + 1)[:, None] * np.ones((1, nj + 1))
     yc = gridres * np.arange(nj + 1)[None, :] * np.ones((ni + 1, 1))
@@ -63,10 +68,10 @@ def build_grid_and_forcing(cfg, drv, dtype=None):
         mid = 10.e3
         vo = np.where((xc > mid) | (xc <= 0.) | (yc == mid), 0.,
                       np.where(yc > mid, -ibvo, ibvo))
-        frc = frc.replace(vo=jnp.asarray(vo, jnp.float32))
+        frc = frc.replace(vo=jnp.asarray(vo, dtype))
     if drv.get("fl_test"):
         vo = np.where(xc > 10000., -ibvo, ibvo)
-        frc = frc.replace(vo=jnp.asarray(vo, jnp.float32))
+        frc = frc.replace(vo=jnp.asarray(vo, dtype))
     if drv.get("big_grounding_test"):
         # Gaussian seamount bathymetry + N/S land strips (driver:288-307):
         # height a = 1000 - bump_depth, width c = 5 km, center (63, 60) km
@@ -78,11 +83,11 @@ def build_grid_and_forcing(cfg, drv, dtype=None):
         bump = a * np.exp(-((X - 63.e3) ** 2 + (Y - 60.e3) ** 2)
                           / (2. * c * c))
         od = np.pad(1000.0 - bump, 1)
-        grid = grid.replace(ocean_depth=jnp.asarray(od, jnp.float32))
+        grid = grid.replace(ocean_depth=jnp.asarray(od, dtype))
         msk2 = np.asarray(grid.msk).copy()
         land = (Y <= -5.e3) | (Y >= 220.e3)
         msk2[1:-1, 1:-1] = np.where(land, 0.0, msk2[1:-1, 1:-1])
-        grid = grid.replace(msk=jnp.asarray(msk2, jnp.float32))
+        grid = grid.replace(msk=jnp.asarray(msk2, dtype))
     else:
         # default deep ocean so nothing grounds spuriously
         grid = grid.replace(ocean_depth=jnp.full_like(grid.ocean_depth,
@@ -92,9 +97,23 @@ def build_grid_and_forcing(cfg, drv, dtype=None):
 
 def run(nml_path: str, input_dir: str = ".", output_dir: str = ".",
         capacity: int = 4096, verbose: bool = True,
-        neighbor_window: str = "auto", mts_pair_cap: int = None):
-    """Main loop (driver/icebergs_driver.F90:339-444)."""
+        neighbor_window: str = "auto", mts_pair_cap: int = None,
+        dtype: str = "float32"):
+    """Main loop (driver/icebergs_driver.F90:339-444).
+
+    ``dtype="float64"`` runs the whole model in double precision (the
+    reference's implicit ``-r8``): enables jax_enable_x64 and threads
+    f64 through grid/forcing/state construction.
+    """
     import jax
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # the container's sitecustomize force-registers the axon TPU
+        # plugin and overrides the env var; the config knob wins
+        jax.config.update("jax_platforms", "cpu")
+    if dtype in ("float64", "f64"):
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    fdtype = jnp.float64 if dtype in ("float64", "f64") else jnp.float32
     from .io.namelist import config_from_namelist
     from .io import restart as rio
     from .io import trajectory as tio
@@ -123,14 +142,15 @@ def run(nml_path: str, input_dir: str = ".", output_dir: str = ".",
               f"({a68_data.n_hours} hourly frames, start index "
               f"{start_ind})")
     else:
-        grid, frc = build_grid_and_forcing(cfg, drv)
+        grid, frc = build_grid_and_forcing(cfg, drv, dtype=fdtype)
     # bathymetry from topog.nc when provided (read_ocean_depth,
     # icebergs_fms2io.F90:1600-1629)
     grid = rio.read_ocean_depth(os.path.join(input_dir, "topog.nc"), grid)
 
     berg_restart = os.path.join(input_dir, "icebergs.res.nc")
     if os.path.exists(berg_restart):
-        st = rio.read_restart_bergs(berg_restart, capacity, grid, cfg)
+        st = rio.read_restart_bergs(berg_restart, capacity, grid, cfg,
+                                    dtype=fdtype)
     elif cfg.generate_test_icebergs:
         # debug generator: 4 bergs spread over the domain
         # (generate_bergs, icebergs_fms2io.F90:1051-1154)
@@ -151,7 +171,8 @@ def run(nml_path: str, input_dir: str = ".", output_dir: str = ".",
         raise SystemExit(f"no initial bergs found at {berg_restart}")
     else:
         from . import empty_state
-        st = empty_state(capacity, max_bonds=cfg.max_bonds)
+        st = empty_state(capacity, max_bonds=cfg.max_bonds,
+                         dtype=fdtype)
     if cfg.static_icebergs:
         # Static_icebergs master switch: hold every berg in place
         # (icebergs_framework.F90:826; static_berg honored per-berg in
@@ -224,6 +245,11 @@ def run(nml_path: str, input_dir: str = ".", output_dir: str = ".",
                     ssh=a68io.forcing_at_hour(
                         a68_data, start_ind + int(ns2) - 2).ssh)
         st, diags = step(st, frc)
+        if cfg.debug_iceberg_with_id > 0:
+            # monitor_a_berg (icebergs_framework.F90:4245-4269)
+            from .diagnostics import monitor_a_berg
+            monitor_a_berg(st, cfg.debug_iceberg_with_id,
+                           label=f"step {n + 1}")
         if diags.floating_melt is not None:
             m = float(np.sum(np.asarray(
                 diags.floating_melt * grid.area))) * cfg.dt
@@ -296,9 +322,13 @@ def main():
     p.add_argument("--mts-pair-cap", type=int, default=None,
                    help="compact MTS substep contacts to this many pairs "
                         "(size >= same-conglomerate neighbor pairs)")
+    p.add_argument("--dtype", default="float32",
+                   choices=("float32", "float64"),
+                   help="model precision (float64 = the reference's -r8)")
     a = p.parse_args()
     run(a.nml, a.input_dir, a.output_dir, a.capacity,
-        neighbor_window=a.neighbor_window, mts_pair_cap=a.mts_pair_cap)
+        neighbor_window=a.neighbor_window, mts_pair_cap=a.mts_pair_cap,
+        dtype=a.dtype)
 
 
 if __name__ == "__main__":

@@ -332,7 +332,7 @@ def read_ocean_depth(path: str, grid: Grid) -> Grid:
         raise ValueError(f"topog depth shape {depth.shape} does not match "
                          f"grid ({grid.nx}, {grid.ny})")
     od = np.pad(depth, 1)
-    return grid.replace(ocean_depth=jnp.asarray(od, np.float32))
+    return grid.replace(ocean_depth=jnp.asarray(od, grid.ocean_depth.dtype))
 
 
 # --------------------------------------------------------------------------
@@ -349,18 +349,37 @@ def write_restart_bergs_tiled(basepath: str, st_s, cfg: IcebergsConfig):
     of ``st_s`` are stacked (ndev, capacity, ...) host-fetchable arrays.
     """
     import dataclasses
-    import jax
     cap = st_s.lon.shape[-1]
-    host = {}
-    for f in dataclasses.fields(st_s):
-        v = np.asarray(jax.device_get(getattr(st_s, f.name)))
-        # flatten leading device dims; keep (cap,) or (cap, B) trailing
-        trail = 2 if (v.ndim >= 2 and v.shape[-2] == cap) else 1
-        host[f.name] = v.reshape((-1,) + v.shape[v.ndim - trail:])
-    ndev_flat = host["lon"].shape[0]
+
+    def tile_views(arr):
+        """{global tile id: host view} of THIS process's shards.
+
+        Multi-host safe: only addressable shards are fetched (the
+        per-process IO boundary of the reference's io_layout); on a
+        single process that is every tile.  Falls back to a plain
+        reshape for unsharded (host/numpy) inputs.
+        """
+        v_trail = 2 if (arr.ndim >= 2 and arr.shape[-2] == cap) else 1
+        lead = arr.shape[:arr.ndim - v_trail]
+        if hasattr(arr, "addressable_shards") and len(lead):
+            out = {}
+            strides = np.cumprod((lead + (1,))[::-1])[::-1][1:]
+            for sh in arr.addressable_shards:
+                idx = sh.index[:len(lead)]
+                d = int(sum((sl.start or 0) * s
+                            for sl, s in zip(idx, strides)))
+                out[d] = np.asarray(sh.data).reshape(
+                    (-1,) + arr.shape[arr.ndim - v_trail:])
+            return out
+        v = np.asarray(arr).reshape((-1,) + arr.shape[arr.ndim - v_trail:])
+        return {d: v[d:d + 1] for d in range(v.shape[0])}
+
+    per_field = {f.name: tile_views(getattr(st_s, f.name))
+                 for f in dataclasses.fields(st_s)}
     paths = []
-    for d in range(ndev_flat):
-        stl = BergState(**{k: jnp.asarray(v[d]) for k, v in host.items()})
+    for d in sorted(per_field["lon"]):
+        stl = BergState(**{k: jnp.asarray(v[d][0])
+                           for k, v in per_field.items()})
         p = f"{basepath}.{d:04d}"
         write_restart_bergs(p, stl, cfg)
         paths.append(p)

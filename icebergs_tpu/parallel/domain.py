@@ -53,6 +53,12 @@ class ShardedWorld(NamedTuple):
     cfg: IcebergsConfig
     nxl: int             # interior cells per tile (x)
     halo: int
+    # host (numpy/unsharded) copy of the stacked tile grids: the
+    # init/IO-boundary helpers (shard_state & co.) must not fetch the
+    # device copy, whose shards are NON-ADDRESSABLE on a multi-process
+    # mesh (jax.distributed).  None -> fall back to the device copy
+    # (single-process direct constructions in tests).
+    grids_host: Grid = None
 
 
 def _stack(pytrees):
@@ -144,9 +150,10 @@ def make_sharded_world(cfg: IcebergsConfig, mesh: Mesh, *, nx, ny, lon0,
         grids.append(_slice_tile_grid(
             gg, d * nxl - H, 0, nxl + 2 * H, ny, periodic=periodic,
             own_hx=H, own_hy=0, dtype=dtype))
-    grids = _stack(grids)
-    grids = jax.device_put(grids, jax.NamedSharding(mesh, P(AXIS)))
-    return ShardedWorld(mesh=mesh, grids=grids, cfg=cfg, nxl=nxl, halo=H)
+    grids_host = _stack(grids)
+    grids = jax.device_put(grids_host, jax.NamedSharding(mesh, P(AXIS)))
+    return ShardedWorld(mesh=mesh, grids=grids, cfg=cfg, nxl=nxl, halo=H,
+                        grids_host=grids_host)
 
 
 def shard_forcing(world: ShardedWorld, frc_global: Forcing) -> Forcing:
@@ -195,9 +202,11 @@ def shard_state(world: ShardedWorld, st_global: BergState,
     """
     ndev = world.mesh.devices.size
     nxl, H = world.nxl, world.halo
-    lon0 = float(np.asarray(world.grids.lon0)[0]) + H * float(
-        np.asarray(world.grids.dlon)[0])
-    dlon = float(np.asarray(world.grids.dlon)[0])
+    ghost = world.grids_host if world.grids_host is not None \
+        else world.grids
+    lon0 = float(np.asarray(ghost.lon0)[0]) + H * float(
+        np.asarray(ghost.dlon)[0])
+    dlon = float(np.asarray(ghost.dlon)[0])
 
     # preserve bonds across redistribution: stamp partner ids now; slots
     # are re-matched by id after the first halo exchange
@@ -239,7 +248,7 @@ def shard_state(world: ShardedWorld, st_global: BergState,
         sl = BergState(**take)
         # localize cell indices to this tile's grid (the reference re-runs
         # find_cell on unpack, icebergs_framework.F90:3456)
-        g = jax.tree.map(lambda x: x[d], world.grids)
+        g = jax.tree.map(lambda x: x[d], ghost)
         slabs.append(relocalize(sl, g, world.cfg))
     stacked = _stack(slabs)
     return jax.device_put(stacked,
@@ -1249,12 +1258,14 @@ def make_sharded_step(world: ShardedWorld, *, with_thermo=True,
         return out
 
     @functools.partial(jax.jit)
-    def sharded_step(st, frc):
+    def sharded_step(grids, st, frc):
         fn = jax.shard_map(
             local_fn, mesh=mesh,
             in_specs=(P(AXIS), P(AXIS), P(AXIS)),
             out_specs=(P(AXIS), P(), P(), P(AXIS)),
         )
-        return fn(world.grids, st, frc)
+        return fn(grids, st, frc)
 
-    return sharded_step
+    # grids enter as a jit ARGUMENT: closing over a multi-process global
+    # array inside jit is rejected by jax.distributed
+    return functools.partial(sharded_step, world.grids)

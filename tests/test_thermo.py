@@ -44,15 +44,95 @@ def test_basal_melt_two_equation_reference_value():
         (float(val[0]), expected)
 
 
-def test_basal_melt_three_equation_close_to_two_eq():
-    """With const_gamma (default), the 3-eq model converges and gives a
-    melt rate in the same ballpark as the 2-eq value."""
-    cfg = ibt.IcebergsConfig()
-    v3 = thermo.find_basal_melt(cfg, jnp.array([0.2]), jnp.array([0.0]),
-                                jnp.array([35.0]), jnp.array([2.0]),
-                                jnp.array([100.0]), use_three_equation=True)
-    assert np.isfinite(float(v3[0]))
-    assert 0. < float(v3[0]) < 1e-3
+def _three_eq_f64_anchor(cfg, dvo, lat, salt, temp, thick):
+    """Independent float64 solve of the Holland-Jenkins 3-equation system
+    (icebergs.F90:3492-3828): interface salinity Sb such that the salt
+    balance (salt*mass_exch + Si*lprec)/(mass_exch + lprec) = Sb closes,
+    with the melt rate lprec from the heat balance at T_freeze(Sb).
+    Solved by scipy brentq on the residual — a different method from the
+    implementation's masked fixed-point iteration."""
+    from scipy.optimize import brentq
+    VK, ZETA_N, RC = 0.40, 0.052, 0.20
+    dR0_dT, dR0_dS, RHO_T0_S0 = -0.038357, 0.805876, 999.910681
+    kd_molec_salt, kd_molec_temp, kv = 8.02e-10, 1.41e-7, 1.95e-6
+    Cp_ml, LF, p_atm = 3974.0, 3.335e5, 101325.0
+    Rho0, Hml, g = 1025.0, 10.0, 9.8
+    SC, PR = kv / kd_molec_salt, kv / kd_molec_temp
+    Gam_mol_t = 12.5 * PR ** (2. / 3.) - 6.
+    Gam_mol_s = 12.5 * SC ** (2. / 3.) - 6.
+    p_int = p_atm + g * thick * cfg.rho_bergs
+    Rhoml = RHO_T0_S0 + dR0_dT * temp + dR0_dS * salt
+    ustar_h = max(cfg.ustar_icebergs_bg,
+                  np.sqrt(cfg.cdrag_icebergs
+                          * (dvo ** 2 + cfg.utide_icebergs ** 2)))
+    # f = 0 at lat=0 -> neutral boundary layer depth = mixed layer
+    hBL = Hml
+    hnm = ZETA_N * (hBL * ustar_h) / (5.0 * kv)
+    ln_neut = np.log(hnm) if hnm > 1.0 else 0.0
+    Gam_turb_neut = (1 / VK) * (ln_neut + (0.5 / ZETA_N - 1.0))
+    n_star_term = (ZETA_N / RC) * (hBL * VK) / ustar_h ** 3
+    dB_dS = (g / Rhoml) * dR0_dS
+    dB_dT = (g / Rhoml) * dR0_dT
+
+    def tfreeze(S):
+        return (0.0832 - 0.0573 * S) - 7.53e-8 * p_int
+
+    def gam(Gam_turb):
+        if cfg.const_gamma:
+            return cfg.Gamma_T_3EQ, cfg.Gamma_T_3EQ / 35.
+        return 1.0 / (Gam_mol_t + Gam_turb), 1.0 / (Gam_mol_s + Gam_turb)
+
+    def fluxes(Sb):
+        dT_us = (temp - tfreeze(Sb)) * ustar_h
+        dS_us = (salt - Sb) * ustar_h
+        IGt, IGs = gam(Gam_turb_neut)
+        wB = dB_dS * dS_us * IGs + dB_dT * dT_us * IGt
+        if wB > 0.0:
+            # stabilizing buoyancy: wB self-consistency, solved directly
+            def wb_res(wb):
+                I_n = np.sqrt(1.0 + n_star_term * wb)
+                if hnm > I_n ** 2:
+                    Gt = (1 / VK) * ((ln_neut - 2.0 * np.log(I_n))
+                                     + (0.5 / ZETA_N * I_n - 1.0))
+                else:
+                    Gt = (1 / VK) * (0.5 / ZETA_N * I_n - 1.0)
+                IGt2, IGs2 = gam(Gt)
+                return dB_dS * dS_us * IGs2 + dB_dT * dT_us * IGt2 - wb
+            wB = brentq(wb_res, 0.0, max(1.0, 2 * wB), xtol=1e-15)
+            I_n = np.sqrt(1.0 + n_star_term * wB)
+            if hnm > I_n ** 2:
+                Gt = (1 / VK) * ((ln_neut - 2.0 * np.log(I_n))
+                                 + (0.5 / ZETA_N * I_n - 1.0))
+            else:
+                Gt = (1 / VK) * (0.5 / ZETA_N * I_n - 1.0)
+            IGt, IGs = gam(Gt)
+        wT = (temp - tfreeze(Sb)) * ustar_h * IGt
+        lprec = (Rho0 * Cp_ml) * wT / LF
+        mass_exch = ustar_h * IGs * Rho0
+        return lprec, mass_exch
+
+    def residual(Sb):
+        lprec, mass_exch = fluxes(Sb)
+        return (salt * mass_exch + 0.0 * lprec) / (mass_exch + lprec) - Sb
+
+    Sb = brentq(residual, 1e-6, salt, xtol=1e-13)
+    lprec, _ = fluxes(Sb)
+    return lprec / cfg.rho_bergs
+
+
+def test_basal_melt_three_equation_anchored():
+    """3-eq melt regresses against the independent f64 brentq solve of
+    the same Holland-Jenkins system (both const_gamma branches)."""
+    for const_gamma in (True, False):
+        cfg = ibt.IcebergsConfig(const_gamma=const_gamma)
+        v3 = thermo.find_basal_melt(
+            cfg, jnp.array([0.2]), jnp.array([0.0]), jnp.array([35.0]),
+            jnp.array([2.0]), jnp.array([100.0]), use_three_equation=True)
+        expected = _three_eq_f64_anchor(cfg, 0.2, 0.0, 35.0, 2.0, 100.0)
+        assert expected > 0.
+        # the implementation's fixed point stops at rel tol 1e-4
+        assert abs(float(v3[0]) - expected) / expected < 2e-3, \
+            (const_gamma, float(v3[0]), expected)
 
 
 def test_rolling_updated_scheme():

@@ -1,0 +1,87 @@
+"""Compare the persistent-sorted-layout multi-step against the round-2
+sortless fused path at 1M bergs on the live chip.
+
+Usage: python tools/bench_persistent.py [persistent|fused2|both]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _sync(x):
+    import jax
+    leaf = jax.tree.leaves(x)[0]
+    return np.asarray(leaf.ravel()[:1])
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import icebergs_tpu as ibt
+    from icebergs_tpu.grid import pos_to_cell
+    from icebergs_tpu.model import make_multi_step, make_persistent_multi_step
+
+    which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    NBERGS = 1_000_000
+    NX = NY = 512
+    DXY = 2000.0
+    INNER = 6
+
+    cfg = ibt.IcebergsConfig(
+        grid_is_latlon=False, Lx=-1.0, use_f_plane=True, lat_ref=45.0,
+        dt=600.0, Runge_not_Verlet=False,
+        interactive_icebergs_on=True,
+        use_new_predictive_corrective=True, allow_bergs_to_roll=True)
+
+    grid = ibt.make_uniform_grid(NX, NY, 0., 0., DXY, DXY,
+                                 grid_is_latlon=False)
+    frc = ibt.uniform_forcing(NX, NY, uo=0.3, vo=0.1, ua=5.0, sst=4.0,
+                              sss=33.0)
+
+    rng = np.random.RandomState(0)
+    lon = rng.uniform(2 * DXY, (NX - 2) * DXY, NBERGS)
+    lat = rng.uniform(2 * DXY, (NY - 2) * DXY, NBERGS)
+    st = ibt.create_bergs(NBERGS, lon=lon, lat=lat,
+                          mass=850. * 40. * 150. * 150., thickness=40.,
+                          width=150., length=150., mass_scaling=1.0)
+    i, j, xi, yj = pos_to_cell(grid, st.lon, st.lat, -1.0)
+    st = st.replace(ine=i, jne=j, xi=xi, yj=yj)
+    print("device:", jax.devices()[0], flush=True)
+
+    def run(name, multi):
+        t0 = time.perf_counter()
+        out = multi(st, frc)
+        _sync(out)
+        print(f"{name}: compile+first {time.perf_counter()-t0:.1f}s",
+              flush=True)
+        t0 = time.perf_counter()
+        reps = 2
+        for _ in range(reps):
+            out = multi(out[0], frc)
+            _sync(out)
+        dt = (time.perf_counter() - t0) / (reps * INNER)
+        print(f"{name}: {dt*1e3:.1f} ms/step = "
+              f"{NBERGS/dt/1e6:.2f} M berg-steps/s  "
+              f"dropped={int(np.asarray(out[1]))} "
+              f"fallback={int(np.asarray(out[2]))}", flush=True)
+
+    if which in ("fused2", "both"):
+        run("fused2_per_step", make_multi_step(
+            grid, cfg, INNER, with_stats=True, with_thermo=True,
+            neighbor_mode="fused", fused_block_n=128, fused_window=288,
+            contact_cap=131072, fused_fallback_cap=16384))
+    if which in ("persistent", "both"):
+        run("persistent", make_persistent_multi_step(
+            grid, cfg, INNER, with_stats=True, with_thermo=True,
+            fused_block_n=128, fused_window=288,
+            contact_cap=131072, fused_fallback_cap=16384))
+
+
+if __name__ == "__main__":
+    main()

@@ -149,6 +149,58 @@ def main():
                                                     cfg_noreprod)
         return s.replace(lon=s.lon + 1e-12 * sp.spread_mass[0, 0])
 
+    # --- finer fused-path attribution (round 3) ------------------------
+    ncells = NX * NY
+
+    def f_lexsort(s):
+        from icebergs_tpu.ops.sorted import lex_cell_id_order
+        key = jnp.where(s.alive, s.jne * NX + s.ine, ncells)
+        order = lex_cell_id_order(key, s.id_cnt, s.id_ij)
+        return s.replace(uvel=s.uvel + 1e-12 * order[:1].astype(s.dtype))
+
+    def f_lexsort_pack_starts(s):
+        # full fused2 setup minus the kernel: order + (N,14) gather + starts
+        from icebergs_tpu.ops.sorted import lex_cell_id_order
+        key = jnp.where(s.alive, s.jne * NX + s.ine, ncells)
+        order = lex_cell_id_order(key, s.id_cnt, s.id_ij)
+        key_s = key[order]
+        starts = jnp.searchsorted(
+            key_s, jnp.arange(ncells + 1, dtype=key_s.dtype)).astype(
+            jnp.int32)
+        A = s.length * s.width
+        R = _forces._interaction_radius(cfg, A)
+        alive_f = s.alive.astype(s.dtype)
+        M = jnp.stack([s.lon_old, s.lat_old, R, s.fl_k, alive_f,
+                       key.astype(s.dtype), s.uvel_old, s.vvel_old,
+                       s.thickness, s.length, s.width, s.mass,
+                       jnp.zeros_like(alive_f), jnp.zeros_like(alive_f)],
+                      axis=-1)
+        Ms = M[order]
+        return s.replace(uvel=s.uvel + 1e-12 * (Ms[0, 0] + starts[0]))
+
+    def _ia_cfg(bn, w):
+        def f(s):
+            from icebergs_tpu.ops.fused_contact import make_ia_fn_fused2
+            ia_fn, stats = make_ia_fn_fused2(s, grid, cfg, block_n=bn,
+                                             window=w, contact_cap=131072,
+                                             fallback_cap=16384)
+            ia = ia_fn(s.uvel, s.vvel)
+            return s.replace(uvel=s.uvel + 1e-12 * ia.IA_x,
+                             vvel=s.vvel + 1e-12 * ia.IA_y)
+        return f
+
+    def f_scatter9_only(s):
+        # the 9-slot deterministic scatter alone (spread minus weights)
+        w, I_frac = _spread.spread_weights(s, grid, cfg)
+        vals = [s.mass * s.mass_scaling, s.length * s.width]
+        out = _spread.scatter9_slots(grid, s, w, I_frac, vals, s.alive)
+        lead = jax.tree.leaves(out)[0]
+        return s.replace(lon=s.lon + 1e-12 * lead.ravel()[0])
+
+    def f_spread_weights_only(s):
+        w, I_frac = _spread.spread_weights(s, grid, cfg)
+        return s.replace(lon=s.lon + 1e-12 * w[0, 0])
+
     def f_thermo_noreprod(s):
         s2, d = _thermo.thermodynamics(s, grid, frc, cfg_noreprod)
         return s2
@@ -159,20 +211,23 @@ def main():
     import sys
     only = sys.argv[1:] if len(sys.argv) > 1 else None
     for name, fn, arg in (
-            ("sort_plain", f_sort_plain, st),
-            ("sort_by_cell_id", f_sort, st),
-            ("sort+prepass", f_prepass, st),
+            ("lexsort", f_lexsort, st),
+            ("lexsort_pack_starts", f_lexsort_pack_starts, st_i),
             ("ia_fused_total", f_ia_fused, st_i),
-            ("evolve_with_fused_ia", f_evolve_ia, st_i),
+            ("ia_fused_bn128_w288", _ia_cfg(128, 288), st_i),
+            ("ia_fused_bn128_w160", _ia_cfg(128, 160), st_i),
             ("ia_fused_2evals", f_ia_fused_2evals, st_i),
-            ("interp", f_interp, st),
+            ("evolve_with_fused_ia", f_evolve_ia, st_i),
             ("evolve_noia", f_evolve, st_i),
+            ("interp", f_interp, st),
             ("index_walk", f_walk, st_i),
             ("thermo_reprod", f_thermo, st_i),
             ("thermo_plain", f_thermo_noreprod, st_i),
             ("spread_reprod", f_spread, st_i),
             ("spread_plain", f_spread_noreprod, st_i),
-            ("ia_xla_quadrant", f_ia_quadrant, st_i),
+            ("spread_weights_only", f_spread_weights_only, st_i),
+            ("scatter9_only", f_scatter9_only, st_i),
+            ("sort_by_cell_id", f_sort, st),
     ):
         if only and name not in only:
             continue
