@@ -179,6 +179,9 @@ def run(nml_path: str, input_dir: str = ".", output_dir: str = ".",
         # the momentum update)
         import jax.numpy as _jnp
         st = st.replace(static_berg=_jnp.ones_like(st.static_berg))
+    # constant-L/W interactions: derive the constants from the loaded
+    # elements when the namelist left them 0 (icebergs.F90:175-177)
+    cfg = FO.set_constant_interaction_length_and_width(cfg, st)
     bond_restart = os.path.join(input_dir, "bonds_iceberg.res.nc")
     if cfg.iceberg_bonds_on and os.path.exists(bond_restart):
         st = rio.read_restart_bonds(bond_restart, st, cfg)

@@ -734,6 +734,16 @@ def evolve_icebergs_mts(st, grid: Grid, frc, cfg: IcebergsConfig,
                 bond_sstress=jnp.where(bm, bu.sstress, s.bond_sstress))
 
         nb = jnp.zeros((), jnp.int32)
+        if bu is not None and bu.broken is not None:
+            # in-kernel per-substep fracture (icebergs.F90:1140-1199)
+            bm = moving[:, None]
+            newly = bm & (bu.broken == 1) & (s.bond_broken != 1)
+            nb = nb + jnp.sum(newly.astype(jnp.int32))
+            brok = jnp.where(bm, bu.broken, s.bond_broken)
+            s = s.replace(
+                bond_broken=brok,
+                n_bonds=jnp.sum((s.bond_idx >= 0) & (brok != 1),
+                                axis=1).astype(s.dtype))
         if cfg.dem:
             gdrag = _grounding_drag_coeff(s, cfg, 'disk') \
                 if cfg.use_grounding_torque else jnp.zeros_like(s.ang_vel)
@@ -742,7 +752,10 @@ def evolve_icebergs_mts(st, grid: Grid, frc, cfg: IcebergsConfig,
                           rot=sel(s.rot + dtf * av, s.rot))
             if cfg.break_bonds_on_sub_steps \
                     and not cfg.use_broken_bonds_for_substep_contact:
-                s, nb = _dem.break_bonds_dem(s, cfg)
+                # idempotent partner-propagation pass (the in-kernel
+                # break above already marked both directed lanes)
+                s, nb2 = _dem.break_bonds_dem(s, cfg)
+                nb = nb + nb2
         return s, nb
 
     if cfg.n_sub_steps > 0:

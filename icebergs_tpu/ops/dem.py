@@ -44,6 +44,9 @@ class DemOut(NamedTuple):
     rel_rotation: jnp.ndarray
     nstress: jnp.ndarray
     sstress: jnp.ndarray
+    # bond_broken incl. in-kernel per-substep breaking (None when
+    # break_bonds_on_sub_steps is off: no breaking inside the kernel)
+    broken: jnp.ndarray = None
 
 
 def _radius(cfg: IcebergsConfig, A):
@@ -202,13 +205,37 @@ def dem_bond_forces(st, cfg: IcebergsConfig, dt, onehot=None):
         dem_K_damp(cfg) * M1 * M2 / (M1 + M2))
     dw = st.ang_vel[:, None] - pick("ang_vel")
 
-    w = jnp.where(valid, 1., 0.)
-    F_x = jnp.sum(w * (Fn_x + Fs_x), -1)
-    F_y = jnp.sum(w * (Fn_y + Fs_y), -1)
-    T = jnp.sum(w * (Ts + Tr), -1)
-    Fd_x = jnp.sum(w * (-damping_coef * ur), -1)
-    Fd_y = jnp.sum(w * (-damping_coef * vr), -1)
-    T_d = jnp.sum(w * (-damping_coef * dw), -1)
+    # in-kernel per-substep fracture (icebergs.F90:1140-1199): a bond
+    # whose fresh stress exceeds a threshold breaks NOW and contributes
+    # no force this substep — except the compression contact (Fn) +
+    # linear damping when it failed under shear with normal compression
+    # (nstress < 0).  Symmetric: both directed lanes compute identical
+    # stresses, so reciprocity holds without a partner pass.
+    broken_new = None
+    if cfg.break_bonds_on_sub_steps:
+        assert cfg.fracture_criterion == 'stress', \
+            "break_bonds_on_sub_steps requires fracture_criterion='stress'"
+        breaking = valid & ((nstress > cfg.frac_thres_n
+                             * cfg.frac_thres_scaling)
+                            | (sstress > cfg.frac_thres_t
+                               * cfg.frac_thres_scaling))
+        broken_new = jnp.where(breaking, 1, st.bond_broken)
+        w = jnp.where(valid & ~breaking, 1., 0.)
+        wc = jnp.where(breaking & (nstress < 0.), 1., 0.)
+        F_x = jnp.sum(w * (Fn_x + Fs_x) + wc * Fn_x, -1)
+        F_y = jnp.sum(w * (Fn_y + Fs_y) + wc * Fn_y, -1)
+        T = jnp.sum(w * (Ts + Tr), -1)
+        Fd_x = jnp.sum((w + wc) * (-damping_coef * ur), -1)
+        Fd_y = jnp.sum((w + wc) * (-damping_coef * vr), -1)
+        T_d = jnp.sum(w * (-damping_coef * dw), -1)
+    else:
+        w = jnp.where(valid, 1., 0.)
+        F_x = jnp.sum(w * (Fn_x + Fs_x), -1)
+        F_y = jnp.sum(w * (Fn_y + Fs_y), -1)
+        T = jnp.sum(w * (Ts + Tr), -1)
+        Fd_x = jnp.sum(w * (-damping_coef * ur), -1)
+        Fd_y = jnp.sum(w * (-damping_coef * vr), -1)
+        T_d = jnp.sum(w * (-damping_coef * dw), -1)
 
     keep = valid
     return DemOut(
@@ -218,7 +245,8 @@ def dem_bond_forces(st, cfg: IcebergsConfig, dt, onehot=None):
         tangd2=jnp.where(keep, tangd2, st.bond_tangd2),
         rel_rotation=jnp.where(keep, rel_rotation, st.bond_rel_rotation),
         nstress=jnp.where(keep, nstress, st.bond_nstress),
-        sstress=jnp.where(keep, sstress, st.bond_sstress))
+        sstress=jnp.where(keep, sstress, st.bond_sstress),
+        broken=broken_new)
 
 
 def dem_contact_forces(st, cfg: IcebergsConfig, other, mask):

@@ -435,14 +435,19 @@ def scatter_ia(ia_sub: IA, sel, valid_row, N: int) -> IA:
 
     ``sel`` is rank-compacted (ascending) and ``valid_row`` is a
     contiguous prefix, so redirecting the tail to N keeps the index
-    stream sorted — the scatter lowers to a segment write."""
-    tgt = jnp.where(valid_row, sel, N)
+    stream sorted — the scatter lowers to a segment write.
 
-    def put(a):
-        return jnp.zeros((N,), a.dtype).at[tgt].set(
-            jnp.where(valid_row, a, 0.), mode='drop',
-            indices_are_sorted=True)
-    return IA(*(put(x) for x in ia_sub))
+    ONE (cap, 7) row scatter for all seven IA fields: seven separate
+    (131072 -> 1M) scatters measured ~13 ms EACH on v5e (~96 ms/eval
+    group, the dominant fused-contact cost); the combined row scatter is
+    one pass."""
+    tgt = jnp.where(valid_row, sel, N)
+    fields = list(ia_sub)
+    rows = jnp.stack(fields, axis=-1)                    # (cap, 7)
+    rows = jnp.where(valid_row[:, None], rows, 0.)
+    out = jnp.zeros((N, len(fields)), rows.dtype).at[tgt].set(
+        rows, mode='drop', indices_are_sorted=True)
+    return IA(*(out[:, k] for k in range(len(fields))))
 
 
 def pair_forces(st, cfg: IcebergsConfig, other, mask, *, bonded: bool,
@@ -543,6 +548,27 @@ def make_ia_fn(st, nbr: NeighborTables, cfg: IcebergsConfig,
 # --------------------------------------------------------------------------
 # bond setup utilities
 # --------------------------------------------------------------------------
+
+def set_constant_interaction_length_and_width(cfg: IcebergsConfig, st):
+    """Fill constant_length/width from the mean live-element dimensions.
+
+    Port of ``set_constant_interaction_length_and_width``
+    (icebergs_framework.F90:4641-4671), called at init when
+    ``constant_interaction_LW`` is on but the constants were not given
+    (icebergs.F90:175-177) — without it every DEM radius is
+    sqrt(0) = 0 and the bond force divides 0/0.  Host-side; returns an
+    updated config.
+    """
+    import numpy as np
+    if not cfg.constant_interaction_LW or (cfg.constant_length != 0.
+                                           and cfg.constant_width != 0.):
+        return cfg
+    alive = np.asarray(st.alive)
+    n = max(int(alive.sum()), 1)
+    return cfg.replace(
+        constant_length=float(np.asarray(st.length)[alive].sum() / n),
+        constant_width=float(np.asarray(st.width)[alive].sum() / n))
+
 
 def initialize_bonds_host(st, cfg: IcebergsConfig, capacity_bonds=None):
     """Form bonds between nearby bergs (host-side, at init).

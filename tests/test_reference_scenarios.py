@@ -1,0 +1,225 @@
+"""End-to-end reference test scenarios (VERDICT round-2 item #3).
+
+Each test drives the UNMODIFIED reference namelist
+(/root/reference/tests/*/input*.nml) through ``icebergs_tpu.driver`` with
+initial conditions built to the geometry of that directory's makeberg
+scripts, and asserts the scenario outcome documented in its README:
+
+* collision_tests (KID / MTS_KID / iKID): two 8-element hexagon-packed
+  conglomerates pushed together by the converging jet meet and repel
+  without interpenetration (tests/collision_tests/README:1-3);
+* dem_cbeam / dem_ssbeam: the beam bends into alignment with the
+  Euler-Bernoulli line at the reference's substep counts
+  (tests/dem_cbeam_test/README, Wang 2020 sections 3.1-3.2);
+* dem_ground_frac: the drifting conglomerate grounds on the seamount
+  and fractures, fragments drift on (tests/dem_ground_frac_test/README).
+
+Final chksums are recorded as golden anchors in
+``tests/golden_scenarios.json`` (generated on first run, asserted
+afterwards) — regression anchors whose birth runs are validated by the
+outcome assertions above.
+"""
+
+import json
+import os
+import re
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+REF = "/root/reference/tests"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden_scenarios.json")
+
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference tree not present")
+
+
+def _check_golden(name, chksum, nbergs):
+    """Record-on-first-run / assert-afterwards chksum anchor."""
+    data = {}
+    if os.path.exists(GOLDEN):
+        data = json.load(open(GOLDEN))
+    if name in data:
+        assert data[name]["chksum"] == chksum, (name, data[name], chksum)
+        assert data[name]["n"] == nbergs
+    else:
+        data[name] = {"chksum": chksum, "n": nbergs}
+        json.dump(data, open(GOLDEN, "w"), indent=1, sort_keys=True)
+
+
+def _write_collision_ic(tmp_path, cfg):
+    from makeberg import gen_collision
+    import icebergs_tpu as ibt
+    from icebergs_tpu.io import restart as rio
+    from icebergs_tpu.grid import pos_to_cell
+    arrays = gen_collision()
+    st = ibt.create_bergs(64, max_bonds=6, **arrays)
+    grid = ibt.make_uniform_grid(20, 20, 0., 0., 1000., 1000.,
+                                 grid_is_latlon=False)
+    i, j, xi, yj = pos_to_cell(grid, st.lon, st.lat, -1.0)
+    st = st.replace(ine=i, jne=j, xi=xi, yj=yj)
+    rio.write_restart_bergs(str(tmp_path / "icebergs.res.nc"), st, cfg)
+
+
+def _run_collision(nml_name, tmp_path):
+    from icebergs_tpu import driver as drv
+    from icebergs_tpu.io.namelist import config_from_namelist
+    src = os.path.join(REF, "collision_tests", nml_name)
+    nml = tmp_path / "input.nml"
+    nml.write_text(open(src).read())
+    cfg, _ = config_from_namelist(str(nml))
+    _write_collision_ic(tmp_path, cfg)
+    st = drv.run(str(nml), input_dir=str(tmp_path),
+                 output_dir=str(tmp_path / "out"), capacity=64,
+                 verbose=False)
+    return st, cfg
+
+
+def _assert_collision_outcome(st, name, *, crit=779.4, meet_gap=2000.):
+    """Two conglomerates meet at the jet midline and repel without
+    interpenetration; each stays cohesive.
+
+    ``crit`` is the variant's contact engagement distance: hexagon
+    inscribed radii R1+R2 = 779.4 m for KID (icebergs.F90:642-668), or
+    ``contact_distance`` = 1750 m for the MTS/iKID variants (their
+    namelists) — repelled groups legitimately part by ~crit, hence the
+    variant-specific ``meet_gap``."""
+    from icebergs_tpu import diag
+    alive = np.asarray(st.alive)
+    assert alive.sum() == 16
+    lon = np.asarray(st.lon)[alive]
+    lat = np.asarray(st.lat)[alive]
+    idc = np.asarray(st.id_cnt)[alive]
+    assert np.all(np.isfinite(lon)) and np.all(np.isfinite(lat))
+    bottom = idc <= 8
+    top = ~bottom
+    # the converging jet moved both groups toward y = 10 km ...
+    assert lat[bottom].mean() > 5066.3 + 500.
+    assert lat[top].mean() < 20000. - 5066.3 - 500.
+    # ... they met (came within ~a contact distance of each other) ...
+    gap = lat[top].min() - lat[bottom].max()
+    assert gap < meet_gap, gap
+    # ... and did not interpenetrate (partial spring compression allowed)
+    d = np.hypot(lat[bottom][:, None] - lat[top][None, :],
+                 lon[bottom][:, None] - lon[top][None, :])
+    assert d.min() > 0.5 * crit, d.min()
+    # conglomerate cohesion: every berg still has a neighbor within
+    # 1.5x the packing distance
+    for grp in (bottom, top):
+        g = np.stack([lon[grp], lat[grp]], -1)
+        dd = np.linalg.norm(g[:, None] - g[None, :], axis=-1)
+        np.fill_diagonal(dd, np.inf)
+        assert dd.min(axis=1).max() < 1.5 * 779.4
+    cs, n = jax.jit(diag.berg_chksum)(st)
+    _check_golden(name, int(cs), int(n))
+
+
+def test_collision_kid(tmp_path):
+    st, cfg = _run_collision("input_KID.nml", tmp_path)
+    assert not cfg.mts and not cfg.dem
+    _assert_collision_outcome(st, "collision_KID")
+
+
+def test_collision_mts_kid(tmp_path):
+    st, cfg = _run_collision("input_MTS_KID.nml", tmp_path)
+    assert cfg.mts and not cfg.dem and cfg.mts_sub_steps == 60
+    _assert_collision_outcome(st, "collision_MTS_KID", crit=1750.,
+                              meet_gap=5000.)
+
+
+def test_collision_ikid(tmp_path):
+    st, cfg = _run_collision("input_iKID.nml", tmp_path)
+    assert cfg.mts and cfg.dem
+    _assert_collision_outcome(st, "collision_iKID", crit=1750.,
+                              meet_gap=5000.)
+
+
+def _beam_subprocess(which, substeps, nsteps, timeout):
+    """tools/beam_experiment.py in a subprocess (ssbeam flips x64 on,
+    which must not leak into this test process)."""
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "beam_experiment.py"),
+         which, str(substeps), str(nsteps)],
+        capture_output=True, text=True, timeout=timeout,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    errs = re.findall(r"err=([0-9.]+|nan)%", out.stdout)
+    assert errs, out.stdout[-2000:]
+    assert errs[-1] != "nan", out.stdout[-1500:]
+    return float(errs[-1])
+
+
+def test_cantilever_beam_reference_substeps():
+    """dem_cbeam at the reference's mts_sub_steps=2000 (input.nml): tip
+    deflection within 15%% of -P l^3/(3EI) (animator's analytic line).
+    75 of nmax=300 outer steps: the transient decays by ~step 50
+    (steady state 9.4%% at step 300, tools/beam_experiment.py)."""
+    err = _beam_subprocess("cbeam", 2000, 75, timeout=1500)
+    assert err < 15.0, err
+
+
+def test_ssbeam_deflection_reference_substeps():
+    """dem_ssbeam at the reference's mts_sub_steps=1e5 (input.nml):
+    midspan deflection within 5%% of P l^3/(48EI).  Requires f64 (0.5 m
+    elements at x ~ 101 km are below f32 ulp) — the reference is -r8."""
+    err = _beam_subprocess("ssbeam", 100000, 2, timeout=1500)
+    assert err < 5.0, err
+
+
+def test_ground_frac(tmp_path):
+    """dem_ground_frac: the conglomerate drifts east at 0.1 m/s, grounds
+    on the Gaussian seamount (summit 50 m below sea level vs 165.9 m
+    draught) and FRACTURES by the stress criterion; fragments drift on
+    (tests/dem_ground_frac_test/README)."""
+    import icebergs_tpu as ibt
+    from icebergs_tpu import driver as drv
+    from icebergs_tpu import diag
+    from icebergs_tpu.io.namelist import config_from_namelist
+    from icebergs_tpu.io import restart as rio
+    from icebergs_tpu.grid import pos_to_cell
+    from makeberg import gen_ground_frac
+
+    src = os.path.join(REF, "dem_ground_frac_test", "input.nml")
+    nml = tmp_path / "input.nml"
+    nml.write_text(open(src).read())
+    cfg, drvp = config_from_namelist(str(nml))
+    assert drvp["big_grounding_test"] is True
+    assert cfg.fracture_criterion == "stress"
+    arrays = gen_ground_frac()
+    st0 = ibt.create_bergs(128, max_bonds=6, **arrays)
+    grid = ibt.make_uniform_grid(45, 45, 0., 0., 5000., 5000.,
+                                 grid_is_latlon=False)
+    i, j, xi, yj = pos_to_cell(grid, st0.lon, st0.lat, -1.0)
+    rio.write_restart_bergs(str(tmp_path / "icebergs.res.nc"),
+                            st0.replace(ine=i, jne=j, xi=xi, yj=yj), cfg)
+
+    st = drv.run(str(nml), input_dir=str(tmp_path),
+                 output_dir=str(tmp_path / "out"), capacity=128,
+                 verbose=False)
+    alive = np.asarray(st.alive)
+    assert alive.sum() == 69
+    lon = np.asarray(st.lon)[alive]
+    lat = np.asarray(st.lat)[alive]
+    assert np.all(np.isfinite(lon)) and np.all(np.isfinite(lat))
+    # the front drifted east into the seamount at (63, 60) km
+    # (0.1 m/s x 72 h = 25.9 km unimpeded; grounding holds the front)
+    assert lon.max() > 60000., lon.max()
+    assert lon.mean() > 52000., lon.mean()
+    # fracture: bonds broke (369 directed bonds at init, radius criterion)
+    nb0 = int(np.sum(np.asarray(
+        __import__("icebergs_tpu.ops.forces", fromlist=["x"])
+        .initialize_bonds_host(st0, cfg).bond_idx) >= 0))
+    broken = np.asarray(st.bond_broken)[np.asarray(st.bond_idx) >= 0]
+    intact = int(np.sum((np.asarray(st.bond_idx) >= 0)
+                        & (np.asarray(st.bond_broken) < 0.5)))
+    assert nb0 > 0
+    assert intact < nb0, (intact, nb0)
+
+    cs, n = jax.jit(diag.berg_chksum)(st)
+    _check_golden("ground_frac", int(cs), int(n))

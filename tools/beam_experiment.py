@@ -8,6 +8,9 @@ ssbeam: tests/dem_ssbeam_test (29 elements, 1 row of 0.5 m elements,
 Prints tip/midspan deflection vs the animator's analytic line every
 few outer steps so convergence is visible.
 
+ssbeam REQUIRES f64 (enabled automatically): 0.5 m elements at
+x ~ 101 km sit below f32 position resolution (ulp ~ 0.008 m there).
+
 Usage: python tools/beam_experiment.py {cbeam|ssbeam} [substeps] [nsteps]
 """
 
@@ -24,6 +27,8 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+if (sys.argv[1:] or ["cbeam"])[0] == "ssbeam" or "--f64" in sys.argv:
+    jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -76,7 +81,7 @@ def build_cbeam(cfg):
     return grid, st
 
 
-def build_ssbeam(cfg):
+def build_ssbeam(cfg, dtype=None):
     # dem_ssbeam_test/makeberg: 29 elements, r=0.25, all at y=151e3+0.5;
     # element 1 at xs, elements 2..29 advance by 2r=0.5 m each
     r, xs, ys, h, rho = 0.25, 101.e3, 151.e3, 1.0, 800.0
@@ -87,12 +92,14 @@ def build_ssbeam(cfg):
     for k in range(2, 30):
         x += 2 * r
         lon.append(x)
+    import jax.numpy as jnp
+    dtype = dtype or jnp.float64
     grid = ibt.make_uniform_grid(20, 20, 0., 0., 15000., 15000.,
-                                 grid_is_latlon=False)
+                                 grid_is_latlon=False, dtype=dtype)
     st = ibt.create_bergs(32, lon=lon, lat=lat, thickness=h,
                           width=np.sqrt(area), length=np.sqrt(area),
                           mass=h * rho * area, mass_scaling=1.0,
-                          max_bonds=4)
+                          max_bonds=4, dtype=dtype)
     i, j, xi, yj = pos_to_cell(grid, st.lon, st.lat, -1.0)
     st = forces.initialize_bonds_host(st.replace(ine=i, jne=j, xi=xi,
                                                  yj=yj), cfg)
@@ -132,7 +139,7 @@ def main():
         y0 = 151.e3 + 0.5
         chunk = 1
 
-    frc = ibt.uniform_forcing(20, 20, sst=-2.)
+    frc = ibt.uniform_forcing(20, 20, sst=-2., dtype=st.dtype)
     multi = make_multi_step(grid, cfg, chunk, with_thermo=False)
     import time
     t0 = time.time()

@@ -108,6 +108,80 @@ def gen_hexpack(radius, *, shape=None, R=None, Lx=None, Ly=None,
     return _element_arrays(xs, ys, r, np.full(xs.shape, thickness))
 
 
+def gen_collision(grid_res=1000.0, h_ice=300.0, Ly=20000.0):
+    """The reference collision-test IC (tests/collision_tests/makeberg):
+    hexagon-pack elements of radius R = (sqrt(3)/2)*0.45*grid_res over the
+    circular thickness raster (thick = h_ice where the cell corner is
+    within 1 km of (4.5, 4.5) km), then mirror the conglomerate about
+    y = Ly/2 (initialize_bergs_in_pattern.py:905-915).  Gives 2 x 8
+    hexagonal elements (#=16, tests/collision_tests/README)."""
+    R = (np.sqrt(3.) / 2.) * 0.45 * grid_res
+    area = (3. * np.sqrt(3.) / 2.) * (4. / 3.) * R * R
+    # ice cells: corner (i*res, j*res) within 1 km of (4.5, 4.5) km
+    ice = np.zeros((20, 20), bool)
+    for i in range(20):
+        for j in range(20):
+            ice[i, j] = np.hypot(i * grid_res - 4500.,
+                                 j * grid_res - 4500.) < 1000.
+    xs, ys = [], []
+    for i in range(2 * int(np.ceil(19000. / R))):
+        x = (2. / np.sqrt(3.)) * R + np.sqrt(3.) * R * i
+        if x >= 20000.:
+            break
+        for j in range(2 * int(np.ceil(19000. / R))):
+            y = R + (i % 2) * R + 2. * R * j
+            if y >= 20000.:
+                break
+            if ice[int(x // grid_res), int(y // grid_res)]:
+                xs.append(x)
+                ys.append(y)
+    xs, ys = np.asarray(xs), np.asarray(ys)
+    # mirrored second conglomerate (dy -> Ly - dy)
+    xs = np.concatenate([xs, xs])
+    ys = np.concatenate([ys, Ly - ys])
+    n = len(xs)
+    side = np.sqrt(area)
+    return dict(lon=xs, lat=ys, mass=np.full(n, 850. * h_ice * area),
+                thickness=np.full(n, h_ice), width=np.full(n, side),
+                length=np.full(n, side), mass_scaling=np.ones(n),
+                static_berg=np.zeros(n), id_cnt=np.arange(n) + 1,
+                id_ij=np.zeros(n, int))
+
+
+def gen_ground_frac():
+    """The reference dem_ground_frac IC (tests/dem_ground_frac_test/
+    makeberg/makeberg.py:240-340): one rectangular conglomerate 15 x 35 km
+    of hexagon-packed r=1500 m elements centered at (50, 50) km, uniform
+    thickness 200 m, drifting east at 0.1 m/s toward the Gaussian
+    seamount."""
+    r = 1.5e3
+    rho = 850.0
+    h = 200.0
+    xmin, xmax = 50000. - 7500., 50000. + 7500.
+    ymin, ymax = 50000. - 17500., 50000. + 17500.
+    area = (3. * np.sqrt(3.) / 2.) * (4. / 3.) * r * r
+    xs, ys = [], []
+    j = 0
+    x = xmin + r * 2. / np.sqrt(3.)
+    while xmin <= x <= xmax:
+        y = ymin + r + (j % 2) * r
+        while y <= ymax:
+            xs.append(x)
+            ys.append(y)
+            y += 2. * r
+        j += 1
+        x = xmin + r * 2. / np.sqrt(3.) + np.sqrt(3.) * r * j
+    n = len(xs)
+    side = np.sqrt(area)
+    return dict(lon=np.asarray(xs), lat=np.asarray(ys),
+                mass=np.full(n, rho * h * area),
+                thickness=np.full(n, h), width=np.full(n, side),
+                length=np.full(n, side), mass_scaling=np.ones(n),
+                uvel=np.full(n, 0.1), vvel=np.zeros(n),
+                static_berg=np.zeros(n), id_cnt=np.arange(n) + 1,
+                id_ij=np.zeros(n, int))
+
+
 def gen_footloose(x0, y0, thickness, width, length):
     """Single parent berg for the footloose tests (fl_test driver setup)."""
     n = 1
