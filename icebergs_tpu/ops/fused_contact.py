@@ -1,19 +1,24 @@
-"""Fused interactive-force path: Pallas contact search + compact XLA eval.
+"""Fused interactive-force path: Pallas contact search + (N, 2) XLA eval.
 
 Replaces ``make_ia_fn`` for the legacy contact force (icebergs.F90:479-607
-dispatch, 611-804 physics) on a cell-sorted slab:
+dispatch, 611-804 physics) on a cell-sorted view:
 
 1. :func:`pallas_prepass.contact_prepass_sorted` finds engaged candidates
    with streaming strip DMAs (no HBM gathers);
 2. bergs with <= 2 engaged candidates (the overwhelming majority — contact
-   is sparse) are compacted and evaluated through the existing
-   ``precompute_pair_data``/``eval_pair_ia`` machinery on a (cap, 2)
-   partner table;
+   is sparse) are evaluated IN PLACE on a full-length (N, 2) partner
+   table: no compaction scatter, no cap, no overflow, and the per-berg
+   results come out directly in the sorted frame (round-2's
+   compact-and-scatter-back design measured ~13 ms PER FIELD for the
+   (cap -> 1M) scatters — the dominant cost; TPU scatters do not
+   vectorize the way gathers do);
 3. bergs with >= 3 candidates or in blocks the kernel could not search
-   exactly go through an exact XLA fallback over their 3x3-cell strips.
+   exactly go through an exact XLA fallback over their 3x3-cell strips,
+   compacted to ``fallback_cap`` rows and folded back with ONE row
+   GATHER through a rank table.
 
-The result is exact (a reorder of the same pair sums), unlike the round-1
-bucket tables whose MAX_PER_CELL silently dropped candidates.
+The result is exact (a reorder of the same pair sums), and per berg
+bitwise-identical to the XLA window path.
 """
 
 from __future__ import annotations
@@ -51,16 +56,15 @@ def _compact(flag, cap):
     return sel, valid_row, dropped
 
 
-def _subset_strip_tables(sub, self_ids, full, cell_starts, grid,
-                         strip_width: int):
+def _subset_strip_tables(sub, self_ids, full_alive, capacity, cell_starts,
+                         grid, strip_width: int):
     """3x3-cell candidate strips for a compacted subset.
 
-    Like ``sorted.strip_neighbor_tables`` but for ``sub`` rows whose
-    global sorted-slab ids are ``self_ids``; candidate indices address the
-    full sorted slab."""
+    Candidate indices address the cell-sorted slab; ``self_ids`` are the
+    subset rows' sorted-slab positions."""
     nx, ny = grid.nx, grid.ny
     ncells = nx * ny
-    N = full.capacity
+    N = capacity
 
     cands, valids = [], []
     truncated = jnp.zeros((), jnp.int32)
@@ -82,29 +86,119 @@ def _subset_strip_tables(sub, self_ids, full, cell_starts, grid,
     cand_idx = jnp.concatenate(cands, axis=1)
     valid = jnp.concatenate(valids, axis=1)
     valid = valid & (cand_idx != self_ids[:, None])
-    valid = valid & full.alive[jnp.minimum(cand_idx, N - 1)]
+    valid = valid & full_alive[jnp.minimum(cand_idx, N - 1)]
     return cand_idx, valid, truncated
+
+
+_VIEW_COLS = dict(lon_old=0, lat_old=1, fl_k=3, uvel_old=6, vvel_old=7,
+                  thickness=8, length=9, width=10, mass=11)
+
+
+def _view(rows):
+    return SimpleNamespace(**{n: rows[:, c] for n, c in _VIEW_COLS.items()})
+
+
+def _pack_features(st, cfg, key):
+    """(N, 14) feature matrix: prepass columns 0-7 + eval columns 8-13."""
+    dtype = st.lon.dtype
+    A = st.length * st.width
+    R = _forces._interaction_radius(cfg, A)
+    alive_f = st.alive.astype(dtype)
+    return jnp.stack([st.lon_old, st.lat_old, R, st.fl_k, alive_f,
+                      key.astype(dtype), st.uvel_old, st.vvel_old,
+                      st.thickness, st.length, st.width, st.mass,
+                      jnp.zeros_like(alive_f), jnp.zeros_like(alive_f)],
+                     axis=-1)
+
+
+def _sorted_contact_groups(Ms, key_s, cell_starts, grid,
+                           cfg: IcebergsConfig, *, block_n, window,
+                           fallback_cap, fallback_strip_width, interpret):
+    """Prepass + pair-data setup on the sorted frame.
+
+    Returns ``(eval_s, sel_f, stats)`` where
+    ``eval_s(u0_s, v0_s, u1_s, v1_s) -> IA`` yields sorted-frame (N,)
+    fields and ``sel_f`` are the fallback rows' sorted positions.
+    """
+    N = Ms.shape[0]
+    nx, ny = grid.nx, grid.ny
+    ncells = nx * ny
+
+    cnt, pmin, pmax, bad_block = contact_prepass_sorted(
+        None, cell_starts, grid, cfg, block_n=block_n, window=window,
+        interpret=interpret, P=Ms[:, :8], key=key_s)
+
+    alive_s = key_s < ncells
+    # in a bad block the kernel's cnt itself is untrustworthy (truncated
+    # window can hide partners), so every alive berg there goes through
+    # the exact fallback
+    bad = (bad_block | (cnt > 2)) & alive_s
+    normal = (cnt > 0) & ~bad_block & (cnt <= 2) & alive_s
+
+    full_view = _view(Ms)
+
+    # --- normal bergs: full-length (N, 2) partner table {pmin, pmax} ---
+    others_n = jnp.stack([jnp.maximum(pmin, 0),
+                          jnp.maximum(pmax, 0)], axis=-1)
+    m_n = normal[:, None] & jnp.stack(
+        [pmin >= 0, (pmax >= 0) & (cnt > 1)], axis=-1)
+    pd_n = _forces.precompute_pair_data(
+        full_view, cfg, others_n, m_n, bonded=False,
+        use_c_crit_dist=False, partner_st=full_view)
+
+    # --- fallback bergs: exact 3x3 strip candidates, compacted ---------
+    sel_f, vrow_f, drop_f = _compact(bad, fallback_cap)
+    ine_s = (key_s % nx).astype(jnp.int32)
+    jne_s = (key_s // nx).astype(jnp.int32)
+    sub_f = SimpleNamespace(ine=ine_s[sel_f], jne=jne_s[sel_f],
+                            alive=alive_s[sel_f])
+    cand_f, valid_f, trunc_f = _subset_strip_tables(
+        sub_f, sel_f, alive_s, N, cell_starts, grid, fallback_strip_width)
+    pd_f = _forces.precompute_pair_data(
+        _view(Ms[sel_f]), cfg, cand_f, valid_f & vrow_f[:, None],
+        bonded=False, use_c_crit_dist=False, partner_st=full_view)
+
+    # rank table folding the compact fallback rows back: ONE row gather
+    rank_f = jnp.cumsum(bad.astype(jnp.int32)) - 1
+    code_f = jnp.where(bad & (rank_f < fallback_cap), rank_f,
+                       fallback_cap)
+
+    stats = FusedContactStats(
+        overflow=drop_f + trunc_f,
+        n_fallback=jnp.sum(bad.astype(jnp.int32)))
+
+    def eval_s(u0_s, v0_s, u1_s, v1_s):
+        bn = _forces.eval_pair_ia(pd_n, cfg, u0_s, v0_s, u1_s, v1_s)
+        bf = _forces.eval_pair_ia(pd_f, cfg, u0_s[sel_f], v0_s[sel_f],
+                                  u1_s[sel_f], v1_s[sel_f])
+        rows = jnp.stack(list(bf), axis=-1)
+        rows = jnp.where(vrow_f[:, None], rows, 0.)
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((1, rows.shape[1]), rows.dtype)], axis=0)
+        add = rows[code_f]                        # (N, 7) row gather
+        return IA(*(x + add[:, k] for k, x in enumerate(bn)))
+
+    return eval_s, stats
 
 
 def make_ia_fn_fused2(st, grid, cfg: IcebergsConfig, *,
                       block_n: int = 256, window: int = 512,
-                      contact_cap: int = 65536, fallback_cap: int = 4096,
+                      contact_cap: int = None, fallback_cap: int = 4096,
                       fallback_strip_width: int = 64,
                       deterministic: bool = True,
                       interpret: bool = False):
-    """Sortless fused interactive-force closure.
+    """Sortless fused interactive-force closure (original slot order).
 
-    Like :func:`make_ia_fn_fused` but the state is NEVER physically
-    reordered: only the ~14 feature columns the contact search and pair
-    evaluation need are gathered into cell-sorted order (one packed row
-    gather instead of ~70 per-leaf gathers — the full-state sort measured
-    1.5 s/step at 1M bergs on v5e), and forces scatter straight back to
-    the original slots through the permutation.  Bond spring forces (if
-    any) run on the original-frame bond table, so no bond_idx remap is
-    needed either.
+    The state is NEVER physically reordered: only the ~14 feature
+    columns the contact search and pair evaluation need are gathered
+    into cell-sorted order (one packed row gather), forces come back to
+    the original slots through ONE inverse-permutation row gather.  Bond
+    spring forces (if any) run on the original-frame bond table.
 
     ``deterministic=True`` orders within-cell candidates by berg id, so
     pair sums are bitwise layout-invariant (parallel_reprod).
+    ``contact_cap`` is accepted for API compatibility and ignored — the
+    (N, 2) normal group is cap-free.
     """
     modern = (cfg.mts or cfg.contact_distance > 0.
               or cfg.contact_spring_coef_eff != cfg.spring_coef)
@@ -113,70 +207,27 @@ def make_ia_fn_fused2(st, grid, cfg: IcebergsConfig, *,
     N = st.capacity
     nx, ny = grid.nx, grid.ny
     ncells = nx * ny
-    dtype = st.lon.dtype
 
     key = jnp.where(st.alive, st.jne * nx + st.ine, ncells)
+    idx = jnp.arange(N, dtype=jnp.int32)
     if deterministic:
-        from .sorted import lex_cell_id_order
-        order = lex_cell_id_order(key, st.id_cnt, st.id_ij)
+        _, _, _, order = jax.lax.sort(
+            (key, st.id_cnt, st.id_ij, idx), num_keys=3)
     else:
         order = jnp.argsort(key)
+    # inverse permutation via a second single-key sort (sorts are cheap,
+    # 1M-update scatters are not)
+    _, inv = jax.lax.sort((order, idx), num_keys=1)
     key_s = key[order]
     cell_starts = jnp.searchsorted(
         key_s, jnp.arange(ncells + 1, dtype=key_s.dtype)).astype(jnp.int32)
 
-    # ONE packed row gather: prepass features 0-7 (incl. the key column
-    # the kernel reads) + eval features 8-13
-    A = st.length * st.width
-    R = _forces._interaction_radius(cfg, A)
-    alive_f = st.alive.astype(dtype)
-    M = jnp.stack([st.lon_old, st.lat_old, R, st.fl_k, alive_f,
-                   key.astype(dtype), st.uvel_old, st.vvel_old,
-                   st.thickness, st.length, st.width, st.mass,
-                   jnp.zeros_like(alive_f), jnp.zeros_like(alive_f)],
-                  axis=-1)
-    Ms = M[order]                                    # (N, 14) sorted rows
+    Ms = _pack_features(st, cfg, key)[order]     # (N, 14) sorted rows
 
-    cnt, pmin, pmax, bad_block = contact_prepass_sorted(
-        st, cell_starts, grid, cfg, block_n=block_n, window=window,
-        interpret=interpret, P=Ms[:, :8], key=key_s)
-
-    alive_s = key_s < ncells
-    bad = (bad_block | (cnt > 2)) & alive_s
-    normal = (cnt > 0) & ~bad_block & (cnt <= 2) & alive_s
-
-    def view(rows):
-        return SimpleNamespace(
-            lon_old=rows[:, 0], lat_old=rows[:, 1], fl_k=rows[:, 3],
-            uvel_old=rows[:, 6], vvel_old=rows[:, 7], thickness=rows[:, 8],
-            length=rows[:, 9], width=rows[:, 10], mass=rows[:, 11])
-
-    full_view = view(Ms)
-
-    # --- normal bergs: partner set is {pmin, pmax} ---------------------
-    sel, vrow, drop_n = _compact(normal, contact_cap)
-    osel = order[sel]                                # original slots
-    others = jnp.stack([jnp.maximum(pmin[sel], 0),
-                        jnp.maximum(pmax[sel], 0)], axis=-1)
-    m = vrow[:, None] & jnp.stack(
-        [pmin[sel] >= 0, (pmax[sel] >= 0) & (cnt[sel] > 1)], axis=-1)
-    pd = _forces.precompute_pair_data(
-        view(Ms[sel]), cfg, others, m, bonded=False, use_c_crit_dist=False,
-        partner_st=full_view)
-
-    # --- fallback bergs: exact 3x3 strip candidates --------------------
-    sel_f, vrow_f, drop_f = _compact(bad, fallback_cap)
-    osel_f = order[sel_f]
-    ine_s = (key_s % nx).astype(jnp.int32)
-    jne_s = (key_s // nx).astype(jnp.int32)
-    sub_f = SimpleNamespace(ine=ine_s[sel_f], jne=jne_s[sel_f],
-                            alive=alive_s[sel_f])
-    cand_f, valid_f, trunc_f = _subset_strip_tables(
-        sub_f, sel_f, SimpleNamespace(alive=alive_s, capacity=N),
-        cell_starts, grid, fallback_strip_width)
-    pd_f = _forces.precompute_pair_data(
-        view(Ms[sel_f]), cfg, cand_f, valid_f & vrow_f[:, None],
-        bonded=False, use_c_crit_dist=False, partner_st=full_view)
+    eval_s, stats = _sorted_contact_groups(
+        Ms, key_s, cell_starts, grid, cfg, block_n=block_n, window=window,
+        fallback_cap=fallback_cap,
+        fallback_strip_width=fallback_strip_width, interpret=interpret)
 
     # --- bonded spring group: original-frame bond table ----------------
     pd_b = None
@@ -186,20 +237,14 @@ def make_ia_fn_fused2(st, grid, cfg: IcebergsConfig, *,
             st, cfg, bond_other, bond_valid, bonded=True,
             use_c_crit_dist=False)
 
-    stats = FusedContactStats(
-        overflow=drop_n + drop_f + trunc_f,
-        n_fallback=jnp.sum(bad.astype(jnp.int32)))
-
+    u0_s, v0_s = st.uvel[order], st.vvel[order]
     u0_fix, v0_fix = st.uvel, st.vvel
 
     def ia_fn(u1, v1):
-        b = _forces.eval_pair_ia(pd, cfg, u0_fix[osel], v0_fix[osel],
-                                 u1[osel], v1[osel])
-        total = _forces.scatter_ia(b, osel, vrow, N)
-        bf = _forces.eval_pair_ia(pd_f, cfg, u0_fix[osel_f], v0_fix[osel_f],
-                                  u1[osel_f], v1[osel_f])
-        iaf = _forces.scatter_ia(bf, osel_f, vrow_f, N)
-        total = IA(*(x + y for x, y in zip(total, iaf)))
+        ia_s = eval_s(u0_s, v0_s, u1[order], v1[order])
+        rows = jnp.stack(list(ia_s), axis=-1)
+        back = rows[inv]                          # (N, 7): sorted -> orig
+        total = IA(*(back[:, k] for k in range(rows.shape[1])))
         if pd_b is not None:
             bb = _forces.eval_pair_ia(pd_b, cfg, u0_fix, v0_fix, u1, v1)
             total = IA(*(x + y for x, y in zip(total, bb)))
@@ -210,7 +255,7 @@ def make_ia_fn_fused2(st, grid, cfg: IcebergsConfig, *,
 
 def make_ia_fn_fused(ss, cell_starts, grid, cfg: IcebergsConfig, *,
                      block_n: int = 256, window: int = 512,
-                     contact_cap: int = 65536, fallback_cap: int = 4096,
+                     contact_cap: int = None, fallback_cap: int = 4096,
                      fallback_strip_width: int = 64,
                      interpret: bool = False):
     """Interactive-force closure over a cell-sorted state.
@@ -219,46 +264,22 @@ def make_ia_fn_fused(ss, cell_starts, grid, cfg: IcebergsConfig, *,
     contact_distance / separate contact spring): the legacy all-pairs
     contact group runs through the fused search; the bonded spring group
     (if any) is added through the (N, B) bond table exactly as in
-    ``make_ia_fn``.
+    ``make_ia_fn``.  ``contact_cap`` is ignored (cap-free normal group).
     """
     modern = (cfg.mts or cfg.contact_distance > 0.
               or cfg.contact_spring_coef_eff != cfg.spring_coef)
     assert not modern, "fused contact path covers the legacy dispatch only"
 
-    N = ss.capacity
-    u0_fix, v0_fix = ss.uvel, ss.vvel
+    nx, ny = grid.nx, grid.ny
+    ncells = nx * ny
+    key_s = jnp.where(ss.alive, ss.jne * nx + ss.ine, ncells)
+    Ms = _pack_features(ss, cfg, key_s)
 
-    cnt, pmin, pmax, bad_block = contact_prepass_sorted(
-        ss, cell_starts, grid, cfg, block_n=block_n, window=window,
-        interpret=interpret)
+    eval_s, stats = _sorted_contact_groups(
+        Ms, key_s, cell_starts, grid, cfg, block_n=block_n, window=window,
+        fallback_cap=fallback_cap,
+        fallback_strip_width=fallback_strip_width, interpret=interpret)
 
-    # in a bad block the kernel's cnt itself is untrustworthy (truncated
-    # window can hide partners), so every alive berg there goes through
-    # the exact fallback
-    bad = (bad_block | (cnt > 2)) & ss.alive
-    normal = (cnt > 0) & ~bad_block & (cnt <= 2) & ss.alive
-
-    # --- normal bergs: partner set is {pmin, pmax} ---------------------
-    sel, vrow, drop_n = _compact(normal, contact_cap)
-    others = jnp.stack([jnp.maximum(pmin[sel], 0),
-                        jnp.maximum(pmax[sel], 0)], axis=-1)
-    m = vrow[:, None] & jnp.stack(
-        [pmin[sel] >= 0, (pmax[sel] >= 0) & (cnt[sel] > 1)], axis=-1)
-    sub = jax.tree.map(lambda x: x[sel], ss)
-    pd = _forces.precompute_pair_data(
-        sub, cfg, others, m, bonded=False, use_c_crit_dist=False,
-        partner_st=ss)
-
-    # --- fallback bergs: exact 3x3 strip candidates --------------------
-    sel_f, vrow_f, drop_f = _compact(bad, fallback_cap)
-    sub_f = jax.tree.map(lambda x: x[sel_f], ss)
-    cand_f, valid_f, trunc_f = _subset_strip_tables(
-        sub_f, sel_f, ss, cell_starts, grid, fallback_strip_width)
-    pd_f = _forces.precompute_pair_data(
-        sub_f, cfg, cand_f, valid_f & vrow_f[:, None], bonded=False,
-        use_c_crit_dist=False, partner_st=ss)
-
-    # --- bonded spring group (legacy path, icebergs.F90:698-703) -------
     pd_b = None
     if cfg.iceberg_bonds_on:
         bond_other, bond_valid = _forces.bond_partner_table(ss)
@@ -266,18 +287,10 @@ def make_ia_fn_fused(ss, cell_starts, grid, cfg: IcebergsConfig, *,
             ss, cfg, bond_other, bond_valid, bonded=True,
             use_c_crit_dist=False)
 
-    stats = FusedContactStats(
-        overflow=drop_n + drop_f + trunc_f,
-        n_fallback=jnp.sum(bad.astype(jnp.int32)))
+    u0_fix, v0_fix = ss.uvel, ss.vvel
 
     def ia_fn(u1, v1):
-        b = _forces.eval_pair_ia(pd, cfg, u0_fix[sel], v0_fix[sel],
-                                 u1[sel], v1[sel])
-        total = _forces.scatter_ia(b, sel, vrow, N)
-        bf = _forces.eval_pair_ia(pd_f, cfg, u0_fix[sel_f], v0_fix[sel_f],
-                                  u1[sel_f], v1[sel_f])
-        iaf = _forces.scatter_ia(bf, sel_f, vrow_f, N)
-        total = IA(*(x + y for x, y in zip(total, iaf)))
+        total = eval_s(u0_fix, v0_fix, u1, v1)
         if pd_b is not None:
             bb = _forces.eval_pair_ia(pd_b, cfg, u0_fix, v0_fix, u1, v1)
             total = IA(*(x + y for x, y in zip(total, bb)))
