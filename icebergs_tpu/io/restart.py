@@ -339,14 +339,23 @@ def read_ocean_depth(path: str, grid: Grid) -> Grid:
 # distributed (io_layout) restarts: one file per device tile
 # --------------------------------------------------------------------------
 
-def write_restart_bergs_tiled(basepath: str, st_s, cfg: IcebergsConfig):
+def write_restart_bergs_tiled(basepath: str, st_s, cfg: IcebergsConfig,
+                              io_layout: int = 1):
     """Per-tile restart files ``<basepath>.NNNN`` from a sharded state.
 
     The analog of the reference's io_layout-decomposed restart writes
-    (fms2_io domain-decomposed files; icebergs_fms2io.F90:124-633 with a
-    non-trivial io_layout).  Each device writes only its OWNED bergs, so
-    the union of files is the global state with no duplicates.  Leaves
-    of ``st_s`` are stacked (ndev, capacity, ...) host-fetchable arrays.
+    (fms2_io domain-decomposed files; icebergs_fms2io.F90:124-633,
+    mpp_define_io_domain at framework:921).  Each device writes only its
+    OWNED bergs, so the union of files is the global state with no
+    duplicates.  Leaves of ``st_s`` are stacked (ndev, capacity, ...)
+    host-fetchable arrays.
+
+    ``io_layout`` > 1 aggregates that many consecutive tiles per file
+    (the io-tile-root gather of icebergs_fms2io.F90:91-122): file NNNN
+    holds the concatenated bergs of tiles [NNNN*io_layout,
+    (NNNN+1)*io_layout).  Only full groups addressable on this process
+    are written (group boundaries must align with process boundaries,
+    as FMS requires of io_layout).
     """
     import dataclasses
     cap = st_s.lon.shape[-1]
@@ -376,18 +385,40 @@ def write_restart_bergs_tiled(basepath: str, st_s, cfg: IcebergsConfig):
 
     per_field = {f.name: tile_views(getattr(st_s, f.name))
                  for f in dataclasses.fields(st_s)}
+    tiles = sorted(per_field["lon"])
+    if io_layout > 1:
+        groups = {}
+        for d in tiles:
+            groups.setdefault(d // io_layout, []).append(d)
+        groups = {g: ds for g, ds in groups.items()
+                  if len(ds) == io_layout}
+    else:
+        groups = {d: [d] for d in tiles}
     paths = []
-    for d in sorted(per_field["lon"]):
-        stl = BergState(**{k: jnp.asarray(v[d][0])
-                           for k, v in per_field.items()})
-        p = f"{basepath}.{d:04d}"
+    for g in sorted(groups):
+        members = groups[g]
+        merged = {}
+        for k, v in per_field.items():
+            arrs = [np.asarray(v[d][0]) for d in members]
+            merged[k] = jnp.asarray(np.concatenate(arrs, axis=0))
+        stl = BergState(**merged)
+        if io_layout > 1 and cfg.iceberg_bonds_on:
+            # local bond slot indices shift by each member's capacity
+            cap = np.asarray(per_field["lon"][members[0]][0]).shape[0]
+            bidx = np.asarray(merged["bond_idx"]).copy()
+            for mi in range(1, len(members)):
+                rows = slice(mi * cap, (mi + 1) * cap)
+                bidx[rows] = np.where(bidx[rows] >= 0,
+                                      bidx[rows] + mi * cap, -1)
+            stl = stl.replace(bond_idx=jnp.asarray(bidx))
+        p = f"{basepath}.{g:04d}"
         write_restart_bergs(p, stl, cfg)
         paths.append(p)
         if cfg.iceberg_bonds_on:
             # per-tile bond files alongside the berg tiles, so bonded/DEM
             # state survives a tiled save/load round-trip (the
             # single-controller path writes bonds_iceberg.res.nc)
-            write_restart_bonds(_bond_tile_path(basepath, d), stl, cfg)
+            write_restart_bonds(_bond_tile_path(basepath, g), stl, cfg)
     return paths
 
 

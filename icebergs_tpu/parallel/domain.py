@@ -128,15 +128,38 @@ def _slice_tile_grid(gg: Grid, sx: int, sy: int, nxt: int, nyt: int, *,
 
 def make_sharded_world(cfg: IcebergsConfig, mesh: Mesh, *, nx, ny, lon0,
                        lat0, dlon, dlat, msk=None, ocean_depth=None,
-                       dtype=jnp.float32) -> ShardedWorld:
-    """Split a uniform global grid into per-device tiles (+halo columns)."""
-    ndev = mesh.devices.size
-    assert nx % ndev == 0, "nx must divide the device count"
-    nxl = nx // ndev
-    H = max(cfg.halo, 2)
+                       maskmap=None, dtype=jnp.float32) -> ShardedWorld:
+    """Split a uniform global grid into per-device tiles (+halo columns).
 
+    ``maskmap`` (the mpp_define_domains argument,
+    icebergs_framework.F90:915-917 / icebergs.F90:116): a boolean per
+    layout column; False columns are ALL-LAND tiles that get NO device.
+    The mesh then needs only ``sum(maskmap)`` devices; the remaining
+    tiles keep their global offsets, and the x-ring connects them in
+    ascending order — no particle or meaningful field can cross a
+    masked (all-land) gap, so the exchange pattern is unchanged.
+    """
+    ndev = mesh.devices.size
     if msk is None:
         msk = np.ones((nx, ny))
+    if maskmap is not None:
+        maskmap = np.asarray(maskmap, bool).reshape(-1)
+        ncols = maskmap.size
+        assert nx % ncols == 0, "nx must divide the maskmap columns"
+        nxl = nx // ncols
+        cols = np.nonzero(maskmap)[0]
+        assert len(cols) == ndev, \
+            (f"maskmap keeps {len(cols)} columns but the mesh has "
+             f"{ndev} devices")
+        m = np.asarray(msk)
+        for c in np.nonzero(~maskmap)[0]:
+            assert not m[c * nxl:(c + 1) * nxl, :].any(), \
+                f"maskmap drops column {c} which contains ocean"
+    else:
+        assert nx % ndev == 0, "nx must divide the device count"
+        nxl = nx // ndev
+        cols = np.arange(ndev)
+    H = max(cfg.halo, 2)
     if ocean_depth is None:
         ocean_depth = np.zeros((nx, ny))
     periodic = cfg.grid_is_latlon and cfg.Lx > 0.
@@ -146,9 +169,9 @@ def make_sharded_world(cfg: IcebergsConfig, mesh: Mesh, *, nx, ny, lon0,
                            Rearth=cfg.Rearth, msk=msk,
                            ocean_depth=ocean_depth, dtype=dtype)
     grids = []
-    for d in range(ndev):
+    for c in cols:
         grids.append(_slice_tile_grid(
-            gg, d * nxl - H, 0, nxl + 2 * H, ny, periodic=periodic,
+            gg, int(c) * nxl - H, 0, nxl + 2 * H, ny, periodic=periodic,
             own_hx=H, own_hy=0, dtype=dtype))
     grids_host = _stack(grids)
     grids = jax.device_put(grids_host, jax.NamedSharding(mesh, P(AXIS)))

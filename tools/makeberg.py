@@ -148,6 +148,35 @@ def gen_collision(grid_res=1000.0, h_ice=300.0, Ly=20000.0):
                 id_ij=np.zeros(n, int))
 
 
+def gen_squarepack(radius, *, R, b=None, x0=0.0, y0=0.0,
+                   thickness=200.0):
+    """Square lattice of elements at 2r spacing inside a circle of
+    radius R — or an ellipse with semi-minor axis ``b`` (the A68
+    makeberg convention: element_type='square', width = 2r = spacing,
+    so DEM rest lengths equal the packing distance and bonds start
+    unstressed)."""
+    r = radius
+    bb = b if b is not None else R
+    n = int(np.ceil(max(R, bb) / r))
+    xs, ys = [], []
+    for i in range(-n, n + 1):
+        for j in range(-n, n + 1):
+            x, y = i * 2. * r, j * 2. * r
+            if (x / (R - r)) ** 2 + (y / (bb - r)) ** 2 <= 1.0:
+                xs.append(x)
+                ys.append(y)
+    xs = np.asarray(xs) + x0
+    ys = np.asarray(ys) + y0
+    nb = len(xs)
+    side = 2. * r
+    return dict(lon=xs, lat=ys,
+                mass=RHO_BERGS * thickness * side * side * np.ones(nb),
+                thickness=np.full(nb, thickness), width=np.full(nb, side),
+                length=np.full(nb, side), mass_scaling=np.ones(nb),
+                static_berg=np.zeros(nb), id_cnt=np.arange(nb) + 1,
+                id_ij=np.zeros(nb, int))
+
+
 def gen_ground_frac():
     """The reference dem_ground_frac IC (tests/dem_ground_frac_test/
     makeberg/makeberg.py:240-340): one rectangular conglomerate 15 x 35 km

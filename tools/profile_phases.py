@@ -189,6 +189,25 @@ def main():
                              vvel=s.vvel + 1e-12 * ia.IA_y)
         return f
 
+    def f_evolve_zeroia(s):
+        # isolates the interactive accel plumbing from the ia compute:
+        # all IA code paths active, ia values free
+        from icebergs_tpu.ops.accel import zero_ia
+        out = dynamics.evolve_icebergs(
+            s, grid, frc, cfg,
+            ia_fn=lambda u, v: zero_ia(s.lon.shape, s.dtype))
+        return out.state
+
+    def f_spread_scatter(s):
+        from icebergs_tpu.ops import spread as _sp
+        old = _sp.SLOT_SUM_METHOD
+        _sp.SLOT_SUM_METHOD = "scatter"
+        try:
+            sp = _sp.create_gridded_icebergs_fields(s, grid, frc, cfg)
+        finally:
+            _sp.SLOT_SUM_METHOD = old
+        return s.replace(lon=s.lon + 1e-12 * sp.spread_mass[0, 0])
+
     def f_scatter9_only(s):
         # the 9-slot deterministic scatter alone (spread minus weights)
         w, I_frac = _spread.spread_weights(s, grid, cfg)
@@ -224,6 +243,8 @@ def main():
             ("thermo_reprod", f_thermo, st_i),
             ("thermo_plain", f_thermo_noreprod, st_i),
             ("spread_reprod", f_spread, st_i),
+            ("spread_reprod_scatter", f_spread_scatter, st_i),
+            ("evolve_zeroia", f_evolve_zeroia, st_i),
             ("spread_plain", f_spread_noreprod, st_i),
             ("spread_weights_only", f_spread_weights_only, st_i),
             ("scatter9_only", f_scatter9_only, st_i),

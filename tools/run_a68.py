@@ -79,22 +79,65 @@ def a68_config(dt=60.0, regular=True):
         max_bonds=6, hexagonal_icebergs=False)
 
 
+def a68_long_run_config(substeps=90):
+    """The paper's long-run configuration (tests/a68_test/long_run.nml +
+    long_run_for_paper.sh: ss=90, gc=1e4, ns=18e3, dt=1800, 432 h,
+    472 elements): MTS+DEM with per-substep stress fracture,
+    broken-bond substep contact, short-step grounding, constant-L/W
+    interactions, mixed melting."""
+    import icebergs_tpu as ibt
+    return ibt.IcebergsConfig(
+        grid_is_latlon=True, grid_is_regular=True, Lx=360., dt=1800.,
+        Rearth=6363827., Runge_not_Verlet=False,
+        mts=True, mts_sub_steps=substeps, explicit_inner_mts=True,
+        dem=True, dem_spring_coef=5.e6, dem_damping_coef=1.0,
+        poisson=0.3, interactive_icebergs_on=True, iceberg_bonds_on=True,
+        spring_coef=0.00065359477124183, contact_spring_coef=1.e-7,
+        contact_distance=4.e3, force_convergence=True,
+        convergence_tolerance=1e-4,
+        use_broken_bonds_for_substep_contact=True,
+        break_bonds_on_sub_steps=True, short_step_mts_grounding=True,
+        constant_interaction_LW=True,
+        fracture_criterion="stress", frac_thres_scaling=1.,
+        frac_thres_n=18.e3, frac_thres_t=100.e3,
+        cdrag_grounding=1.e4, h_to_init_grounding=0.,
+        use_mixed_melting=True,
+        manually_initialize_bonds=True,
+        manually_initialize_bonds_from_radii=True,
+        allow_bergs_to_roll=False, max_bonds=6,
+        hexagonal_icebergs=False)
+
+
 def build_a68_berg(grid, cfg, *, lon_c, lat_c, R_m=12e3, r_m=1500.,
-                   thickness=200., capacity=512):
-    """Hex-packed circular conglomerate standing in for the A68a outline
-    (makeberg.py rasterizes the real outline; same element conventions)."""
+                   thickness=200., capacity=512, square=False,
+                   aspect=2.5):
+    """Conglomerate standing in for the A68a outline (makeberg.py
+    rasterizes the real outline; same element conventions).
+
+    ``square=True`` uses the A68 makeberg's element_type='square'
+    convention (width = 2r = packing distance -> DEM rest lengths are
+    unstressed) over an elliptical outline of the real berg's ~2.5:1
+    aspect; hex packing otherwise."""
     import icebergs_tpu as ibt
     from icebergs_tpu.grid import pos_to_cell
     from icebergs_tpu.ops import forces
     import makeberg
 
-    arrays = makeberg.gen_hexpack(r_m, shape="circle", R=R_m,
-                                  thickness=thickness)
-    # meters -> degrees around the anchor
+    if square:
+        arrays = makeberg.gen_squarepack(r_m, R=R_m, b=R_m / aspect,
+                                         thickness=thickness)
+    else:
+        arrays = makeberg.gen_hexpack(r_m, shape="circle", R=R_m,
+                                      thickness=thickness)
+    # meters -> degrees around the anchor; longitude scaled by EACH
+    # element's own latitude (the makeberg's adjust_lat_ref=True,
+    # a68_test/makeberg RUN): one global cos(lat_c) stretches off-center
+    # rows by tens of meters — far beyond the DEM fracture strain
     mlat = 1. / ((np.pi / 180.) * cfg.Rearth)
-    mlon = mlat / np.cos(np.radians(lat_c))
-    arrays["lon"] = lon_c + arrays["lon"] * mlon
-    arrays["lat"] = lat_c + arrays["lat"] * mlat
+    lat_el = lat_c + arrays["lat"] * mlat
+    arrays["lon"] = lon_c + arrays["lon"] * mlat / np.cos(
+        np.radians(lat_el))
+    arrays["lat"] = lat_el
     st = ibt.create_bergs(capacity, max_bonds=cfg.max_bonds, **arrays)
     i, j, xi, yj = pos_to_cell(grid, st.lon, st.lat, 360.)
     st = st.replace(ine=i, jne=j, xi=xi, yj=yj)
@@ -119,14 +162,26 @@ def main():
                    help="conglomerate radius (m)")
     p.add_argument("--radius", type=float, default=1500.,
                    help="element radius (m)")
+    p.add_argument("--long-run", action="store_true",
+                   help="the paper's 472-element 432 h configuration "
+                        "(long_run.nml + long_run_for_paper.sh)")
+    p.add_argument("--substeps", type=int, default=90)
     a = p.parse_args()
+    if a.long_run:
+        # square-packed ellipse (2.5:1, the real berg's aspect): 473
+        # elements — the reference's outline raster gives 472; a square
+        # lattice in a smooth outline cannot land on 472 exactly
+        a.R = 60600.
+        a.dt = 1800.
+        a.hours = a.hours if a.hours != 12 else 432
 
     import jax
     import icebergs_tpu as ibt
     from icebergs_tpu.io import a68, trajectory as tio, restart as rio
     from icebergs_tpu import diag
 
-    cfg = a68_config(a.dt, regular=not a.curvilinear)
+    cfg = (a68_long_run_config(a.substeps) if a.long_run
+           else a68_config(a.dt, regular=not a.curvilinear))
     if a.synthetic:
         os.makedirs(a.data_dir, exist_ok=True)
         if not os.path.exists(os.path.join(a.data_dir, a68.GRID_FILE)):
@@ -145,7 +200,9 @@ def main():
     lat_c = float(np.asarray(grid.lat0)) + 0.5 * grid.ny \
         * float(np.asarray(grid.dlat))
     st = build_a68_berg(grid, cfg, lon_c=lon_c, lat_c=lat_c, R_m=a.R,
-                        r_m=a.radius)
+                        r_m=a.radius, square=a.long_run)
+    from icebergs_tpu.ops import forces as _fo
+    cfg = _fo.set_constant_interaction_length_and_width(cfg, st)
     n0 = int(np.asarray(st.alive).sum())
     print(f"run_a68: {n0} elements, "
           f"{int(np.asarray(st.n_bonds).sum())} directed bonds, "
@@ -168,6 +225,16 @@ def main():
                   f"wall={time.time() - t0:.1f}s", flush=True)
     b1 = diag.compute_budgets(st, None)
     diag.report_budget("a68", b0, b1, nsteps * cfg.dt)
+    has = np.asarray(st.bond_idx) >= 0
+    intact = int(np.sum(has & (np.asarray(st.bond_broken) < 0.5)))
+    print(f"run_a68: bonds intact {intact}/{int(has.sum())} "
+          f"(fractured {int(has.sum()) - intact})")
+    draught = (cfg.rho_bergs / 1025.) * np.asarray(st.thickness)
+    grounded = int(np.sum(np.asarray(st.alive)
+                          & (draught > np.asarray(st.od))))
+    print(f"run_a68: grounded elements {grounded}")
+    cs, nb = diag.berg_chksum(st)
+    print(f"run_a68: chksum={int(cs)} #={int(nb)}")
 
     os.makedirs(a.out, exist_ok=True)
     tio.write_trajectories(os.path.join(a.out, "iceberg_trajectories.nc"),
