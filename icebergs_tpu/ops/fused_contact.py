@@ -171,12 +171,16 @@ def _sorted_contact_groups(Ms, key_s, cell_starts, grid,
         bn = _forces.eval_pair_ia(pd_n, cfg, u0_s, v0_s, u1_s, v1_s)
         bf = _forces.eval_pair_ia(pd_f, cfg, u0_s[sel_f], v0_s[sel_f],
                                   u1_s[sel_f], v1_s[sel_f])
-        rows = jnp.stack(list(bf), axis=-1)
-        rows = jnp.where(vrow_f[:, None], rows, 0.)
-        rows = jnp.concatenate(
-            [rows, jnp.zeros((1, rows.shape[1]), rows.dtype)], axis=0)
-        add = rows[code_f]                        # (N, 7) row gather
-        return IA(*(x + add[:, k] for k, x in enumerate(bn)))
+
+        # per-FIELD gathers, NOT one (N, 7) row gather: a (N, 7) array
+        # pads its minor dim to 128 lanes on TPU, so every later column
+        # read re-streams the whole 512 MB padded buffer (measured
+        # +290 ms/step inside evolve)
+        def fold(x, f):
+            tab = jnp.concatenate(
+                [jnp.where(vrow_f, f, 0.), jnp.zeros((1,), f.dtype)])
+            return x + tab[code_f]
+        return IA(*(fold(x, f) for x, f in zip(bn, bf)))
 
     return eval_s, stats
 
@@ -242,9 +246,9 @@ def make_ia_fn_fused2(st, grid, cfg: IcebergsConfig, *,
 
     def ia_fn(u1, v1):
         ia_s = eval_s(u0_s, v0_s, u1[order], v1[order])
-        rows = jnp.stack(list(ia_s), axis=-1)
-        back = rows[inv]                          # (N, 7): sorted -> orig
-        total = IA(*(back[:, k] for k in range(rows.shape[1])))
+        # per-field inverse-permutation gathers (see eval_s on why not a
+        # single (N, 7) row gather)
+        total = IA(*(x[inv] for x in ia_s))
         if pd_b is not None:
             bb = _forces.eval_pair_ia(pd_b, cfg, u0_fix, v0_fix, u1, v1)
             total = IA(*(x + y for x, y in zip(total, bb)))

@@ -202,11 +202,15 @@ def make_sort_ctx(st, grid, alive=None):
     return order, key_s, rank
 
 
-# slot-sum backend: "gather" (transposed gather blocks, no multi-GB
-# padded slot buffer) or "scatter" (round-2 design).  For cells with
-# occupancy <= K both produce BITWISE-identical sums (same tree, same
-# slot positions); they differ only in how denser cells accumulate.
-SLOT_SUM_METHOD = "gather"
+# slot-sum backend: "gather" (transposed gather blocks) or "scatter"
+# (round-2 design).  For cells with occupancy <= K both produce
+# BITWISE-identical sums (same tree, same slot positions); they differ
+# only in how denser cells accumulate.  In-situ A/B at 1M bergs on v5e:
+# scatter 108 ms vs gather 170 ms — the gather's while_loop overflow
+# pass forces the (N, 9F) contrib (128-lane padded, 512 MB) to
+# materialize instead of fusing into the update stream, so scatter
+# stays the default.
+SLOT_SUM_METHOD = "scatter"
 
 
 def _cell_slot_sums_gather(key_s, contrib, ncells, K):
