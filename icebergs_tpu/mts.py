@@ -522,7 +522,9 @@ def evolve_icebergs_mts(st, grid: Grid, frc, cfg: IcebergsConfig,
                         contact_cap: int | None = None,
                         substep_sync=None,
                         ncells_radius: int | None = None,
-                        max_per_cell: int = 16):
+                        max_per_cell: int = 16,
+                        neighbor_mode: str = "tables",
+                        fused_kw: dict | None = None):
     """Full MTS cycle: Part 1 slow solve, Part 2 half-kick, Part 3 substeps.
 
     ``pair_cap`` compacts the substep contact candidates (frozen per outer
@@ -553,10 +555,24 @@ def evolve_icebergs_mts(st, grid: Grid, frc, cfg: IcebergsConfig,
                        else _forces.neighbor_radius(grid, cfg)))
 
     # ---- PART 1: slow forces --------------------------------------------
+    # pair search + geometry precompute ONCE (positions are frozen during
+    # the convergence loop; only *_old velocities iterate)
+    if neighbor_mode == "fused":
+        # Pallas strip search + cap-free (N, 2) eval for the
+        # cross-conglomerate collision group — no (N, M) candidate slab
+        from .ops.fused_contact import make_ia_fn_fused_mts1
+        part1_refresh, _p1stats = make_ia_fn_fused_mts1(
+            st, grid, cfg,
+            radius=(ncells_radius if ncells_radius is not None
+                    else _forces.neighbor_radius(grid, cfg)),
+            **(fused_kw or {}))
+    else:
+        part1_refresh = _forces.make_ia_fn(st, nbr, cfg, mts_part=1,
+                                           contact_cap=contact_cap,
+                                           return_refresh=True)
+
     def part1_once(s):
-        ia_fn = _forces.make_ia_fn(s, nbr, cfg, mts_part=1,
-                                   contact_cap=contact_cap)
-        return _slow_accel_mts(s, cfg, ia_fn)
+        return _slow_accel_mts(s, cfg, part1_refresh(s))
 
     if not cfg.skip_first_outer_mts_step:
         if cfg.force_convergence:

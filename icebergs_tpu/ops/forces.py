@@ -196,6 +196,10 @@ class PairData(NamedTuple):
     ctan: jnp.ndarray        # tangential
     u2: jnp.ndarray          # (N, M) partner *_old velocity
     v2: jnp.ndarray
+    # partner slot table, kept so u2/v2 can be REFRESHED mid-step (the
+    # MTS force-convergence loop updates *_old velocities each iterate
+    # while the geometry stays frozen); None on paths that never refresh
+    other: jnp.ndarray = None
 
 
 def precompute_pair_data(st, cfg: IcebergsConfig, other, mask, *,
@@ -316,7 +320,16 @@ def precompute_pair_data(st, cfg: IcebergsConfig, other, mask, *,
     return PairData(active=active, IA_x=IA_x, IA_y=IA_y,
                     P11=P11r, P12=P12r, P22=P22r,
                     crad=radial_damping * mm, ctan=tangental_damping * mm,
-                    u2=u2, v2=v2)
+                    u2=u2, v2=v2, other=other)
+
+
+def refresh_pair_velocities(pd: PairData, st) -> PairData:
+    """Regather partner *_old velocities into frozen pair geometry.
+
+    The MTS Part-1 convergence loop (icebergs.F90:6663-6743) iterates on
+    velocities with positions FROZEN, so the pair search, projections and
+    spring terms precompute once per outer step; only u2/v2 move."""
+    return pd._replace(u2=st.uvel_old[pd.other], v2=st.vvel_old[pd.other])
 
 
 def eval_pair_ia(pd: PairData, cfg: IcebergsConfig, u0, v0, u1, v1) -> IA:
@@ -468,8 +481,14 @@ def bond_partner_table(st):
 
 def make_ia_fn(st, nbr: NeighborTables, cfg: IcebergsConfig,
                mts_part: int = 0, use_pallas: bool = False,
-               contact_cap: int | None = None):
+               contact_cap: int | None = None,
+               return_refresh: bool = False):
     """Build the interactive-force closure used inside ``accel``.
+
+    ``return_refresh=True`` instead returns ``refresh(s) -> ia_fn``:
+    pair geometry is precomputed HERE (positions frozen) and only the
+    partner *_old velocities regather from ``s`` — the MTS Part-1
+    convergence loop's contract (icebergs.F90:6663-6743).
 
     Dispatch mirrors ``interactive_force`` (icebergs.F90:479-607):
 
@@ -526,23 +545,30 @@ def make_ia_fn(st, nbr: NeighborTables, cfg: IcebergsConfig,
 
     N = st.capacity
 
-    def ia_fn(u1, v1):
-        total = None
-        for kind, pd, sel, vrow in groups:
-            if kind == "compact":
-                b = _eval(pd, cfg, u0_fix[sel], v0_fix[sel],
-                          u1[sel], v1[sel])
-                b = scatter_ia(b, sel, vrow, N)
-            else:
-                b = _eval(pd, cfg, u0_fix, v0_fix, u1, v1)
-            total = b if total is None else IA(*(x + y for x, y
-                                                 in zip(total, b)))
-        if total is None:
-            from .accel import zero_ia
-            total = zero_ia(st.lon.shape, st.lon.dtype)
-        return total
+    def _mk(gs):
+        def ia_fn(u1, v1):
+            total = None
+            for kind, pd, sel, vrow in gs:
+                if kind == "compact":
+                    b = _eval(pd, cfg, u0_fix[sel], v0_fix[sel],
+                              u1[sel], v1[sel])
+                    b = scatter_ia(b, sel, vrow, N)
+                else:
+                    b = _eval(pd, cfg, u0_fix, v0_fix, u1, v1)
+                total = b if total is None else IA(*(x + y for x, y
+                                                     in zip(total, b)))
+            if total is None:
+                from .accel import zero_ia
+                total = zero_ia(st.lon.shape, st.lon.dtype)
+            return total
+        return ia_fn
 
-    return ia_fn
+    if return_refresh:
+        def refresh(s):
+            return _mk([(kind, refresh_pair_velocities(pd, s), sel, vrow)
+                        for kind, pd, sel, vrow in groups])
+        return refresh
+    return _mk(groups)
 
 
 # --------------------------------------------------------------------------

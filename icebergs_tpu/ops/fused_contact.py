@@ -57,8 +57,8 @@ def _compact(flag, cap):
 
 
 def _subset_strip_tables(sub, self_ids, full_alive, capacity, cell_starts,
-                         grid, strip_width: int):
-    """3x3-cell candidate strips for a compacted subset.
+                         grid, strip_width: int, radius: int = 1):
+    """(2*radius+1)^2-cell candidate strips for a compacted subset.
 
     Candidate indices address the cell-sorted slab; ``self_ids`` are the
     subset rows' sorted-slab positions."""
@@ -68,10 +68,10 @@ def _subset_strip_tables(sub, self_ids, full_alive, capacity, cell_starts,
 
     cands, valids = [], []
     truncated = jnp.zeros((), jnp.int32)
-    for dj in (-1, 0, 1):
+    for dj in range(-radius, radius + 1):
         jrow = sub.jne + dj
-        ilo = jnp.clip(sub.ine - 1, 0, nx - 1)
-        ihi = jnp.clip(sub.ine + 1, 0, nx - 1)
+        ilo = jnp.clip(sub.ine - radius, 0, nx - 1)
+        ihi = jnp.clip(sub.ine + radius, 0, nx - 1)
         ok_row = (jrow >= 0) & (jrow < ny) & sub.alive
         jrow_c = jnp.clip(jrow, 0, ny - 1)
         s = cell_starts[jnp.where(ok_row, jrow_c * nx + ilo, ncells)]
@@ -255,6 +255,134 @@ def make_ia_fn_fused2(st, grid, cfg: IcebergsConfig, *,
         return total
 
     return ia_fn, stats
+
+
+_MTS1_VIEW_COLS = dict(lon_old=0, lat_old=1, fl_k=3, uvel_old=8,
+                       vvel_old=9, thickness=10, length=11, width=12,
+                       mass=13)
+
+
+def _mts1_view(rows):
+    return SimpleNamespace(**{n: rows[:, c]
+                              for n, c in _MTS1_VIEW_COLS.items()})
+
+
+def make_ia_fn_fused_mts1(st, grid, cfg: IcebergsConfig, *,
+                          block_n: int = 256, window: int = 512,
+                          fallback_cap: int = 4096,
+                          fallback_strip_width: int = 64,
+                          radius: int = None,
+                          interpret: bool = False):
+    """Fused MTS Part-1 cross-conglomerate collision search (sortless).
+
+    The Part-1 slow-force group (accel_mts mts_part=1 -> the
+    cross-conglomerate branch of interactive_force, icebergs.F90:565-607)
+    with crit = max(R1+R2, contact_distance) and the contact spring —
+    searched by the Pallas prepass with the conglomerate filter IN the
+    kernel (group id rides packed feature column 6) over
+    (2*radius+1)^2 cells, evaluated cap-free on an (N, 2) partner table
+    with the exact strip fallback for >= 3-partner rows.
+
+    Returns ``(refresh, stats)`` where ``refresh(s) -> ia_fn``
+    regathers partner *_old velocities from ``s`` into the frozen pair
+    geometry (the force-convergence loop's contract,
+    icebergs.F90:6663-6743).
+    """
+    assert cfg.mts, "mts1 fused path is the MTS Part-1 collision group"
+    N = st.capacity
+    nx, ny = grid.nx, grid.ny
+    ncells = nx * ny
+    dtype = st.lon.dtype
+    if radius is None:
+        radius = _forces.neighbor_radius(grid, cfg)
+
+    key = jnp.where(st.alive, st.jne * nx + st.ine, ncells)
+    idx = jnp.arange(N, dtype=jnp.int32)
+    _, _, _, order = jax.lax.sort(
+        (key, st.id_cnt, st.id_ij, idx), num_keys=3)
+    _, inv = jax.lax.sort((order, idx), num_keys=1)
+    key_s = key[order]
+    cell_starts = jnp.searchsorted(
+        key_s, jnp.arange(ncells + 1, dtype=key_s.dtype)).astype(jnp.int32)
+
+    A = st.length * st.width
+    R = _forces._interaction_radius(cfg, A)
+    alive_f = st.alive.astype(dtype)
+    gidf = st.conglom_id.astype(dtype)
+    M = jnp.stack([st.lon_old, st.lat_old, R, st.fl_k, alive_f,
+                   key.astype(dtype), gidf, jnp.zeros_like(alive_f),
+                   st.uvel_old, st.vvel_old, st.thickness, st.length,
+                   st.width, st.mass, jnp.zeros_like(alive_f),
+                   jnp.zeros_like(alive_f)], axis=-1)
+    Ms = M[order]                                 # (N, 16) sorted rows
+
+    cnt, pmin, pmax, bad_block = contact_prepass_sorted(
+        None, cell_starts, grid, cfg, block_n=block_n, window=window,
+        interpret=interpret, P=Ms[:, :8], key=key_s, radius=radius,
+        exclude_same_group=True)
+
+    alive_s = key_s < ncells
+    bad = (bad_block | (cnt > 2)) & alive_s
+    normal = (cnt > 0) & ~bad_block & (cnt <= 2) & alive_s
+
+    full_view = _mts1_view(Ms)
+
+    others_n = jnp.stack([jnp.maximum(pmin, 0),
+                          jnp.maximum(pmax, 0)], axis=-1)
+    m_n = normal[:, None] & jnp.stack(
+        [pmin >= 0, (pmax >= 0) & (cnt > 1)], axis=-1)
+    pd_n = _forces.precompute_pair_data(
+        full_view, cfg, others_n, m_n, bonded=False,
+        use_c_crit_dist=False, partner_st=full_view)
+
+    sel_f, vrow_f, drop_f = _compact(bad, fallback_cap)
+    ine_s = (key_s % nx).astype(jnp.int32)
+    jne_s = (key_s // nx).astype(jnp.int32)
+    sub_f = SimpleNamespace(ine=ine_s[sel_f], jne=jne_s[sel_f],
+                            alive=alive_s[sel_f])
+    cand_f, valid_f, trunc_f = _subset_strip_tables(
+        sub_f, sel_f, alive_s, N, cell_starts, grid, fallback_strip_width,
+        radius=radius)
+    gid_s = Ms[:, 6]
+    valid_f = valid_f & (gid_s[jnp.minimum(cand_f, N - 1)]
+                         != gid_s[sel_f][:, None])
+    pd_f = _forces.precompute_pair_data(
+        _mts1_view(Ms[sel_f]), cfg, cand_f, valid_f & vrow_f[:, None],
+        bonded=False, use_c_crit_dist=False, partner_st=full_view)
+
+    rank_f = jnp.cumsum(bad.astype(jnp.int32)) - 1
+    code_f = jnp.where(bad & (rank_f < fallback_cap), rank_f,
+                       fallback_cap)
+
+    stats = FusedContactStats(
+        overflow=drop_f + trunc_f,
+        n_fallback=jnp.sum(bad.astype(jnp.int32)))
+
+    u0_fix, v0_fix = st.uvel, st.vvel
+    u0_s, v0_s = u0_fix[order], v0_fix[order]
+
+    def refresh(s):
+        uo_s = s.uvel_old[order]
+        vo_s = s.vvel_old[order]
+        pdn = pd_n._replace(u2=uo_s[pd_n.other], v2=vo_s[pd_n.other])
+        pdf = pd_f._replace(u2=uo_s[pd_f.other], v2=vo_s[pd_f.other])
+
+        def ia_fn(u1, v1):
+            u1_s, v1_s = u1[order], v1[order]
+            bn = _forces.eval_pair_ia(pdn, cfg, u0_s, v0_s, u1_s, v1_s)
+            bf = _forces.eval_pair_ia(pdf, cfg, u0_s[sel_f],
+                                      v0_s[sel_f], u1_s[sel_f],
+                                      v1_s[sel_f])
+
+            def fold(x, f):
+                tab = jnp.concatenate(
+                    [jnp.where(vrow_f, f, 0.), jnp.zeros((1,), f.dtype)])
+                return (x + tab[code_f])[inv]
+            return IA(*(fold(x, f) for x, f in zip(bn, bf)))
+
+        return ia_fn
+
+    return refresh, stats
 
 
 def make_ia_fn_fused(ss, cell_starts, grid, cfg: IcebergsConfig, *,

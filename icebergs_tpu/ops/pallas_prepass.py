@@ -58,19 +58,27 @@ def _pack(st, grid, cfg):
 def contact_prepass_sorted(st_sorted, cell_starts, grid,
                            cfg: IcebergsConfig, *, block_n: int = 256,
                            window: int = 512, interpret: bool = False,
-                           P=None, key=None):
+                           P=None, key=None, radius: int = 1,
+                           exclude_same_group: bool = False):
     """Engaged-contact search on a cell-sorted state.
 
     Returns ``(cnt, pmin, pmax, bad_block)`` where for each slot i of the
     sorted slab: ``cnt[i]`` counts engaged candidates (distance superset),
     ``pmin/pmax[i]`` are the smallest/largest engaged partner slots, and
     ``bad_block[i]`` is True when slot i's block could not be searched
-    exactly (strip window overflow or block cell-span > nx-3) and must go
-    through the XLA fallback.
+    exactly (strip window overflow or block cell-span > nx-(2*radius+1))
+    and must go through the XLA fallback.
 
     ``P``/``key`` let the sortless fused path pass pre-gathered packed
     features and cell keys directly instead of a physically sorted state
     (``st_sorted`` is then only consulted for capacity/dtype).
+
+    ``radius`` widens the candidate window to (2*radius+1)^2 cells (the
+    reference's contact_cells for contact_distance > a cell,
+    icebergs_framework.F90:1493-1527).  ``exclude_same_group`` filters
+    candidates whose group id (packed feature column 6) equals the
+    berg's own — the MTS Part-1 cross-conglomerate collision search
+    (interactive_force's conglomerate filter, icebergs.F90:565-607).
     """
     N = st_sorted.capacity if st_sorted is not None else P.shape[0]
     BN, W = block_n, window
@@ -78,6 +86,7 @@ def contact_prepass_sorted(st_sorted, cell_starts, grid,
     Npad = nblocks * BN
     nx, ny = grid.nx, grid.ny
     ncells = nx * ny
+    nstrips = 2 * radius + 1
 
     if P is None:
         P = _pack(st_sorted, grid, cfg)
@@ -99,12 +108,12 @@ def contact_prepass_sorted(st_sorted, cell_starts, grid,
     c0 = key[::BN]
     c1 = key[BN - 1::BN]
     c1c = jnp.minimum(c1, ncells - 1)            # all-dead block -> c1c<c0
-    span_bad = (c1c - c0) > (nx - 3)
+    span_bad = (c1c - c0) > (nx - nstrips)
 
-    # inclusive cell ranges of the three strips (grid rows j-1, j, j+1)
-    offs = jnp.array([-nx, 0, nx], jnp.int32)
-    c_lo = jnp.clip(c0[:, None] - 1 + offs[None, :], 0, ncells - 1)
-    c_hi = jnp.clip(c1c[:, None] + 1 + offs[None, :], -1, ncells - 1)
+    # inclusive cell ranges of the strips (grid rows j-radius..j+radius)
+    offs = jnp.arange(-radius, radius + 1, dtype=jnp.int32) * nx
+    c_lo = jnp.clip(c0[:, None] - radius + offs[None, :], 0, ncells - 1)
+    c_hi = jnp.clip(c1c[:, None] + radius + offs[None, :], -1, ncells - 1)
     ws = cell_starts[c_lo]
     ws8 = ws // 8
     win_need = cell_starts[c_hi + 1] - ws8 * 8
@@ -129,10 +138,10 @@ def contact_prepass_sorted(st_sorted, cell_starts, grid,
         cp_rows = pltpu.make_async_copy(
             PT_ref.at[:, pl.ds(b * BN, BN)], rows_v, sem)
         cp_rows.start()
-        # prefetch ALL three window strips up front so the DMAs overlap
+        # prefetch ALL window strips up front so the DMAs overlap
         wcps = []
-        for s in range(3):
-            ws_s = ws_ref[b * 3 + s] * 8
+        for s in range(nstrips):
+            ws_s = ws_ref[b * nstrips + s] * 8
             cp = pltpu.make_async_copy(
                 PR_ref.at[pl.ds(ws_s, W), :], win_v.at[s], wsem.at[s])
             cp.start()
@@ -146,14 +155,16 @@ def contact_prepass_sorted(st_sorted, cell_starts, grid,
         al1 = rows[_F_ALIVE:_F_ALIVE + 1, :]
 
         gid = b * BN + jax.lax.broadcasted_iota(jnp.int32, (1, BN), 1)
+        if exclude_same_group:
+            grp1 = rows[6:7, :]                  # feature column 6
         rowi = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
 
         cnt = jnp.zeros((BN,), dtype)
         vmin = jnp.full((BN,), BIG, dtype)
         vmax = jnp.full((BN,), -1., dtype)
 
-        for s in range(3):
-            ws_s = ws_ref[b * 3 + s] * 8
+        for s in range(nstrips):
+            ws_s = ws_ref[b * nstrips + s] * 8
             wcps[s].wait()
             win = win_v[s]               # (W, 128)
             lon2 = win[:, _F_LON:_F_LON + 1]
@@ -163,12 +174,14 @@ def contact_prepass_sorted(st_sorted, cell_starts, grid,
             al2 = win[:, _F_ALIVE:_F_ALIVE + 1]
             key2 = win[:, _F_KEY:_F_KEY + 1]
 
-            clo = clo_ref[b * 3 + s].astype(dtype)
-            chi = chi_ref[b * 3 + s].astype(dtype)
+            clo = clo_ref[b * nstrips + s].astype(dtype)
+            chi = chi_ref[b * nstrips + s].astype(dtype)
             wid = ws_s + rowi            # (W, 1)
             valid = ((key2 >= clo) & (key2 <= chi) & (al2 > 0.5)
                      & (al1 > 0.5) & (wid != gid)
                      & (fl1 != -1.) & (fl2 != -1.))
+            if exclude_same_group:
+                valid = valid & (win[:, 6:7] != grp1)
 
             if cfg.grid_is_latlon:
                 lat_ref = 0.5 * (lat1 + lat2)
@@ -200,9 +213,9 @@ def contact_prepass_sorted(st_sorted, cell_starts, grid,
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((BN, 4), lambda b, *_: (b, 0)),
         scratch_shapes=[pltpu.VMEM((_NFEAT, BN), dtype),
-                        pltpu.VMEM((3, W, _FPAD), dtype),
+                        pltpu.VMEM((nstrips, W, _FPAD), dtype),
                         pltpu.SemaphoreType.DMA,
-                        pltpu.SemaphoreType.DMA((3,))],
+                        pltpu.SemaphoreType.DMA((nstrips,))],
     )
     out = pl.pallas_call(
         kernel,

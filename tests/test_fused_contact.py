@@ -157,3 +157,87 @@ def test_persistent_layout_matches_per_step_fused():
     a, b = _state_by_id(st_ref), _state_by_id(st_per)
     for f, va in a.items():
         np.testing.assert_array_equal(va, b[f], err_msg=f)
+
+
+def _mts_world(seed=4):
+    """Two bonded conglomerates + free elements, modern (MTS) config."""
+    cfg = ibt.IcebergsConfig(
+        grid_is_latlon=False, Lx=-1.0, use_f_plane=True, lat_ref=30.,
+        dt=600., mts=True, mts_sub_steps=10, explicit_inner_mts=True,
+        interactive_icebergs_on=True, iceberg_bonds_on=True,
+        contact_distance=1500., contact_spring_coef=1.e-7,
+        spring_coef=1.e-5, manually_initialize_bonds=True,
+        length_for_manually_initialize_bonds=700., max_bonds=6)
+    grid = ibt.make_uniform_grid(16, 16, 0., 0., 1000., 1000.,
+                                 grid_is_latlon=False)
+    rng = np.random.RandomState(seed)
+    lon, lat = [], []
+    for (cx, cy) in ((5000., 5000.), (7500., 6000.), (11000., 11000.)):
+        for dx in (-600., 0., 600.):
+            for dy in (-600., 0., 600.):
+                lon.append(cx + dx + rng.uniform(-30., 30.))
+                lat.append(cy + dy + rng.uniform(-30., 30.))
+    st = ibt.create_bergs(64, lon=lon, lat=lat,
+                          uvel=rng.uniform(-.2, .2, len(lon)),
+                          vvel=rng.uniform(-.2, .2, len(lon)),
+                          mass=850. * 50. * 500. * 500., thickness=50.,
+                          width=500., length=500., mass_scaling=1.,
+                          id_cnt=np.arange(len(lon)) + 1)
+    i, j, xi, yj = pos_to_cell(grid, st.lon, st.lat, -1.)
+    st = st.replace(ine=i, jne=j, xi=xi, yj=yj)
+    st = forces.initialize_bonds_host(st, cfg)
+    st = forces.compute_conglom_ids_host(st)
+    return cfg, grid, st
+
+
+def test_fused_mts1_matches_xla_part1():
+    """make_ia_fn_fused_mts1 == the XLA Part-1 cross-conglomerate group
+    (interpret mode), including through the >= 3-partner fallback."""
+    from icebergs_tpu.ops.fused_contact import make_ia_fn_fused_mts1
+    cfg, grid, st = _mts_world()
+    r = forces.neighbor_radius(grid, cfg)
+    nbr = forces.build_neighbor_tables(st, grid, cfg, ncells_radius=r,
+                                       max_per_cell=64)
+    ia_ref = forces.make_ia_fn(st, nbr, cfg, mts_part=1)(st.uvel, st.vvel)
+
+    refresh, stats = make_ia_fn_fused_mts1(
+        st, grid, cfg, block_n=64, window=512, fallback_cap=64,
+        fallback_strip_width=96, interpret=True)
+    assert int(stats.overflow) == 0
+    # clustered conglomerates guarantee >= 3 cross-group partners
+    assert int(stats.n_fallback) > 0
+    ia = refresh(st)(st.uvel, st.vvel)
+    alive = np.asarray(st.alive)
+    for f in ("IA_x", "IA_y", "P11", "P12", "P22", "Pu_x", "Pu_y"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(ia, f))[alive],
+            np.asarray(getattr(ia_ref, f))[alive],
+            rtol=0, atol=1e-9, err_msg=f)
+
+
+def test_mts_evolve_fused_part1_matches_tables():
+    """evolve_icebergs_mts(neighbor_mode='fused') == the table path
+    bitwise over full outer steps."""
+    from icebergs_tpu.mts import evolve_icebergs_mts
+    cfg, grid, st = _mts_world()
+    frc = ibt.uniform_forcing(16, 16, uo=0.1, vo=0.05, sst=-1.)
+    st = ibt.interp_to_bergs(st, grid, frc, cfg)
+
+    def run(mode):
+        s = st
+        for _ in range(3):
+            s, d = jax.jit(lambda x: evolve_icebergs_mts(
+                x, grid, frc, cfg, neighbor_mode=mode,
+                fused_kw=dict(block_n=64, window=512, fallback_cap=64,
+                              fallback_strip_width=96, interpret=True)
+                if mode == "fused" else None))(s)
+        return s
+
+    import jax
+    a, b = run("tables"), run("fused")
+    alive = np.asarray(st.alive)
+    for f in ("lon", "lat", "uvel", "vvel", "axn", "ayn"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(a, f))[alive],
+            np.asarray(getattr(b, f))[alive], rtol=0, atol=1e-7,
+            err_msg=f)

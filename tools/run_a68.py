@@ -126,6 +126,12 @@ def build_a68_berg(grid, cfg, *, lon_c, lat_c, R_m=12e3, r_m=1500.,
     if square:
         arrays = makeberg.gen_squarepack(r_m, R=R_m, b=R_m / aspect,
                                          thickness=thickness)
+        # the A68 makeberg prescribes a uniform initial drift
+        # (-uvel=0.22, a68_test/makeberg/RUN): dropping 473 elements at
+        # rest into a sheared jet rings the bonds at ~the fracture
+        # threshold before drag equilibrates
+        arrays["uvel"] = np.full(len(arrays["lon"]), 0.22)
+        arrays["vvel"] = np.zeros(len(arrays["lon"]))
     else:
         arrays = makeberg.gen_hexpack(r_m, shape="circle", R=R_m,
                                       thickness=thickness)
@@ -176,6 +182,12 @@ def main():
         a.hours = a.hours if a.hours != 12 else 432
 
     import jax
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # the container's sitecustomize force-registers the axon TPU
+        # plugin and overrides the env var; the config knob wins
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import icebergs_tpu as ibt
     from icebergs_tpu.io import a68, trajectory as tio, restart as rio
     from icebergs_tpu import diag
@@ -185,7 +197,12 @@ def main():
     if a.synthetic:
         os.makedirs(a.data_dir, exist_ok=True)
         if not os.path.exists(os.path.join(a.data_dir, a68.GRID_FILE)):
-            write_synthetic(a.data_dir)
+            # domain sized to the run: 432 h x 0.3 m/s ~ 470 km of drift
+            # must stay inside, or the berg piles up on the east wall
+            ni = 160 if a.long_run else 48
+            nj = 64 if a.long_run else 32
+            write_synthetic(a.data_dir, ni=ni, nj=nj,
+                            nt=max(48, a.hours + 2))
     missing = [f for f in (a68.GRID_FILE, a68.WIND_FILE, a68.OCEAN_FILE,
                            a68.SSH_FILE)
                if not os.path.exists(os.path.join(a.data_dir, f))]
