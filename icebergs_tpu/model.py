@@ -96,6 +96,7 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
               neighbor_window: str = "full",
               use_pallas: bool = False, contact_cap: Optional[int] = None,
               mts_pair_cap: Optional[int] = None,
+              mts_neighbor_mode: str = "tables",
               fused_block_n: int = 128, fused_window: int = 288,
               fused_fallback_cap: int = 8192,
               fused_fallback_strip_width: int = 64,
@@ -140,10 +141,10 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
         with jax.named_scope("kid_momentum"):
             if cfg.mts:
                 from .mts import evolve_icebergs_mts
-                st, mts_d = evolve_icebergs_mts(st, grid, frc, cfg,
-                                                pair_cap=mts_pair_cap,
-                                                contact_cap=contact_cap,
-                                                max_per_cell=max_per_cell)
+                st, mts_d = evolve_icebergs_mts(
+                    st, grid, frc, cfg, pair_cap=mts_pair_cap,
+                    contact_cap=contact_cap, max_per_cell=max_per_cell,
+                    neighbor_mode=mts_neighbor_mode)
                 from .dynamics import EvolveOut
                 out = EvolveOut(st, jnp.zeros((), jnp.int32),
                                 jnp.zeros((), jnp.int32))

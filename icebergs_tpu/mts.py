@@ -548,11 +548,19 @@ def evolve_icebergs_mts(st, grid: Grid, frc, cfg: IcebergsConfig,
         mm = moving if m is None else m
         return jnp.where(mm, new, old)
 
-    # neighbor tables for cross-conglomerate collisions (Part 1)
+    # neighbor tables for cross-conglomerate collisions (Part 1) and the
+    # substep same-conglomerate contact masks; skipped entirely when the
+    # fused Part-1 search is on and substep contacts go through the
+    # broken-bond pair table (at 1M elements the (N, M) candidate slab
+    # is the fixed cost the fused path exists to remove)
+    need_nbr = (neighbor_mode != "fused"
+                or not (cfg.dem
+                        and cfg.use_broken_bonds_for_substep_contact))
     nbr = _forces.build_neighbor_tables(
         st, grid, cfg, max_per_cell=max_per_cell,
         ncells_radius=(ncells_radius if ncells_radius is not None
-                       else _forces.neighbor_radius(grid, cfg)))
+                       else _forces.neighbor_radius(grid, cfg))) \
+        if need_nbr else None
 
     # ---- PART 1: slow forces --------------------------------------------
     # pair search + geometry precompute ONCE (positions are frozen during

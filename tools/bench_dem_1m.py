@@ -1,0 +1,153 @@
+"""The north star's ACTUAL configuration: 1M bergs WITH DEM bonds.
+
+2066 square-packed conglomerates of 484 elements (22x22 at 3 km
+spacing, the A68 element convention) = 999,944 bonded DEM elements on a
+512x512 x 7 km grid, advanced by full MTS outer steps (Part-1 fused
+cross-conglomerate search + half kick + explicit DEM substeps with
+broken-bond contact, the a68 long-run flag set).
+
+dt=600 s with 60 substeps -> dtf=10 s, inside the reference's stability
+rule mts_fast_dt = 0.3/sqrt(spring_coef) = 11.7 s
+(icebergs_framework.F90:1297-1302).
+
+Prints one JSON line with element-substeps/s.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+
+def config(sub_steps=60):
+    import icebergs_tpu as ibt
+    return ibt.IcebergsConfig(
+        grid_is_latlon=False, Lx=-1.0, use_f_plane=True, lat_ref=-55.0,
+        dt=600.0, Runge_not_Verlet=False,
+        mts=True, mts_sub_steps=sub_steps, explicit_inner_mts=True,
+        dem=True, dem_spring_coef=5.e6, dem_damping_coef=1.0, poisson=0.3,
+        interactive_icebergs_on=True, iceberg_bonds_on=True,
+        spring_coef=0.00065359477124183, contact_spring_coef=1.e-7,
+        contact_distance=4.e3, force_convergence=True,
+        convergence_tolerance=1e-4,
+        use_broken_bonds_for_substep_contact=True,
+        break_bonds_on_sub_steps=True,
+        fracture_criterion="stress", frac_thres_scaling=1.,
+        frac_thres_n=18.e3, frac_thres_t=100.e3,
+        constant_interaction_LW=True, constant_length=3000.,
+        constant_width=3000.,
+        manually_initialize_bonds=True,
+        manually_initialize_bonds_from_radii=True,
+        allow_bergs_to_roll=False, max_bonds=6,
+        hexagonal_icebergs=False).normalized(warn=False)
+
+
+def build(cfg, n_units=2066, side_el=22, r=1500.0):
+    import jax.numpy as jnp
+    import icebergs_tpu as ibt
+    from icebergs_tpu.grid import pos_to_cell
+    from icebergs_tpu.ops import forces
+
+    NX = NY = 512
+    DXY = 7000.0
+    per = side_el * side_el
+    n = n_units * per
+    cap = 1 << int(np.ceil(np.log2(n + 1)))
+
+    # prototype conglomerate: 22x22 square lattice at 2r spacing
+    px, py = np.meshgrid(np.arange(side_el) * 2 * r,
+                         np.arange(side_el) * 2 * r, indexing="ij")
+    px, py = px.ravel(), py.ravel()
+
+    grid_ext = NX * DXY
+    uside = int(np.ceil(np.sqrt(n_units)))
+    pitch = (grid_ext - 4 * DXY - side_el * 2 * r) / uside
+    lon, lat = [], []
+    for u in range(n_units):
+        ox = 2 * DXY + (u % uside) * pitch
+        oy = 2 * DXY + (u // uside) * pitch
+        lon.append(px + ox)
+        lat.append(py + oy)
+    lon = np.concatenate(lon)
+    lat = np.concatenate(lat)
+
+    grid = ibt.make_uniform_grid(NX, NY, 0., 0., DXY, DXY,
+                                 grid_is_latlon=False)
+    frc = ibt.uniform_forcing(NX, NY, uo=0.25, vo=0.05, ua=5.0, sst=-2.0,
+                              sss=34.0)
+    st = ibt.create_bergs(cap, lon=lon, lat=lat,
+                          uvel=np.full(n, 0.22), vvel=np.zeros(n),
+                          mass=850. * 200. * (2 * r) ** 2, thickness=200.,
+                          width=2 * r, length=2 * r, mass_scaling=1.0,
+                          id_cnt=np.arange(n) + 1, max_bonds=6)
+    i, j, xi, yj = pos_to_cell(grid, st.lon, st.lat, -1.0)
+    st = st.replace(ine=i, jne=j, xi=xi, yj=yj)
+
+    # bond the prototype once and replicate with slot offsets
+    pst = ibt.create_bergs(1 << int(np.ceil(np.log2(per + 1))),
+                           lon=px, lat=py, mass=1., thickness=200.,
+                           width=2 * r, length=2 * r, mass_scaling=1.,
+                           max_bonds=6)
+    pst = forces.initialize_bonds_host(pst, cfg)
+    pbond = np.asarray(pst.bond_idx)[:per]
+    pblen = np.asarray(pst.bond_length)[:per]
+    bond_idx = np.full((cap, 6), -1, np.int32)
+    bond_len = np.zeros((cap, 6))
+    cong = np.zeros((cap,), np.int32)
+    offs = (np.arange(n_units) * per)[:, None, None]
+    bond_idx[:n] = np.where(pbond[None] >= 0, pbond[None] + offs,
+                            -1).reshape(n, 6)
+    bond_len[:n] = np.broadcast_to(pblen[None], (n_units, per, 6)
+                                   ).reshape(n, 6)
+    cong[:n] = np.repeat(np.arange(n_units) + 1, per)
+    st = st.replace(bond_idx=jnp.asarray(bond_idx),
+                    bond_length=jnp.asarray(bond_len, st.dtype),
+                    conglom_id=jnp.asarray(cong))
+    st = forces.count_bonds(st)
+    return grid, frc, st, n
+
+
+def main(sub_steps=60, inner=2, reps=2):
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import icebergs_tpu as ibt
+    from icebergs_tpu.model import make_multi_step
+
+    cfg = config(sub_steps)
+    grid, frc, st, n = build(cfg)
+    nbonds = int(np.asarray(st.n_bonds).sum())
+    print(f"# dem_1m: {n} elements, {nbonds} directed bonds, "
+          f"{sub_steps} substeps, cap {st.capacity}", file=sys.stderr,
+          flush=True)
+
+    multi = make_multi_step(grid, cfg, inner, with_thermo=True,
+                            mts_neighbor_mode="fused")
+    s = multi(st, frc)
+    _ = np.asarray(s.lon[:1].ravel())
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        s = multi(s, frc)
+        _ = np.asarray(s.lon[:1].ravel())
+    dt_wall = (time.perf_counter() - t0) / (reps * inner)
+    esps = n * sub_steps / dt_wall
+    out = {
+        "metric": "dem_1m_element_substeps_per_sec",
+        "value": round(esps, 1),
+        "unit": "element-substeps/s/chip",
+        "s_per_outer_step": round(dt_wall, 4),
+        "elements": n,
+        "substeps": sub_steps,
+    }
+    print(json.dumps(out), file=sys.stderr, flush=True)
+    return esps
+
+
+if __name__ == "__main__":
+    ss = int(sys.argv[1]) if len(sys.argv) > 1 else 60
+    main(ss)
