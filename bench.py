@@ -94,6 +94,18 @@ def bench_dem_mts():
     return bench_mts.main(20000, 60)
 
 
+def bench_dem_1m():
+    """The north star's ACTUAL configuration: 1M bergs WITH DEM bonds —
+    999,944 bonded elements in 2066 conglomerates, full MTS steps with
+    the fused Part-1 search (tools/bench_dem_1m.py)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tools"))
+    import bench_dem_1m
+    return bench_dem_1m.main(60)
+
+
 def main():
     import os
     import jax
@@ -109,6 +121,10 @@ def main():
 
     steps_per_sec, nbergs, dropped, fallback = bench_1m_contacts()
     try:
+        dem1m_esps = bench_dem_1m()
+    except Exception:
+        dem1m_esps = -1.0
+    try:
         dem_esps = bench_dem_mts()
     except Exception:
         dem_esps = -1.0
@@ -121,6 +137,7 @@ def main():
         "dropped_candidates": dropped,
         "fallback_bergs": fallback,
         "exact_contact_search": dropped == 0,
+        "dem_1m_element_substeps_per_sec": round(dem1m_esps, 1),
         "dem_element_substeps_per_sec": round(dem_esps, 1),
     }))
 
