@@ -450,17 +450,18 @@ def scatter_ia(ia_sub: IA, sel, valid_row, N: int) -> IA:
     contiguous prefix, so redirecting the tail to N keeps the index
     stream sorted — the scatter lowers to a segment write.
 
-    ONE (cap, 7) row scatter for all seven IA fields: seven separate
-    (131072 -> 1M) scatters measured ~13 ms EACH on v5e (~96 ms/eval
-    group, the dominant fused-contact cost); the combined row scatter is
-    one pass."""
+    Per-FIELD scatters deliberately: a combined (cap, 7) row scatter
+    measured only ~9% faster in isolation (the scatter itself is the
+    cost, not the call count) and its stacked layout perturbs result
+    bits, breaking the compact-vs-full bitwise contract
+    (test_contact_compaction)."""
     tgt = jnp.where(valid_row, sel, N)
-    fields = list(ia_sub)
-    rows = jnp.stack(fields, axis=-1)                    # (cap, 7)
-    rows = jnp.where(valid_row[:, None], rows, 0.)
-    out = jnp.zeros((N, len(fields)), rows.dtype).at[tgt].set(
-        rows, mode='drop', indices_are_sorted=True)
-    return IA(*(out[:, k] for k in range(len(fields))))
+
+    def put(a):
+        return jnp.zeros((N,), a.dtype).at[tgt].set(
+            jnp.where(valid_row, a, 0.), mode='drop',
+            indices_are_sorted=True)
+    return IA(*(put(x) for x in ia_sub))
 
 
 def pair_forces(st, cfg: IcebergsConfig, other, mask, *, bonded: bool,
