@@ -185,6 +185,131 @@ def _sorted_contact_groups(Ms, key_s, cell_starts, grid,
     return eval_s, stats
 
 
+def _origin_frame_search(st, grid, cfg: IcebergsConfig, *, block_n,
+                         window, radius=1, exclude_same_group=False,
+                         deterministic=True, interpret=False):
+    """Prepass search with results mapped to the ORIGINAL slot frame.
+
+    The sorted frame exists only inside the kernel; partner slots and
+    counts come back through one build-time inverse-permutation mapping,
+    so pair evaluation runs directly on the original state and the
+    per-eval sorted<->orig permutation gathers (each a ~10 ms 1M-table
+    gather on v5e, x9 per eval in the previous design) disappear.
+
+    Returns (cnt_o, p1_o, p2_o, bad_o, order, key_s, cell_starts) —
+    partner slots p1_o/p2_o address the ORIGINAL slab (-1 = none).
+    """
+    N = st.capacity
+    nx, ny = grid.nx, grid.ny
+    ncells = nx * ny
+    dtype = st.lon.dtype
+
+    key = jnp.where(st.alive, st.jne * nx + st.ine, ncells)
+    idx = jnp.arange(N, dtype=jnp.int32)
+    if deterministic:
+        _, _, _, order = jax.lax.sort(
+            (key, st.id_cnt, st.id_ij, idx), num_keys=3)
+    else:
+        order = jnp.argsort(key)
+    _, inv = jax.lax.sort((order, idx), num_keys=1)
+    key_s = key[order]
+    cell_starts = jnp.searchsorted(
+        key_s, jnp.arange(ncells + 1, dtype=key_s.dtype)).astype(jnp.int32)
+
+    # prepass features only (8 cols; eval reads the original state)
+    A = st.length * st.width
+    R = _forces._interaction_radius(cfg, A)
+    alive_f = st.alive.astype(dtype)
+    g6 = (st.conglom_id.astype(dtype) if exclude_same_group
+          else jnp.zeros_like(alive_f))
+    P = jnp.stack([st.lon_old, st.lat_old, R, st.fl_k, alive_f,
+                   key.astype(dtype), g6, jnp.zeros_like(alive_f)],
+                  axis=-1)[order]
+
+    cnt, pmin, pmax, bad_block = contact_prepass_sorted(
+        None, cell_starts, grid, cfg, block_n=block_n, window=window,
+        interpret=interpret, P=P, key=key_s, radius=radius,
+        exclude_same_group=exclude_same_group)
+
+    alive_s = key_s < ncells
+    bad = (bad_block | (cnt > 2)) & alive_s
+    normal = (cnt > 0) & ~bad_block & (cnt <= 2) & alive_s
+
+    # build-time frame mapping: partner sorted-slot -> original slot,
+    # then everything -> original rows
+    p1 = jnp.where(normal & (pmin >= 0), order[jnp.maximum(pmin, 0)], -1)
+    p2 = jnp.where(normal & (pmax >= 0) & (cnt > 1),
+                   order[jnp.maximum(pmax, 0)], -1)
+    cnt_o = cnt[inv]
+    p1_o = p1[inv]
+    p2_o = p2[inv]
+    bad_o = bad[inv]
+    return cnt_o, p1_o, p2_o, bad_o, order, key_s, cell_starts
+
+
+def _origin_frame_groups(st, grid, cfg: IcebergsConfig, *, block_n,
+                         window, fallback_cap, fallback_strip_width,
+                         radius=1, exclude_same_group=False,
+                         use_c_crit_dist=False, deterministic=True,
+                         interpret=False):
+    """Normal (N, 2) + compact fallback pair data on the ORIGINAL frame.
+
+    Returns (pd_n, pd_f, sel_f, vrow_f, code_f, stats)."""
+    N = st.capacity
+    cnt_o, p1_o, p2_o, bad_o, order, key_s, cell_starts = \
+        _origin_frame_search(st, grid, cfg, block_n=block_n,
+                             window=window, radius=radius,
+                             exclude_same_group=exclude_same_group,
+                             deterministic=deterministic,
+                             interpret=interpret)
+
+    others_n = jnp.stack([jnp.maximum(p1_o, 0),
+                          jnp.maximum(p2_o, 0)], axis=-1)
+    m_n = jnp.stack([p1_o >= 0, p2_o >= 0], axis=-1)
+    pd_n = _forces.precompute_pair_data(
+        st, cfg, others_n, m_n, bonded=False,
+        use_c_crit_dist=use_c_crit_dist)
+
+    # fallback: compact in the original frame; candidate strips address
+    # the sorted slab and map through ``order``
+    sel_f, vrow_f, drop_f = _compact(bad_o, fallback_cap)
+    sub_f = SimpleNamespace(ine=st.ine[sel_f], jne=st.jne[sel_f],
+                            alive=st.alive[sel_f] & vrow_f)
+    cand_s, valid_f, trunc_f = _subset_strip_tables(
+        sub_f, jnp.full_like(sel_f, -1), key_s < (grid.nx * grid.ny), N,
+        cell_starts, grid, fallback_strip_width, radius=radius)
+    cand_f = order[jnp.minimum(cand_s, N - 1)]
+    valid_f = valid_f & (cand_f != sel_f[:, None])
+    if exclude_same_group:
+        valid_f = valid_f & (st.conglom_id[cand_f]
+                             != st.conglom_id[sel_f][:, None])
+    pd_f = _forces.precompute_pair_data(
+        _take_rows(st, sel_f), cfg, cand_f, valid_f & vrow_f[:, None],
+        bonded=False, use_c_crit_dist=use_c_crit_dist, partner_st=st)
+
+    rank_f = jnp.cumsum(bad_o.astype(jnp.int32)) - 1
+    code_f = jnp.where(bad_o & (rank_f < fallback_cap), rank_f,
+                       fallback_cap)
+
+    stats = FusedContactStats(
+        overflow=drop_f + trunc_f,
+        n_fallback=jnp.sum(bad_o.astype(jnp.int32)))
+    return pd_n, pd_f, sel_f, vrow_f, code_f, stats
+
+
+_TAKE_FIELDS = ("lon_old", "lat_old", "fl_k", "uvel_old", "vvel_old",
+                "thickness", "length", "width", "mass")
+
+
+def _take_rows(st, sel):
+    """Compact primary-row view for precompute_pair_data (one packed
+    row gather for the 9 fields it reads)."""
+    packed = jnp.stack([getattr(st, f) for f in _TAKE_FIELDS], axis=-1)
+    rows = packed[sel]
+    return SimpleNamespace(**{f: rows[:, k]
+                              for k, f in enumerate(_TAKE_FIELDS)})
+
+
 def make_ia_fn_fused2(st, grid, cfg: IcebergsConfig, *,
                       block_n: int = 256, window: int = 512,
                       contact_cap: int = None, fallback_cap: int = 4096,
@@ -193,11 +318,11 @@ def make_ia_fn_fused2(st, grid, cfg: IcebergsConfig, *,
                       interpret: bool = False):
     """Sortless fused interactive-force closure (original slot order).
 
-    The state is NEVER physically reordered: only the ~14 feature
-    columns the contact search and pair evaluation need are gathered
-    into cell-sorted order (one packed row gather), forces come back to
-    the original slots through ONE inverse-permutation row gather.  Bond
-    spring forces (if any) run on the original-frame bond table.
+    The state is NEVER physically reordered: the Pallas search runs on a
+    sorted VIEW; partner slots map back to the original frame once at
+    build time, and pair evaluation runs cap-free on the original state
+    — no per-eval permutation gathers at all.  Bond spring forces (if
+    any) run on the original-frame bond table.
 
     ``deterministic=True`` orders within-cell candidates by berg id, so
     pair sums are bitwise layout-invariant (parallel_reprod).
@@ -208,30 +333,11 @@ def make_ia_fn_fused2(st, grid, cfg: IcebergsConfig, *,
               or cfg.contact_spring_coef_eff != cfg.spring_coef)
     assert not modern, "fused contact path covers the legacy dispatch only"
 
-    N = st.capacity
-    nx, ny = grid.nx, grid.ny
-    ncells = nx * ny
-
-    key = jnp.where(st.alive, st.jne * nx + st.ine, ncells)
-    idx = jnp.arange(N, dtype=jnp.int32)
-    if deterministic:
-        _, _, _, order = jax.lax.sort(
-            (key, st.id_cnt, st.id_ij, idx), num_keys=3)
-    else:
-        order = jnp.argsort(key)
-    # inverse permutation via a second single-key sort (sorts are cheap,
-    # 1M-update scatters are not)
-    _, inv = jax.lax.sort((order, idx), num_keys=1)
-    key_s = key[order]
-    cell_starts = jnp.searchsorted(
-        key_s, jnp.arange(ncells + 1, dtype=key_s.dtype)).astype(jnp.int32)
-
-    Ms = _pack_features(st, cfg, key)[order]     # (N, 14) sorted rows
-
-    eval_s, stats = _sorted_contact_groups(
-        Ms, key_s, cell_starts, grid, cfg, block_n=block_n, window=window,
+    pd_n, pd_f, sel_f, vrow_f, code_f, stats = _origin_frame_groups(
+        st, grid, cfg, block_n=block_n, window=window,
         fallback_cap=fallback_cap,
-        fallback_strip_width=fallback_strip_width, interpret=interpret)
+        fallback_strip_width=fallback_strip_width,
+        deterministic=deterministic, interpret=interpret)
 
     # --- bonded spring group: original-frame bond table ----------------
     pd_b = None
@@ -241,30 +347,24 @@ def make_ia_fn_fused2(st, grid, cfg: IcebergsConfig, *,
             st, cfg, bond_other, bond_valid, bonded=True,
             use_c_crit_dist=False)
 
-    u0_s, v0_s = st.uvel[order], st.vvel[order]
     u0_fix, v0_fix = st.uvel, st.vvel
 
     def ia_fn(u1, v1):
-        ia_s = eval_s(u0_s, v0_s, u1[order], v1[order])
-        # per-field inverse-permutation gathers (see eval_s on why not a
-        # single (N, 7) row gather)
-        total = IA(*(x[inv] for x in ia_s))
+        bn = _forces.eval_pair_ia(pd_n, cfg, u0_fix, v0_fix, u1, v1)
+        bf = _forces.eval_pair_ia(pd_f, cfg, u0_fix[sel_f],
+                                  v0_fix[sel_f], u1[sel_f], v1[sel_f])
+
+        def fold(x, f):
+            tab = jnp.concatenate(
+                [jnp.where(vrow_f, f, 0.), jnp.zeros((1,), f.dtype)])
+            return x + tab[code_f]
+        total = IA(*(fold(x, f) for x, f in zip(bn, bf)))
         if pd_b is not None:
             bb = _forces.eval_pair_ia(pd_b, cfg, u0_fix, v0_fix, u1, v1)
             total = IA(*(x + y for x, y in zip(total, bb)))
         return total
 
     return ia_fn, stats
-
-
-_MTS1_VIEW_COLS = dict(lon_old=0, lat_old=1, fl_k=3, uvel_old=8,
-                       vvel_old=9, thickness=10, length=11, width=12,
-                       mass=13)
-
-
-def _mts1_view(rows):
-    return SimpleNamespace(**{n: rows[:, c]
-                              for n, c in _MTS1_VIEW_COLS.items()})
 
 
 def make_ia_fn_fused_mts1(st, grid, cfg: IcebergsConfig, *,
@@ -279,9 +379,9 @@ def make_ia_fn_fused_mts1(st, grid, cfg: IcebergsConfig, *,
     cross-conglomerate branch of interactive_force, icebergs.F90:565-607)
     with crit = max(R1+R2, contact_distance) and the contact spring —
     searched by the Pallas prepass with the conglomerate filter IN the
-    kernel (group id rides packed feature column 6) over
-    (2*radius+1)^2 cells, evaluated cap-free on an (N, 2) partner table
-    with the exact strip fallback for >= 3-partner rows.
+    kernel (group id on packed feature column 6) over
+    (2*radius+1)^2 cells, evaluated cap-free on an ORIGINAL-frame (N, 2)
+    partner table with the exact strip fallback for >= 3-partner rows.
 
     Returns ``(refresh, stats)`` where ``refresh(s) -> ia_fn``
     regathers partner *_old velocities from ``s`` into the frozen pair
@@ -289,95 +389,32 @@ def make_ia_fn_fused_mts1(st, grid, cfg: IcebergsConfig, *,
     icebergs.F90:6663-6743).
     """
     assert cfg.mts, "mts1 fused path is the MTS Part-1 collision group"
-    N = st.capacity
-    nx, ny = grid.nx, grid.ny
-    ncells = nx * ny
-    dtype = st.lon.dtype
     if radius is None:
         radius = _forces.neighbor_radius(grid, cfg)
 
-    key = jnp.where(st.alive, st.jne * nx + st.ine, ncells)
-    idx = jnp.arange(N, dtype=jnp.int32)
-    _, _, _, order = jax.lax.sort(
-        (key, st.id_cnt, st.id_ij, idx), num_keys=3)
-    _, inv = jax.lax.sort((order, idx), num_keys=1)
-    key_s = key[order]
-    cell_starts = jnp.searchsorted(
-        key_s, jnp.arange(ncells + 1, dtype=key_s.dtype)).astype(jnp.int32)
-
-    A = st.length * st.width
-    R = _forces._interaction_radius(cfg, A)
-    alive_f = st.alive.astype(dtype)
-    gidf = st.conglom_id.astype(dtype)
-    M = jnp.stack([st.lon_old, st.lat_old, R, st.fl_k, alive_f,
-                   key.astype(dtype), gidf, jnp.zeros_like(alive_f),
-                   st.uvel_old, st.vvel_old, st.thickness, st.length,
-                   st.width, st.mass, jnp.zeros_like(alive_f),
-                   jnp.zeros_like(alive_f)], axis=-1)
-    Ms = M[order]                                 # (N, 16) sorted rows
-
-    cnt, pmin, pmax, bad_block = contact_prepass_sorted(
-        None, cell_starts, grid, cfg, block_n=block_n, window=window,
-        interpret=interpret, P=Ms[:, :8], key=key_s, radius=radius,
-        exclude_same_group=True)
-
-    alive_s = key_s < ncells
-    bad = (bad_block | (cnt > 2)) & alive_s
-    normal = (cnt > 0) & ~bad_block & (cnt <= 2) & alive_s
-
-    full_view = _mts1_view(Ms)
-
-    others_n = jnp.stack([jnp.maximum(pmin, 0),
-                          jnp.maximum(pmax, 0)], axis=-1)
-    m_n = normal[:, None] & jnp.stack(
-        [pmin >= 0, (pmax >= 0) & (cnt > 1)], axis=-1)
-    pd_n = _forces.precompute_pair_data(
-        full_view, cfg, others_n, m_n, bonded=False,
-        use_c_crit_dist=False, partner_st=full_view)
-
-    sel_f, vrow_f, drop_f = _compact(bad, fallback_cap)
-    ine_s = (key_s % nx).astype(jnp.int32)
-    jne_s = (key_s // nx).astype(jnp.int32)
-    sub_f = SimpleNamespace(ine=ine_s[sel_f], jne=jne_s[sel_f],
-                            alive=alive_s[sel_f])
-    cand_f, valid_f, trunc_f = _subset_strip_tables(
-        sub_f, sel_f, alive_s, N, cell_starts, grid, fallback_strip_width,
-        radius=radius)
-    gid_s = Ms[:, 6]
-    valid_f = valid_f & (gid_s[jnp.minimum(cand_f, N - 1)]
-                         != gid_s[sel_f][:, None])
-    pd_f = _forces.precompute_pair_data(
-        _mts1_view(Ms[sel_f]), cfg, cand_f, valid_f & vrow_f[:, None],
-        bonded=False, use_c_crit_dist=False, partner_st=full_view)
-
-    rank_f = jnp.cumsum(bad.astype(jnp.int32)) - 1
-    code_f = jnp.where(bad & (rank_f < fallback_cap), rank_f,
-                       fallback_cap)
-
-    stats = FusedContactStats(
-        overflow=drop_f + trunc_f,
-        n_fallback=jnp.sum(bad.astype(jnp.int32)))
+    pd_n, pd_f, sel_f, vrow_f, code_f, stats = _origin_frame_groups(
+        st, grid, cfg, block_n=block_n, window=window,
+        fallback_cap=fallback_cap,
+        fallback_strip_width=fallback_strip_width, radius=radius,
+        exclude_same_group=True, use_c_crit_dist=False,
+        interpret=interpret)
 
     u0_fix, v0_fix = st.uvel, st.vvel
-    u0_s, v0_s = u0_fix[order], v0_fix[order]
 
     def refresh(s):
-        uo_s = s.uvel_old[order]
-        vo_s = s.vvel_old[order]
-        pdn = pd_n._replace(u2=uo_s[pd_n.other], v2=vo_s[pd_n.other])
-        pdf = pd_f._replace(u2=uo_s[pd_f.other], v2=vo_s[pd_f.other])
+        pdn = _forces.refresh_pair_velocities(pd_n, s)
+        pdf = _forces.refresh_pair_velocities(pd_f, s)
 
         def ia_fn(u1, v1):
-            u1_s, v1_s = u1[order], v1[order]
-            bn = _forces.eval_pair_ia(pdn, cfg, u0_s, v0_s, u1_s, v1_s)
-            bf = _forces.eval_pair_ia(pdf, cfg, u0_s[sel_f],
-                                      v0_s[sel_f], u1_s[sel_f],
-                                      v1_s[sel_f])
+            bn = _forces.eval_pair_ia(pdn, cfg, u0_fix, v0_fix, u1, v1)
+            bf = _forces.eval_pair_ia(pdf, cfg, u0_fix[sel_f],
+                                      v0_fix[sel_f], u1[sel_f],
+                                      v1[sel_f])
 
             def fold(x, f):
                 tab = jnp.concatenate(
                     [jnp.where(vrow_f, f, 0.), jnp.zeros((1,), f.dtype)])
-                return (x + tab[code_f])[inv]
+                return x + tab[code_f]
             return IA(*(fold(x, f) for x, f in zip(bn, bf)))
 
         return ia_fn
