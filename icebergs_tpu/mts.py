@@ -340,20 +340,23 @@ def _pair_contact_masks(st, me, other, pvalid, cfg: IcebergsConfig):
 
 
 def _substep_forces(st, nbr, cfg: IcebergsConfig, dt, onehot=None,
-                    pairs=None):
+                    pairs=None, part_static=None):
     """One substep's bond + contact accelerations (explicit inner MTS).
 
     Returns (axn, ayn, ang_accel, new bond bookkeeping)."""
     if cfg.dem:
-        out = _dem.dem_bond_forces(st, cfg, dt, onehot=onehot)
+        part = _dem.bond_partner_fields(st, onehot=onehot,
+                                        static=part_static)
+        out = _dem.dem_bond_forces(st, cfg, dt, part=part)
         IA_x, IA_y, IAd_x, IAd_y = (jnp.zeros_like(st.uvel),) * 4
         if cfg.use_broken_bonds_for_substep_contact:
-            # contact only through broken-bond pairs
+            # contact only through broken-bond pairs; partner fields
+            # shared with the bond kernel (one gather per substep)
             bo = jnp.maximum(st.bond_idx, 0)
             bm = (st.bond_idx >= 0) & (st.bond_broken == 1) \
                 & st.alive[:, None] & st.alive[bo]
             cIA_x, cIA_y, cIAd_x, cIAd_y = _dem.dem_contact_forces(
-                st, cfg, bo, bm)
+                st, cfg, bo, bm, part=part)
         else:
             if pairs is not None:
                 me, po, pvalid = pairs
@@ -368,7 +371,7 @@ def _substep_forces(st, nbr, cfg: IcebergsConfig, dt, onehot=None,
             bo = jnp.maximum(st.bond_idx, 0)
             bm = (st.bond_idx >= 0) & (st.bond_broken == 1) \
                 & st.alive[:, None] & st.alive[bo]
-            bIA = _dem.dem_contact_forces(st, cfg, bo, bm)
+            bIA = _dem.dem_contact_forces(st, cfg, bo, bm, part=part)
             cIA_x, cIA_y = cIA_x + bIA[0], cIA_y + bIA[1]
             cIAd_x, cIAd_y = cIAd_x + bIA[2], cIAd_y + bIA[3]
         IA_x, IA_y = IA_x + cIA_x, IA_y + cIA_y
@@ -654,6 +657,10 @@ def evolve_icebergs_mts(st, grid: Grid, frc, cfg: IcebergsConfig,
     if cfg.dem and st.capacity <= 4096:
         onehot = _dem.make_bond_onehot(st)
 
+    # partner columns constant across substeps: one gather per OUTER step
+    part_static = _dem.bond_partner_static(st, onehot=onehot) \
+        if cfg.dem else None
+
     # frozen substep-contact pair list (candidate set is constant across
     # substeps; only breakage/slot masks change)
     pairs = None
@@ -690,9 +697,9 @@ def evolve_icebergs_mts(st, grid: Grid, frc, cfg: IcebergsConfig,
 
         explicit_inner = cfg.explicit_inner_mts or cfg.dem
         if explicit_inner:
-            axn, ayn, ang_accel, bu = _substep_forces(s, nbr, cfg, dtf,
-                                                      onehot=onehot,
-                                                      pairs=pairs)
+            axn, ayn, ang_accel, bu = _substep_forces(
+                s, nbr, cfg, dtf, onehot=onehot, pairs=pairs,
+                part_static=part_static)
             if cfg.short_step_mts_grounding:
                 gdrag = _grounding_drag_coeff(s, cfg, 'rect')
                 axn = axn + s.uvel * gdrag

@@ -74,19 +74,17 @@ def make_bond_onehot(st, dtype=jnp.bfloat16):
     return oh
 
 
-def dem_bond_forces(st, cfg: IcebergsConfig, dt, onehot=None):
-    """Evaluate all unbroken bonds; returns forces/torques + updated
-    per-bond state (calculate_force_dem, savestress=True path).
+_BOND_PART_DYN = ("lon_old", "lat_old", "uvel_old", "vvel_old",
+                  "ang_vel", "rot")
+_BOND_PART_STATIC = ("thickness", "length", "width", "mass", "fl_k")
 
-    With ``onehot`` given, partner fields are fetched by one-hot matmul
-    (MXU) instead of gathers (see make_bond_onehot).
-    """
+
+def _partner_gather(st, names, extra_alive, onehot):
     other = jnp.maximum(st.bond_idx, 0)
-
-    names = ("lon_old", "lat_old", "uvel_old", "vvel_old", "thickness",
-             "length", "width", "mass", "ang_vel", "rot", "fl_k")
-    mat = jnp.stack([getattr(st, n) for n in names]
-                    + [st.alive.astype(st.dtype)], axis=-1)
+    cols = [getattr(st, n) for n in names]
+    if extra_alive:
+        cols.append(st.alive.astype(st.dtype))
+    mat = jnp.stack(cols, axis=-1)
     if onehot is not None:
         # MXU path: partner rows via one-hot matmul
         g = jnp.einsum("nbm,mf->nbf", onehot, mat,
@@ -94,7 +92,42 @@ def dem_bond_forces(st, cfg: IcebergsConfig, dt, onehot=None):
     else:
         g = mat[other]                      # single packed row gather
     part = {n: g[..., k] for k, n in enumerate(names)}
-    part["alive"] = g[..., len(names)] > 0.5
+    if extra_alive:
+        part["alive"] = g[..., len(names)] > 0.5
+    return part
+
+
+def bond_partner_static(st, onehot=None):
+    """Partner columns CONSTANT across MTS substeps (mass/geometry/
+    footloose flags + alive: none change inside Part 3) — gather once
+    per outer step and pass to :func:`bond_partner_fields` so the
+    per-substep gather moves only the 6 kinematic columns."""
+    return _partner_gather(st, _BOND_PART_STATIC, True, onehot)
+
+
+def bond_partner_fields(st, onehot=None, static=None):
+    """Packed partner-field table for the (N, B) bond partner slots —
+    ONE row gather shared by the bond AND broken-bond-contact kernels
+    (each separate 1M-row gather costs ~10-15 ms on v5e and both run
+    every substep).  With ``static`` from :func:`bond_partner_static`,
+    only the per-substep kinematic columns are gathered here."""
+    if static is None:
+        static = bond_partner_static(st, onehot=onehot)
+    part = _partner_gather(st, _BOND_PART_DYN, False, onehot)
+    part.update(static)
+    return part
+
+
+def dem_bond_forces(st, cfg: IcebergsConfig, dt, onehot=None, part=None):
+    """Evaluate all unbroken bonds; returns forces/torques + updated
+    per-bond state (calculate_force_dem, savestress=True path).
+
+    With ``onehot`` given, partner fields are fetched by one-hot matmul
+    (MXU) instead of gathers (see make_bond_onehot).  ``part`` reuses a
+    :func:`bond_partner_fields` table.
+    """
+    if part is None:
+        part = bond_partner_fields(st, onehot=onehot)
 
     def pick(name):
         return part[name]
@@ -249,7 +282,7 @@ def dem_bond_forces(st, cfg: IcebergsConfig, dt, onehot=None):
         broken=broken_new)
 
 
-def dem_contact_forces(st, cfg: IcebergsConfig, other, mask):
+def dem_contact_forces(st, cfg: IcebergsConfig, other, mask, part=None):
     """Unbonded same-conglomerate contact force + explicit damping.
 
     Port of ``calculate_unbonded_same_conglom_dem_force``
@@ -258,14 +291,23 @@ def dem_contact_forces(st, cfg: IcebergsConfig, other, mask):
     Partner fields come from ONE packed row gather: at 1M elements each
     separate (N, B) gather costs ~10-15 ms on v5e, and this kernel runs
     EVERY substep (the 9 per-field gathers measured 134 ms/eval).
+    When the caller's ``other`` is the bond partner table, pass
+    ``part`` from :func:`bond_partner_fields` to reuse ITS gather —
+    valid only when ``other == max(st.bond_idx, 0)``.
     """
-    g = jnp.stack([st.fl_k, st.thickness, st.lon_old, st.lat_old,
-                   st.uvel_old, st.vvel_old, st.length, st.width,
-                   st.mass], axis=-1)[other]           # (N, B, 9)
-    fl_k2, T2 = g[..., 0], g[..., 1]
-    lon2, lat2 = g[..., 2], g[..., 3]
-    u2g, v2g = g[..., 4], g[..., 5]
-    L2g, W2g, M2g = g[..., 6], g[..., 7], g[..., 8]
+    if part is not None:
+        fl_k2, T2 = part["fl_k"], part["thickness"]
+        lon2, lat2 = part["lon_old"], part["lat_old"]
+        u2g, v2g = part["uvel_old"], part["vvel_old"]
+        L2g, W2g, M2g = part["length"], part["width"], part["mass"]
+    else:
+        g = jnp.stack([st.fl_k, st.thickness, st.lon_old, st.lat_old,
+                       st.uvel_old, st.vvel_old, st.length, st.width,
+                       st.mass], axis=-1)[other]           # (N, B, 9)
+        fl_k2, T2 = g[..., 0], g[..., 1]
+        lon2, lat2 = g[..., 2], g[..., 3]
+        u2g, v2g = g[..., 4], g[..., 5]
+        L2g, W2g, M2g = g[..., 6], g[..., 7], g[..., 8]
 
     mask = mask & (st.fl_k[:, None] != -1.) & (fl_k2 != -1.)
 

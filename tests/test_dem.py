@@ -114,3 +114,38 @@ def test_cantilever_beam_deflection():
     # beam stays cohesive: first mobile element still ~5000m from wall
     d = np.hypot(lon1[1] - lon1[0], lat1[1] - lat1[0])
     assert 2500. < d < 7500., d
+
+
+def test_broken_bond_contact_shared_gather():
+    """dem_contact_forces fed from the shared bond_partner_fields table
+    must be bitwise the standalone-gather kernel (the per-substep
+    broken-bond contact path, icebergs.F90:806-956 called from 1838)."""
+    from icebergs_tpu.ops import dem as dem_ops
+    cfg = cbeam_config()
+    grid, st, n = build_beam(cfg)
+    # age the state a little so *_old fields and velocities are nontrivial
+    rng = np.random.RandomState(3)
+    st = st.replace(
+        lon=st.lon + rng.uniform(-200., 200., st.capacity),
+        lat=st.lat + rng.uniform(-200., 200., st.capacity),
+        uvel=st.uvel + rng.uniform(-.1, .1, st.capacity),
+        vvel=st.vvel + rng.uniform(-.1, .1, st.capacity),
+        ang_vel=st.ang_vel + rng.uniform(-1e-4, 1e-4, st.capacity))
+    st = st.replace(lon_old=st.lon, lat_old=st.lat,
+                    uvel_old=st.uvel, vvel_old=st.vvel)
+    # break ~half the bonds
+    has = np.asarray(st.bond_idx) >= 0
+    brk = (rng.uniform(size=st.bond_idx.shape) < 0.5) & has
+    st = st.replace(bond_broken=jnp.where(jnp.asarray(brk), 1,
+                                          st.bond_broken))
+
+    bo = jnp.maximum(st.bond_idx, 0)
+    bm = (st.bond_idx >= 0) & (st.bond_broken == 1) \
+        & st.alive[:, None] & st.alive[bo]
+    ref = dem_ops.dem_contact_forces(st, cfg, bo, bm)
+    part = dem_ops.bond_partner_fields(st)
+    out = dem_ops.dem_contact_forces(st, cfg, bo, bm, part=part)
+    for a, b in zip(ref, out):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert bool(jnp.any(bm)), "no broken-bond pairs exercised"
+    assert any(float(jnp.max(jnp.abs(x))) > 0. for x in out)
