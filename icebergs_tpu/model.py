@@ -97,6 +97,10 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
               use_pallas: bool = False, contact_cap: Optional[int] = None,
               mts_pair_cap: Optional[int] = None,
               mts_neighbor_mode: str = "tables",
+              mts_substep_kernel: str = "scan",
+              mts_vmem_deltas=None,
+              mts_vmem_block_n: int = 512,
+              mts_vmem_interpret: bool = False,
               fused_block_n: int = 128, fused_window: int = 288,
               fused_fallback_cap: int = 8192,
               fused_fallback_strip_width: int = 64,
@@ -144,7 +148,11 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
                 st, mts_d = evolve_icebergs_mts(
                     st, grid, frc, cfg, pair_cap=mts_pair_cap,
                     contact_cap=contact_cap, max_per_cell=max_per_cell,
-                    neighbor_mode=mts_neighbor_mode)
+                    neighbor_mode=mts_neighbor_mode,
+                    substep_kernel=mts_substep_kernel,
+                    vmem_deltas=mts_vmem_deltas,
+                    vmem_block_n=mts_vmem_block_n,
+                    vmem_interpret=mts_vmem_interpret)
                 from .dynamics import EvolveOut
                 out = EvolveOut(st, jnp.zeros((), jnp.int32),
                                 jnp.zeros((), jnp.int32))

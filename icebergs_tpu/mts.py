@@ -527,7 +527,11 @@ def evolve_icebergs_mts(st, grid: Grid, frc, cfg: IcebergsConfig,
                         ncells_radius: int | None = None,
                         max_per_cell: int = 16,
                         neighbor_mode: str = "tables",
-                        fused_kw: dict | None = None):
+                        fused_kw: dict | None = None,
+                        substep_kernel: str = "scan",
+                        vmem_deltas=None,
+                        vmem_block_n: int = 512,
+                        vmem_interpret: bool = False):
     """Full MTS cycle: Part 1 slow solve, Part 2 half-kick, Part 3 substeps.
 
     ``pair_cap`` compacts the substep contact candidates (frozen per outer
@@ -647,7 +651,32 @@ def evolve_icebergs_mts(st, grid: Grid, frc, cfg: IcebergsConfig,
     else:
         broken_total = jnp.zeros((), jnp.int32)
 
-    # ---- PART 3: fast substeps (lax.scan) --------------------------------
+    # ---- PART 3: fast substeps -------------------------------------------
+    # VMEM-resident Pallas path: the whole substep loop per conglomerate
+    # block, state in VMEM, partner access by static-delta rolls
+    # (ops/dem_vmem.py).  The caller supplies the host-verified deltas.
+    if (substep_kernel == "vmem" and substep_sync is None
+            and cfg.n_sub_steps > 0 and vmem_deltas is not None):
+        from .ops.dem_vmem import part3_substeps_vmem, \
+            supports_vmem_substeps
+        assert supports_vmem_substeps(cfg), \
+            "vmem substep kernel: unsupported flag set"
+        st, nb = part3_substeps_vmem(st, cfg, vmem_deltas,
+                                     block_n=vmem_block_n,
+                                     interpret=vmem_interpret)
+        broken_total = broken_total + nb
+        st = st.replace(uvel_old=sel(st.uvel, st.uvel_old),
+                        vvel_old=sel(st.vvel, st.vvel_old))
+        lonn, latn, i, j, xi, yj, _ = adjust_index_and_ground(
+            grid, cfg, st.lon, st.lat, st.ine, st.jne)
+        st = st.replace(lon=sel(lonn, st.lon), lat=sel(latn, st.lat),
+                        lon_old=sel(lonn, st.lon_old),
+                        lat_old=sel(latn, st.lat_old),
+                        ine=jnp.where(moving, i, st.ine),
+                        jne=jnp.where(moving, j, st.jne),
+                        xi=sel(xi, st.xi), yj=sel(yj, st.yj))
+        return st, MtsDiags(broken_bonds=broken_total)
+
     dtf = cfg.dt / max(cfg.n_sub_steps, 1)
     dtf_2 = 0.5 * dtf
 

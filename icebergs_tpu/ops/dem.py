@@ -86,9 +86,13 @@ def _partner_gather(st, names, extra_alive, onehot):
         cols.append(st.alive.astype(st.dtype))
     mat = jnp.stack(cols, axis=-1)
     if onehot is not None:
-        # MXU path: partner rows via one-hot matmul
+        # MXU path: partner rows via one-hot matmul.  precision HIGHEST is
+        # load-bearing on TPU: the default truncates `mat` to bf16 inside
+        # the MXU, and positions ~2e4 m lose ~80 m — the 0/1 one-hot side
+        # is exact in bf16, the value side must not be rounded.
         g = jnp.einsum("nbm,mf->nbf", onehot, mat,
-                       preferred_element_type=mat.dtype)
+                       preferred_element_type=mat.dtype,
+                       precision=jax.lax.Precision.HIGHEST)
     else:
         g = mat[other]                      # single packed row gather
     part = {n: g[..., k] for k, n in enumerate(names)}

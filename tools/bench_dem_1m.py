@@ -112,7 +112,7 @@ def build(cfg, n_units=2066, side_el=22, r=1500.0):
     return grid, frc, st, n
 
 
-def main(sub_steps=60, inner=2, reps=2):
+def main(sub_steps=60, inner=2, reps=2, vmem=True, block_n=1024):
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -121,13 +121,30 @@ def main(sub_steps=60, inner=2, reps=2):
 
     cfg = config(sub_steps)
     grid, frc, st, n = build(cfg)
+
+    # VMEM-resident Part-3: conglomerate-blocked layout + static deltas
+    # (ops/dem_vmem.py); falls back to the scan path when the topology
+    # is not block-closed
+    vmem_kw = {}
+    if vmem:
+        from icebergs_tpu.ops.dem_vmem import (
+            analyze_bond_deltas, pack_conglomerates_blocked)
+        st = pack_conglomerates_blocked(st, block_n)
+        deltas = analyze_bond_deltas(st.bond_idx, block_n)
+        if deltas is not None:
+            vmem_kw = dict(mts_substep_kernel="vmem",
+                           mts_vmem_deltas=deltas,
+                           mts_vmem_block_n=block_n)
+        print(f"# vmem substeps: deltas={deltas} block_n={block_n} "
+              f"cap={st.capacity}", file=sys.stderr, flush=True)
+
     nbonds = int(np.asarray(st.n_bonds).sum())
     print(f"# dem_1m: {n} elements, {nbonds} directed bonds, "
           f"{sub_steps} substeps, cap {st.capacity}", file=sys.stderr,
           flush=True)
 
     multi = make_multi_step(grid, cfg, inner, with_thermo=True,
-                            mts_neighbor_mode="fused")
+                            mts_neighbor_mode="fused", **vmem_kw)
     s = multi(st, frc)
     _ = np.asarray(s.lon[:1].ravel())
     t0 = time.perf_counter()
@@ -149,5 +166,6 @@ def main(sub_steps=60, inner=2, reps=2):
 
 
 if __name__ == "__main__":
-    ss = int(sys.argv[1]) if len(sys.argv) > 1 else 60
-    main(ss)
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    ss = int(args[0]) if args else 60
+    main(ss, vmem="--no-vmem" not in sys.argv)
