@@ -98,7 +98,7 @@ def build_grid_and_forcing(cfg, drv, dtype=None):
 def run(nml_path: str, input_dir: str = ".", output_dir: str = ".",
         capacity: int = 4096, verbose: bool = True,
         neighbor_window: str = "auto", mts_pair_cap: int = None,
-        dtype: str = "float32"):
+        dtype: str = "float32", substep_kernel: str = "auto"):
     """Main loop (driver/icebergs_driver.F90:339-444).
 
     ``dtype="float64"`` runs the whole model in double precision (the
@@ -206,9 +206,49 @@ def run(nml_path: str, input_dir: str = ".", output_dir: str = ".",
             and FO.neighbor_radius(grid, cfg) == 1 else "full")
         if verbose and neighbor_window == "quadrant":
             print("KID-TPU driver: using the quadrant neighbor window")
+    # VMEM-resident substep kernel: when the production DEM flag set
+    # applies (broken-bond-only substep contact, explicit inner steps)
+    # and the bond topology packs into block-closed conglomerate blocks,
+    # run the whole fast loop in one Pallas kernel (ops/dem_vmem.py).
+    # Bonds never form mid-run (reference inits them at start/restart
+    # only), spawned/footloose bergs are unbonded, and the driver is
+    # single-device, so the layout contract holds for the whole run.
+    vmem_kw = {}
+    import jax as _jax
+    on_tpu = _jax.devices()[0].platform in ("tpu", "axon")
+    want_vmem = (substep_kernel == "vmem"
+                 or (substep_kernel == "auto" and on_tpu
+                     and dtype == "float32"))   # no f64 Mosaic on TPU
+    if want_vmem and cfg.mts and cfg.dem and cfg.iceberg_bonds_on \
+            and cfg.n_sub_steps > 0:
+        from .ops import dem_vmem as _dv
+        lat_np = np.asarray(st.lat)[np.asarray(st.alive)]
+        safe_lat = (not cfg.grid_is_latlon or lat_np.size == 0
+                    or float(np.max(lat_np)) < 85.0)
+        if _dv.supports_vmem_substeps(cfg) and safe_lat:
+            # single VMEM block up to 4096 slots (rounded up to the
+            # 128-lane tile), 1024-blocks beyond; packing may grow the
+            # capacity to fill whole blocks
+            bn = -(-st.capacity // 128) * 128 if st.capacity <= 4096 \
+                else 1024
+            try:
+                st2 = _dv.pack_conglomerates_blocked(st, bn)
+                deltas = _dv.analyze_bond_deltas(st2.bond_idx, bn)
+            except ValueError:
+                deltas = None
+            if deltas and (st2.capacity == bn or bn % 1024 == 0):
+                st = st2
+                vmem_kw = dict(
+                    mts_substep_kernel="vmem", mts_vmem_deltas=deltas,
+                    mts_vmem_block_n=bn,
+                    mts_vmem_interpret=not on_tpu)
+                if verbose:
+                    print(f"KID-TPU driver: VMEM substep kernel on "
+                          f"(block_n={bn}, deltas={deltas}, "
+                          f"capacity={st.capacity})")
     step = model.make_step(grid, cfg, with_thermo=True,
                            neighbor_window=neighbor_window,
-                           mts_pair_cap=mts_pair_cap)
+                           mts_pair_cap=mts_pair_cap, **vmem_kw)
     buf = tio.init_traj_buffer(st.capacity,
                                nsamples=max(2, nsteps // traj_every + 2),
                                cfg=cfg)
@@ -328,10 +368,15 @@ def main():
     p.add_argument("--dtype", default="float32",
                    choices=("float32", "float64"),
                    help="model precision (float64 = the reference's -r8)")
+    p.add_argument("--substep-kernel", default="auto",
+                   choices=("auto", "scan", "vmem"),
+                   help="MTS fast-loop implementation: auto = the "
+                        "VMEM-resident Pallas kernel on TPU when the "
+                        "bond topology qualifies, lax.scan otherwise")
     a = p.parse_args()
     run(a.nml, a.input_dir, a.output_dir, a.capacity,
         neighbor_window=a.neighbor_window, mts_pair_cap=a.mts_pair_cap,
-        dtype=a.dtype)
+        dtype=a.dtype, substep_kernel=a.substep_kernel)
 
 
 if __name__ == "__main__":

@@ -337,7 +337,12 @@ def _make_kernel(cfg: IcebergsConfig, deltas, n_sub: int, dtf: float,
         dslot = [delta_ref[b] for b in range(nslots)]
         slot_masks = [[(dslot[b] == d).astype(thick.dtype)
                        for d in deltas] for b in range(nslots)]
-        has = [dslot[b] > _SENT // 2 for b in range(nslots)]
+        # a slot participates only when its delta is IN the static set;
+        # a delta outside it (possible only if the layout contract was
+        # violated after analyze_bond_deltas) is treated as no-bond
+        # rather than reading a zeroed partner
+        has = [sum(slot_masks[b][k] for k in range(len(deltas))) > 0.5
+               for b in range(nslots)]
 
         # partner STATIC fields (constant across substeps)
         alive_r = _roll_all(alive.astype(thick.dtype), deltas)
@@ -692,6 +697,7 @@ def part3_substeps_vmem(st, cfg: IcebergsConfig, deltas,
     bond table this state carries (host-side, before jit).
     """
     assert supports_vmem_substeps(cfg)
+    assert deltas, "empty delta set: no bonds — use the scan path"
     N = st.capacity
     assert N % block_n == 0 and block_n % 128 == 0
     # Mosaic tiling: the (R, 128) block needs R % 8 == 0 unless the

@@ -144,6 +144,29 @@ def main():
         return s.replace(uvel=s.uvel + 1e-12 * ia2.IA_x,
                          vvel=s.vvel + 1e-12 * ia2.IA_y)
 
+    def _use_all(s, ia):
+        acc = 0.
+        for f in ia:
+            acc = acc + f
+        return s.replace(uvel=s.uvel + 1e-12 * acc)
+
+    def f_ia_fused_full(s):
+        # ALL 8 IA outputs consumed (defeats DCE of the projection sums)
+        from icebergs_tpu.ops.fused_contact import make_ia_fn_fused2
+        ia_fn, stats = make_ia_fn_fused2(s, grid, cfg, block_n=256,
+                                         window=512, contact_cap=131072,
+                                         fallback_cap=16384)
+        return _use_all(s, ia_fn(s.uvel, s.vvel))
+
+    def f_ia_fused_full_2evals(s):
+        from icebergs_tpu.ops.fused_contact import make_ia_fn_fused2
+        ia_fn, stats = make_ia_fn_fused2(s, grid, cfg, block_n=256,
+                                         window=512, contact_cap=131072,
+                                         fallback_cap=16384)
+        ia = ia_fn(s.uvel, s.vvel)
+        s = _use_all(s, ia)
+        return _use_all(s, ia_fn(s.uvel, s.vvel))
+
     def f_spread_noreprod(s):
         sp = _spread.create_gridded_icebergs_fields(s, grid, frc,
                                                     cfg_noreprod)
@@ -236,6 +259,8 @@ def main():
             ("ia_fused_bn128_w288", _ia_cfg(128, 288), st_i),
             ("ia_fused_bn128_w160", _ia_cfg(128, 160), st_i),
             ("ia_fused_2evals", f_ia_fused_2evals, st_i),
+            ("ia_fused_full", f_ia_fused_full, st_i),
+            ("ia_fused_full_2evals", f_ia_fused_full_2evals, st_i),
             ("evolve_with_fused_ia", f_evolve_ia, st_i),
             ("evolve_noia", f_evolve, st_i),
             ("interp", f_interp, st),
