@@ -365,6 +365,142 @@ def eval_pair_ia(pd: PairData, cfg: IcebergsConfig, u0, v0, u1, v1) -> IA:
               P22=oP22, Pu_x=Pu_x, Pu_y=Pu_y)
 
 
+def precompute_pair_data_T(st, cfg: IcebergsConfig, other_T, mask_T, *,
+                           bonded: bool, use_c_crit_dist: bool,
+                           partner_st=None) -> PairData:
+    """(M, N)-layout twin of :func:`precompute_pair_data` for small M.
+
+    On TPU a (N, M) f32 slab with M << 128 tile-pads its minor dim to
+    128 lanes — at N=1M and M=2 every slab is a 512 MB HBM buffer and
+    the packed (N, M, F) row gather materializes ~1.5 GB of layout
+    copies per step (measured via HLO buffer analysis).  Storing the
+    slabs transposed, (M, N) with the long dim minor, keeps every
+    buffer at its logical 8 MB and turns the partner fetch into
+    per-field (M, N) gathers with unpadded (M, N) index arrays.
+
+    Per-berg results are bitwise identical to the (N, M) path: every
+    pair term is elementwise, and the M-partner reduction adds the same
+    values in the same slot order (for the M=2 fused normal group the
+    sum is a single x1+x2 either way).
+    """
+    if partner_st is None:
+        partner_st = st
+
+    lon2 = partner_st.lon_old[other_T]
+    lat2 = partner_st.lat_old[other_T]
+    u2 = partner_st.uvel_old[other_T]
+    v2 = partner_st.vvel_old[other_T]
+    fl_k2 = partner_st.fl_k[other_T]
+    T2g = partner_st.thickness[other_T]
+    L2g = partner_st.length[other_T]
+    W2g = partner_st.width[other_T]
+    M2g = partner_st.mass[other_T]
+
+    lon1 = st.lon_old[None, :]
+    lat1 = st.lat_old[None, :]
+
+    # footloose children in the -1 state interact with nothing
+    # (icebergs.F90:514, 652)
+    mask = mask_T & (st.fl_k[None, :] != -1.) & (fl_k2 != -1.)
+
+    const_LW = cfg.constant_interaction_LW and cfg.mts and bonded
+    T1 = st.thickness[None, :]
+    if const_LW:
+        A1 = cfg.constant_length * cfg.constant_width * jnp.ones_like(T1)
+        M1 = A1 * T1 * cfg.rho_bergs
+        A2 = jnp.broadcast_to(A1, T2g.shape)
+        M2 = A2 * T2g * cfg.rho_bergs
+    else:
+        A1 = (st.length * st.width)[None, :]
+        M1 = st.mass[None, :]
+        A2 = L2g * W2g
+        M2 = M2g
+
+    lat_ref = 0.5 * (lat1 + lat2)
+    dx_dlon, dy_dlat = convert_from_grid_to_meters(
+        lat_ref, cfg.grid_is_latlon, cfg.Rearth)
+    r_dist_x = (lon1 - lon2) * dx_dlon
+    r_dist_y = (lat1 - lat2) * dy_dlat
+    r_dist = jnp.sqrt(r_dist_x ** 2 + r_dist_y ** 2)
+
+    R1 = _interaction_radius(cfg, A1)
+    R2 = _interaction_radius(cfg, A2)
+    M_min = jnp.minimum(M1, M2)
+
+    if bonded or use_c_crit_dist:
+        crit_dist = R1 + R2
+        spring_coef = cfg.spring_coef
+    else:
+        crit_dist = jnp.maximum(R1 + R2, cfg.contact_distance)
+        spring_coef = cfg.contact_spring_coef_eff
+
+    if cfg.critical_interaction_damping_on:
+        radial_damping = 2. * jnp.sqrt(spring_coef)
+        if cfg.tang_crit_int_damp_on:
+            tangental_damping = 2. * jnp.sqrt(spring_coef) / 4.
+        else:
+            tangental_damping = cfg.tangental_damping_coef
+    else:
+        radial_damping = cfg.radial_damping_coef
+        tangental_damping = cfg.tangental_damping_coef
+
+    legacy = not (cfg.mts or (cfg.contact_distance > 0.)
+                  or (cfg.contact_spring_coef_eff != cfg.spring_coef))
+    if bonded and legacy:
+        engaged = r_dist > crit_dist
+    elif bonded:
+        engaged = jnp.ones_like(r_dist, bool)
+    else:
+        engaged = r_dist < crit_dist
+    active = mask & (r_dist > 0.) & engaged
+
+    rsafe = jnp.where(r_dist > 0., r_dist, 1.)
+    accel_spring = spring_coef * (M_min / M1) * (crit_dist - r_dist)
+    IA_x = jnp.sum(jnp.where(active, accel_spring * r_dist_x / rsafe, 0.), 0)
+    IA_y = jnp.sum(jnp.where(active, accel_spring * r_dist_y / rsafe, 0.), 0)
+
+    P11r = (r_dist_x * r_dist_x) / (rsafe ** 2)
+    P12r = (r_dist_x * r_dist_y) / (rsafe ** 2)
+    P22r = (r_dist_y * r_dist_y) / (rsafe ** 2)
+
+    mm = M_min / M1
+    return PairData(active=active, IA_x=IA_x, IA_y=IA_y,
+                    P11=P11r, P12=P12r, P22=P22r,
+                    crad=radial_damping * mm, ctan=tangental_damping * mm,
+                    u2=u2, v2=v2, other=other_T)
+
+
+def eval_pair_ia_T(pd: PairData, cfg: IcebergsConfig, u0, v0, u1, v1) -> IA:
+    """(M, N)-layout twin of :func:`eval_pair_ia` (axis-0 reductions)."""
+    P11, P12, P22 = pd.P11, pd.P12, pd.P22
+    u2, v2 = pd.u2, pd.v2
+
+    def pmag(P11, P12, P22, coef):
+        if not cfg.scale_damping_by_pmag:
+            return coef
+        du1, dv1 = u2 - u1[None, :], v2 - v1[None, :]
+        du0, dv0 = u2 - u0[None, :], v2 - v0[None, :]
+        m1 = jnp.sqrt((P11 * du1 + P12 * dv1) ** 2
+                      + (P12 * du1 + P22 * dv1) ** 2)
+        m0 = jnp.sqrt((P11 * du0 + P12 * dv0) ** 2
+                      + (P12 * du0 + P22 * dv0) ** 2)
+        return coef * 0.5 * (m1 + m0)
+
+    wr = jnp.where(pd.active, pmag(P11, P12, P22, pd.crad), 0.)
+    wt = jnp.where(pd.active,
+                   pmag(1. - P11, -P12, 1. - P22, pd.ctan), 0.)
+    D11 = wr * P11 + wt * (1. - P11)
+    D12 = wr * P12 + wt * (-P12)
+    D22 = wr * P22 + wt * (1. - P22)
+    oP11 = jnp.sum(D11, 0)
+    oP12 = jnp.sum(D12, 0)
+    oP22 = jnp.sum(D22, 0)
+    Pu_x = jnp.sum(D11 * u2 + D12 * v2, 0)
+    Pu_y = jnp.sum(D12 * u2 + D22 * v2, 0)
+    return IA(IA_x=pd.IA_x, IA_y=pd.IA_y, P11=oP11, P12=oP12, P21=oP12,
+              P22=oP22, Pu_x=Pu_x, Pu_y=Pu_y)
+
+
 def active_contact_bergs(st, cfg: IcebergsConfig, other, mask,
                          use_c_crit_dist: bool):
     """Cheap pass: which bergs have ANY engaged (r < crit) contact pair?

@@ -263,10 +263,13 @@ def _origin_frame_groups(st, grid, cfg: IcebergsConfig, *, block_n,
                              deterministic=deterministic,
                              interpret=interpret)
 
+    # (2, N) transposed partner table: minor dim N keeps every pair slab
+    # and gather index unpadded on TPU (a (N, 2) layout tile-pads 2 ->
+    # 128 lanes: 512 MB per slab at 1M bergs)
     others_n = jnp.stack([jnp.maximum(p1_o, 0),
-                          jnp.maximum(p2_o, 0)], axis=-1)
-    m_n = jnp.stack([p1_o >= 0, p2_o >= 0], axis=-1)
-    pd_n = _forces.precompute_pair_data(
+                          jnp.maximum(p2_o, 0)], axis=0)
+    m_n = jnp.stack([p1_o >= 0, p2_o >= 0], axis=0)
+    pd_n = _forces.precompute_pair_data_T(
         st, cfg, others_n, m_n, bonded=False,
         use_c_crit_dist=use_c_crit_dist)
 
@@ -350,7 +353,7 @@ def make_ia_fn_fused2(st, grid, cfg: IcebergsConfig, *,
     u0_fix, v0_fix = st.uvel, st.vvel
 
     def ia_fn(u1, v1):
-        bn = _forces.eval_pair_ia(pd_n, cfg, u0_fix, v0_fix, u1, v1)
+        bn = _forces.eval_pair_ia_T(pd_n, cfg, u0_fix, v0_fix, u1, v1)
         bf = _forces.eval_pair_ia(pd_f, cfg, u0_fix[sel_f],
                                   v0_fix[sel_f], u1[sel_f], v1[sel_f])
 
@@ -406,7 +409,7 @@ def make_ia_fn_fused_mts1(st, grid, cfg: IcebergsConfig, *,
         pdf = _forces.refresh_pair_velocities(pd_f, s)
 
         def ia_fn(u1, v1):
-            bn = _forces.eval_pair_ia(pdn, cfg, u0_fix, v0_fix, u1, v1)
+            bn = _forces.eval_pair_ia_T(pdn, cfg, u0_fix, v0_fix, u1, v1)
             bf = _forces.eval_pair_ia(pdf, cfg, u0_fix[sel_f],
                                       v0_fix[sel_f], u1[sel_f],
                                       v1[sel_f])

@@ -4,6 +4,16 @@ Each phase runs inside one jitted lax.scan of INNER iterations with the
 state chained through, so per-dispatch overhead (~0.3 s on the tunneled
 dev TPU) and caching cannot skew the numbers; reported time is per
 iteration.
+
+CRITICAL (discovered round 3): probes that do not write a field back to
+the scan carry leave it LOOP-INVARIANT, and XLA hoists everything that
+depends only on invariant fields out of the while loop — a probe like
+``s.replace(uvel=...)`` measures the contact-search setup (sort,
+prepass, pair geometry: all functions of lon_old/ine/jne) exactly ONCE
+across all INNER iterations.  In the real step every such field changes
+each iteration.  ``_inject`` adds a data-dependent zero to every field a
+setup might read, so nothing can be hoisted and probe numbers match the
+production step's per-iteration cost.
 """
 
 import time
@@ -12,6 +22,19 @@ import numpy as np
 
 INNER = 4
 
+_DEP_F32 = ("lon", "lat", "lon_old", "lat_old", "uvel", "vvel",
+            "uvel_old", "vvel_old", "length", "width")
+_DEP_I32 = ("ine", "jne")
+
+
+def _inject(s):
+    import jax.numpy as jnp
+    e = jnp.sum(s.uvel[:8]) * 1e-38          # data-dependent ~0 scalar
+    di = (e * 0.).astype(jnp.int32)          # data-dependent int 0
+    reps = {f: getattr(s, f) + e for f in _DEP_F32 if hasattr(s, f)}
+    reps.update({f: getattr(s, f) + di for f in _DEP_I32 if hasattr(s, f)})
+    return s.replace(**reps)
+
 
 def scan_timeit(fn, arg, reps=2):
     import jax
@@ -19,7 +42,7 @@ def scan_timeit(fn, arg, reps=2):
     @jax.jit
     def many(a):
         def body(c, _):
-            return fn(c), None
+            return fn(_inject(c)), None
         out, _ = jax.lax.scan(body, a, None, length=INNER)
         return out
 
@@ -167,6 +190,40 @@ def main():
         s = _use_all(s, ia)
         return _use_all(s, ia_fn(s.uvel, s.vvel))
 
+    def f_evolve_ia_1eval(s):
+        # trace-time cache: accel's itloop-2 re-eval returns eval 1's
+        # traced value -> the graph contains ONE pair eval (attribution
+        # probe only; the reference recomputes at itloop 2)
+        from icebergs_tpu.ops.fused_contact import make_ia_fn_fused2
+        ia_fn, stats = make_ia_fn_fused2(s, grid, cfg, block_n=256,
+                                         window=512, contact_cap=131072,
+                                         fallback_cap=16384)
+        store = {}
+
+        def once(u, v):
+            if "ia" not in store:
+                store["ia"] = ia_fn(u, v)
+            return store["ia"]
+        out = dynamics.evolve_icebergs(s, grid, frc, cfg, ia_fn=once)
+        return out.state
+
+    def f_evolve_ia_zero2(s):
+        # eval 1 real, eval 2 zero: isolates the serialized second eval
+        from icebergs_tpu.ops.fused_contact import make_ia_fn_fused2
+        from icebergs_tpu.ops.accel import zero_ia
+        ia_fn, stats = make_ia_fn_fused2(s, grid, cfg, block_n=256,
+                                         window=512, contact_cap=131072,
+                                         fallback_cap=16384)
+        calls = {"n": 0}
+
+        def first_only(u, v):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                return ia_fn(u, v)
+            return zero_ia(s.lon.shape, s.dtype)
+        out = dynamics.evolve_icebergs(s, grid, frc, cfg, ia_fn=first_only)
+        return out.state
+
     def f_spread_noreprod(s):
         sp = _spread.create_gridded_icebergs_fields(s, grid, frc,
                                                     cfg_noreprod)
@@ -262,6 +319,8 @@ def main():
             ("ia_fused_full", f_ia_fused_full, st_i),
             ("ia_fused_full_2evals", f_ia_fused_full_2evals, st_i),
             ("evolve_with_fused_ia", f_evolve_ia, st_i),
+            ("evolve_ia_1eval", f_evolve_ia_1eval, st_i),
+            ("evolve_ia_zero2", f_evolve_ia_zero2, st_i),
             ("evolve_noia", f_evolve, st_i),
             ("interp", f_interp, st),
             ("index_walk", f_walk, st_i),
