@@ -367,7 +367,8 @@ def eval_pair_ia(pd: PairData, cfg: IcebergsConfig, u0, v0, u1, v1) -> IA:
 
 def precompute_pair_data_T(st, cfg: IcebergsConfig, other_T, mask_T, *,
                            bonded: bool, use_c_crit_dist: bool,
-                           partner_st=None) -> PairData:
+                           partner_st=None,
+                           partner_fields=None) -> PairData:
     """(M, N)-layout twin of :func:`precompute_pair_data` for small M.
 
     On TPU a (N, M) f32 slab with M << 128 tile-pads its minor dim to
@@ -382,19 +383,37 @@ def precompute_pair_data_T(st, cfg: IcebergsConfig, other_T, mask_T, *,
     pair term is elementwise, and the M-partner reduction adds the same
     values in the same slot order (for the M=2 fused normal group the
     sum is a single x1+x2 either way).
+
+    ``partner_fields`` (dict of (M, N) arrays: lon2, lat2, u2, v2,
+    fl_k2, L2g, W2g, M2g) skips the gathers entirely — the extraction
+    kernel supplies partner features directly.  Thickness is then
+    unavailable, so ``constant_interaction_LW`` configs (which need it)
+    must use the gather path.
     """
     if partner_st is None:
         partner_st = st
 
-    lon2 = partner_st.lon_old[other_T]
-    lat2 = partner_st.lat_old[other_T]
-    u2 = partner_st.uvel_old[other_T]
-    v2 = partner_st.vvel_old[other_T]
-    fl_k2 = partner_st.fl_k[other_T]
-    T2g = partner_st.thickness[other_T]
-    L2g = partner_st.length[other_T]
-    W2g = partner_st.width[other_T]
-    M2g = partner_st.mass[other_T]
+    if partner_fields is not None:
+        assert not (cfg.constant_interaction_LW and cfg.mts and bonded)
+        lon2 = partner_fields["lon2"]
+        lat2 = partner_fields["lat2"]
+        u2 = partner_fields["u2"]
+        v2 = partner_fields["v2"]
+        fl_k2 = partner_fields["fl_k2"]
+        T2g = None
+        L2g = partner_fields["L2g"]
+        W2g = partner_fields["W2g"]
+        M2g = partner_fields["M2g"]
+    else:
+        lon2 = partner_st.lon_old[other_T]
+        lat2 = partner_st.lat_old[other_T]
+        u2 = partner_st.uvel_old[other_T]
+        v2 = partner_st.vvel_old[other_T]
+        fl_k2 = partner_st.fl_k[other_T]
+        T2g = partner_st.thickness[other_T]
+        L2g = partner_st.length[other_T]
+        W2g = partner_st.width[other_T]
+        M2g = partner_st.mass[other_T]
 
     lon1 = st.lon_old[None, :]
     lat1 = st.lat_old[None, :]

@@ -273,8 +273,22 @@ def _origin_frame_groups(st, grid, cfg: IcebergsConfig, *, block_n,
         st, cfg, others_n, m_n, bonded=False,
         use_c_crit_dist=use_c_crit_dist)
 
-    # fallback: compact in the original frame; candidate strips address
-    # the sorted slab and map through ``order``
+    pd_f, sel_f, vrow_f, code_f, stats = _fallback_group(
+        st, bad_o, order, key_s, cell_starts, grid, cfg,
+        fallback_cap=fallback_cap,
+        fallback_strip_width=fallback_strip_width, radius=radius,
+        exclude_same_group=exclude_same_group,
+        use_c_crit_dist=use_c_crit_dist)
+    return pd_n, pd_f, sel_f, vrow_f, code_f, stats
+
+
+def _fallback_group(st, bad_o, order, key_s, cell_starts, grid, cfg, *,
+                    fallback_cap, fallback_strip_width, radius,
+                    exclude_same_group, use_c_crit_dist):
+    """Exact XLA fallback for >=3-partner / bad-block rows: compact in
+    the original frame; candidate strips address the sorted slab and map
+    through ``order``."""
+    N = st.capacity
     sel_f, vrow_f, drop_f = _compact(bad_o, fallback_cap)
     sub_f = SimpleNamespace(ine=st.ine[sel_f], jne=st.jne[sel_f],
                             alive=st.alive[sel_f] & vrow_f)
@@ -297,7 +311,7 @@ def _origin_frame_groups(st, grid, cfg: IcebergsConfig, *, block_n,
     stats = FusedContactStats(
         overflow=drop_f + trunc_f,
         n_fallback=jnp.sum(bad_o.astype(jnp.int32)))
-    return pd_n, pd_f, sel_f, vrow_f, code_f, stats
+    return pd_f, sel_f, vrow_f, code_f, stats
 
 
 _TAKE_FIELDS = ("lon_old", "lat_old", "fl_k", "uvel_old", "vvel_old",
@@ -343,6 +357,130 @@ def make_ia_fn_fused2(st, grid, cfg: IcebergsConfig, *,
         deterministic=deterministic, interpret=interpret)
 
     # --- bonded spring group: original-frame bond table ----------------
+    pd_b = None
+    if cfg.iceberg_bonds_on:
+        bond_other, bond_valid = _forces.bond_partner_table(st)
+        pd_b = _forces.precompute_pair_data(
+            st, cfg, bond_other, bond_valid, bonded=True,
+            use_c_crit_dist=False)
+
+    u0_fix, v0_fix = st.uvel, st.vvel
+
+    def ia_fn(u1, v1):
+        bn = _forces.eval_pair_ia_T(pd_n, cfg, u0_fix, v0_fix, u1, v1)
+        bf = _forces.eval_pair_ia(pd_f, cfg, u0_fix[sel_f],
+                                  v0_fix[sel_f], u1[sel_f], v1[sel_f])
+
+        def fold(x, f):
+            tab = jnp.concatenate(
+                [jnp.where(vrow_f, f, 0.), jnp.zeros((1,), f.dtype)])
+            return x + tab[code_f]
+        total = IA(*(fold(x, f) for x, f in zip(bn, bf)))
+        if pd_b is not None:
+            bb = _forces.eval_pair_ia(pd_b, cfg, u0_fix, v0_fix, u1, v1)
+            total = IA(*(x + y for x, y in zip(total, bb)))
+        return total
+
+    return ia_fn, stats
+
+
+def _origin_frame_groups_extract(st, grid, cfg: IcebergsConfig, *,
+                                 block_n, window, fallback_cap,
+                                 fallback_strip_width, radius=1,
+                                 interpret=False):
+    """Round-3 search: merged Pallas prepass + in-kernel partner-feature
+    extraction (selection matmuls on the MXU).
+
+    Replaces the per-pair XLA gathers of the <=2-partner normal group
+    entirely: the kernel returns the 8 eval features of both partners
+    per sorted slot, and only the (EX_NOUT, N) result rows map back to
+    the origin frame.  No (N, F) padded buffers anywhere: the feature
+    matrix is a (16, N) transposed stack built from per-field sorted
+    gathers.
+    """
+    from .pallas_prepass import (contact_extract_sorted, EX_CNT, EX_F1,
+                                 EX_F2, PT_NF)
+
+    N = st.capacity
+    nx, ny = grid.nx, grid.ny
+    ncells = nx * ny
+    dtype = st.lon.dtype
+
+    key = jnp.where(st.alive, st.jne * nx + st.ine, ncells)
+    idx = jnp.arange(N, dtype=jnp.int32)
+    _, _, _, order = jax.lax.sort(
+        (key, st.id_cnt, st.id_ij, idx), num_keys=3)
+    _, inv = jax.lax.sort((order, idx), num_keys=1)
+    key_s = key[order]
+    cell_starts = jnp.searchsorted(
+        key_s, jnp.arange(ncells + 1, dtype=key_s.dtype)).astype(jnp.int32)
+
+    A = st.length * st.width
+    R = _forces._interaction_radius(cfg, A)
+    alive_f = st.alive.astype(dtype)
+    feats = [st.lon_old, st.lat_old, st.uvel_old, st.vvel_old, st.fl_k,
+             st.length, st.width, st.mass, R, alive_f, key.astype(dtype)]
+    PT = jnp.stack([f[order] for f in feats]
+                   + [jnp.zeros((N,), dtype)] * (PT_NF - len(feats)),
+                   axis=0)
+
+    out, bad_block = contact_extract_sorted(
+        PT, key_s, cell_starts, grid, cfg, block_n=block_n,
+        window=window, radius=radius, interpret=interpret)
+
+    cnt_s = out[EX_CNT].astype(jnp.int32)
+    alive_s = key_s < ncells
+    bad_s = (bad_block | (cnt_s > 2)) & alive_s
+    normal_s = (cnt_s > 0) & ~bad_block & (cnt_s <= 2) & alive_s
+
+    # origin-frame mapping: one (N,) gather per result row
+    cnt_o = cnt_s[inv]
+    bad_o = bad_s[inv]
+    normal_o = normal_s[inv]
+    m_n = jnp.stack([normal_o, normal_o & (cnt_o >= 2)], axis=0)
+
+    names = ("lon2", "lat2", "u2", "v2", "fl_k2", "L2g", "W2g", "M2g")
+    partner_fields = {
+        nm: jnp.stack([out[EX_F1 + k][inv], out[EX_F2 + k][inv]], axis=0)
+        for k, nm in enumerate(names)}
+
+    pd_n = _forces.precompute_pair_data_T(
+        st, cfg, None, m_n, bonded=False, use_c_crit_dist=False,
+        partner_fields=partner_fields)
+
+    pd_f, sel_f, vrow_f, code_f, stats = _fallback_group(
+        st, bad_o, order, key_s, cell_starts, grid, cfg,
+        fallback_cap=fallback_cap,
+        fallback_strip_width=fallback_strip_width, radius=radius,
+        exclude_same_group=False, use_c_crit_dist=False)
+    return pd_n, pd_f, sel_f, vrow_f, code_f, stats
+
+
+def make_ia_fn_fused3(st, grid, cfg: IcebergsConfig, *,
+                      block_n: int = 256, window: int = 512,
+                      contact_cap: int = None, fallback_cap: int = 4096,
+                      fallback_strip_width: int = 64,
+                      deterministic: bool = True,
+                      interpret: bool = False):
+    """Fused interactive-force closure via the extraction kernel.
+
+    Same contract and bitwise-identical results as
+    :func:`make_ia_fn_fused2` (partner-1/2 = min/max engaged sorted
+    slot; features extracted in-kernel are the exact field values), but
+    the normal group needs no partner gathers and no (N, F) padded
+    buffers.  ``deterministic`` must stay True (the sorted order IS the
+    id-tiebreak order).
+    """
+    modern = (cfg.mts or cfg.contact_distance > 0.
+              or cfg.contact_spring_coef_eff != cfg.spring_coef)
+    assert not modern, "fused contact path covers the legacy dispatch only"
+    assert deterministic, "fused3 search is deterministic by construction"
+
+    pd_n, pd_f, sel_f, vrow_f, code_f, stats = _origin_frame_groups_extract(
+        st, grid, cfg, block_n=block_n, window=window,
+        fallback_cap=fallback_cap,
+        fallback_strip_width=fallback_strip_width, interpret=interpret)
+
     pd_b = None
     if cfg.iceberg_bonds_on:
         bond_other, bond_valid = _forces.bond_partner_table(st)

@@ -231,3 +231,197 @@ def contact_prepass_sorted(st_sorted, cell_starts, grid,
     pmax = jnp.where(out[:, 2] < 0., -1, out[:, 2]).astype(jnp.int32)
     bad_block = jnp.repeat(bad, BN, total_repeat_length=Npad)[:N]
     return cnt, pmin, pmax, bad_block
+
+
+# ---------------------------------------------------------------------------
+# Merged search + partner-feature extraction (round-3 kernel)
+# ---------------------------------------------------------------------------
+
+# PT feature rows.  0-7 are the EVAL features extracted for each partner
+# (contiguous so the selection matmul lhs is one slice); 8+ are
+# engagement-only.
+PT_LON, PT_LAT, PT_U, PT_V, PT_FLK, PT_LEN, PT_WID, PT_MASS = range(8)
+PT_RAD, PT_ALIVE, PT_KEY, PT_GRP = 8, 9, 10, 11
+PT_NF = 16                    # sublane-tile padded row count
+
+# output rows of contact_extract_sorted
+EX_CNT, EX_VMIN, EX_VMAX = 0, 1, 2
+EX_F1 = 4                     # rows 4..11: partner-1 eval features
+EX_F2 = 12                    # rows 12..19: partner-2 eval features
+EX_NOUT = 24
+
+
+def contact_extract_sorted(PT, key_s, cell_starts, grid,
+                           cfg: IcebergsConfig, *, block_n: int = 256,
+                           window: int = 512, interpret: bool = False,
+                           radius: int = 1,
+                           exclude_same_group: bool = False):
+    """Contact search + in-kernel partner-feature extraction.
+
+    One Pallas pass over the cell-sorted transposed feature matrix ``PT``
+    ((PT_NF, Npad) — minor dim N so nothing tile-pads; a (N, F<=128) f32
+    layout costs N*512 bytes of HBM regardless of F) that returns, per
+    sorted slot, the engaged-candidate count, min/max engaged partner
+    slots AND the 8 eval features of those two partners — extracted on
+    the MXU with selection matmuls (engaged&(wid==vmin) as a 0/1 matrix
+    against the window's feature rows), so the XLA side needs NO partner
+    gathers at all for the <=2-candidate majority.
+
+    Returns ``(out, bad_block)`` with ``out`` of shape (EX_NOUT, N): rows
+    EX_CNT/EX_VMIN/EX_VMAX and EX_F1+0..7 / EX_F2+0..7 per the PT_* eval
+    order (lon, lat, u, v, fl_k, length, width, mass).  Extraction sums
+    are exact: each selection product is 1.0*feature or 0.0.
+
+    Window DMAs slice the LANE dim at 128-aligned starts; the <=127
+    rows of slop ahead of each strip carry keys below the strip's cell
+    range and are killed by the existing key-range mask.
+    """
+    N = PT.shape[1]
+    BN = block_n
+    WL = window + 128             # +128: lane-aligned start slop
+    nblocks = -(-N // BN)
+    Npad = nblocks * BN
+    nx, ny = grid.nx, grid.ny
+    ncells = nx * ny
+    nstrips = 2 * radius + 1
+    dtype = PT.dtype
+
+    PTpad = jnp.concatenate(
+        [PT, jnp.zeros((PT_NF, Npad - N + WL), dtype)], axis=1)
+    key = jnp.concatenate(
+        [key_s, jnp.full((Npad - N,), ncells, key_s.dtype)])
+    c0 = key[::BN]
+    c1 = key[BN - 1::BN]
+    c1c = jnp.minimum(c1, ncells - 1)
+    span_bad = (c1c - c0) > (nx - nstrips)
+
+    offs = jnp.arange(-radius, radius + 1, dtype=jnp.int32) * nx
+    c_lo = jnp.clip(c0[:, None] - radius + offs[None, :], 0, ncells - 1)
+    c_hi = jnp.clip(c1c[:, None] + radius + offs[None, :], -1, ncells - 1)
+    ws = cell_starts[c_lo]
+    ws128 = ws // 128
+    win_need = cell_starts[c_hi + 1] - ws128 * 128
+    win_bad = jnp.any(win_need > WL, axis=1)
+    bad = span_bad | win_bad
+
+    slack = 1. + 1e-6
+    cd = float(cfg.contact_distance)
+    if cfg.grid_is_latlon:
+        rearth = float(cfg.Rearth)
+    BIG = float(2 * N)
+
+    def kernel(ws_ref, clo_ref, chi_ref, PT_ref, out_ref, self_v,
+               win_v, sem, wsem):
+        b = pl.program_id(0)
+        cp_self = pltpu.make_async_copy(
+            PT_ref.at[:, pl.ds(b * BN, BN)], self_v, sem)
+        cp_self.start()
+        wcps = []
+        for s in range(nstrips):
+            w0 = ws_ref[b * nstrips + s] * 128
+            cp = pltpu.make_async_copy(
+                PT_ref.at[:, pl.ds(w0, WL)], win_v.at[s], wsem.at[s])
+            cp.start()
+            wcps.append(cp)
+        cp_self.wait()
+        rows = self_v[...]                    # (PT_NF, BN)
+        lon1 = rows[PT_LON:PT_LON + 1, :]
+        lat1 = rows[PT_LAT:PT_LAT + 1, :]
+        R1 = rows[PT_RAD:PT_RAD + 1, :]
+        fl1 = rows[PT_FLK:PT_FLK + 1, :]
+        al1 = rows[PT_ALIVE:PT_ALIVE + 1, :]
+        if exclude_same_group:
+            grp1 = rows[PT_GRP:PT_GRP + 1, :]
+
+        gid = b * BN + jax.lax.broadcasted_iota(jnp.int32, (1, BN), 1)
+        rowi = jax.lax.broadcasted_iota(jnp.int32, (WL, 1), 0)
+
+        cnt = jnp.zeros((1, BN), dtype)
+        vmin = jnp.full((1, BN), BIG, dtype)
+        vmax = jnp.full((1, BN), -1., dtype)
+        f1 = jnp.zeros((8, BN), dtype)
+        f2 = jnp.zeros((8, BN), dtype)
+
+        for s in range(nstrips):
+            w0 = ws_ref[b * nstrips + s] * 128
+            wcps[s].wait()
+            win = win_v[s]                    # (PT_NF, WL)
+            winT = win.T                      # (WL, PT_NF)
+            lon2 = winT[:, PT_LON:PT_LON + 1]
+            lat2 = winT[:, PT_LAT:PT_LAT + 1]
+            R2 = winT[:, PT_RAD:PT_RAD + 1]
+            fl2 = winT[:, PT_FLK:PT_FLK + 1]
+            al2 = winT[:, PT_ALIVE:PT_ALIVE + 1]
+            key2 = winT[:, PT_KEY:PT_KEY + 1]
+
+            clo = clo_ref[b * nstrips + s].astype(dtype)
+            chi = chi_ref[b * nstrips + s].astype(dtype)
+            wid = w0 + rowi                   # (WL, 1)
+            valid = ((key2 >= clo) & (key2 <= chi) & (al2 > 0.5)
+                     & (al1 > 0.5) & (wid != gid)
+                     & (fl1 != -1.) & (fl2 != -1.))
+            if exclude_same_group:
+                valid = valid & (winT[:, PT_GRP:PT_GRP + 1] != grp1)
+
+            if cfg.grid_is_latlon:
+                lat_ref_ = 0.5 * (lat1 + lat2)
+                dx_dlon = PI_180 * rearth * jnp.cos(PI_180 * lat_ref_)
+                rx = (lon1 - lon2) * dx_dlon
+                ry = (lat1 - lat2) * (PI_180 * rearth)
+            else:
+                rx = lon1 - lon2
+                ry = lat1 - lat2
+            r2 = rx * rx + ry * ry
+            crit = jnp.maximum(R1 + R2, cd)
+            engaged = valid & (r2 > 0.) & (r2 <= crit * crit * slack)
+            engf = jnp.where(engaged, 1., 0.).astype(dtype)   # (WL, BN)
+
+            cnt = cnt + jnp.sum(engf, axis=0, keepdims=True)
+            widf = wid.astype(dtype)
+            lmin = jnp.min(jnp.where(engaged, widf, BIG), axis=0,
+                           keepdims=True)                     # (1, BN)
+            lmax = jnp.max(jnp.where(engaged, widf, -1.), axis=0,
+                           keepdims=True)
+
+            feats = win[0:8, :]                               # (8, WL)
+            e1 = engf * jnp.where(widf == lmin, 1., 0.)
+            e2 = engf * jnp.where(widf == lmax, 1., 0.)
+            f1s = jax.lax.dot_general(
+                feats, e1, (((1,), (0,)), ((), ())),
+                preferred_element_type=dtype)                 # (8, BN)
+            f2s = jax.lax.dot_general(
+                feats, e2, (((1,), (0,)), ((), ())),
+                preferred_element_type=dtype)
+            take1 = lmin < vmin
+            take2 = lmax > vmax
+            f1 = jnp.where(take1, f1s, f1)
+            f2 = jnp.where(take2, f2s, f2)
+            vmin = jnp.minimum(vmin, lmin)
+            vmax = jnp.maximum(vmax, lmax)
+
+        pad = jnp.zeros((1, BN), dtype)
+        out_ref[...] = jnp.concatenate(
+            [cnt, vmin, vmax, pad, f1, f2,
+             jnp.zeros((EX_NOUT - 20, BN), dtype)], axis=0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nblocks,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((EX_NOUT, BN), lambda b, *_: (0, b)),
+        scratch_shapes=[pltpu.VMEM((PT_NF, BN), dtype),
+                        pltpu.VMEM((nstrips, PT_NF, WL), dtype),
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA((nstrips,))],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((EX_NOUT, Npad), dtype),
+        interpret=interpret,
+    )(ws128.astype(jnp.int32).reshape(-1),
+      c_lo.astype(jnp.int32).reshape(-1),
+      c_hi.astype(jnp.int32).reshape(-1), PTpad)[:, :N]
+
+    bad_block = jnp.repeat(bad, BN, total_repeat_length=Npad)[:N]
+    return out, bad_block

@@ -124,6 +124,46 @@ def test_fused2_step_runs_and_conserves():
     np.testing.assert_allclose(m1, m0, rtol=1e-6)
 
 
+def _check_v3(cfg, grid, st, **kw):
+    from icebergs_tpu.ops.fused_contact import (make_ia_fn_fused2,
+                                                make_ia_fn_fused3)
+    nbr = forces.build_neighbor_tables(st, grid, cfg, max_per_cell=140)
+    ia_ref = forces.make_ia_fn(st, nbr, cfg)(st.uvel, st.vvel)
+
+    ia_fn, stats = make_ia_fn_fused3(st, grid, cfg, interpret=True, **kw)
+    ia = ia_fn(st.uvel, st.vvel)
+    assert int(stats.overflow) == 0
+    alive = np.asarray(st.alive)
+    for f in ("IA_x", "IA_y", "P11", "P12", "P22", "Pu_x", "Pu_y"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(ia, f))[alive],
+            np.asarray(getattr(ia_ref, f))[alive],
+            rtol=0, atol=1e-9, err_msg=f)
+
+    # the extraction kernel must reproduce make_ia_fn_fused2 BITWISE:
+    # same partner selection (min/max engaged sorted slot), exact
+    # feature extraction, identical downstream math
+    ia_fn2, _ = make_ia_fn_fused2(st, grid, cfg, interpret=True, **kw)
+    ia2 = ia_fn2(st.uvel, st.vvel)
+    for f in ("IA_x", "IA_y", "P11", "P12", "P22", "Pu_x", "Pu_y"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ia, f))[alive],
+            np.asarray(getattr(ia2, f))[alive], err_msg=f)
+    return stats
+
+
+def test_fused3_extract_matches_xla_sparse():
+    cfg, grid, st = _world(400, seed=9)
+    _check_v3(cfg, grid, st, block_n=64, window=512)
+
+
+def test_fused3_extract_clustered_fallback():
+    cfg, grid, st = _world(400, seed=3, cluster=True)
+    stats = _check_v3(cfg, grid, st, block_n=64, window=512,
+                      fallback_strip_width=140)
+    assert int(stats.n_fallback) > 0
+
+
 def _state_by_id(st):
     """Alive rows of every per-berg leaf, ordered by id (layout-free)."""
     import numpy as np

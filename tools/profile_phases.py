@@ -224,6 +224,21 @@ def main():
         out = dynamics.evolve_icebergs(s, grid, frc, cfg, ia_fn=first_only)
         return out.state
 
+    def f_evolve_ia3(s):
+        from icebergs_tpu.ops.fused_contact import make_ia_fn_fused3
+        ia_fn, stats = make_ia_fn_fused3(s, grid, cfg, block_n=256,
+                                         window=512, fallback_cap=4096)
+        out = dynamics.evolve_icebergs(s, grid, frc, cfg, ia_fn=ia_fn)
+        return out.state
+
+    def f_ia3_full_2evals(s):
+        from icebergs_tpu.ops.fused_contact import make_ia_fn_fused3
+        ia_fn, stats = make_ia_fn_fused3(s, grid, cfg, block_n=256,
+                                         window=512, fallback_cap=4096)
+        ia = ia_fn(s.uvel, s.vvel)
+        s = _use_all(s, ia)
+        return _use_all(s, ia_fn(s.uvel, s.vvel))
+
     def f_spread_noreprod(s):
         sp = _spread.create_gridded_icebergs_fields(s, grid, frc,
                                                     cfg_noreprod)
@@ -319,6 +334,8 @@ def main():
             ("ia_fused_full", f_ia_fused_full, st_i),
             ("ia_fused_full_2evals", f_ia_fused_full_2evals, st_i),
             ("evolve_with_fused_ia", f_evolve_ia, st_i),
+            ("evolve_with_ia3", f_evolve_ia3, st_i),
+            ("ia3_full_2evals", f_ia3_full_2evals, st_i),
             ("evolve_ia_1eval", f_evolve_ia_1eval, st_i),
             ("evolve_ia_zero2", f_evolve_ia_zero2, st_i),
             ("evolve_noia", f_evolve, st_i),
