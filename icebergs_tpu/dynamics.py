@@ -112,6 +112,21 @@ def adjust_index_and_ground_curvilinear(grid: Grid, cfg: IcebergsConfig,
     return lon, lat, i, j, xi, yj, bounced
 
 
+def _msk25_table(msk):
+    """(nx+6, ny+6) int32 table: bit (dy+2)*5+(dx+2) of cell (p, q) is
+    msk2[p+dx, q+dy] > 0 on a 2-ring zero-padded mask, so one gather at
+    an anchor cell answers ocean/land for every offset within +-2."""
+    msk2 = jnp.pad(msk, 2)               # extra rings read as land
+    m25 = jnp.zeros(msk2.shape, jnp.int32)
+    kbit = 0
+    for dy in (-2, -1, 0, 1, 2):
+        for dx in (-2, -1, 0, 1, 2):
+            nb = jnp.roll(msk2, (-dx, -dy), (0, 1)) > 0.
+            m25 = m25 | (nb.astype(jnp.int32) << kbit)
+            kbit += 1
+    return m25
+
+
 def adjust_index_and_ground(grid: Grid, cfg: IcebergsConfig, lon, lat, i, j):
     """Re-localize bergs after motion, bouncing off land cells.
 
@@ -121,35 +136,35 @@ def adjust_index_and_ground(grid: Grid, cfg: IcebergsConfig, lon, lat, i, j):
     just inside the current cell (posn_eps pushback).  On
     ``grid_is_regular=False`` dispatches to the curvilinear quad walk.
 
+    The 4-iteration walk needs only TWO mask gathers: a 5x5 packed-bit
+    table (:func:`_msk25_table`, constant-folded for a static grid)
+    anchored at the start cell covers iterations 1-2 (offsets stay
+    within +-2), then one re-anchor at the updated cell covers 3-4.
+
     Returns (lon, lat, i, j, xi, yj, bounced).
     """
     if not cfg.grid_is_regular:
         return adjust_index_and_ground_curvilinear(grid, cfg, lon, lat,
                                                    i, j)
-    msk = grid.msk
     dtype = lon.dtype
     bounced = jnp.zeros(lon.shape, bool)
 
     fx, fy = _frac_coords(grid, cfg, lon, lat)
+    m25_tab = _msk25_table(grid.msk)
 
-    # packed 3x3 ocean bits: bit (dj+1)*3+(di+1) of padded cell (p, q) is
-    # msk[p+di, q+dj] > 0 — ONE gather per walk iteration instead of two
-    # random msk lookups (the walk's 8 gathers were ~80 ms/step at 1M
-    # bergs on v5e; with a constant grid the table constant-folds)
-    mbits = jnp.zeros(msk.shape, jnp.int32)
-    kbit = 0
-    for dj in (-1, 0, 1):
-        for di in (-1, 0, 1):
-            nb = jnp.roll(msk, (-di, -dj), (0, 1)) > 0.
-            mbits = mbits | (nb.astype(jnp.int32) << kbit)
-            kbit += 1
+    m25 = m25_tab[i + 3, j + 3]
+    oi = jnp.zeros_like(i)               # current offset from the anchor
+    oj = jnp.zeros_like(j)
 
-    for _ in range(4):  # icount<4 walk (icebergs.F90:7941)
+    for it in range(4):  # icount<4 walk (icebergs.F90:7941)
+        if it == 2:      # re-anchor: offsets would exceed +-2 otherwise
+            m25 = m25_tab[i + 3, j + 3]
+            oi = jnp.zeros_like(i)
+            oj = jnp.zeros_like(j)
+
         xi = fx - i.astype(dtype)
         yj = fy - j.astype(dtype)
         in_cell = (xi >= 0.) & (xi < 1.) & (yj >= 0.) & (yj < 1.)
-
-        m3 = mbits[i + 1, j + 1]
 
         # x-direction walk / bounce
         move_w = xi < 0.
@@ -157,24 +172,26 @@ def adjust_index_and_ground(grid: Grid, cfg: IcebergsConfig, lon, lat, i, j):
         ti = jnp.clip(i - move_w.astype(jnp.int32) + move_e.astype(jnp.int32),
                       0, grid.nx - 1)
         dix = ti - i                     # in {-1, 0, 1}
-        ocean_x = ((m3 >> (3 + dix + 1)) & 1) > 0
+        ocean_x = ((m25 >> ((oj + 2) * 5 + oi + dix + 2)) & 1) > 0
         stepped_x = (~in_cell) & (move_w | move_e)
         b_x = stepped_x & ((~ocean_x) | (ti == i))
         moved_x = stepped_x & ocean_x
         i = jnp.where(moved_x, ti, i)
-        di_eff = jnp.where(moved_x, dix, 0)
+        oi = jnp.where(moved_x, oi + dix, oi)
 
         # y-direction walk / bounce (uses the updated i, like the
-        # reference): bit offset (di_eff, dj) of the OLD-cell table
+        # reference)
         move_s = yj < 0.
         move_n = yj >= 1.
         tj = jnp.clip(j - move_s.astype(jnp.int32) + move_n.astype(jnp.int32),
                       0, grid.ny - 1)
         djy = tj - j
-        ocean_y = ((m3 >> ((djy + 1) * 3 + di_eff + 1)) & 1) > 0
+        ocean_y = ((m25 >> ((oj + djy + 2) * 5 + oi + 2)) & 1) > 0
         stepped_y = (~in_cell) & (move_s | move_n)
         b_y = stepped_y & ((~ocean_y) | (tj == j))
-        j = jnp.where(stepped_y & ocean_y, tj, j)
+        moved_y = stepped_y & ocean_y
+        j = jnp.where(moved_y, tj, j)
+        oj = jnp.where(moved_y, oj + djy, oj)
 
         newly_bounced = b_x | b_y
         bounced = bounced | newly_bounced

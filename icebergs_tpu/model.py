@@ -159,10 +159,13 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
             else:
                 ia_fn = None
                 if interactive:
-                    if neighbor_mode == "fused":
-                        from .ops.fused_contact import make_ia_fn_fused2
+                    if neighbor_mode in ("fused", "fused3"):
+                        from .ops.fused_contact import (make_ia_fn_fused2,
+                                                        make_ia_fn_fused3)
+                        mk = (make_ia_fn_fused3 if neighbor_mode == "fused3"
+                              else make_ia_fn_fused2)
                         with jax.named_scope("kid_binning"):
-                            ia_fn, fstats = make_ia_fn_fused2(
+                            ia_fn, fstats = mk(
                                 st, grid, cfg,
                                 block_n=fused_block_n, window=fused_window,
                                 contact_cap=(contact_cap or 65536),
@@ -181,7 +184,7 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
                             st, grid, cfg, ncells_radius=nbr_radius,
                             max_per_cell=max_per_cell,
                             window=neighbor_window)
-                    if neighbor_mode != "fused":
+                    if neighbor_mode not in ("fused", "fused3"):
                         ia_fn = _forces.make_ia_fn(st, nbr, cfg,
                                                    use_pallas=use_pallas,
                                                    contact_cap=contact_cap)

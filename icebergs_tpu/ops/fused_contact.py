@@ -387,6 +387,7 @@ def make_ia_fn_fused2(st, grid, cfg: IcebergsConfig, *,
 def _origin_frame_groups_extract(st, grid, cfg: IcebergsConfig, *,
                                  block_n, window, fallback_cap,
                                  fallback_strip_width, radius=1,
+                                 pt_via_sort_payloads=False,
                                  interpret=False):
     """Round-3 search: merged Pallas prepass + in-kernel partner-feature
     extraction (selection matmuls on the MXU).
@@ -408,19 +409,28 @@ def _origin_frame_groups_extract(st, grid, cfg: IcebergsConfig, *,
 
     key = jnp.where(st.alive, st.jne * nx + st.ine, ncells)
     idx = jnp.arange(N, dtype=jnp.int32)
-    _, _, _, order = jax.lax.sort(
-        (key, st.id_cnt, st.id_ij, idx), num_keys=3)
-    _, inv = jax.lax.sort((order, idx), num_keys=1)
-    key_s = key[order]
-    cell_starts = jnp.searchsorted(
-        key_s, jnp.arange(ncells + 1, dtype=key_s.dtype)).astype(jnp.int32)
-
     A = st.length * st.width
     R = _forces._interaction_radius(cfg, A)
     alive_f = st.alive.astype(dtype)
     feats = [st.lon_old, st.lat_old, st.uvel_old, st.vvel_old, st.fl_k,
              st.length, st.width, st.mass, R, alive_f, key.astype(dtype)]
-    PT = jnp.stack([f[order] for f in feats]
+    if pt_via_sort_payloads:
+        # one variadic sort carries the features into sorted order
+        # (merge-network data movement instead of 11 random gathers)
+        sorted_all = jax.lax.sort(
+            (key, st.id_cnt, st.id_ij, idx) + tuple(feats), num_keys=3)
+        order = sorted_all[3]
+        feats_s = list(sorted_all[4:])
+    else:
+        _, _, _, order = jax.lax.sort(
+            (key, st.id_cnt, st.id_ij, idx), num_keys=3)
+        feats_s = [f[order] for f in feats]
+    _, inv = jax.lax.sort((order, idx), num_keys=1)
+    key_s = key[order]
+    cell_starts = jnp.searchsorted(
+        key_s, jnp.arange(ncells + 1, dtype=key_s.dtype)).astype(jnp.int32)
+
+    PT = jnp.stack(feats_s
                    + [jnp.zeros((N,), dtype)] * (PT_NF - len(feats)),
                    axis=0)
 
@@ -461,6 +471,7 @@ def make_ia_fn_fused3(st, grid, cfg: IcebergsConfig, *,
                       contact_cap: int = None, fallback_cap: int = 4096,
                       fallback_strip_width: int = 64,
                       deterministic: bool = True,
+                      pt_via_sort_payloads: bool = False,
                       interpret: bool = False):
     """Fused interactive-force closure via the extraction kernel.
 
@@ -479,7 +490,8 @@ def make_ia_fn_fused3(st, grid, cfg: IcebergsConfig, *,
     pd_n, pd_f, sel_f, vrow_f, code_f, stats = _origin_frame_groups_extract(
         st, grid, cfg, block_n=block_n, window=window,
         fallback_cap=fallback_cap,
-        fallback_strip_width=fallback_strip_width, interpret=interpret)
+        fallback_strip_width=fallback_strip_width,
+        pt_via_sort_payloads=pt_via_sort_payloads, interpret=interpret)
 
     pd_b = None
     if cfg.iceberg_bonds_on:

@@ -85,29 +85,27 @@ def interp_flds(grid: Grid, frc, cfg: IcebergsConfig, lon, lat, i, j, xi, yj,
     """
     ob = cfg.old_bug_bilin
     # pack the 8 corner fields x the (j, j+1) pair: TWO row gathers for
-    # all 4 cell corners (each random row gather costs ~3 ms at 1M bergs
-    # on v5e, so gather count is the whole cost here)
+    # all 4 cell corners.  TRANSPOSED (F, nx, ny) tables: the gather
+    # outputs are (16, N) with the long dim minor — an (N, 16) output
+    # would tile-pad 16 -> 128 lanes (512 MB at 1M bergs)
     cmat = jnp.stack([grid.cosc, grid.sinc, frc.uo, frc.vo, frc.ui, frc.vi,
-                      frc.ua, frc.va], axis=-1)
-    cmat2 = jnp.concatenate([cmat[:, :-1], cmat[:, 1:]], axis=-1)
-    g0 = cmat2[i, j]          # [corner (i, j) | corner (i, j+1)]
-    g1 = cmat2[i + 1, j]
-    f00, f01 = g0[..., :8], g0[..., 8:]
-    f10, f11 = g1[..., :8], g1[..., 8:]
+                      frc.ua, frc.va], axis=0)
+    cmat2 = jnp.concatenate([cmat[:, :, :-1], cmat[:, :, 1:]], axis=0)
+    g0 = cmat2[:, i, j]       # rows [corner (i, j) | corner (i, j+1)]
+    g1 = cmat2[:, i + 1, j]
+    f00, f01 = g0[:8], g0[8:]
+    f10, f11 = g1[:8], g1[8:]
+    xiB, yjB = xi[None, :], yj[None, :]
     if ob:
-        vals = ((f11 * (1. - xi[..., None]) + f01 * xi[..., None])
-                * (1. - yj[..., None])
-                + (f10 * (1. - xi[..., None]) + f00 * xi[..., None])
-                * yj[..., None])
+        vals = ((f11 * (1. - xiB) + f01 * xiB) * (1. - yjB)
+                + (f10 * (1. - xiB) + f00 * xiB) * yjB)
     else:
-        vals = ((f11 * xi[..., None] + f01 * (1. - xi[..., None]))
-                * yj[..., None]
-                + (f10 * xi[..., None] + f00 * (1. - xi[..., None]))
-                * (1. - yj[..., None]))
-    cos_rot, sin_rot = vals[..., 0], vals[..., 1]
-    uo, vo = vals[..., 2], vals[..., 3]
-    ui, vi = vals[..., 4], vals[..., 5]
-    ua, va = vals[..., 6], vals[..., 7]
+        vals = ((f11 * xiB + f01 * (1. - xiB)) * yjB
+                + (f10 * xiB + f00 * (1. - xiB)) * (1. - yjB))
+    cos_rot, sin_rot = vals[0], vals[1]
+    uo, vo = vals[2], vals[3]
+    ui, vi = vals[4], vals[5]
+    ua, va = vals[6], vals[7]
 
     I, J = i + 1, j + 1
     msk = grid.msk
@@ -133,40 +131,40 @@ def interp_flds(grid: Grid, frc, cfg: IcebergsConfig, lon, lat, i, j, xi, yj,
         vo, vi = vo + dv, vi + dv
 
     # SSH gradient stencil + A-grid PCM scalars (icebergs.F90:4826-4884).
-    # All center-field reads go through one packed matrix with per-offset
-    # row gathers, memoized across the 8 ddx/ddy evaluations.
+    # All center-field reads go through one packed TRANSPOSED matrix with
+    # per-offset row gathers, memoized across the 8 ddx/ddy evaluations.
     smat = jnp.stack([frc.ssh, grid.dx, grid.dy, grid.msk,
-                      frc.sst, frc.sss, frc.cn, frc.hi], axis=-1)
+                      frc.sst, frc.sss, frc.cn, frc.hi], axis=0)
     # 5-wide j-blocks: ONE row gather per di covers all dj in [-2, 2]
     # (edge padding reproduces jit's clamp-at-boundary indexing)
-    ny2 = smat.shape[1]
-    smat_pad = jnp.pad(smat, ((0, 0), (2, 2), (0, 0)), mode='edge')
-    smat5 = jnp.concatenate([smat_pad[:, k:k + ny2] for k in range(5)],
-                            axis=-1)                     # (nx+2, ny+2, 40)
+    ny2 = smat.shape[2]
+    smat_pad = jnp.pad(smat, ((0, 0), (0, 0), (2, 2)), mode='edge')
+    smat5 = jnp.concatenate([smat_pad[:, :, k:k + ny2] for k in range(5)],
+                            axis=0)                      # (40, nx+2, ny+2)
     _rows = {}
 
     def at(di, dj):
         if di not in _rows:
-            _rows[di] = smat5[I + di, J]
-        return _rows[di][..., (dj + 2) * 8:(dj + 3) * 8]
+            _rows[di] = smat5[:, I + di, J]              # (40, N)
+        return _rows[di][(dj + 2) * 8:(dj + 3) * 8]
 
     def ddx(ii_off, jj_off):
         """ddx_ssh at cell (i+ii_off, j+jj_off) via packed rows."""
         o = (ii_off, jj_off)
-        dxp = 0.5 * (at(o[0] + 1, o[1])[..., 1] + at(o[0] + 1, o[1] - 1)[..., 1])
-        dx0 = 0.5 * (at(o[0], o[1])[..., 1] + at(o[0], o[1] - 1)[..., 1])
-        return 2. * (at(o[0] + 1, o[1])[..., 0] - at(o[0], o[1])[..., 0]) \
-            / (dx0 + dxp) * at(o[0] + 1, o[1])[..., 3] * at(o[0], o[1])[..., 3]
+        dxp = 0.5 * (at(o[0] + 1, o[1])[1] + at(o[0] + 1, o[1] - 1)[1])
+        dx0 = 0.5 * (at(o[0], o[1])[1] + at(o[0], o[1] - 1)[1])
+        return 2. * (at(o[0] + 1, o[1])[0] - at(o[0], o[1])[0]) \
+            / (dx0 + dxp) * at(o[0] + 1, o[1])[3] * at(o[0], o[1])[3]
 
     def ddy(ii_off, jj_off):
         o = (ii_off, jj_off)
-        dyp = 0.5 * (at(o[0], o[1] + 1)[..., 2] + at(o[0] - 1, o[1] + 1)[..., 2])
-        dy0 = 0.5 * (at(o[0], o[1])[..., 2] + at(o[0] - 1, o[1])[..., 2])
-        return 2. * (at(o[0], o[1] + 1)[..., 0] - at(o[0], o[1])[..., 0]) \
-            / (dy0 + dyp) * at(o[0], o[1] + 1)[..., 3] * at(o[0], o[1])[..., 3]
+        dyp = 0.5 * (at(o[0], o[1] + 1)[2] + at(o[0] - 1, o[1] + 1)[2])
+        dy0 = 0.5 * (at(o[0], o[1])[2] + at(o[0] - 1, o[1])[2])
+        return 2. * (at(o[0], o[1] + 1)[0] - at(o[0], o[1])[0]) \
+            / (dy0 + dyp) * at(o[0], o[1] + 1)[3] * at(o[0], o[1])[3]
 
     c00 = at(0, 0)
-    sst, sss, cn, hi = c00[..., 4], c00[..., 5], c00[..., 6], c00[..., 7]
+    sst, sss, cn, hi = c00[4], c00[5], c00[6], c00[7]
 
     hxp = jnp.where(yj >= 0.5,
                     (yj - 0.5) * ddx(0, 1) + (1.5 - yj) * ddx(0, 0),

@@ -213,7 +213,7 @@ def make_sort_ctx(st, grid, alive=None):
 SLOT_SUM_METHOD = "scatter"
 
 
-def _cell_slot_sums_gather(key_s, contrib, ncells, K):
+def _cell_slot_sums_gather(key_s, contribT, ncells, K):
     """Per-cell sums of sorted rows by transposed GATHER blocks.
 
     The scatter formulation writes a (ncells*K, F) slot buffer whose
@@ -225,14 +225,17 @@ def _cell_slot_sums_gather(key_s, contrib, ncells, K):
     additional K-row blocks through a while_loop (entered only when the
     max occupancy demands it), so no mass is ever dropped.
 
+    ``contribT`` is (F, N) — ALREADY transposed, so no (N, F<=128)
+    padded slab ever materializes upstream.
+
     Bitwise spec (layout-invariant): result = tree(rows 0..K-1)
     + tree(rows K..2K-1) + ... in (cell, id) row order.
     """
-    N, F = contrib.shape
+    F, N = contribT.shape
     starts = jnp.searchsorted(
         key_s, jnp.arange(ncells + 1, dtype=key_s.dtype)).astype(jnp.int32)
     cT = jnp.concatenate(
-        [contrib.T, jnp.zeros((F, 1), contrib.dtype)], axis=-1)
+        [contribT, jnp.zeros((F, 1), contribT.dtype)], axis=-1)
     base, ends = starts[:-1], starts[1:]
     ks = jnp.arange(K, dtype=jnp.int32)[:, None]
 
@@ -264,6 +267,30 @@ def _cell_slot_sums_gather(key_s, contrib, ncells, K):
 
     _, acc = jax.lax.while_loop(cond, body, (jnp.int32(1), acc))
     return acc.T                                  # (ncells, F)
+
+
+def _cell_slot_sums_scatter_t(key_s, rank, contribT, ncells, K):
+    """Scatter backend on a TRANSPOSED (F, ncells*K) slot buffer.
+
+    Same slot assignment and fixed tree as :func:`_cell_slot_sums`
+    (bitwise identical), but the slot buffer keeps the long dim minor so
+    it occupies F*ncells*K*4 bytes instead of the (ncells*K, F<=128)
+    row-major form's ncells*K*512 bytes (2.1 GB at 512x512, K=16)."""
+    F = contribT.shape[0]
+    idx = jnp.where(key_s < ncells,
+                    key_s * K + jnp.minimum(rank, K - 1), ncells * K)
+    buf = jnp.zeros((F, ncells * K), contribT.dtype).at[:, idx].add(
+        contribT, mode='drop')
+    x = buf.reshape(F, ncells, K)
+    k = K
+    while k > 1:
+        if k % 2:
+            x = jnp.concatenate(
+                [x, jnp.zeros((F, ncells, 1), x.dtype)], axis=2)
+            k += 1
+        x = x[:, :, 0::2] + x[:, :, 1::2]
+        k //= 2
+    return x[:, :, 0].T
 
 
 def _cell_slot_sums(key_s, rank, contrib, ncells, K):
@@ -322,23 +349,37 @@ def scatter9_slots(grid, st, w, I_frac, value_list, alive, K: int = 16,
                           else make_sort_ctx(st, grid, alive))
     # order=None: rows are already physically (cell, id)-sorted (the
     # persistent layout) — skip the permutation gathers
-    vals = jnp.stack(value_list, axis=-1)                 # (N, F)
-    wT = w.T                                              # (N, 9)
-    scale = jnp.where(alive, I_frac, 0.)[:, None]
-    if order is not None:
-        vals, wT, scale = vals[order], wT[order], scale[order]
-
-    # ONE row scatter for all 9 offsets x F fields (nine separate
-    # scatter+reduce rounds measured +120 ms at 1M bergs on v5e)
-    contrib = (vals[:, None, :] * (wT * scale)[:, :, None]).reshape(N,
-                                                                    9 * F)
-    if SLOT_SUM_METHOD == "gather":
-        S = _cell_slot_sums_gather(key_s, contrib, ncells, K)  # (ncells, 9F)
+    if SLOT_SUM_METHOD in ("gather", "scatter_t"):
+        # transposed build: (9F, N) with the long dim minor, so neither
+        # the contributions nor the gathered slot blocks ever tile-pad
+        # (an (N, 9F<=128) f32 slab is 512 MB at 1M bergs)
+        scale_v = jnp.where(alive, I_frac, 0.)
+        if order is not None:
+            valsT = jnp.stack([v[order] for v in value_list], axis=0)
+            w9 = w[:, order] * scale_v[order][None, :]    # (9, N)
+        else:
+            valsT = jnp.stack(value_list, axis=0)
+            w9 = w * scale_v[None, :]
+        contribT = (w9[:, None, :] * valsT[None, :, :]).reshape(9 * F, N)
+        if SLOT_SUM_METHOD == "gather":
+            S = _cell_slot_sums_gather(key_s, contribT, ncells, K)
+        else:
+            S = _cell_slot_sums_scatter_t(key_s, rank, contribT, ncells, K)
     else:
+        vals = jnp.stack(value_list, axis=-1)             # (N, F)
+        wT = w.T                                          # (N, 9)
+        scale = jnp.where(alive, I_frac, 0.)[:, None]
+        if order is not None:
+            vals, wT, scale = vals[order], wT[order], scale[order]
+
+        # ONE row scatter for all 9 offsets x F fields (nine separate
+        # scatter+reduce rounds measured +120 ms at 1M bergs on v5e)
+        contrib = (vals[:, None, :] * (wT * scale)[:, :, None]).reshape(
+            N, 9 * F)
         S = _cell_slot_sums(key_s, rank, contrib, ncells, K)
     Sg = S.reshape(ny, nx, 9, F).transpose(1, 0, 2, 3)     # (nx, ny, 9, F)
 
-    out9 = jnp.zeros((nx + 2, ny + 2, 9, F), vals.dtype)
+    out9 = jnp.zeros((nx + 2, ny + 2, 9, F), value_list[0].dtype)
     k = 0
     for dj in (-1, 0, 1):
         for di in (-1, 0, 1):
@@ -368,16 +409,25 @@ def scatter_cell_deterministic(grid, st, value_list, alive, K: int = 16,
     N = st.capacity
     order, key_s, rank = (sort_ctx if sort_ctx is not None
                           else make_sort_ctx(st, grid, alive))
-    vals = jnp.stack(value_list, axis=-1)
-    if order is not None:
-        vals = vals[order]
-    if SLOT_SUM_METHOD == "gather":
-        S = _cell_slot_sums_gather(key_s, vals, ncells, K)
+    if SLOT_SUM_METHOD in ("gather", "scatter_t"):
+        if order is not None:
+            valsT = jnp.stack([v[order] for v in value_list], axis=0)
+        else:
+            valsT = jnp.stack(value_list, axis=0)
+        if SLOT_SUM_METHOD == "gather":
+            S = _cell_slot_sums_gather(key_s, valsT, ncells, K)
+        else:
+            S = _cell_slot_sums_scatter_t(key_s, rank, valsT, ncells, K)
+        dtype = valsT.dtype
     else:
+        vals = jnp.stack(value_list, axis=-1)
+        if order is not None:
+            vals = vals[order]
         S = _cell_slot_sums(key_s, rank, vals, ncells, K)
+        dtype = vals.dtype
     F = len(value_list)
     Sg = S.reshape(ny, nx, F).transpose(1, 0, 2)
-    out = jnp.zeros((nx + 2, ny + 2, F), vals.dtype)
+    out = jnp.zeros((nx + 2, ny + 2, F), dtype)
     out = out.at[1:-1, 1:-1, :].set(Sg)
     return [out[..., f] for f in range(F)]
 

@@ -117,6 +117,96 @@ def test_coast_bounce():
     assert int(st.ine[0]) <= 5
 
 
+def test_walk_matches_scalar_reference():
+    """adjust_index_and_ground (5x5 packed-bit, 2-gather walk) must
+    match a direct per-berg transcription of the reference walk
+    (icebergs.F90:7941-8056) bit for bit, including coast bounces and
+    multi-cell walks near land."""
+    from icebergs_tpu.dynamics import adjust_index_and_ground, POSN_EPS
+
+    nx = ny = 12
+    rng = np.random.RandomState(7)
+    msk = (rng.uniform(size=(nx, ny)) > 0.3).astype(float)
+    cfg = ibt.IcebergsConfig(grid_is_latlon=False, Lx=-1.0)
+    grid = ibt.make_uniform_grid(nx, ny, 0.0, 0.0, 1000.0, 1000.0,
+                                 grid_is_latlon=False, msk=msk)
+
+    n = 4000
+    i0 = rng.randint(0, nx, n)
+    j0 = rng.randint(0, ny, n)
+    # positions up to ~3.5 cells away drive 1-4 iteration walks
+    lon = (i0 + 0.5 + rng.uniform(-3.5, 3.5, n)) * 1000.0
+    lat = (j0 + 0.5 + rng.uniform(-3.5, 3.5, n)) * 1000.0
+
+    lon2, lat2, i2, j2, xi2, yj2, b2 = adjust_index_and_ground(
+        grid, cfg, jnp.asarray(lon, jnp.float32),
+        jnp.asarray(lat, jnp.float32),
+        jnp.asarray(i0, jnp.int32), jnp.asarray(j0, jnp.int32))
+
+    def ref_walk(lon, lat, i, j):
+        lon, lat = np.float32(lon), np.float32(lat)
+        fx = np.float32(lon / np.float32(1000.0))
+        fy = np.float32(lat / np.float32(1000.0))
+        bounced = False
+        ocean = lambda p, q: (0 <= p < nx and 0 <= q < ny
+                              and msk[p, q] > 0.)
+        for _ in range(4):
+            xi = np.float32(fx - np.float32(i))
+            yj = np.float32(fy - np.float32(j))
+            in_cell = (xi >= 0.) and (xi < 1.) and (yj >= 0.) and (yj < 1.)
+            ti = int(np.clip(i - (xi < 0.) + (xi >= 1.), 0, nx - 1))
+            b_x = (not in_cell) and (xi < 0. or xi >= 1.) \
+                and ((not ocean(ti, j)) or ti == i)
+            if (not in_cell) and (xi < 0. or xi >= 1.) and ocean(ti, j) \
+                    and ti != i:
+                i = ti
+            tj = int(np.clip(j - (yj < 0.) + (yj >= 1.), 0, ny - 1))
+            b_y = (not in_cell) and (yj < 0. or yj >= 1.) \
+                and ((not ocean(i, tj)) or tj == j)
+            if (not in_cell) and (yj < 0. or yj >= 1.) and ocean(i, tj) \
+                    and tj != j:
+                j = tj
+            nb = b_x or b_y
+            bounced = bounced or nb
+            xi = np.float32(fx - np.float32(i))
+            yj = np.float32(fy - np.float32(j))
+            xi_c = np.float32(np.clip(xi, POSN_EPS, 1. - POSN_EPS))
+            yj_c = np.float32(np.clip(yj, POSN_EPS, 1. - POSN_EPS))
+            if nb:
+                lon = np.float32((np.float32(i) + xi_c)
+                                 * np.float32(1000.0))
+                lat = np.float32((np.float32(j) + yj_c)
+                                 * np.float32(1000.0))
+                fx = np.float32(np.float32(i) + xi_c)
+                fy = np.float32(np.float32(j) + yj_c)
+        xi = np.float32(fx - np.float32(i))
+        yj = np.float32(fy - np.float32(j))
+        bad = (xi < 0.) or (xi >= 1.) or (yj <= 0.) or (yj > 1.)
+        xi_c = np.float32(np.clip(xi, POSN_EPS, 1. - POSN_EPS))
+        yj_c = np.float32(np.clip(yj, POSN_EPS, 1. - POSN_EPS))
+        if bad:
+            lon = np.float32((np.float32(i) + xi_c) * np.float32(1000.0))
+            lat = np.float32((np.float32(j) + yj_c) * np.float32(1000.0))
+            xi, yj = xi_c, yj_c
+        return lon, lat, i, j, xi, yj, bounced
+
+    lon2 = np.asarray(lon2)
+    lat2 = np.asarray(lat2)
+    i2 = np.asarray(i2)
+    j2 = np.asarray(j2)
+    b2 = np.asarray(b2)
+    for k in range(n):
+        rl, rt, ri, rj, rxi, ryj, rb = ref_walk(lon[k], lat[k],
+                                                int(i0[k]), int(j0[k]))
+        assert (ri, rj) == (i2[k], j2[k]), \
+            (k, i0[k], j0[k], lon[k], lat[k], ri, rj, i2[k], j2[k])
+        assert rb == bool(b2[k]), (k, rb, b2[k])
+        np.testing.assert_array_equal(np.float32(rl), lon2[k],
+                                      err_msg=str(k))
+        np.testing.assert_array_equal(np.float32(rt), lat2[k],
+                                      err_msg=str(k))
+
+
 def test_latlon_metric():
     """Motion in degrees uses the spherical metric."""
     cfg, grid = make_world(nx=20, ny=20, dxy=0.5, latlon=True, dt=3600.0,

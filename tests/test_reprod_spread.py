@@ -183,3 +183,35 @@ def test_overflow_density_is_exact():
         np.testing.assert_allclose(np.asarray(getattr(a, name)),
                                    np.asarray(getattr(b, name)),
                                    rtol=2e-6, err_msg=name)
+
+
+def test_slot_sum_gather_matches_scatter_bitwise():
+    """The transposed-gather slot-sum backend must equal the scatter
+    backend BITWISE when no cell exceeds K bergs (the documented
+    layout-invariance bound): same slots, same fixed tree."""
+    cfg, grid, frc = world()
+    st = crowded_bergs(grid, n=60, capacity=128, seed=4)
+    from icebergs_tpu.grid import pos_to_cell as p2c
+    i, j, xi, yj = p2c(grid, st.lon, st.lat, -1.0)
+    st = st.replace(ine=i, jne=j, xi=xi, yj=yj)
+    w = sp.spread_weights(st, grid, cfg)[0]
+    vals = [st.mass * st.mass_scaling, st.length * st.width,
+            st.uvel, st.vvel]
+    I_frac = jnp.ones_like(st.mass)
+
+    def run():
+        o9 = sp.scatter9_slots(grid, st, w, I_frac, vals, st.alive, K=16)
+        oc = sp.scatter_cell_deterministic(grid, st, vals[:2], st.alive,
+                                           K=16)
+        return [np.asarray(x) for x in sp.sum_slots(o9) + oc]
+
+    orig = sp.SLOT_SUM_METHOD
+    try:
+        sp.SLOT_SUM_METHOD = "scatter"
+        a = run()
+        sp.SLOT_SUM_METHOD = "gather"
+        b = run()
+    finally:
+        sp.SLOT_SUM_METHOD = orig
+    for k, (x, y) in enumerate(zip(a, b)):
+        np.testing.assert_array_equal(x, y, err_msg=str(k))

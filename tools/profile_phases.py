@@ -239,6 +239,29 @@ def main():
         s = _use_all(s, ia)
         return _use_all(s, ia_fn(s.uvel, s.vvel))
 
+    def f_evolve_ia3_sortpay(s):
+        from icebergs_tpu.ops.fused_contact import make_ia_fn_fused3
+        ia_fn, stats = make_ia_fn_fused3(s, grid, cfg, block_n=256,
+                                         window=512, fallback_cap=4096,
+                                         pt_via_sort_payloads=True)
+        out = dynamics.evolve_icebergs(s, grid, frc, cfg, ia_fn=ia_fn)
+        return out.state
+
+    def _spread_method(m):
+        def f(s):
+            orig = _spread.SLOT_SUM_METHOD
+            _spread.SLOT_SUM_METHOD = m
+            try:
+                sp = _spread.create_gridded_icebergs_fields(s, grid, frc,
+                                                            cfg)
+            finally:
+                _spread.SLOT_SUM_METHOD = orig
+            return s.replace(lon=s.lon + 1e-12 * sp.spread_mass[0, 0])
+        return f
+
+    f_spread_gather = _spread_method("gather")
+    f_spread_scatter_t = _spread_method("scatter_t")
+
     def f_spread_noreprod(s):
         sp = _spread.create_gridded_icebergs_fields(s, grid, frc,
                                                     cfg_noreprod)
@@ -335,7 +358,10 @@ def main():
             ("ia_fused_full_2evals", f_ia_fused_full_2evals, st_i),
             ("evolve_with_fused_ia", f_evolve_ia, st_i),
             ("evolve_with_ia3", f_evolve_ia3, st_i),
+            ("evolve_with_ia3_sortpay", f_evolve_ia3_sortpay, st_i),
             ("ia3_full_2evals", f_ia3_full_2evals, st_i),
+            ("spread_gather", f_spread_gather, st_i),
+            ("spread_scatter_t", f_spread_scatter_t, st_i),
             ("evolve_ia_1eval", f_evolve_ia_1eval, st_i),
             ("evolve_ia_zero2", f_evolve_ia_zero2, st_i),
             ("evolve_noia", f_evolve, st_i),
