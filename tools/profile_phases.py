@@ -247,6 +247,20 @@ def main():
         out = dynamics.evolve_icebergs(s, grid, frc, cfg, ia_fn=ia_fn)
         return out.state
 
+    def _full_step(mode, fb):
+        step = model.make_step(grid, cfg, with_thermo=True,
+                               neighbor_mode=mode, fused_block_n=128,
+                               fused_window=288, contact_cap=131072,
+                               fused_fallback_cap=fb)
+
+        def f(s):
+            s2, d = step(s, frc)
+            return s2
+        return f
+
+    f_step_fused = _full_step("fused", 16384)
+    f_step_fused3 = _full_step("fused3", 4096)
+
     def _spread_method(m):
         def f(s):
             orig = _spread.SLOT_SUM_METHOD
@@ -362,6 +376,8 @@ def main():
             ("ia3_full_2evals", f_ia3_full_2evals, st_i),
             ("spread_gather", f_spread_gather, st_i),
             ("spread_scatter_t", f_spread_scatter_t, st_i),
+            ("step_fused", f_step_fused, st_i),
+            ("step_fused3", f_step_fused3, st_i),
             ("evolve_ia_1eval", f_evolve_ia_1eval, st_i),
             ("evolve_ia_zero2", f_evolve_ia_zero2, st_i),
             ("evolve_noia", f_evolve, st_i),
