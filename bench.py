@@ -64,10 +64,16 @@ def bench_1m_contacts():
     i, j, xi, yj = pos_to_cell(grid, st.lon, st.lat, -1.0)
     st = st.replace(ine=i, jne=j, xi=xi, yj=yj)
 
+    # fused3 = round-3 extraction kernel (search + in-kernel partner
+    # features, no (N, F) padded buffers); KID_BENCH_CONTACT_MODE=fused
+    # selects the round-2 path for A/B
+    import os
+    mode = os.environ.get("KID_BENCH_CONTACT_MODE", "fused3")
+    fb = 4096 if mode == "fused3" else 16384
     multi = make_multi_step(grid, cfg, INNER, with_stats=True,
-                            with_thermo=True, neighbor_mode="fused",
+                            with_thermo=True, neighbor_mode=mode,
                             fused_block_n=128, fused_window=288,
-                            contact_cap=131072, fused_fallback_cap=16384)
+                            contact_cap=131072, fused_fallback_cap=fb)
 
     out = multi(st, frc)           # warmup/compile
     _sync(out)
