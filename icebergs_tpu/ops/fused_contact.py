@@ -359,9 +359,14 @@ def make_ia_fn_fused2(st, grid, cfg: IcebergsConfig, *,
     # --- bonded spring group: original-frame bond table ----------------
     pd_b = None
     if cfg.iceberg_bonds_on:
-        bond_other, bond_valid = _forces.bond_partner_table(st)
-        pd_b = _forces.precompute_pair_data(
-            st, cfg, bond_other, bond_valid, bonded=True,
+        # transposed (B, N) bond table: pair slabs stay unpadded (an
+        # (N, B<=128) f32 slab is 512 MB at 1M bergs)
+        bond_other_T = st.bond_idx.T
+        other_T = jnp.maximum(bond_other_T, 0)
+        valid_T = (bond_other_T >= 0) & st.alive[None, :] \
+            & st.alive[other_T]
+        pd_b = _forces.precompute_pair_data_T(
+            st, cfg, other_T, valid_T, bonded=True,
             use_c_crit_dist=False)
 
     u0_fix, v0_fix = st.uvel, st.vvel
@@ -377,7 +382,7 @@ def make_ia_fn_fused2(st, grid, cfg: IcebergsConfig, *,
             return x + tab[code_f]
         total = IA(*(fold(x, f) for x, f in zip(bn, bf)))
         if pd_b is not None:
-            bb = _forces.eval_pair_ia(pd_b, cfg, u0_fix, v0_fix, u1, v1)
+            bb = _forces.eval_pair_ia_T(pd_b, cfg, u0_fix, v0_fix, u1, v1)
             total = IA(*(x + y for x, y in zip(total, bb)))
         return total
 
@@ -495,9 +500,14 @@ def make_ia_fn_fused3(st, grid, cfg: IcebergsConfig, *,
 
     pd_b = None
     if cfg.iceberg_bonds_on:
-        bond_other, bond_valid = _forces.bond_partner_table(st)
-        pd_b = _forces.precompute_pair_data(
-            st, cfg, bond_other, bond_valid, bonded=True,
+        # transposed (B, N) bond table: pair slabs stay unpadded (an
+        # (N, B<=128) f32 slab is 512 MB at 1M bergs)
+        bond_other_T = st.bond_idx.T
+        other_T = jnp.maximum(bond_other_T, 0)
+        valid_T = (bond_other_T >= 0) & st.alive[None, :] \
+            & st.alive[other_T]
+        pd_b = _forces.precompute_pair_data_T(
+            st, cfg, other_T, valid_T, bonded=True,
             use_c_crit_dist=False)
 
     u0_fix, v0_fix = st.uvel, st.vvel
@@ -513,7 +523,7 @@ def make_ia_fn_fused3(st, grid, cfg: IcebergsConfig, *,
             return x + tab[code_f]
         total = IA(*(fold(x, f) for x, f in zip(bn, bf)))
         if pd_b is not None:
-            bb = _forces.eval_pair_ia(pd_b, cfg, u0_fix, v0_fix, u1, v1)
+            bb = _forces.eval_pair_ia_T(pd_b, cfg, u0_fix, v0_fix, u1, v1)
             total = IA(*(x + y for x, y in zip(total, bb)))
         return total
 
