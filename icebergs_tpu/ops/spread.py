@@ -328,7 +328,7 @@ def _cell_slot_sums(key_s, rank, contrib, ncells, K):
 
 
 def scatter9_slots(grid, st, w, I_frac, value_list, alive, K: int = 16,
-                   sort_ctx=None):
+                   sort_ctx=None, extra_value_list=None):
     """Layout-invariant 9-point scatter: the reference's 9-slot
     ``mass_on_ocean(i,j,1:9)`` buffers (calculate_mass_on_ocean,
     icebergs.F90:4970-5013).
@@ -340,6 +340,11 @@ def scatter9_slots(grid, st, w, I_frac, value_list, alive, K: int = 16,
 
     Returns ``out9`` of shape (nx+2, ny+2, 9, F).  ``sum_slots`` folds it
     to fields; the sharded layer halo-folds the slot planes first.
+
+    ``extra_value_list``: plain owning-cell columns that ride along in
+    the SAME slot-sum pass (the scatter indices are identical to
+    :func:`scatter_cell_deterministic`'s, so appending columns changes
+    no bits of any column) — returns ``(out9, cell_fields)`` then.
     """
     nx, ny = grid.nx, grid.ny
     ncells = nx * ny
@@ -349,6 +354,7 @@ def scatter9_slots(grid, st, w, I_frac, value_list, alive, K: int = 16,
                           else make_sort_ctx(st, grid, alive))
     # order=None: rows are already physically (cell, id)-sorted (the
     # persistent layout) — skip the permutation gathers
+    FX = len(extra_value_list) if extra_value_list else 0
     if SLOT_SUM_METHOD in ("gather", "scatter_t"):
         # transposed build: (9F, N) with the long dim minor, so neither
         # the contributions nor the gathered slot blocks ever tile-pad
@@ -361,6 +367,11 @@ def scatter9_slots(grid, st, w, I_frac, value_list, alive, K: int = 16,
             valsT = jnp.stack(value_list, axis=0)
             w9 = w * scale_v[None, :]
         contribT = (w9[:, None, :] * valsT[None, :, :]).reshape(9 * F, N)
+        if FX:
+            exT = jnp.stack([v[order] for v in extra_value_list]
+                            if order is not None else extra_value_list,
+                            axis=0)
+            contribT = jnp.concatenate([contribT, exT], axis=0)
         if SLOT_SUM_METHOD == "gather":
             S = _cell_slot_sums_gather(key_s, contribT, ncells, K)
         else:
@@ -376,7 +387,14 @@ def scatter9_slots(grid, st, w, I_frac, value_list, alive, K: int = 16,
         # scatter+reduce rounds measured +120 ms at 1M bergs on v5e)
         contrib = (vals[:, None, :] * (wT * scale)[:, :, None]).reshape(
             N, 9 * F)
+        if FX:
+            ex = jnp.stack([v[order] for v in extra_value_list]
+                           if order is not None else extra_value_list,
+                           axis=-1)
+            contrib = jnp.concatenate([contrib, ex], axis=-1)
         S = _cell_slot_sums(key_s, rank, contrib, ncells, K)
+    Sx = S[:, 9 * F:]
+    S = S[:, :9 * F]
     Sg = S.reshape(ny, nx, 9, F).transpose(1, 0, 2, 3)     # (nx, ny, 9, F)
 
     out9 = jnp.zeros((nx + 2, ny + 2, 9, F), value_list[0].dtype)
@@ -386,7 +404,12 @@ def scatter9_slots(grid, st, w, I_frac, value_list, alive, K: int = 16,
             out9 = out9.at[1 + di:nx + 1 + di,
                            1 + dj:ny + 1 + dj, k].add(Sg[:, :, k])
             k += 1
-    return out9
+    if not FX:
+        return out9
+    Sxg = Sx.reshape(ny, nx, FX).transpose(1, 0, 2)
+    outx = jnp.zeros((nx + 2, ny + 2, FX), value_list[0].dtype)
+    outx = outx.at[1:-1, 1:-1, :].set(Sxg)
+    return out9, [outx[..., f] for f in range(FX)]
 
 
 def sum_slots(out9):
@@ -505,7 +528,7 @@ def berg_spread_mass(st, grid, frc, cfg: IcebergsConfig, *, Mberg=None,
 
 
 def calculate_mass_on_ocean(st, grid, frc, cfg: IcebergsConfig,
-                            sort_ctx=None):
+                            sort_ctx=None, extra_value_list=None):
     """Scatter mass/area/momentum onto the grid
     (calculate_mass_on_ocean, icebergs.F90:4970-5013).
 
@@ -521,15 +544,22 @@ def calculate_mass_on_ocean(st, grid, frc, cfg: IcebergsConfig,
     value_list = [Mass, Area * st.mass_scaling,
                   st.uvel * Area * st.mass_scaling,
                   st.vvel * Area * st.mass_scaling]
+    extra_out = None
     if cfg.parallel_reprod:
         out9 = scatter9_slots(grid, st, w, I_frac, value_list, alive,
                               K=cfg.reprod_max_per_cell,
-                              sort_ctx=sort_ctx)
+                              sort_ctx=sort_ctx,
+                              extra_value_list=extra_value_list)
+        if extra_value_list:
+            out9, extra_out = out9
         mass_on_ocean, area_on_ocean, U_on_ocean, V_on_ocean = \
             sum_slots(out9)
     else:
         mass_on_ocean, area_on_ocean, U_on_ocean, V_on_ocean = \
             _scatter9_packed(grid, st, w, I_frac, value_list, alive)
+    if extra_value_list:
+        return (mass_on_ocean, area_on_ocean, U_on_ocean, V_on_ocean,
+                extra_out)
     return mass_on_ocean, area_on_ocean, U_on_ocean, V_on_ocean
 
 
@@ -539,31 +569,11 @@ def create_gridded_icebergs_fields(st, grid, frc, cfg: IcebergsConfig,
     (create_gridded_icebergs_fields, icebergs.F90:3390-3491)."""
     if cfg.parallel_reprod and sort_ctx is None:
         sort_ctx = make_sort_ctx(st, grid)
-    mass_on, area_on, U_on, V_on = calculate_mass_on_ocean(
-        st, grid, frc, cfg, sort_ctx=sort_ctx)
-    area_g = jnp.maximum(grid.area, 1e-30)
-    spread_mass = mass_on / area_g * (grid.msk > 0.)
-    spread_area = area_on / area_g * (grid.msk > 0.)
-    asafe = jnp.maximum(area_on, 1e-30)
-    spread_uvel = jnp.where(area_on > 0., U_on / asafe, 0.)
-    spread_vvel = jnp.where(area_on > 0., V_on / asafe, 0.)
-
-    # gridded friction velocity under bergs (icebergs.F90:3459-3469)
-    # corner B-grid uo/vo averaged to centers for the relative speed
-    uo_c = 0.25 * (frc.uo[:-1, :-1] + frc.uo[1:, :-1] + frc.uo[:-1, 1:]
-                   + frc.uo[1:, 1:])
-    vo_c = 0.25 * (frc.vo[:-1, :-1] + frc.vo[1:, :-1] + frc.vo[:-1, 1:]
-                   + frc.vo[1:, 1:])
-    uo_p = jnp.zeros_like(spread_mass).at[1:-1, 1:-1].set(uo_c)
-    vo_p = jnp.zeros_like(spread_mass).at[1:-1, 1:-1].set(vo_c)
-    dvo = jnp.sqrt((spread_uvel - uo_p) ** 2 + (spread_vvel - vo_p) ** 2)
-    ustar = jnp.sqrt(cfg.cdrag_icebergs * (dvo ** 2 + cfg.utide_icebergs ** 2))
-    ustar_h = jnp.maximum(cfg.ustar_icebergs_bg, ustar)
-    ustar_iceberg = jnp.where(spread_area == 0., 0., ustar_h)
 
     # per-cell sums (calculate_sum_over_bergs_diagnositcs,
-    # icebergs.F90:5026-5070): berg mass / momentum / bit masses at the
-    # OWNING cell only (no 9-point spreading)
+    # icebergs.F90:5026-5070), computed up front so they ride along in
+    # the SAME slot-sum pass as the 9-point spreading (identical scatter
+    # indices; per-column results unchanged)
     alive = st.alive
     I, J = st.ine + 1, st.jne + 1
     area_c = jnp.maximum(grid.area[I, J], 1e-30)
@@ -598,12 +608,38 @@ def create_gridded_icebergs_fields(st, grid, frc, cfg: IcebergsConfig,
             st.mass_of_fl_bits * w_cell,
             st.mass_of_fl_bergy_bits * w_cell]
     cols = [jnp.where(alive, c, 0.) for c in cols]
+
     if cfg.parallel_reprod:
-        (mass_cell, mom_u, mom_v, virtual_area, bergy_mass, fl_bits_mass,
-         fl_bergy_bits_mass) = scatter_cell_deterministic(
-            grid, st, cols, alive, K=cfg.reprod_max_per_cell,
-            sort_ctx=sort_ctx)
+        mass_on, area_on, U_on, V_on, cell_fields = \
+            calculate_mass_on_ocean(st, grid, frc, cfg,
+                                    sort_ctx=sort_ctx,
+                                    extra_value_list=cols)
+        (mass_cell, mom_u, mom_v, virtual_area, bergy_mass,
+         fl_bits_mass, fl_bergy_bits_mass) = cell_fields
     else:
+        mass_on, area_on, U_on, V_on = calculate_mass_on_ocean(
+            st, grid, frc, cfg, sort_ctx=sort_ctx)
+    area_g = jnp.maximum(grid.area, 1e-30)
+    spread_mass = mass_on / area_g * (grid.msk > 0.)
+    spread_area = area_on / area_g * (grid.msk > 0.)
+    asafe = jnp.maximum(area_on, 1e-30)
+    spread_uvel = jnp.where(area_on > 0., U_on / asafe, 0.)
+    spread_vvel = jnp.where(area_on > 0., V_on / asafe, 0.)
+
+    # gridded friction velocity under bergs (icebergs.F90:3459-3469)
+    # corner B-grid uo/vo averaged to centers for the relative speed
+    uo_c = 0.25 * (frc.uo[:-1, :-1] + frc.uo[1:, :-1] + frc.uo[:-1, 1:]
+                   + frc.uo[1:, 1:])
+    vo_c = 0.25 * (frc.vo[:-1, :-1] + frc.vo[1:, :-1] + frc.vo[:-1, 1:]
+                   + frc.vo[1:, 1:])
+    uo_p = jnp.zeros_like(spread_mass).at[1:-1, 1:-1].set(uo_c)
+    vo_p = jnp.zeros_like(spread_mass).at[1:-1, 1:-1].set(vo_c)
+    dvo = jnp.sqrt((spread_uvel - uo_p) ** 2 + (spread_vvel - vo_p) ** 2)
+    ustar = jnp.sqrt(cfg.cdrag_icebergs * (dvo ** 2 + cfg.utide_icebergs ** 2))
+    ustar_h = jnp.maximum(cfg.ustar_icebergs_bg, ustar)
+    ustar_iceberg = jnp.where(spread_area == 0., 0., ustar_h)
+
+    if not cfg.parallel_reprod:
         vals = jnp.stack(cols, axis=-1)
         packed = jnp.zeros(spread_mass.shape + (len(cols),),
                            spread_mass.dtype).at[I, J].add(vals)

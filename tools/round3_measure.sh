@@ -1,0 +1,19 @@
+#!/bin/bash
+# Round-3 honest measurement sweep (run when the axon tunnel is alive).
+# Each probe runs in its own process; results append to the log.
+cd "$(dirname "$0")/.."
+export PYTHONPATH=/root/repo:/root/.axon_site
+LOG=${1:-/tmp/round3_measure.log}
+echo "=== $(date -u +%FT%TZ) round3 sweep ===" >> "$LOG"
+for p in \
+    step_fused step_fused3 \
+    evolve_with_fused_ia evolve_with_ia3 evolve_with_ia3_sortpay \
+    ia_fused_full_2evals ia3_full_2evals \
+    lexsort interp index_walk thermo_reprod \
+    spread_reprod spread_gather spread_scatter_t \
+    evolve_noia; do
+  timeout 580 python tools/profile_phases.py "$p" 2>&1 \
+    | grep -v WARNING | tail -1 >> "$LOG"
+  echo "--- $p done $(date -u +%T)" >> /tmp/round3_progress.log
+done
+echo "=== sweep complete ===" >> "$LOG"
