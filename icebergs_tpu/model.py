@@ -198,15 +198,39 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
         if cfg.parallel_reprod:
             sort_ctx = _spread.make_sort_ctx(st, grid)
         melt_diags = None
+        defer = cfg.parallel_reprod
         if with_thermo:
             with jax.named_scope("kid_thermodyn"):
                 st, melt_diags = _thermo.thermodynamics(
-                    st, grid, frc, cfg, sort_ctx=sort_ctx)
+                    st, grid, frc, cfg, sort_ctx=sort_ctx,
+                    defer_cell_cols=defer)
 
-        # 6. spread mass + gridded fields
+        # 6. spread mass + gridded fields (+ thermo's deferred melt
+        # columns in the SAME slot-sum pass when reproducible)
         with jax.named_scope("kid_diagnostics"):
-            sp = _spread.create_gridded_icebergs_fields(
-                st, grid, frc, cfg, sort_ctx=sort_ctx)
+            if with_thermo and defer and melt_diags.deferred_cols:
+                sp, melt_fields = _spread.create_gridded_icebergs_fields(
+                    st, grid, frc, cfg, sort_ctx=sort_ctx,
+                    extra_cell_cols=melt_diags.deferred_cols)
+                melt_diags = melt_diags._replace(
+                    floating_melt=melt_fields[0],
+                    calving_hflx=melt_fields[1],
+                    berg_melt=melt_fields[2],
+                    bergy_src=melt_fields[3],
+                    bergy_melt=melt_fields[4],
+                    fl_bits_melt=melt_fields[5],
+                    melt_buoy=melt_fields[6],
+                    melt_eros=melt_fields[7],
+                    melt_conv=melt_fields[8],
+                    fl_parent_melt=melt_fields[9],
+                    fl_child_melt=melt_fields[10],
+                    melt_buoy_fl=melt_fields[11],
+                    melt_eros_fl=melt_fields[12],
+                    melt_conv_fl=melt_fields[13],
+                    deferred_cols=None)
+            else:
+                sp = _spread.create_gridded_icebergs_fields(
+                    st, grid, frc, cfg, sort_ctx=sort_ctx)
 
         diags = StepDiags(
             nbergs=st.count(), tickets=out.tickets, bounced=out.bounced,

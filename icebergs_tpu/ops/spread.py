@@ -564,9 +564,13 @@ def calculate_mass_on_ocean(st, grid, frc, cfg: IcebergsConfig,
 
 
 def create_gridded_icebergs_fields(st, grid, frc, cfg: IcebergsConfig,
-                                   sort_ctx=None):
+                                   sort_ctx=None, extra_cell_cols=None):
     """Derive spread_mass/area/uvel/vvel and gridded ustar
-    (create_gridded_icebergs_fields, icebergs.F90:3390-3491)."""
+    (create_gridded_icebergs_fields, icebergs.F90:3390-3491).
+
+    ``extra_cell_cols`` (reprod mode): further owning-cell columns (e.g.
+    thermo's deferred melt columns) folded into the same slot-sum pass;
+    returns ``(diags, extra_fields)`` then."""
     if cfg.parallel_reprod and sort_ctx is None:
         sort_ctx = make_sort_ctx(st, grid)
 
@@ -610,12 +614,15 @@ def create_gridded_icebergs_fields(st, grid, frc, cfg: IcebergsConfig,
     cols = [jnp.where(alive, c, 0.) for c in cols]
 
     if cfg.parallel_reprod:
+        n_own = len(cols)
+        allcols = cols + list(extra_cell_cols or [])
         mass_on, area_on, U_on, V_on, cell_fields = \
             calculate_mass_on_ocean(st, grid, frc, cfg,
                                     sort_ctx=sort_ctx,
-                                    extra_value_list=cols)
+                                    extra_value_list=allcols)
         (mass_cell, mom_u, mom_v, virtual_area, bergy_mass,
-         fl_bits_mass, fl_bergy_bits_mass) = cell_fields
+         fl_bits_mass, fl_bergy_bits_mass) = cell_fields[:n_own]
+        extra_fields = cell_fields[n_own:]
     else:
         mass_on, area_on, U_on, V_on = calculate_mass_on_ocean(
             st, grid, frc, cfg, sort_ctx=sort_ctx)
@@ -652,10 +659,13 @@ def create_gridded_icebergs_fields(st, grid, frc, cfg: IcebergsConfig,
     u_ice = jnp.where(mass_cell > 0., mom_u / msafe, 0.)
     v_ice = jnp.where(mass_cell > 0., mom_v / msafe, 0.)
 
-    return SpreadDiags(spread_mass=spread_mass, spread_area=spread_area,
-                       spread_uvel=spread_uvel, spread_vvel=spread_vvel,
-                       ustar_iceberg=ustar_iceberg, mass_on_ocean=mass_on,
-                       u_iceberg=u_ice, v_iceberg=v_ice,
-                       mass=mass_cell, virtual_area=virtual_area,
-                       bergy_mass=bergy_mass, fl_bits_mass=fl_bits_mass,
-                       fl_bergy_bits_mass=fl_bergy_bits_mass)
+    diags = SpreadDiags(spread_mass=spread_mass, spread_area=spread_area,
+                        spread_uvel=spread_uvel, spread_vvel=spread_vvel,
+                        ustar_iceberg=ustar_iceberg, mass_on_ocean=mass_on,
+                        u_iceberg=u_ice, v_iceberg=v_ice,
+                        mass=mass_cell, virtual_area=virtual_area,
+                        bergy_mass=bergy_mass, fl_bits_mass=fl_bits_mass,
+                        fl_bergy_bits_mass=fl_bergy_bits_mass)
+    if extra_cell_cols is not None:
+        return diags, extra_fields
+    return diags

@@ -41,6 +41,9 @@ class MeltDiags(NamedTuple):
     melt_buoy_fl: jnp.ndarray = None
     melt_eros_fl: jnp.ndarray = None
     melt_conv_fl: jnp.ndarray = None
+    # with defer_cell_cols: the 14 per-berg melt columns, to be reduced
+    # by the caller inside the spreading slot-sum pass
+    deferred_cols: tuple = None
 
 
 def melt_by_class_field(st, grid, cfg: IcebergsConfig, melt_rate_w, alive):
@@ -328,7 +331,8 @@ def fl_bits_dimensions(cfg: IcebergsConfig, thickness):
 # --------------------------------------------------------------------------
 
 def thermodynamics(st, grid, frc, cfg: IcebergsConfig, sort_ctx=None,
-                   with_class_melt: bool = False):
+                   with_class_melt: bool = False,
+                   defer_cell_cols: bool = False):
     """Melt every berg, update dimensions, roll, kill fully-melted bergs,
     and accumulate gridded melt diagnostics.
 
@@ -529,7 +533,17 @@ def thermodynamics(st, grid, frc, cfg: IcebergsConfig, sort_ctx=None,
             jnp.where(fl_gate, dMe_fl, jnp.where(parent, 0., dMe)) * w,
             jnp.where(fl_gate, dMv_fl, jnp.where(parent, 0., dMv)) * w]
     cols = [jnp.where(alive, v, 0.) for v in cols]
-    if cfg.parallel_reprod:
+    deferred = None
+    if defer_cell_cols and cfg.parallel_reprod:
+        # the caller folds these 14 columns into the spreading slot-sum
+        # pass (same sort_ctx scatter indices -> per-column bits
+        # unchanged); gridded fields come back through MeltDiags._replace
+        deferred = cols
+        (floating_melt, calving_hflx, berg_melt, bergy_src, bergy_melt,
+         fl_bits_melt, melt_buoy, melt_eros, melt_conv, fl_parent_melt,
+         fl_child_melt, melt_buoy_fl, melt_eros_fl, melt_conv_fl) = \
+            [None] * 14
+    elif cfg.parallel_reprod:
         # fixed-tree per-cell sums in (cell, id) order: melt fields hash
         # identically on any device layout (parallel_reprod)
         from .spread import scatter_cell_deterministic
@@ -612,5 +626,5 @@ def thermodynamics(st, grid, frc, cfg: IcebergsConfig, sort_ctx=None,
         melt_by_class=mbc,
         fl_parent_melt=fl_parent_melt, fl_child_melt=fl_child_melt,
         melt_buoy_fl=melt_buoy_fl, melt_eros_fl=melt_eros_fl,
-        melt_conv_fl=melt_conv_fl)
+        melt_conv_fl=melt_conv_fl, deferred_cols=deferred)
     return st, diags
