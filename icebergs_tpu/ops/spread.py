@@ -269,16 +269,21 @@ def _cell_slot_sums_gather(key_s, contribT, ncells, K):
     return acc.T                                  # (ncells, F)
 
 
-def _cell_slot_sums_scatter_t(key_s, rank, contribT, ncells, K):
+def _cell_slot_sums_scatter_t(key, rank, contribT, ncells, K):
     """Scatter backend on a TRANSPOSED (F, ncells*K) slot buffer.
 
     Same slot assignment and fixed tree as :func:`_cell_slot_sums`
     (bitwise identical), but the slot buffer keeps the long dim minor so
     it occupies F*ncells*K*4 bytes instead of the (ncells*K, F<=128)
-    row-major form's ncells*K*512 bytes (2.1 GB at 512x512, K=16)."""
+    row-major form's ncells*K*512 bytes (2.1 GB at 512x512, K=16).
+
+    ``key``/``rank``/``contribT`` may be in ANY row order (every berg
+    owns a unique (cell, rank) slot, so the scatter needs no sorted
+    input) — callers pass ORIGINAL-frame rows and skip the per-column
+    permutation gathers entirely."""
     F = contribT.shape[0]
-    idx = jnp.where(key_s < ncells,
-                    key_s * K + jnp.minimum(rank, K - 1), ncells * K)
+    idx = jnp.where(key < ncells,
+                    key * K + jnp.minimum(rank, K - 1), ncells * K)
     buf = jnp.zeros((F, ncells * K), contribT.dtype).at[:, idx].add(
         contribT, mode='drop')
     x = buf.reshape(F, ncells, K)
@@ -291,6 +296,26 @@ def _cell_slot_sums_scatter_t(key_s, rank, contribT, ncells, K):
         x = x[:, :, 0::2] + x[:, :, 1::2]
         k //= 2
     return x[:, :, 0].T
+
+
+def _origin_frame_ranks(st, grid, order, key_s, alive):
+    """Per-ORIGINAL-slot (key, within-cell id rank): the slot coordinates
+    of the deterministic scatters without permuting any value column.
+
+    The key comes from the SORT (``key_s[inv]``), not from the caller's
+    aliveness: rows that died after the sort keep their slot and
+    contribute whatever their (already-masked) columns hold — exactly
+    the permuted backends' semantics (a melting berg's final melt flux
+    must still land)."""
+    ncells = grid.nx * grid.ny
+    N = st.capacity
+    inv = jnp.zeros((N,), jnp.int32).at[order].set(
+        jnp.arange(N, dtype=jnp.int32))
+    key_o = key_s[inv]
+    starts = jnp.searchsorted(
+        key_s, jnp.arange(ncells + 1, dtype=key_s.dtype)).astype(jnp.int32)
+    rank_o = inv - starts[jnp.minimum(key_o, ncells)]
+    return key_o, rank_o
 
 
 def _cell_slot_sums(key_s, rank, contrib, ncells, K):
@@ -355,7 +380,24 @@ def scatter9_slots(grid, st, w, I_frac, value_list, alive, K: int = 16,
     # order=None: rows are already physically (cell, id)-sorted (the
     # persistent layout) — skip the permutation gathers
     FX = len(extra_value_list) if extra_value_list else 0
-    if SLOT_SUM_METHOD in ("gather", "scatter_t"):
+    if SLOT_SUM_METHOD == "scatter_t":
+        # ORIGINAL-frame transposed build: every berg owns a unique
+        # (cell, rank) slot, so the column scatter needs no sorted rows —
+        # no per-column permutation gathers at all
+        scale_v = jnp.where(alive, I_frac, 0.)
+        valsT = jnp.stack(value_list, axis=0)
+        w9 = w * scale_v[None, :]
+        contribT = (w9[:, None, :] * valsT[None, :, :]).reshape(9 * F, N)
+        if FX:
+            contribT = jnp.concatenate(
+                [contribT, jnp.stack(extra_value_list, axis=0)], axis=0)
+        if order is not None:
+            key_o, rank_o = _origin_frame_ranks(st, grid, order, key_s,
+                                                alive)
+        else:
+            key_o, rank_o = key_s, rank
+        S = _cell_slot_sums_scatter_t(key_o, rank_o, contribT, ncells, K)
+    elif SLOT_SUM_METHOD == "gather":
         # transposed build: (9F, N) with the long dim minor, so neither
         # the contributions nor the gathered slot blocks ever tile-pad
         # (an (N, 9F<=128) f32 slab is 512 MB at 1M bergs)
@@ -372,10 +414,7 @@ def scatter9_slots(grid, st, w, I_frac, value_list, alive, K: int = 16,
                             if order is not None else extra_value_list,
                             axis=0)
             contribT = jnp.concatenate([contribT, exT], axis=0)
-        if SLOT_SUM_METHOD == "gather":
-            S = _cell_slot_sums_gather(key_s, contribT, ncells, K)
-        else:
-            S = _cell_slot_sums_scatter_t(key_s, rank, contribT, ncells, K)
+        S = _cell_slot_sums_gather(key_s, contribT, ncells, K)
     else:
         vals = jnp.stack(value_list, axis=-1)             # (N, F)
         wT = w.T                                          # (N, 9)
@@ -432,15 +471,21 @@ def scatter_cell_deterministic(grid, st, value_list, alive, K: int = 16,
     N = st.capacity
     order, key_s, rank = (sort_ctx if sort_ctx is not None
                           else make_sort_ctx(st, grid, alive))
-    if SLOT_SUM_METHOD in ("gather", "scatter_t"):
+    if SLOT_SUM_METHOD == "scatter_t":
+        valsT = jnp.stack(value_list, axis=0)
+        if order is not None:
+            key_o, rank_o = _origin_frame_ranks(st, grid, order, key_s,
+                                                alive)
+        else:
+            key_o, rank_o = key_s, rank
+        S = _cell_slot_sums_scatter_t(key_o, rank_o, valsT, ncells, K)
+        dtype = valsT.dtype
+    elif SLOT_SUM_METHOD == "gather":
         if order is not None:
             valsT = jnp.stack([v[order] for v in value_list], axis=0)
         else:
             valsT = jnp.stack(value_list, axis=0)
-        if SLOT_SUM_METHOD == "gather":
-            S = _cell_slot_sums_gather(key_s, valsT, ncells, K)
-        else:
-            S = _cell_slot_sums_scatter_t(key_s, rank, valsT, ncells, K)
+        S = _cell_slot_sums_gather(key_s, valsT, ncells, K)
         dtype = valsT.dtype
     else:
         vals = jnp.stack(value_list, axis=-1)

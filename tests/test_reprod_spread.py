@@ -215,3 +215,50 @@ def test_slot_sum_gather_matches_scatter_bitwise():
         sp.SLOT_SUM_METHOD = orig
     for k, (x, y) in enumerate(zip(a, b)):
         np.testing.assert_array_equal(x, y, err_msg=str(k))
+
+
+def test_slot_backends_full_step_with_melt_death():
+    """Full coupling step (thermo death + deferred melt cols + spread)
+    must be bitwise identical across slot-sum backends, including the
+    final melt flux of a berg that dies mid-step (the original-frame
+    scatter_t uses sort-time keys so dying rows keep their slot)."""
+    import icebergs_tpu.model as model
+    import dataclasses as _dc
+    cfg, grid, frc = world()
+    cfg = _dc.replace(cfg, dt=36000.0)
+    frc = ibt.uniform_forcing(NX, NY, uo=0.5, ua=15.0, sst=20.0, sss=33.0)
+    st = crowded_bergs(grid, n=50, capacity=128, seed=9)
+    # one tiny berg that fully melts within a step
+    import jax.numpy as jnp
+    st = st.replace(mass=jnp.where(jnp.arange(128) == 3, 5.e2, st.mass),
+                    thickness=jnp.where(jnp.arange(128) == 3, 0.05,
+                                        st.thickness),
+                    width=jnp.where(jnp.arange(128) == 3, 2.0, st.width),
+                    length=jnp.where(jnp.arange(128) == 3, 2.5, st.length))
+    from icebergs_tpu.grid import pos_to_cell as p2c
+    i, j, xi, yj = p2c(grid, st.lon, st.lat, -1.0)
+    st = st.replace(ine=i, jne=j, xi=xi, yj=yj)
+    step = model.make_step(grid, cfg, with_thermo=True, jit=False)
+
+    outs = {}
+    orig = sp.SLOT_SUM_METHOD
+    try:
+        for m in ("scatter", "gather", "scatter_t"):
+            sp.SLOT_SUM_METHOD = m
+            s2, d = step(st, frc)
+            outs[m] = (s2, d)
+    finally:
+        sp.SLOT_SUM_METHOD = orig
+    s0, d0 = outs["scatter"]
+    assert int(jnp.sum(s0.alive)) < 50, "a berg must die in this step"
+    for m in ("gather", "scatter_t"):
+        s1, d1 = outs[m]
+        for f in ("mass", "alive", "lon", "lat"):
+            np.testing.assert_array_equal(np.asarray(getattr(s0, f)),
+                                          np.asarray(getattr(s1, f)),
+                                          err_msg=f"{m}:{f}")
+        for f in ("floating_melt", "berg_melt", "spread_mass", "mass",
+                  "virtual_area"):
+            np.testing.assert_array_equal(np.asarray(getattr(d0, f)),
+                                          np.asarray(getattr(d1, f)),
+                                          err_msg=f"{m}:{f}")
