@@ -164,6 +164,33 @@ def test_fused3_extract_clustered_fallback():
     assert int(stats.n_fallback) > 0
 
 
+def test_fused3_window_overflow_goes_to_fallback():
+    # tiny window forces every block into the exact fallback path
+    cfg, grid, st = _world(300, seed=5)
+    stats = _check_v3(cfg, grid, st, block_n=64, window=128,
+                      fallback_cap=512, fallback_strip_width=140)
+    assert int(stats.n_fallback) > 0
+
+
+def test_fused3_dead_rows_and_empty():
+    """Dead slots and an empty world must not corrupt the extraction."""
+    import jax.numpy as jnp
+    cfg, grid, st = _world(400, seed=9)
+    # kill half the bergs incl. some engaged ones
+    kill = np.zeros(512, bool)
+    kill[::2] = True
+    st2 = st.replace(alive=st.alive & ~jnp.asarray(kill))
+    _check_v3(cfg, grid, st2, block_n=64, window=512)
+
+    from icebergs_tpu.ops.fused_contact import make_ia_fn_fused3
+    st0 = st.replace(alive=jnp.zeros_like(st.alive))
+    ia_fn, stats = make_ia_fn_fused3(st0, grid, cfg, block_n=64,
+                                     window=512, interpret=True)
+    ia = ia_fn(st0.uvel, st0.vvel)
+    for f in ia._fields:
+        assert not np.any(np.asarray(getattr(ia, f))), f
+
+
 def _state_by_id(st):
     """Alive rows of every per-berg leaf, ordered by id (layout-free)."""
     import numpy as np
