@@ -278,7 +278,9 @@ def contact_extract_sorted(PT, key_s, cell_starts, grid,
     """
     N = PT.shape[1]
     BN = block_n
-    WL = window + 128             # +128: lane-aligned start slop
+    # +128 lane-aligned start slop, rounded up to a lane-tile multiple
+    # (Mosaic memref_slice requires 128-multiple lane extents)
+    WL = -(-(window + 128) // 128) * 128
     nblocks = -(-N // BN)
     Npad = nblocks * BN
     nx, ny = grid.nx, grid.ny
