@@ -75,6 +75,60 @@ def quad_interp_from_agrid(grid: Grid, fld, lon, lat, i, j, xi, yj,
     return out
 
 
+def _interp_table(grid: Grid, frc, need_od: bool):
+    """((nx+2, ny+2, S) read table, slot map): every field access of
+    ``interp_flds`` pre-shifted so ONE row gather per berg serves them
+    all.
+
+    Any (N, F<=128) row-gather output tile-pads F -> 128 lanes (512 MB
+    at 1M bergs), so the step pays one such buffer no matter how many
+    fields it reads — the previous design's five separate packed
+    gathers (2x16 corner + 3-4x40 center rows) cost ~2.5 GB of padded
+    writes per step (AOT HLO census).  Slot values are the exact same
+    array elements the multi-gather design read, so results are
+    bitwise identical.
+    """
+    slots = {}
+    views = []
+
+    def center(name, f, di, dj):
+        # value at padded cell (I, J) = f[I+di, J+dj], edge-clamped in j
+        # exactly like the old 5-wide j-block (i never leaves range for
+        # owned cells: I in [1, nx], di in [-2, 1])
+        fp = jnp.pad(f, ((2, 2), (2, 2)), mode='edge')
+        slots[("c", name, di, dj)] = len(views)
+        views.append(fp[2 + di:2 + di + f.shape[0],
+                        2 + dj:2 + dj + f.shape[1]])
+
+    def corner(k, f, io, jo):
+        # value at padded cell (I, J) = f[I-1+io, J-1+jo] (cell corners)
+        fp = jnp.pad(f, ((1, 2), (1, 2)))
+        slots[("k", k, io, jo)] = len(views)
+        views.append(fp[io:io + f.shape[0] + 1, jo:jo + f.shape[1] + 1])
+
+    for k, f in enumerate([grid.cosc, grid.sinc, frc.uo, frc.vo, frc.ui,
+                           frc.vi, frc.ua, frc.va]):
+        for io in (0, 1):
+            for jo in (0, 1):
+                corner(k, f, io, jo)
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            center("ssh", frc.ssh, di, dj)
+            center("msk", grid.msk, di, dj)
+    for di in (-1, 0, 1):
+        for dj in (-2, -1, 0, 1):
+            center("dx", grid.dx, di, dj)
+    for di in (-2, -1, 0, 1):
+        for dj in (-1, 0, 1):
+            center("dy", grid.dy, di, dj)
+    for name, f in (("sst", frc.sst), ("sss", frc.sss), ("cn", frc.cn),
+                    ("hi", frc.hi)):
+        center(name, f, 0, 0)
+    if need_od:
+        center("od", grid.ocean_depth, 0, 0)
+    return jnp.stack(views, axis=-1), slots
+
+
 def interp_flds(grid: Grid, frc, cfg: IcebergsConfig, lon, lat, i, j, xi, yj,
                 rx=0., ry=0.) -> Env:
     """Interpolate all forcing fields to berg positions.
@@ -84,87 +138,72 @@ def interp_flds(grid: Grid, frc, cfg: IcebergsConfig, lon, lat, i, j, xi, yj,
     coastal/tidal drift, grid-rotation of vectors, quadratic ocean depth.
     """
     ob = cfg.old_bug_bilin
-    # pack the 8 corner fields x the (j, j+1) pair: TWO row gathers for
-    # all 4 cell corners.  TRANSPOSED (F, nx, ny) tables: the gather
-    # outputs are (16, N) with the long dim minor — an (N, 16) output
-    # would tile-pad 16 -> 128 lanes (512 MB at 1M bergs)
-    cmat = jnp.stack([grid.cosc, grid.sinc, frc.uo, frc.vo, frc.ui, frc.vi,
-                      frc.ua, frc.va], axis=0)
-    cmat2 = jnp.concatenate([cmat[:, :, :-1], cmat[:, :, 1:]], axis=0)
-    g0 = cmat2[:, i, j]       # rows [corner (i, j) | corner (i, j+1)]
-    g1 = cmat2[:, i + 1, j]
-    f00, f01 = g0[:8], g0[8:]
-    f10, f11 = g1[:8], g1[8:]
-    xiB, yjB = xi[None, :], yj[None, :]
-    if ob:
-        vals = ((f11 * (1. - xiB) + f01 * xiB) * (1. - yjB)
-                + (f10 * (1. - xiB) + f00 * xiB) * yjB)
-    else:
-        vals = ((f11 * xiB + f01 * (1. - xiB)) * yjB
-                + (f10 * xiB + f00 * (1. - xiB)) * (1. - yjB))
+    I, J = i + 1, j + 1
+    need_od = not cfg.mts
+    T, S = _interp_table(grid, frc, need_od)
+    g = T[I, J]                             # ONE (N, S) row gather
+
+    def kread(k, io, jo):
+        return g[..., S[("k", k, io, jo)]]
+
+    def a(name, di, dj):
+        return g[..., S[("c", name, di, dj)]]
+
+    vals = []
+    for k in range(8):
+        f00, f01 = kread(k, 0, 0), kread(k, 0, 1)
+        f10, f11 = kread(k, 1, 0), kread(k, 1, 1)
+        if ob:
+            vals.append((f11 * (1. - xi) + f01 * xi) * (1. - yj)
+                        + (f10 * (1. - xi) + f00 * xi) * yj)
+        else:
+            vals.append((f11 * xi + f01 * (1. - xi)) * yj
+                        + (f10 * xi + f00 * (1. - xi)) * (1. - yj))
     cos_rot, sin_rot = vals[0], vals[1]
     uo, vo = vals[2], vals[3]
     ui, vi = vals[4], vals[5]
     ua, va = vals[6], vals[7]
 
-    I, J = i + 1, j + 1
-    msk = grid.msk
     if cfg.coastal_drift > 0.:
         # accelerate bergs away from coastlines (icebergs.F90:4770-4778)
-        du = cfg.coastal_drift * (msk[I + 1, J] - msk[I - 1, J]) * msk[I, J]
-        dv = cfg.coastal_drift * (msk[I, J + 1] - msk[I, J - 1]) * msk[I, J]
+        du = cfg.coastal_drift * (a("msk", 1, 0) - a("msk", -1, 0)) \
+            * a("msk", 0, 0)
+        dv = cfg.coastal_drift * (a("msk", 0, 1) - a("msk", 0, -1)) \
+            * a("msk", 0, 0)
         uo, ui = uo + du, ui + du
         vo, vi = vo + dv, vi + dv
 
     if cfg.tidal_drift > 0.:
         # stochastic tidal drift, masked to not push bergs into land
         # (icebergs.F90:4782-4794)
-        du = (jnp.minimum(0., rx) * msk[I - 1, J]
-              + jnp.maximum(0., rx) * msk[I + 1, J]) \
-            * (1. - msk[I, J - 1] * msk[I, J + 1])
-        dv = (jnp.minimum(0., ry) * msk[I, J - 1]
-              + jnp.maximum(0., ry) * msk[I, J + 1]) \
-            * (1. - msk[I - 1, J] * msk[I + 1, J])
-        du = du * cfg.tidal_drift * msk[I, J]
-        dv = dv * cfg.tidal_drift * msk[I, J]
+        du = (jnp.minimum(0., rx) * a("msk", -1, 0)
+              + jnp.maximum(0., rx) * a("msk", 1, 0)) \
+            * (1. - a("msk", 0, -1) * a("msk", 0, 1))
+        dv = (jnp.minimum(0., ry) * a("msk", 0, -1)
+              + jnp.maximum(0., ry) * a("msk", 0, 1)) \
+            * (1. - a("msk", -1, 0) * a("msk", 1, 0))
+        du = du * cfg.tidal_drift * a("msk", 0, 0)
+        dv = dv * cfg.tidal_drift * a("msk", 0, 0)
         uo, ui = uo + du, ui + du
         vo, vi = vo + dv, vi + dv
 
-    # SSH gradient stencil + A-grid PCM scalars (icebergs.F90:4826-4884).
-    # All center-field reads go through one packed TRANSPOSED matrix with
-    # per-offset row gathers, memoized across the 8 ddx/ddy evaluations.
-    smat = jnp.stack([frc.ssh, grid.dx, grid.dy, grid.msk,
-                      frc.sst, frc.sss, frc.cn, frc.hi], axis=0)
-    # 5-wide j-blocks: ONE row gather per di covers all dj in [-2, 2]
-    # (edge padding reproduces jit's clamp-at-boundary indexing)
-    ny2 = smat.shape[2]
-    smat_pad = jnp.pad(smat, ((0, 0), (0, 0), (2, 2)), mode='edge')
-    smat5 = jnp.concatenate([smat_pad[:, :, k:k + ny2] for k in range(5)],
-                            axis=0)                      # (40, nx+2, ny+2)
-    _rows = {}
-
-    def at(di, dj):
-        if di not in _rows:
-            _rows[di] = smat5[:, I + di, J]              # (40, N)
-        return _rows[di][(dj + 2) * 8:(dj + 3) * 8]
-
+    # SSH gradient stencil + A-grid PCM scalars (icebergs.F90:4826-4884)
     def ddx(ii_off, jj_off):
-        """ddx_ssh at cell (i+ii_off, j+jj_off) via packed rows."""
         o = (ii_off, jj_off)
-        dxp = 0.5 * (at(o[0] + 1, o[1])[1] + at(o[0] + 1, o[1] - 1)[1])
-        dx0 = 0.5 * (at(o[0], o[1])[1] + at(o[0], o[1] - 1)[1])
-        return 2. * (at(o[0] + 1, o[1])[0] - at(o[0], o[1])[0]) \
-            / (dx0 + dxp) * at(o[0] + 1, o[1])[3] * at(o[0], o[1])[3]
+        dxp = 0.5 * (a("dx", o[0] + 1, o[1]) + a("dx", o[0] + 1, o[1] - 1))
+        dx0 = 0.5 * (a("dx", o[0], o[1]) + a("dx", o[0], o[1] - 1))
+        return 2. * (a("ssh", o[0] + 1, o[1]) - a("ssh", o[0], o[1])) \
+            / (dx0 + dxp) * a("msk", o[0] + 1, o[1]) * a("msk", o[0], o[1])
 
     def ddy(ii_off, jj_off):
         o = (ii_off, jj_off)
-        dyp = 0.5 * (at(o[0], o[1] + 1)[2] + at(o[0] - 1, o[1] + 1)[2])
-        dy0 = 0.5 * (at(o[0], o[1])[2] + at(o[0] - 1, o[1])[2])
-        return 2. * (at(o[0], o[1] + 1)[0] - at(o[0], o[1])[0]) \
-            / (dy0 + dyp) * at(o[0], o[1] + 1)[3] * at(o[0], o[1])[3]
+        dyp = 0.5 * (a("dy", o[0], o[1] + 1) + a("dy", o[0] - 1, o[1] + 1))
+        dy0 = 0.5 * (a("dy", o[0], o[1]) + a("dy", o[0] - 1, o[1]))
+        return 2. * (a("ssh", o[0], o[1] + 1) - a("ssh", o[0], o[1])) \
+            / (dy0 + dyp) * a("msk", o[0], o[1] + 1) * a("msk", o[0], o[1])
 
-    c00 = at(0, 0)
-    sst, sss, cn, hi = c00[4], c00[5], c00[6], c00[7]
+    sst, sss = a("sst", 0, 0), a("sss", 0, 0)
+    cn, hi = a("cn", 0, 0), a("hi", 0, 0)
 
     hxp = jnp.where(yj >= 0.5,
                     (yj - 0.5) * ddx(0, 1) + (1.5 - yj) * ddx(0, 0),
@@ -205,7 +244,7 @@ def interp_flds(grid: Grid, frc, cfg: IcebergsConfig, lon, lat, i, j, xi, yj,
             od = quad_interp_from_agrid(grid, grid.ocean_depth + frc.ssh,
                                         lon, lat, i, j, xi, yj, cfg)
     else:
-        od = grid.ocean_depth[I, J] + frc.ssh[I, J]
+        od = a("od", 0, 0) + a("ssh", 0, 0)
 
     return Env(uo=uo, vo=vo, ui=ui, vi=vi, ua=ua, va=va,
                ssh_x=ssh_x, ssh_y=ssh_y, sst=sst, sss=sss, cn=cn, hi=hi,
