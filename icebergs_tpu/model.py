@@ -388,22 +388,37 @@ def make_multi_step(grid: Grid, cfg: IcebergsConfig, n_inner: int,
     ``with_stats=True`` returns ``(state, max_contact_overflow,
     max_contact_fallback)`` accumulated over the scan (0 when the
     neighbor mode reports none) — the honesty counters for benchmarks.
+
+    The per-step COUPLER outputs (spread mass/area/ustar, melt and
+    calving-heat fluxes — what icebergs_run hands back to the ocean,
+    icebergs.F90:5652-5679) are accumulated into the carried state's
+    spread-mass slot of the returned diags... they are summed into an
+    accumulator field that is part of the carry and returned, so XLA
+    cannot dead-code the spreading/diagnostic subgraph the way a
+    state-only scan silently would (a state-only multi-step measured a
+    step WITHOUT the coupler fields — not the reference's step).
     """
     step = make_step(grid, cfg, jit=False, **kw)
 
     @jax.jit
     def multi(st: BergState, frc):
         zero = jnp.zeros((), jnp.int32)
+        acc0 = jnp.zeros((grid.nx + 2, grid.ny + 2), st.lon.dtype)
 
         def body(carry, _):
-            s, ov, fb = carry
+            s, ov, fb, acc = carry
             s, d = step(s, frc)
             if d.contact_overflow is not None:
                 ov = jnp.maximum(ov, d.contact_overflow)
             if d.contact_fallback is not None:
                 fb = jnp.maximum(fb, d.contact_fallback)
-            return (s, ov, fb), None
-        (st, ov, fb), _ = jax.lax.scan(body, (st, zero, zero), None,
-                                       length=n_inner)
-        return (st, ov, fb) if with_stats else st
+            for f in (d.spread_mass, d.spread_area, d.ustar_iceberg,
+                      d.mass_on_ocean, d.floating_melt, d.calving_hflx,
+                      d.u_iceberg, d.v_iceberg):
+                if f is not None:
+                    acc = acc + f
+            return (s, ov, fb, acc), None
+        (st, ov, fb, acc), _ = jax.lax.scan(
+            body, (st, zero, zero, acc0), None, length=n_inner)
+        return (st, ov, fb, acc) if with_stats else st
     return multi

@@ -218,7 +218,7 @@ def test_persistent_layout_matches_per_step_fused():
                                       neighbor_mode="fused", **kw)
     multi_per = model.make_persistent_multi_step(grid, cfg, 4,
                                                  with_stats=True, **kw)
-    st_ref, ov_r, fb_r = multi_ref(st, frc)
+    st_ref, ov_r, fb_r, _acc = multi_ref(st, frc)
     st_per, ov_p, fb_p = multi_per(st, frc)
     assert int(ov_r) == 0 and int(ov_p) == 0
     a, b = _state_by_id(st_ref), _state_by_id(st_per)

@@ -255,7 +255,11 @@ def main():
 
         def f(s):
             s2, d = step(s, frc)
-            return s2
+            # keep the coupler fields alive (a state-only consumer lets
+            # XLA dead-code the whole spreading/diagnostic subgraph)
+            acc = (d.spread_mass + d.spread_area + d.ustar_iceberg
+                   + d.mass_on_ocean + d.floating_melt + d.calving_hflx)
+            return s2.replace(lon=s2.lon + 1e-30 * acc[0, 0])
         return f
 
     f_step_fused = _full_step("fused", 16384)
