@@ -126,7 +126,12 @@ def _interp_table(grid: Grid, frc, need_od: bool):
         center(name, f, 0, 0)
     if need_od:
         center("od", grid.ocean_depth, 0, 0)
-    return jnp.stack(views, axis=-1), slots
+    # stack on axis 0 (each (nx, ny) view keeps its natural layout) and
+    # relayout once: jnp.stack(..., axis=-1) would materialize every
+    # view as an (nx, ny, 1) slice whose minor dim pads 1 -> 128 lanes
+    # (135 MB each, 28 copies in the AOT HLO census)
+    T0 = jnp.stack(views, axis=0)
+    return jnp.moveaxis(T0, 0, -1), slots
 
 
 def interp_flds(grid: Grid, frc, cfg: IcebergsConfig, lon, lat, i, j, xi, yj,
