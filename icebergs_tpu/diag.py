@@ -12,6 +12,7 @@ ordered list insertion (``parallel_reprod``).
 
 from __future__ import annotations
 
+from contextlib import contextmanager as _contextmanager
 from typing import NamedTuple
 
 import jax
@@ -187,3 +188,57 @@ def report_budget(tag: str, b0: Budgets, b1: Budgets, dt_total: float,
     print(f"KID-TPU budget | in-out={rhs:+.5e} kg  dM={dm:+.5e} kg  "
           f"err={err:+.3e} kg (rel {err / denom:+.3e})")
     return err
+
+
+class PhaseClocks:
+    """Per-phase wall-clock accumulator — the ``mpp_clock`` analog.
+
+    The reference registers one component clock plus sub-clocks for
+    momentum / thermodynamics / interface / calving / communication /
+    footloose / I-O / diagnostics (icebergs_framework.F90:896-908) and
+    FMS prints the summary at the end of the run.  Here each phase is a
+    context manager; :meth:`report` prints the same kind of table.
+
+    JAX dispatch is asynchronous, so a phase that launches device work
+    should pass ``sync=`` a value to block on (the phase then measures
+    device time, not dispatch time); host-only phases omit it.
+    """
+
+    def __init__(self):
+        self._tot = {}
+        self._max = {}
+        self._n = {}
+        self._t0 = {}
+
+    def begin(self, name: str):
+        import time
+        self._t0[name] = time.perf_counter()
+
+    def end(self, name: str, sync=None):
+        import time
+        if sync is not None:
+            jax.block_until_ready(sync)
+        dt = time.perf_counter() - self._t0.pop(name)
+        self._tot[name] = self._tot.get(name, 0.0) + dt
+        self._max[name] = max(self._max.get(name, 0.0), dt)
+        self._n[name] = self._n.get(name, 0) + 1
+        return dt
+
+    @_contextmanager
+    def __call__(self, name: str, sync_fn=None):
+        self.begin(name)
+        try:
+            yield
+        finally:
+            self.end(name, sync=sync_fn() if sync_fn is not None else None)
+
+    def report(self, tag: str = "clocks"):
+        """Print the end-of-run clock table (mpp_clock summary analog)."""
+        if not self._tot:
+            return
+        print(f"KID-TPU {tag} | {'phase':<24} | {'calls':>7} | "
+              f"{'total s':>10} | {'mean ms':>9} | {'max ms':>9}")
+        for name, tot in sorted(self._tot.items(), key=lambda kv: -kv[1]):
+            n = self._n[name]
+            print(f"KID-TPU {tag} | {name:<24} | {n:>7} | {tot:>10.3f} | "
+                  f"{1e3 * tot / n:>9.3f} | {1e3 * self._max[name]:>9.3f}")

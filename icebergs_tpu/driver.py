@@ -98,7 +98,8 @@ def build_grid_and_forcing(cfg, drv, dtype=None):
 def run(nml_path: str, input_dir: str = ".", output_dir: str = ".",
         capacity: int = 4096, verbose: bool = True,
         neighbor_window: str = "auto", mts_pair_cap: int = None,
-        dtype: str = "float32", substep_kernel: str = "auto"):
+        dtype: str = "float32", substep_kernel: str = "auto",
+        clocks: bool = False):
     """Main loop (driver/icebergs_driver.F90:339-444).
 
     ``dtype="float64"`` runs the whole model in double precision (the
@@ -266,7 +267,14 @@ def run(nml_path: str, input_dir: str = ".", output_dir: str = ".",
     t_wall = time.time()
     melt_total = 0.0
     melt_interval = 0.0
+    # mpp_clock analog (icebergs_framework.F90:896-908): per-phase wall
+    # clocks; the momentum+thermo phase blocks on the device so it
+    # measures device time, not dispatch time — only when asked for
+    # (--clocks), since the sync serializes the async pipeline
+    ck = diag.PhaseClocks() if clocks else None
     for n in range(nsteps):
+        if ck:
+            ck.begin("Icebergs-interface")
         if a68_data is not None:
             # hourly frame selection (driver:368-385): ns2 advances by
             # dt/3600 per step; half-hour steps blend the velocity fields
@@ -287,7 +295,13 @@ def run(nml_path: str, input_dir: str = ".", output_dir: str = ".",
                     vo=0.5 * (frc.vo + fnew.vo),
                     ssh=a68io.forcing_at_hour(
                         a68_data, start_ind + int(ns2) - 2).ssh)
+        if ck:
+            ck.end("Icebergs-interface")
+            ck.begin("Icebergs-step")
         st, diags = step(st, frc)
+        if ck:
+            ck.end("Icebergs-step", sync=st.lon)
+            ck.begin("Icebergs-diagnostics")
         if cfg.debug_iceberg_with_id > 0:
             # monitor_a_berg (icebergs_framework.F90:4245-4269)
             from .diagnostics import monitor_a_berg
@@ -304,11 +318,17 @@ def run(nml_path: str, input_dir: str = ".", output_dir: str = ".",
                    "stored_heat": calv.stored_heat,
                    "running_mean_calving": calv.rmean_calving,
                    "running_mean_calving_hflx": calv.rmean_calving_hflx}))
+        if ck:
+            ck.end("Icebergs-diagnostics")
         if (n + 1) % traj_every == 0 and not cfg.ignore_traj:
+            if ck:
+                ck.begin("Icebergs-traj record")
             day = (n + 1) * ibdt / 86400.0
             buf = tio.record_posn(buf, st, cfg, day=day, year=0)
             if cfg.save_bond_traj:
                 bond_buf = tio.record_bonds(bond_buf, st, cfg, day=day)
+            if ck:
+                ck.end("Icebergs-traj record")
         if verbose and (n + 1) % verbose_every == 0:
             b_now = diag.compute_budgets(st, calv)
             diag.report_budget(f"hr {((n + 1) * ibdt) / 3600.:.0f}",
@@ -330,6 +350,8 @@ def run(nml_path: str, input_dir: str = ".", output_dir: str = ".",
           f"{int(cs)} #={int(nb)}")
 
     os.makedirs(output_dir, exist_ok=True)
+    if ck:
+        ck.begin("Icebergs-I/O write")
     if drv.get("saverestart", False):
         rio.write_restart_bergs(os.path.join(output_dir, "icebergs.res.nc"),
                                 st, cfg)
@@ -346,6 +368,9 @@ def run(nml_path: str, input_dir: str = ".", output_dir: str = ".",
                                bond_buf, cfg)
     dmgr.flush(dstate, os.path.join(output_dir, "icebergs_history.nc"),
                time_value=nsteps * ibdt / 86400.)
+    if ck:
+        ck.end("Icebergs-I/O write")
+        ck.report()
     secs = time.time() - t_wall
     print(f"KID-TPU driver: {nsteps} steps in {secs:.1f}s "
           f"({nsteps / max(secs, 1e-9):.2f} steps/s)")
@@ -373,10 +398,14 @@ def main():
                    help="MTS fast-loop implementation: auto = the "
                         "VMEM-resident Pallas kernel on TPU when the "
                         "bond topology qualifies, lax.scan otherwise")
+    p.add_argument("--clocks", action="store_true",
+                   help="per-phase wall-clock table at the end of the "
+                        "run (mpp_clock analog; syncs the device each "
+                        "step, so expect a small slowdown)")
     a = p.parse_args()
     run(a.nml, a.input_dir, a.output_dir, a.capacity,
         neighbor_window=a.neighbor_window, mts_pair_cap=a.mts_pair_cap,
-        dtype=a.dtype, substep_kernel=a.substep_kernel)
+        dtype=a.dtype, substep_kernel=a.substep_kernel, clocks=a.clocks)
 
 
 if __name__ == "__main__":

@@ -57,3 +57,22 @@ def test_collect_step_fields_from_run_outputs():
     dm = DiagManager(grid, selected=tuple(fields))
     ds = dm.send_data(dm.init_state(), fields)
     assert int(ds.count) == 1
+
+
+def test_phase_clocks_table(capsys):
+    """PhaseClocks: the mpp_clock analog accumulates per-phase totals
+    and prints the end-of-run table (icebergs_framework.F90:896-908)."""
+    import jax.numpy as jnp
+    from icebergs_tpu.diag import PhaseClocks
+
+    ck = PhaseClocks()
+    for _ in range(3):
+        with ck("Icebergs-step", sync_fn=lambda: jnp.arange(4)):
+            pass
+    ck.begin("Icebergs-I/O write")
+    ck.end("Icebergs-I/O write")
+    ck.report()
+    out = capsys.readouterr().out
+    assert "Icebergs-step" in out and "Icebergs-I/O write" in out
+    lines = [ln for ln in out.splitlines() if "Icebergs-step" in ln]
+    assert "|       3 |" in lines[0]
