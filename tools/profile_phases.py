@@ -239,6 +239,66 @@ def main():
         s = _use_all(s, ia)
         return _use_all(s, ia_fn(s.uvel, s.vvel))
 
+    def _extract_parts(s, upto):
+        """fused3 attribution: the extraction chain cut at ``upto``:
+        'kernel' = sort + feature stack + Pallas extract, results
+        consumed in the SORTED frame (no inverse mapping);
+        'invmap' = + the ~19 origin-frame inverse-permutation gathers;
+        'pd'     = + precompute_pair_data_T (geometry, no eval)."""
+        from icebergs_tpu.ops.pallas_prepass import (
+            contact_extract_sorted, EX_CNT, EX_F1, EX_F2, PT_NF)
+        N = s.capacity
+        key = jnp.where(s.alive, s.jne * NX + s.ine, ncells)
+        idx = jnp.arange(N, dtype=jnp.int32)
+        A = s.length * s.width
+        R = _forces._interaction_radius(cfg, A)
+        alive_f = s.alive.astype(s.dtype)
+        feats = [s.lon_old, s.lat_old, s.uvel_old, s.vvel_old, s.fl_k,
+                 s.length, s.width, s.mass, R, alive_f,
+                 key.astype(s.dtype)]
+        _, _, _, order = jax.lax.sort(
+            (key, s.id_cnt, s.id_ij, idx), num_keys=3)
+        feats_s = [f[order] for f in feats]
+        _, inv = jax.lax.sort((order, idx), num_keys=1)
+        key_s = key[order]
+        starts = jnp.searchsorted(
+            key_s, jnp.arange(ncells + 1, dtype=key_s.dtype)).astype(
+            jnp.int32)
+        PT = jnp.stack(
+            feats_s + [jnp.zeros((N,), s.dtype)] * (PT_NF - len(feats)),
+            axis=0)
+        out, bad_block = contact_extract_sorted(
+            PT, key_s, starts, grid, cfg, block_n=128, window=288)
+        if upto == "kernel":
+            acc = out[EX_CNT] + out[EX_F1] + out[EX_F2]
+            return s.replace(uvel=s.uvel + 1e-30 * acc)
+        rows = [out[k][inv] for k in range(EX_F1, EX_F1 + 16)]
+        cnt_o = out[EX_CNT].astype(jnp.int32)[inv]
+        if upto == "invmap":
+            acc = cnt_o.astype(s.dtype)
+            for r in rows:
+                acc = acc + r
+            return s.replace(uvel=s.uvel + 1e-30 * acc)
+        normal_o = (cnt_o > 0) & (cnt_o <= 2)
+        m_n = jnp.stack([normal_o, normal_o & (cnt_o >= 2)], axis=0)
+        names = ("lon2", "lat2", "u2", "v2", "fl_k2", "L2g", "W2g", "M2g")
+        pf = {nm: jnp.stack([rows[k], rows[8 + k]], axis=0)
+              for k, nm in enumerate(names)}
+        pd = _forces.precompute_pair_data_T(
+            s, cfg, None, m_n, bonded=False, use_c_crit_dist=False,
+            partner_fields=pf)
+        acc = pd.IA_x + pd.IA_y + jnp.sum(pd.P11 + pd.P12 + pd.P22, 0)
+        return s.replace(uvel=s.uvel + 1e-30 * acc)
+
+    def f_ia3_kernel_only(s):
+        return _extract_parts(s, "kernel")
+
+    def f_ia3_invmap(s):
+        return _extract_parts(s, "invmap")
+
+    def f_ia3_pd(s):
+        return _extract_parts(s, "pd")
+
     def f_evolve_ia3_sortpay(s):
         from icebergs_tpu.ops.fused_contact import make_ia_fn_fused3
         ia_fn, stats = make_ia_fn_fused3(s, grid, cfg, block_n=256,
@@ -378,6 +438,9 @@ def main():
             ("evolve_with_ia3", f_evolve_ia3, st_i),
             ("evolve_with_ia3_sortpay", f_evolve_ia3_sortpay, st_i),
             ("ia3_full_2evals", f_ia3_full_2evals, st_i),
+            ("ia3_kernel_only", f_ia3_kernel_only, st_i),
+            ("ia3_invmap", f_ia3_invmap, st_i),
+            ("ia3_pd", f_ia3_pd, st_i),
             ("spread_gather", f_spread_gather, st_i),
             ("spread_scatter_t", f_spread_scatter_t, st_i),
             ("step_fused", f_step_fused, st_i),

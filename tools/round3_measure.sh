@@ -9,6 +9,7 @@ for p in \
     step_fused step_fused3 \
     evolve_with_fused_ia evolve_with_ia3 evolve_with_ia3_sortpay \
     ia_fused_full_2evals ia3_full_2evals \
+    ia3_kernel_only ia3_invmap ia3_pd \
     lexsort interp index_walk thermo_reprod \
     spread_reprod spread_gather spread_scatter_t \
     evolve_noia; do
