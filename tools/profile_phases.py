@@ -290,6 +290,15 @@ def main():
         acc = pd.IA_x + pd.IA_y + jnp.sum(pd.P11 + pd.P12 + pd.P22, 0)
         return s.replace(uvel=s.uvel + 1e-30 * acc)
 
+    def _evolve_ia3_cfg(bn, w):
+        def f(s):
+            from icebergs_tpu.ops.fused_contact import make_ia_fn_fused3
+            ia_fn, stats = make_ia_fn_fused3(s, grid, cfg, block_n=bn,
+                                             window=w, fallback_cap=4096)
+            out = dynamics.evolve_icebergs(s, grid, frc, cfg, ia_fn=ia_fn)
+            return out.state
+        return f
+
     def f_ia3_kernel_only(s):
         return _extract_parts(s, "kernel")
 
@@ -441,6 +450,9 @@ def main():
             ("ia3_kernel_only", f_ia3_kernel_only, st_i),
             ("ia3_invmap", f_ia3_invmap, st_i),
             ("ia3_pd", f_ia3_pd, st_i),
+            ("evolve_ia3_bn128_w160", _evolve_ia3_cfg(128, 160), st_i),
+            ("evolve_ia3_bn128_w288", _evolve_ia3_cfg(128, 288), st_i),
+            ("evolve_ia3_bn256_w512", _evolve_ia3_cfg(256, 512), st_i),
             ("spread_gather", f_spread_gather, st_i),
             ("spread_scatter_t", f_spread_scatter_t, st_i),
             ("step_fused", f_step_fused, st_i),

@@ -10,6 +10,7 @@ for p in \
     evolve_with_fused_ia evolve_with_ia3 evolve_with_ia3_sortpay \
     ia_fused_full_2evals ia3_full_2evals \
     ia3_kernel_only ia3_invmap ia3_pd \
+    evolve_ia3_bn128_w160 evolve_ia3_bn128_w288 evolve_ia3_bn256_w512 \
     lexsort interp index_walk thermo_reprod \
     spread_reprod spread_gather spread_scatter_t \
     evolve_noia; do
