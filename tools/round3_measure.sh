@@ -18,4 +18,6 @@ for p in \
     | grep -v WARNING | tail -1 >> "$LOG"
   echo "--- $p done $(date -u +%T)" >> /tmp/round3_progress.log
 done
+echo "--- bench.py $(date -u +%T)" >> /tmp/round3_progress.log
+timeout 3500 python bench.py >> "$LOG" 2>/dev/null
 echo "=== sweep complete ===" >> "$LOG"
