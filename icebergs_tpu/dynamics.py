@@ -127,30 +127,14 @@ def _msk25_table(msk):
     return m25
 
 
-def adjust_index_and_ground(grid: Grid, cfg: IcebergsConfig, lon, lat, i, j):
-    """Re-localize bergs after motion, bouncing off land cells.
-
-    Port of ``adjust_index_and_ground`` (icebergs.F90:7819-8100), regular
-    grid path: walk at most 4 cells from the old cell toward the new
-    position; where the walk would enter a land cell, clamp the position
-    just inside the current cell (posn_eps pushback).  On
-    ``grid_is_regular=False`` dispatches to the curvilinear quad walk.
-
-    The 4-iteration walk needs only TWO mask gathers: a 5x5 packed-bit
-    table (:func:`_msk25_table`, constant-folded for a static grid)
-    anchored at the start cell covers iterations 1-2 (offsets stay
-    within +-2), then one re-anchor at the updated cell covers 3-4.
-
-    Returns (lon, lat, i, j, xi, yj, bounced).
-    """
-    if not cfg.grid_is_regular:
-        return adjust_index_and_ground_curvilinear(grid, cfg, lon, lat,
-                                                   i, j)
+def _walk4(grid: Grid, cfg: IcebergsConfig, lon, lat, i, j, fx, fy,
+           m25_tab):
+    """The 4-iteration masked land-bounce walk — the bitwise core of
+    :func:`adjust_index_and_ground` (icebergs.F90:7941-8057) — on
+    whatever row set it is given.  Returns
+    ``(lon, lat, i, j, fx, fy, bounced)``."""
     dtype = lon.dtype
     bounced = jnp.zeros(lon.shape, bool)
-
-    fx, fy = _frac_coords(grid, cfg, lon, lat)
-    m25_tab = _msk25_table(grid.msk)
 
     m25 = m25_tab[i + 3, j + 3]
     oi = jnp.zeros_like(i)               # current offset from the anchor
@@ -206,6 +190,96 @@ def adjust_index_and_ground(grid: Grid, cfg: IcebergsConfig, lon, lat, i, j):
         lat = jnp.where(newly_bounced, blat, lat)
         fx = jnp.where(newly_bounced, i.astype(dtype) + xi_c, fx)
         fy = jnp.where(newly_bounced, j.astype(dtype) + yj_c, fy)
+
+    return lon, lat, i, j, fx, fy, bounced
+
+
+# walk compaction: rows already inside their cell never change during the
+# walk (steps/bounces fire only on ~in_cell rows), so at production scale
+# the 4-iteration walk runs on the compacted ~9% of movers only and folds
+# back through a rank table; a lax.cond falls back to the dense walk if
+# the movers overflow the static cap (exactness guard)
+WALK_COMPACT_MIN_N = 131072
+WALK_COMPACT_FRAC = 8        # cap = N // FRAC
+WALK_COMPACT_CAP_FLOOR = 4096
+
+
+def _walk4_compact(grid: Grid, cfg: IcebergsConfig, lon, lat, i, j,
+                   fx, fy, m25_tab):
+    """Mover-compacted :func:`_walk4`: bitwise identical outputs."""
+    import jax
+    N = lon.shape[0]
+    cap = max(WALK_COMPACT_CAP_FLOOR, N // WALK_COMPACT_FRAC)
+    dtype = lon.dtype
+
+    xi = fx - i.astype(dtype)
+    yj = fy - j.astype(dtype)
+    mover = ~((xi >= 0.) & (xi < 1.) & (yj >= 0.) & (yj < 1.))
+    rank = jnp.cumsum(mover.astype(jnp.int32)) - 1
+    n_mov = jnp.sum(mover.astype(jnp.int32))
+
+    def dense(args):
+        return _walk4(grid, cfg, *args, m25_tab)
+
+    def compact(args):
+        lon, lat, i, j, fx, fy = args
+        granted = mover & (rank < cap)
+        sel = jnp.zeros((cap,), jnp.int32).at[
+            jnp.where(granted, rank, cap)].set(
+            jnp.arange(N, dtype=jnp.int32), mode='drop')
+        sub = _walk4(grid, cfg, lon[sel], lat[sel], i[sel], j[sel],
+                     fx[sel], fy[sel], m25_tab)
+        code = jnp.minimum(jnp.where(granted, rank, cap), cap)
+
+        def fold(orig, s):
+            tab = jnp.concatenate([s, jnp.zeros((1,), s.dtype)])
+            return jnp.where(granted, tab[code], orig)
+
+        lon2 = fold(lon, sub[0])
+        lat2 = fold(lat, sub[1])
+        i2 = fold(i, sub[2])
+        j2 = fold(j, sub[3])
+        fx2 = fold(fx, sub[4])
+        fy2 = fold(fy, sub[5])
+        bounced = fold(jnp.zeros(N, bool), sub[6])
+        return lon2, lat2, i2, j2, fx2, fy2, bounced
+
+    return jax.lax.cond(n_mov <= cap, compact, dense,
+                        (lon, lat, i, j, fx, fy))
+
+
+def adjust_index_and_ground(grid: Grid, cfg: IcebergsConfig, lon, lat, i, j):
+    """Re-localize bergs after motion, bouncing off land cells.
+
+    Port of ``adjust_index_and_ground`` (icebergs.F90:7819-8100), regular
+    grid path: walk at most 4 cells from the old cell toward the new
+    position; where the walk would enter a land cell, clamp the position
+    just inside the current cell (posn_eps pushback).  On
+    ``grid_is_regular=False`` dispatches to the curvilinear quad walk.
+
+    The 4-iteration walk needs only TWO mask gathers: a 5x5 packed-bit
+    table (:func:`_msk25_table`, constant-folded for a static grid)
+    anchored at the start cell covers iterations 1-2 (offsets stay
+    within +-2), then one re-anchor at the updated cell covers 3-4.
+    At ``N >= WALK_COMPACT_MIN_N`` the walk runs on the compacted
+    movers only (bitwise identical; dense fallback on cap overflow).
+
+    Returns (lon, lat, i, j, xi, yj, bounced).
+    """
+    if not cfg.grid_is_regular:
+        return adjust_index_and_ground_curvilinear(grid, cfg, lon, lat,
+                                                   i, j)
+    dtype = lon.dtype
+
+    fx, fy = _frac_coords(grid, cfg, lon, lat)
+    m25_tab = _msk25_table(grid.msk)
+
+    if lon.ndim == 1 and lon.shape[0] >= WALK_COMPACT_MIN_N:
+        lon, lat, i, j, fx, fy, bounced = _walk4_compact(
+            grid, cfg, lon, lat, i, j, fx, fy, m25_tab)
+    else:
+        lon, lat, i, j, fx, fy, bounced = _walk4(
+            grid, cfg, lon, lat, i, j, fx, fy, m25_tab)
 
     # final safety clamp (icebergs.F90:8058-8066)
     xi = fx - i.astype(dtype)

@@ -262,3 +262,51 @@ def test_grow_capacity_preserves_state_and_bonds():
                                   np.asarray(s2.lon)[:2])
     np.testing.assert_array_equal(np.asarray(s1.uvel)[:2],
                                   np.asarray(s2.uvel)[:2])
+
+
+def test_walk_compact_matches_dense(monkeypatch):
+    """Mover-compacted adjust_index_and_ground == dense walk bitwise,
+    including land bounces, and the cap-overflow lax.cond falls back to
+    the dense path (same results)."""
+    from icebergs_tpu import dynamics
+
+    nx = ny = 24
+    dxy = 1000.0
+    cfg = ibt.IcebergsConfig(grid_is_latlon=False, Lx=-1.0)
+    grid = ibt.make_uniform_grid(nx, ny, 0., 0., dxy, dxy,
+                                 grid_is_latlon=False)
+    # land strip so some movers bounce
+    msk = np.asarray(grid.msk).copy()
+    msk[10:13, :] = 0.
+    grid = grid.replace(msk=jnp.asarray(msk))
+
+    rng = np.random.RandomState(3)
+    N = 4096
+    lon0 = rng.uniform(1.5 * dxy, (nx - 1.5) * dxy, N)
+    lat0 = rng.uniform(1.5 * dxy, (ny - 1.5) * dxy, N)
+    i0 = np.clip((lon0 // dxy).astype(np.int32), 0, nx - 1)
+    j0 = np.clip((lat0 // dxy).astype(np.int32), 0, ny - 1)
+    # move ~30% of bergs 1-3 cells (some into the land strip)
+    mv = rng.rand(N) < 0.3
+    lon = lon0 + np.where(mv, rng.uniform(-3., 3., N) * dxy, 0.)
+    lat = lat0 + np.where(mv, rng.uniform(-3., 3., N) * dxy, 0.)
+    lon = np.clip(lon, 0.6 * dxy, (nx - 0.6) * dxy)
+    lat = np.clip(lat, 0.6 * dxy, (ny - 0.6) * dxy)
+    args = (jnp.asarray(lon, jnp.float32), jnp.asarray(lat, jnp.float32),
+            jnp.asarray(i0), jnp.asarray(j0))
+
+    dense = dynamics.adjust_index_and_ground(grid, cfg, *args)
+
+    monkeypatch.setattr(dynamics, "WALK_COMPACT_MIN_N", 64)
+    comp = dynamics.adjust_index_and_ground(grid, cfg, *args)
+    assert int(jnp.sum(comp[6])) > 0        # some bounces exercised
+    for a, b in zip(dense, comp):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # overflow: cap forced below the mover count -> the lax.cond takes
+    # the dense-fallback branch; results unchanged
+    monkeypatch.setattr(dynamics, "WALK_COMPACT_CAP_FLOOR", 8)
+    monkeypatch.setattr(dynamics, "WALK_COMPACT_FRAC", N)
+    over = dynamics.adjust_index_and_ground(grid, cfg, *args)
+    for a, b in zip(dense, over):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -110,6 +110,18 @@ def main():
             grid, cfg, s.lon, s.lat, s.ine, s.jne)
         return s.replace(lon=s.lon + 1e-12 * xi2)
 
+    def f_walk_dense(s):
+        # force the pre-compaction dense walk for A/B
+        orig = dynamics.WALK_COMPACT_MIN_N
+        dynamics.WALK_COMPACT_MIN_N = 1 << 60
+        try:
+            lon2, lat2, i2, j2, xi2, yj2, b = \
+                dynamics.adjust_index_and_ground(grid, cfg, s.lon, s.lat,
+                                                 s.ine, s.jne)
+        finally:
+            dynamics.WALK_COMPACT_MIN_N = orig
+        return s.replace(lon=s.lon + 1e-12 * xi2)
+
     def f_sort(s):
         ss, starts = sort_state_by_cell(s, grid)
         return ss
@@ -462,6 +474,7 @@ def main():
             ("evolve_noia", f_evolve, st_i),
             ("interp", f_interp, st),
             ("index_walk", f_walk, st_i),
+            ("index_walk_dense", f_walk_dense, st_i),
             ("thermo_reprod", f_thermo, st_i),
             ("thermo_plain", f_thermo_noreprod, st_i),
             ("spread_reprod", f_spread, st_i),

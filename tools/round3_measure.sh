@@ -11,7 +11,7 @@ for p in \
     ia_fused_full_2evals ia3_full_2evals \
     ia3_kernel_only ia3_invmap ia3_pd \
     evolve_ia3_bn128_w160 evolve_ia3_bn128_w288 evolve_ia3_bn256_w512 \
-    lexsort interp index_walk thermo_reprod \
+    lexsort interp index_walk index_walk_dense thermo_reprod \
     spread_reprod spread_gather spread_scatter_t \
     evolve_noia; do
   timeout 580 python tools/profile_phases.py "$p" 2>&1 \
