@@ -200,7 +200,10 @@ def _walk4(grid: Grid, cfg: IcebergsConfig, lon, lat, i, j, fx, fy,
 # back through a rank table; a lax.cond falls back to the dense walk if
 # the movers overflow the static cap (exactness guard)
 WALK_COMPACT_MIN_N = 131072
-WALK_COMPACT_FRAC = 8        # cap = N // FRAC
+# cap = N // FRAC.  At dt=600 s and ~0.3 m/s drift on 2 km cells the
+# mover fraction is ~12%; N/4 leaves ample headroom before the dense
+# fallback fires (the fallback stays exact either way)
+WALK_COMPACT_FRAC = 4
 WALK_COMPACT_CAP_FLOOR = 4096
 
 
