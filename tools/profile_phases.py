@@ -57,7 +57,17 @@ def scan_timeit(fn, arg, reps=2):
 
 
 def main():
+    import os
     import jax
+    # persistent compile cache (same dir as bench.py): repeat sweeps of
+    # the same probe skip the multi-minute tunneled TPU compile
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     import icebergs_tpu as ibt
     from icebergs_tpu.grid import pos_to_cell
