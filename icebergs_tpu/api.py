@@ -139,7 +139,9 @@ def prepare_forcing(grid: Grid, cfg: IcebergsConfig, frc: Forcing,
 def run_coupling_sequence(cfg: IcebergsConfig, grid: Grid, state: ModelState,
                           frc: Forcing, calving, calving_hflx, *,
                           nbr_radius: int, max_per_cell: int = 16,
-                          neighbor_mode: str = "buckets"):
+                          neighbor_mode: str = "buckets",
+                          fused_interpret: bool = False,
+                          fused_kw: dict = None):
     """The full icebergs_run coupling sequence (icebergs.F90:5389-5679) as
     a pure function over (grid, cfg): calving buckets -> spawn -> interp ->
     evolve -> footloose -> thermo -> spread -> coupler returns.
@@ -182,7 +184,20 @@ def run_coupling_sequence(cfg: IcebergsConfig, grid: Grid, state: ModelState,
         ia_fn = None
         nbr = None
         if cfg.interactive_icebergs_on:
-            if neighbor_mode == "sorted":
+            if neighbor_mode in ("fused", "fused3"):
+                # production Pallas search (sortless, cap-free normal
+                # group).  Layout-invariant like the sorted path: the
+                # <=2-partner sums are commutative and fallback strips
+                # enumerate each 3x3 neighborhood in (cell, id) order
+                # (tests/test_parallel.py fused3 cross-layout test)
+                from .ops.fused_contact import (make_ia_fn_fused2,
+                                                make_ia_fn_fused3)
+                mk = (make_ia_fn_fused3 if neighbor_mode == "fused3"
+                      else make_ia_fn_fused2)
+                ia_fn, _fstats = mk(st, grid, cfg,
+                                    interpret=fused_interpret,
+                                    **(fused_kw or {}))
+            elif neighbor_mode == "sorted":
                 # cell+id sorted slab: layout-invariant pair sums
                 from .ops.sorted import (sort_state_by_cell,
                                          strip_neighbor_tables)
@@ -193,7 +208,8 @@ def run_coupling_sequence(cfg: IcebergsConfig, grid: Grid, state: ModelState,
                 nbr = _forces.build_neighbor_tables(
                     st, grid, cfg, ncells_radius=nbr_radius,
                     max_per_cell=max_per_cell)
-            ia_fn = _forces.make_ia_fn(st, nbr, cfg)
+            if ia_fn is None:
+                ia_fn = _forces.make_ia_fn(st, nbr, cfg)
         out = evolve_icebergs(st, grid, frc, cfg, ia_fn=ia_fn)
         st = out.state
 
@@ -206,7 +222,10 @@ def run_coupling_sequence(cfg: IcebergsConfig, grid: Grid, state: ModelState,
             current_yearday=state.current_yearday)
         st, _ = delete_fully_fl_calved(st)
         if cfg.interactive_icebergs_on:
-            if neighbor_mode == "sorted":
+            if neighbor_mode in ("sorted", "fused", "fused3"):
+                # fused modes reuse the sorted strip tables here: the
+                # interactivity walk needs a candidate TABLE, and the
+                # sorted strips are layout-invariant
                 from .ops.sorted import (sort_state_by_cell,
                                          strip_neighbor_tables)
                 st, cs2 = sort_state_by_cell(st, grid)
@@ -271,10 +290,15 @@ class IcebergsModel:
     """icebergs_init equivalent: bind grid + config, build the jitted run."""
 
     def __init__(self, grid: Grid, cfg: IcebergsConfig, *,
-                 max_per_cell: int = 16, jit: bool = True):
+                 max_per_cell: int = 16, jit: bool = True,
+                 neighbor_mode: str = "buckets",
+                 fused_interpret: bool = False, fused_kw: dict = None):
         self.grid = grid
         self.cfg = cfg
         self.max_per_cell = max_per_cell
+        self.neighbor_mode = neighbor_mode
+        self.fused_interpret = fused_interpret
+        self.fused_kw = fused_kw
         self._nbr_radius = _forces.neighbor_radius(grid, cfg)
         self._run = jax.jit(self._run_impl) if jit else self._run_impl
 
@@ -306,7 +330,9 @@ class IcebergsModel:
                   calving_hflx):
         return run_coupling_sequence(
             self.cfg, self.grid, state, frc, calving, calving_hflx,
-            nbr_radius=self._nbr_radius, max_per_cell=self.max_per_cell)
+            nbr_radius=self._nbr_radius, max_per_cell=self.max_per_cell,
+            neighbor_mode=self.neighbor_mode,
+            fused_interpret=self.fused_interpret, fused_kw=self.fused_kw)
 
     # -- coupler queries -----------------------------------------------------
 

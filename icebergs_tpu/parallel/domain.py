@@ -954,7 +954,8 @@ def init_sharded_model_state(world: ShardedWorld, st_s, *, seed: int = 0,
 
 
 def make_sharded_run(world: ShardedWorld, *, neighbor_mode: str = "buckets",
-                     max_per_cell: int = 16, exchange_width: int = 64):
+                     max_per_cell: int = 16, exchange_width: int = 64,
+                     fused_interpret: bool = False, fused_kw: dict = None):
     """Jitted multi-device FULL coupling step: the entire icebergs_run
     sequence (calving spawn + footloose + thermo + spread,
     icebergs.F90:5389-5679) per tile, then particle exchange.
@@ -982,7 +983,8 @@ def make_sharded_run(world: ShardedWorld, *, neighbor_mode: str = "buckets",
         state2, outputs = run_coupling_sequence(
             cfg, grid, mstate, frc, calving, calving_hflx,
             nbr_radius=neighbor_radius(grid, cfg),
-            max_per_cell=max_per_cell, neighbor_mode=neighbor_mode)
+            max_per_cell=max_per_cell, neighbor_mode=neighbor_mode,
+            fused_interpret=fused_interpret, fused_kw=fused_kw)
 
         st, overflow = exchange_particles(state2.bergs, grid, cfg, nxl, H,
                                           exchange_width)
@@ -1015,6 +1017,8 @@ def make_sharded_run(world: ShardedWorld, *, neighbor_mode: str = "buckets",
                 spread_uvel=gridded, spread_vvel=gridded,
                 ustar_iceberg=gridded, mass_on_ocean=gridded,
                 nbergs=rep, budgets=rep), rep, P(AXIS)),
+            # pallas_call (fused contact modes) lacks vma metadata
+            check_vma=False,
         )
         return fn(world.grids, mstate, frc, calving, calving_hflx)
 
@@ -1286,6 +1290,9 @@ def make_sharded_step(world: ShardedWorld, *, with_thermo=True,
             local_fn, mesh=mesh,
             in_specs=(P(AXIS), P(AXIS), P(AXIS)),
             out_specs=(P(AXIS), P(), P(), P(AXIS)),
+            # pallas_call (the fused contact search) does not annotate
+            # varying-mesh-axes metadata yet; skip the vma type check
+            check_vma=False,
         )
         return fn(grids, st, frc)
 

@@ -324,3 +324,75 @@ def test_multihost_scaffolding_single_process():
     step = dd.make_sharded_step(world, with_thermo=False)
     st_s, nbergs, total_mass, overflow = step(st_s, frc_s)
     assert int(np.asarray(nbergs)) == int(st.count())
+
+
+def test_chksum_invariant_interactive_fused3():
+    """Cross-layout bitwise reproducibility through the FUSED production
+    contact path (Pallas extraction search, interpret mode on CPU).
+
+    Layout invariance holds by construction: the <=2-partner normal
+    group's two-term sums are commutative, and the fallback strips
+    enumerate each berg's 3x3-cell candidates in (cell, id) order —
+    identical content on any decomposition because the halo ring
+    replicates the full neighborhood."""
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    from icebergs_tpu import diag
+    cfg = ibt.IcebergsConfig(grid_is_latlon=False, Lx=-1.0, use_f_plane=True,
+                             lat_ref=30.0, dt=60.0, Runge_not_Verlet=False,
+                             halo=2, interactive_icebergs_on=True)
+    grid = ibt.make_uniform_grid(NX, NY, 0., 0., DXY, DXY,
+                                 grid_is_latlon=False)
+    frc = ibt.uniform_forcing(NX, NY, uo=0.4, sst=2.0)
+
+    # colliding pairs straddling the tile boundaries + a >=3-contact
+    # interior cluster (exercises the exact fallback group)
+    bx = [8 * DXY, 16 * DXY, 24 * DXY]
+    lon, lat = [], []
+    for k, x in enumerate(bx):
+        lon += [x - 10.0, x + 30.0]
+        lat += [4 * DXY + 120.0 * k, 4 * DXY + 120.0 * k]
+    lon += [5 * DXY, 5 * DXY + 35.0, 5 * DXY + 17.0, 5 * DXY + 17.0]
+    lat += [3 * DXY, 3 * DXY, 3 * DXY + 30.0, 3 * DXY - 30.0]
+    st = ibt.create_bergs(64, lon=lon, lat=lat, mass=1e8, thickness=20.,
+                          width=50., length=60., mass_scaling=1.0)
+    i, j, xi, yj = pos_to_cell(grid, st.lon, st.lat, -1.0)
+    st = st.replace(ine=i, jne=j, xi=xi, yj=yj)
+
+    kw = dict(neighbor_mode="fused3", fused_interpret=True,
+              fused_window=512, fused_fallback_strip_width=140)
+
+    import icebergs_tpu.model as model
+    step1 = model.make_step(grid, cfg, with_thermo=True, **kw)
+    s1 = st
+    for _ in range(12):
+        s1, _ = step1(s1, frc)
+    cs1, n1 = jax.jit(diag.berg_chksum)(s1)
+
+    mesh = make_mesh(4)
+    world = dd.make_sharded_world(cfg, mesh, nx=NX, ny=NY, lon0=0., lat0=0.,
+                                  dlon=DXY, dlat=DXY)
+    frc_s = dd.shard_forcing(world, frc)
+    st_s = dd.shard_state(world, st, local_capacity=32)
+    st_s = jax.jit(jax.shard_map(
+        lambda g, s: jax.tree.map(
+            lambda x: x[None],
+            dd.relocalize(jax.tree.map(lambda x: x[0], s),
+                          jax.tree.map(lambda x: x[0], g), cfg)),
+        mesh=mesh, in_specs=(P(dd.AXIS), P(dd.AXIS)),
+        out_specs=P(dd.AXIS)))(world.grids, st_s)
+    st_s, _ = dd.make_halo_fill(world)(st_s)
+    step4 = dd.make_sharded_step(world, with_thermo=True, **kw)
+    for _ in range(12):
+        st_s, *_ = step4(st_s, frc_s)
+
+    import dataclasses
+    flat = {}
+    for f in dataclasses.fields(st):
+        a = np.asarray(jax.device_get(getattr(st_s, f.name)))
+        flat[f.name] = jnp.asarray(a.reshape((-1,) + a.shape[2:]))
+    from icebergs_tpu.state import BergState
+    merged = BergState(**flat)
+    cs4, n4 = jax.jit(diag.berg_chksum)(merged)
+    assert int(n1) == int(n4)
+    assert int(cs1) == int(cs4), (int(cs1), int(cs4))

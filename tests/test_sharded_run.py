@@ -156,3 +156,73 @@ def test_sharded_run_footloose_matches_single():
     np.testing.assert_array_equal(got["id_cnt"], ref["id_cnt"])
     for f in ("lon", "lat", "mass", "fl_k"):
         np.testing.assert_allclose(got[f], ref[f], rtol=2e-6, err_msg=f)
+
+
+def test_sharded_run_fused3_interactive_matches_single():
+    """The FULL coupling sequence with the fused3 production contact
+    path on 4 devices == the single-device IcebergsModel(fused3) run
+    BITWISE (state chksum), with colliding pairs straddling tile
+    boundaries and a >=3-contact cluster driving the fallback group."""
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    from icebergs_tpu import diag
+
+    cfg = ibt.IcebergsConfig(
+        grid_is_latlon=False, Lx=-1.0, use_f_plane=True, lat_ref=30.0,
+        dt=60.0, Runge_not_Verlet=False, halo=2,
+        interactive_icebergs_on=True)
+    grid = ibt.make_uniform_grid(NX, NY, 0., 0., DXY, DXY,
+                                 grid_is_latlon=False)
+    frc = ibt.uniform_forcing(NX, NY, uo=0.4, sst=2.0)
+
+    bx = [8 * DXY, 16 * DXY, 24 * DXY]
+    lon, lat = [], []
+    for k, x in enumerate(bx):
+        lon += [x - 10.0, x + 30.0]
+        lat += [4 * DXY + 120.0 * k, 4 * DXY + 120.0 * k]
+    lon += [5 * DXY, 5 * DXY + 35.0, 5 * DXY + 17.0, 5 * DXY + 17.0]
+    lat += [3 * DXY, 3 * DXY, 3 * DXY + 30.0, 3 * DXY - 30.0]
+    st = ibt.create_bergs(64, lon=lon, lat=lat, mass=1e8, thickness=20.,
+                          width=50., length=60., mass_scaling=1.0)
+    i, j, xi, yj = pos_to_cell(grid, st.lon, st.lat, -1.0)
+    st = st.replace(ine=i, jne=j, xi=xi, yj=yj)
+
+    fk = dict(window=512, fallback_strip_width=140)
+    nsteps = 10
+
+    model = IcebergsModel(grid, cfg, neighbor_mode="fused3",
+                          fused_interpret=True, fused_kw=fk)
+    s1 = model.init_state(st, seed=7)
+    for _ in range(nsteps):
+        s1, out1 = model.run(s1, frc)
+    ref = single_sorted(s1.bergs)
+
+    mesh = make_mesh(4)
+    world = dd.make_sharded_world(cfg, mesh, nx=NX, ny=NY, lon0=0.,
+                                  lat0=0., dlon=DXY, dlat=DXY)
+    frc_s = dd.shard_forcing(world, frc)
+    st_s = dd.shard_state(world, st, local_capacity=32)
+    st_s = jax.jit(jax.shard_map(
+        lambda g, s: jax.tree.map(
+            lambda x: x[None],
+            dd.relocalize(jax.tree.map(lambda x: x[0], s),
+                          jax.tree.map(lambda x: x[0], g), cfg)),
+        mesh=mesh, in_specs=(P(dd.AXIS), P(dd.AXIS)),
+        out_specs=P(dd.AXIS)))(world.grids, st_s)
+    st_s, _ = dd.make_halo_fill(world)(st_s)
+    ms = dd.init_sharded_model_state(world, st_s, seed=7)
+    calv = dd.shard_calving_field(
+        world, jnp.zeros((NX + 2, NY + 2), jnp.float32))
+    run = dd.make_sharded_run(world, neighbor_mode="fused3",
+                              fused_interpret=True, fused_kw=fk)
+    for _ in range(nsteps):
+        ms, out4, nbergs, overflow = run(ms, frc_s, calv, calv)
+        assert int(np.max(np.asarray(overflow))) == 0
+    got = merged_owned(ms.bergs)
+
+    assert got["lon"].shape[0] == ref["lon"].shape[0]
+    for f in ("id_cnt", "id_ij", "lon", "lat", "uvel", "vvel", "mass"):
+        np.testing.assert_array_equal(got[f], ref[f], err_msg=f)
+    np.testing.assert_allclose(
+        float(jax.device_get(out4.budgets.mass)),
+        float(jax.device_get(out1.budgets.mass)), rtol=1e-6)
