@@ -837,6 +837,8 @@ def make_sharded_step_2d(world: ShardedWorld2D, *, with_thermo=True,
             local_fn, mesh=mesh,
             in_specs=(P(AXIS, AXIS_Y), P(AXIS, AXIS_Y), P(AXIS, AXIS_Y)),
             out_specs=(P(AXIS, AXIS_Y), P(), P(), P(AXIS, AXIS_Y)),
+            # pallas_call (fused contact modes) lacks vma metadata
+            check_vma=False,
         )
         return fn(world.grids, st, frc)
 
@@ -1243,6 +1245,34 @@ def make_halo_fill(world: ShardedWorld, exchange_width: int = 64):
     def halo_fill(st):
         fn = jax.shard_map(local_fn, mesh=mesh, in_specs=(P(AXIS), P(AXIS)),
                            out_specs=(P(AXIS), P(AXIS)))
+        return fn(world.grids, st)
+
+    return halo_fill
+
+
+def make_halo_fill_2d(world: ShardedWorld2D, exchange_width: int = 64):
+    """2-D mesh twin of :func:`make_halo_fill` (x pass then y pass)."""
+    cfg = world.cfg
+    nxl, nyl, H = world.nxl, world.nyl, world.halo
+    mesh = world.mesh
+
+    def local_fn(grids, st):
+        grid = jax.tree.map(lambda x: x[0, 0], grids)
+        st = jax.tree.map(lambda x: x[0, 0], st)
+        fold = ((world.fold_lon_sum, world.fold_lat_sum)
+                if world.folded_north else None)
+        st, overflow = exchange_particles(st, grid, cfg, nxl, H,
+                                          exchange_width, nyl=nyl,
+                                          y_axis=AXIS_Y, fold_north=fold)
+        return (jax.tree.map(lambda x: x[None, None], st),
+                overflow[None, None])
+
+    @functools.partial(jax.jit)
+    def halo_fill(st):
+        fn = jax.shard_map(
+            local_fn, mesh=mesh,
+            in_specs=(P(AXIS, AXIS_Y), P(AXIS, AXIS_Y)),
+            out_specs=(P(AXIS, AXIS_Y), P(AXIS, AXIS_Y)))
         return fn(world.grids, st)
 
     return halo_fill
