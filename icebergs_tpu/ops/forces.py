@@ -384,25 +384,31 @@ def precompute_pair_data_T(st, cfg: IcebergsConfig, other_T, mask_T, *,
     values in the same slot order (for the M=2 fused normal group the
     sum is a single x1+x2 either way).
 
-    ``partner_fields`` (dict of (M, N) arrays: lon2, lat2, u2, v2,
-    fl_k2, L2g, W2g, M2g) skips the gathers entirely — the extraction
-    kernel supplies partner features directly.  Thickness is then
-    unavailable, so ``constant_interaction_LW`` configs (which need it)
-    must use the gather path.
+    ``partner_fields`` (dict of (M, N) arrays: lon2, lat2, u2, v2 and
+    either A2g+M2g — the extraction-kernel form; fl_k masking already
+    happened in the kernel's engagement test — or fl_k2+L2g+W2g+M2g)
+    skips the gathers entirely.  Thickness is then unavailable, so
+    ``constant_interaction_LW`` configs (which need it) must use the
+    gather path.
     """
     if partner_st is None:
         partner_st = st
 
+    A2pf = None
     if partner_fields is not None:
         assert not (cfg.constant_interaction_LW and cfg.mts and bonded)
         lon2 = partner_fields["lon2"]
         lat2 = partner_fields["lat2"]
         u2 = partner_fields["u2"]
         v2 = partner_fields["v2"]
-        fl_k2 = partner_fields["fl_k2"]
+        fl_k2 = partner_fields.get("fl_k2")
         T2g = None
-        L2g = partner_fields["L2g"]
-        W2g = partner_fields["W2g"]
+        A2pf = partner_fields.get("A2g")
+        if A2pf is None:
+            L2g = partner_fields["L2g"]
+            W2g = partner_fields["W2g"]
+        else:
+            L2g = W2g = None
         M2g = partner_fields["M2g"]
     else:
         lon2 = partner_st.lon_old[other_T]
@@ -419,8 +425,13 @@ def precompute_pair_data_T(st, cfg: IcebergsConfig, other_T, mask_T, *,
     lat1 = st.lat_old[None, :]
 
     # footloose children in the -1 state interact with nothing
-    # (icebergs.F90:514, 652)
-    mask = mask_T & (st.fl_k[None, :] != -1.) & (fl_k2 != -1.)
+    # (icebergs.F90:514, 652).  fl_k2 is None only on the extraction-
+    # kernel path, whose engagement test already excluded fl_k == -1 on
+    # BOTH sides (cnt is 0 for a fl_k == -1 primary).
+    if fl_k2 is not None:
+        mask = mask_T & (st.fl_k[None, :] != -1.) & (fl_k2 != -1.)
+    else:
+        mask = mask_T
 
     const_LW = cfg.constant_interaction_LW and cfg.mts and bonded
     T1 = st.thickness[None, :]
@@ -432,7 +443,7 @@ def precompute_pair_data_T(st, cfg: IcebergsConfig, other_T, mask_T, *,
     else:
         A1 = (st.length * st.width)[None, :]
         M1 = st.mass[None, :]
-        A2 = L2g * W2g
+        A2 = A2pf if A2pf is not None else L2g * W2g
         M2 = M2g
 
     lat_ref = 0.5 * (lat1 + lat2)

@@ -398,14 +398,16 @@ def _origin_frame_groups_extract(st, grid, cfg: IcebergsConfig, *,
     extraction (selection matmuls on the MXU).
 
     Replaces the per-pair XLA gathers of the <=2-partner normal group
-    entirely: the kernel returns the 8 eval features of both partners
-    per sorted slot, and only the (EX_NOUT, N) result rows map back to
-    the origin frame.  No (N, F) padded buffers anywhere: the feature
-    matrix is a (16, N) transposed stack built from per-field sorted
-    gathers.
+    entirely: the kernel returns the 6 eval features (lon, lat, u, v,
+    area, mass) of both partners per sorted slot, and only 13 result
+    rows map back to the origin frame.  No (N, F) padded buffers
+    anywhere: the feature matrix is a (16, N) transposed stack built
+    from per-field sorted gathers (or sort payloads).
     """
     from .pallas_prepass import (contact_extract_sorted, EX_CNT, EX_F1,
-                                 EX_F2, PT_NF)
+                                 EX_F2, PT_NF, PT_NEVAL, PT_LON, PT_LAT,
+                                 PT_U, PT_V, PT_AREA, PT_MASS, PT_RAD,
+                                 PT_ALIVE, PT_KEY, PT_FLK)
 
     N = st.capacity
     nx, ny = grid.nx, grid.ny
@@ -417,11 +419,15 @@ def _origin_frame_groups_extract(st, grid, cfg: IcebergsConfig, *,
     A = st.length * st.width
     R = _forces._interaction_radius(cfg, A)
     alive_f = st.alive.astype(dtype)
-    feats = [st.lon_old, st.lat_old, st.uvel_old, st.vvel_old, st.fl_k,
-             st.length, st.width, st.mass, R, alive_f, key.astype(dtype)]
+    # PT layout v2 (pallas_prepass.PT_*): eval rows 0-5 = lon, lat, u,
+    # v, AREA, mass; engagement-only rows 8+ = rad, alive, key, fl_k
+    feats = [st.lon_old, st.lat_old, st.uvel_old, st.vvel_old, A,
+             st.mass, R, alive_f, key.astype(dtype), st.fl_k]
+    slots = (PT_LON, PT_LAT, PT_U, PT_V, PT_AREA, PT_MASS,
+             PT_RAD, PT_ALIVE, PT_KEY, PT_FLK)
     if pt_via_sort_payloads:
         # one variadic sort carries the features into sorted order
-        # (merge-network data movement instead of 11 random gathers)
+        # (merge-network data movement instead of 10 random gathers)
         sorted_all = jax.lax.sort(
             (key, st.id_cnt, st.id_ij, idx) + tuple(feats), num_keys=3)
         order = sorted_all[3]
@@ -435,9 +441,10 @@ def _origin_frame_groups_extract(st, grid, cfg: IcebergsConfig, *,
     cell_starts = jnp.searchsorted(
         key_s, jnp.arange(ncells + 1, dtype=key_s.dtype)).astype(jnp.int32)
 
-    PT = jnp.stack(feats_s
-                   + [jnp.zeros((N,), dtype)] * (PT_NF - len(feats)),
-                   axis=0)
+    rows = [jnp.zeros((N,), dtype)] * PT_NF
+    for r, f in zip(slots, feats_s):
+        rows[r] = f
+    PT = jnp.stack(rows, axis=0)
 
     out, bad_block = contact_extract_sorted(
         PT, key_s, cell_starts, grid, cfg, block_n=block_n,
@@ -448,13 +455,15 @@ def _origin_frame_groups_extract(st, grid, cfg: IcebergsConfig, *,
     bad_s = (bad_block | (cnt_s > 2)) & alive_s
     normal_s = (cnt_s > 0) & ~bad_block & (cnt_s <= 2) & alive_s
 
-    # origin-frame mapping: one (N,) gather per result row
+    # origin-frame mapping: one (N,) gather per result row — 13 rows
+    # total (cnt/bad/normal + 2 x PT_NEVAL partner features)
     cnt_o = cnt_s[inv]
     bad_o = bad_s[inv]
     normal_o = normal_s[inv]
     m_n = jnp.stack([normal_o, normal_o & (cnt_o >= 2)], axis=0)
 
-    names = ("lon2", "lat2", "u2", "v2", "fl_k2", "L2g", "W2g", "M2g")
+    names = ("lon2", "lat2", "u2", "v2", "A2g", "M2g")
+    assert len(names) == PT_NEVAL
     partner_fields = {
         nm: jnp.stack([out[EX_F1 + k][inv], out[EX_F2 + k][inv]], axis=0)
         for k, nm in enumerate(names)}

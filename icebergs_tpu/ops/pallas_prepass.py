@@ -237,17 +237,23 @@ def contact_prepass_sorted(st_sorted, cell_starts, grid,
 # Merged search + partner-feature extraction (round-3 kernel)
 # ---------------------------------------------------------------------------
 
-# PT feature rows.  0-7 are the EVAL features extracted for each partner
-# (contiguous so the selection matmul lhs is one slice); 8+ are
-# engagement-only.
-PT_LON, PT_LAT, PT_U, PT_V, PT_FLK, PT_LEN, PT_WID, PT_MASS = range(8)
-PT_RAD, PT_ALIVE, PT_KEY, PT_GRP = 8, 9, 10, 11
+# PT feature rows.  0-5 are the EVAL features extracted for each partner
+# (the selection matmul lhs is the contiguous 8-row sublane tile 0..7;
+# rows 6-7 are spares), 8+ are engagement-only.  AREA = length*width:
+# the pair eval only consumes the product (A2 -> R2, M_min), so one row
+# replaces separate length/width and the origin-frame inverse mapping
+# shrinks by two rows per partner.  fl_k is engagement-only: the
+# kernel's valid mask already excludes fl_k == -1 on both sides
+# (icebergs.F90:514, 652), so extracted partners never need re-masking.
+PT_LON, PT_LAT, PT_U, PT_V, PT_AREA, PT_MASS = range(6)
+PT_RAD, PT_ALIVE, PT_KEY, PT_GRP, PT_FLK = 8, 9, 10, 11, 12
 PT_NF = 16                    # sublane-tile padded row count
+PT_NEVAL = 6                  # meaningful extracted rows per partner
 
 # output rows of contact_extract_sorted
 EX_CNT, EX_VMIN, EX_VMAX = 0, 1, 2
-EX_F1 = 4                     # rows 4..11: partner-1 eval features
-EX_F2 = 12                    # rows 12..19: partner-2 eval features
+EX_F1 = 4                     # rows 4..9: partner-1 eval features
+EX_F2 = 12                    # rows 12..17: partner-2 eval features
 EX_NOUT = 24
 
 
@@ -268,9 +274,10 @@ def contact_extract_sorted(PT, key_s, cell_starts, grid,
     gathers at all for the <=2-candidate majority.
 
     Returns ``(out, bad_block)`` with ``out`` of shape (EX_NOUT, N): rows
-    EX_CNT/EX_VMIN/EX_VMAX and EX_F1+0..7 / EX_F2+0..7 per the PT_* eval
-    order (lon, lat, u, v, fl_k, length, width, mass).  Extraction sums
-    are exact: each selection product is 1.0*feature or 0.0.
+    EX_CNT/EX_VMIN/EX_VMAX and EX_F1+0..5 / EX_F2+0..5 per the PT_* eval
+    order (lon, lat, u, v, area, mass; rows +6/+7 are spares).
+    Extraction sums are exact: each selection product is 1.0*feature or
+    0.0.
 
     Window DMAs slice the LANE dim at 128-aligned starts; the <=127
     rows of slop ahead of each strip carry keys below the strip's cell

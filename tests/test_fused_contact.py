@@ -308,3 +308,28 @@ def test_mts_evolve_fused_part1_matches_tables():
             np.asarray(getattr(a, f))[alive],
             np.asarray(getattr(b, f))[alive], rtol=0, atol=1e-7,
             err_msg=f)
+
+
+def test_fused3_footloose_minus1_excluded():
+    """fl_k == -1 bergs (non-interactive footloose children,
+    icebergs.F90:514, 652) interact with NOTHING through fused3 — the
+    masking now lives entirely in the extraction kernel's engagement
+    test (PT layout v2 dropped the fl_k2 partner rows)."""
+    import jax.numpy as jnp
+    cfg, grid, st = _world(60, seed=21, cluster=True)
+    # mark several clustered bergs (guaranteed contacts) non-interactive
+    fl = np.asarray(st.fl_k).copy()
+    fl[3] = -1.0
+    fl[7] = -1.0
+    st = st.replace(fl_k=jnp.asarray(fl))
+    stats = _check_v3(cfg, grid, st, block_n=64, window=512,
+                      fallback_strip_width=140)
+    # and the -1 rows themselves got zero interaction force
+    from icebergs_tpu.ops.fused_contact import make_ia_fn_fused3
+    ia_fn, _ = make_ia_fn_fused3(st, grid, cfg, interpret=True,
+                                 block_n=64, window=512,
+                                 fallback_strip_width=140)
+    ia = ia_fn(st.uvel, st.vvel)
+    for f in ("IA_x", "IA_y", "P11", "Pu_x"):
+        v = np.asarray(getattr(ia, f))
+        assert v[3] == 0.0 and v[7] == 0.0, f

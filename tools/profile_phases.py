@@ -268,16 +268,19 @@ def main():
         'invmap' = + the ~19 origin-frame inverse-permutation gathers;
         'pd'     = + precompute_pair_data_T (geometry, no eval)."""
         from icebergs_tpu.ops.pallas_prepass import (
-            contact_extract_sorted, EX_CNT, EX_F1, EX_F2, PT_NF)
+            contact_extract_sorted, EX_CNT, EX_F1, EX_F2, PT_NF,
+            PT_NEVAL, PT_LON, PT_LAT, PT_U, PT_V, PT_AREA, PT_MASS,
+            PT_RAD, PT_ALIVE, PT_KEY, PT_FLK)
         N = s.capacity
         key = jnp.where(s.alive, s.jne * NX + s.ine, ncells)
         idx = jnp.arange(N, dtype=jnp.int32)
         A = s.length * s.width
         R = _forces._interaction_radius(cfg, A)
         alive_f = s.alive.astype(s.dtype)
-        feats = [s.lon_old, s.lat_old, s.uvel_old, s.vvel_old, s.fl_k,
-                 s.length, s.width, s.mass, R, alive_f,
-                 key.astype(s.dtype)]
+        feats = [s.lon_old, s.lat_old, s.uvel_old, s.vvel_old, A,
+                 s.mass, R, alive_f, key.astype(s.dtype), s.fl_k]
+        slots = (PT_LON, PT_LAT, PT_U, PT_V, PT_AREA, PT_MASS,
+                 PT_RAD, PT_ALIVE, PT_KEY, PT_FLK)
         _, _, _, order = jax.lax.sort(
             (key, s.id_cnt, s.id_ij, idx), num_keys=3)
         feats_s = [f[order] for f in feats]
@@ -286,15 +289,17 @@ def main():
         starts = jnp.searchsorted(
             key_s, jnp.arange(ncells + 1, dtype=key_s.dtype)).astype(
             jnp.int32)
-        PT = jnp.stack(
-            feats_s + [jnp.zeros((N,), s.dtype)] * (PT_NF - len(feats)),
-            axis=0)
+        prows = [jnp.zeros((N,), s.dtype)] * PT_NF
+        for r, f in zip(slots, feats_s):
+            prows[r] = f
+        PT = jnp.stack(prows, axis=0)
         out, bad_block = contact_extract_sorted(
             PT, key_s, starts, grid, cfg, block_n=128, window=288)
         if upto == "kernel":
             acc = out[EX_CNT] + out[EX_F1] + out[EX_F2]
             return s.replace(uvel=s.uvel + 1e-30 * acc)
-        rows = [out[k][inv] for k in range(EX_F1, EX_F1 + 16)]
+        rows = [out[EX_F1 + k][inv] for k in range(PT_NEVAL)] \
+            + [out[EX_F2 + k][inv] for k in range(PT_NEVAL)]
         cnt_o = out[EX_CNT].astype(jnp.int32)[inv]
         if upto == "invmap":
             acc = cnt_o.astype(s.dtype)
@@ -303,8 +308,8 @@ def main():
             return s.replace(uvel=s.uvel + 1e-30 * acc)
         normal_o = (cnt_o > 0) & (cnt_o <= 2)
         m_n = jnp.stack([normal_o, normal_o & (cnt_o >= 2)], axis=0)
-        names = ("lon2", "lat2", "u2", "v2", "fl_k2", "L2g", "W2g", "M2g")
-        pf = {nm: jnp.stack([rows[k], rows[8 + k]], axis=0)
+        names = ("lon2", "lat2", "u2", "v2", "A2g", "M2g")
+        pf = {nm: jnp.stack([rows[k], rows[PT_NEVAL + k]], axis=0)
               for k, nm in enumerate(names)}
         pd = _forces.precompute_pair_data_T(
             s, cfg, None, m_n, bonded=False, use_c_crit_dist=False,
