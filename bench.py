@@ -104,7 +104,7 @@ def bench_1m_contacts():
     dt_wall = (time.perf_counter() - t0) / (reps * INNER)
     dropped = int(np.asarray(out[1]))
     fallback = int(np.asarray(out[2]))
-    return 1.0 / dt_wall, NBERGS, dropped, fallback
+    return 1.0 / dt_wall, NBERGS, dropped, fallback, m
 
 
 def bench_dem_mts():
@@ -144,7 +144,7 @@ def main():
     except Exception:
         pass
 
-    steps_per_sec, nbergs, dropped, fallback = bench_1m_contacts()
+    steps_per_sec, nbergs, dropped, fallback, mode = bench_1m_contacts()
     try:
         dem1m_esps = bench_dem_1m()
     except Exception:
@@ -159,6 +159,7 @@ def main():
         "value": round(berg_steps, 1),
         "unit": "berg-steps/s/chip",
         "vs_baseline": round(steps_per_sec / 100.0, 3),
+        "contact_mode": mode,
         "dropped_candidates": dropped,
         "fallback_bergs": fallback,
         "exact_contact_search": dropped == 0,

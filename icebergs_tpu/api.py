@@ -73,6 +73,12 @@ class RunOutputs(NamedTuple):
     mass_on_ocean: jnp.ndarray
     nbergs: jnp.ndarray
     budgets: Budgets
+    # fused-contact honesty counters (0 on non-fused neighbor modes):
+    # bergs dropped past fallback_cap and bergs routed through the
+    # exact fallback (FusedContactStats; model.make_step surfaces the
+    # same numbers in StepDiags)
+    contact_overflow: jnp.ndarray = None
+    contact_fallback: jnp.ndarray = None
 
 
 def prepare_forcing(grid: Grid, cfg: IcebergsConfig, frc: Forcing,
@@ -183,6 +189,7 @@ def run_coupling_sequence(cfg: IcebergsConfig, grid: Grid, state: ModelState,
     else:
         ia_fn = None
         nbr = None
+        fstats = None
         if cfg.interactive_icebergs_on:
             if neighbor_mode in ("fused", "fused3"):
                 # production Pallas search (sortless, cap-free normal
@@ -194,9 +201,14 @@ def run_coupling_sequence(cfg: IcebergsConfig, grid: Grid, state: ModelState,
                                                 make_ia_fn_fused3)
                 mk = (make_ia_fn_fused3 if neighbor_mode == "fused3"
                       else make_ia_fn_fused2)
-                ia_fn, _fstats = mk(st, grid, cfg,
-                                    interpret=fused_interpret,
-                                    **(fused_kw or {}))
+                # same kernel defaults as model.make_step so a config
+                # validated there behaves identically through this
+                # entry point; fused_kw overrides
+                kw = dict(block_n=128, window=288, fallback_cap=8192,
+                          fallback_strip_width=64)
+                kw.update(fused_kw or {})
+                ia_fn, fstats = mk(st, grid, cfg,
+                                   interpret=fused_interpret, **kw)
             elif neighbor_mode == "sorted":
                 # cell+id sorted slab: layout-invariant pair sums
                 from .ops.sorted import (sort_state_by_cell,
@@ -277,7 +289,11 @@ def run_coupling_sequence(cfg: IcebergsConfig, grid: Grid, state: ModelState,
         spread_mass=sp.spread_mass, spread_area=sp.spread_area,
         spread_uvel=sp.spread_uvel, spread_vvel=sp.spread_vvel,
         ustar_iceberg=sp.ustar_iceberg, mass_on_ocean=sp.mass_on_ocean,
-        nbergs=st.count(), budgets=b1)
+        nbergs=st.count(), budgets=b1,
+        contact_overflow=(fstats.overflow if fstats is not None
+                          else jnp.zeros((), jnp.int32)),
+        contact_fallback=(fstats.n_fallback if fstats is not None
+                          else jnp.zeros((), jnp.int32)))
 
     day = state.current_yearday + cfg.dt / 86400.
     state = state.replace(bergs=st, calving=calv, key=key,

@@ -837,8 +837,9 @@ def make_sharded_step_2d(world: ShardedWorld2D, *, with_thermo=True,
             local_fn, mesh=mesh,
             in_specs=(P(AXIS, AXIS_Y), P(AXIS, AXIS_Y), P(AXIS, AXIS_Y)),
             out_specs=(P(AXIS, AXIS_Y), P(), P(), P(AXIS, AXIS_Y)),
-            # pallas_call (fused contact modes) lacks vma metadata
-            check_vma=False,
+            # pallas_call (fused contact modes) lacks vma metadata;
+            # keep the type check on for the non-Pallas modes
+            check_vma=neighbor_mode not in ("fused", "fused3"),
         )
         return fn(world.grids, st, frc)
 
@@ -998,7 +999,9 @@ def make_sharded_run(world: ShardedWorld, *, neighbor_mode: str = "buckets",
                                outputs.budgets)
         outputs = outputs._replace(
             budgets=budgets,
-            nbergs=nbergs)
+            nbergs=nbergs,
+            contact_overflow=jax.lax.pmax(outputs.contact_overflow, AXIS),
+            contact_fallback=jax.lax.pmax(outputs.contact_fallback, AXIS))
         out_stacked = jax.tree.map(
             lambda x: x[None] if getattr(x, "ndim", 0) >= 2 else x, outputs)
         return (jax.tree.map(lambda x: x[None], state2), out_stacked,
@@ -1018,9 +1021,11 @@ def make_sharded_run(world: ShardedWorld, *, neighbor_mode: str = "buckets",
                 spread_mass=gridded, spread_area=gridded,
                 spread_uvel=gridded, spread_vvel=gridded,
                 ustar_iceberg=gridded, mass_on_ocean=gridded,
-                nbergs=rep, budgets=rep), rep, P(AXIS)),
-            # pallas_call (fused contact modes) lacks vma metadata
-            check_vma=False,
+                nbergs=rep, budgets=rep, contact_overflow=rep,
+                contact_fallback=rep), rep, P(AXIS)),
+            # pallas_call (fused contact modes) lacks vma metadata;
+            # keep the type check on for the non-Pallas modes
+            check_vma=neighbor_mode not in ("fused", "fused3"),
         )
         return fn(world.grids, mstate, frc, calving, calving_hflx)
 
@@ -1322,7 +1327,9 @@ def make_sharded_step(world: ShardedWorld, *, with_thermo=True,
             out_specs=(P(AXIS), P(), P(), P(AXIS)),
             # pallas_call (the fused contact search) does not annotate
             # varying-mesh-axes metadata yet; skip the vma type check
-            check_vma=False,
+            # only for the Pallas modes
+            check_vma=step_kw.get("neighbor_mode") not in ("fused",
+                                                           "fused3"),
         )
         return fn(grids, st, frc)
 

@@ -306,7 +306,12 @@ def main():
             for r in rows:
                 acc = acc + r
             return s.replace(uvel=s.uvel + 1e-30 * acc)
-        normal_o = (cnt_o > 0) & (cnt_o <= 2)
+        # same mask as production (_origin_frame_groups_extract):
+        # bad blocks and dead slots excluded
+        cnt_sv = out[EX_CNT].astype(jnp.int32)
+        normal_s = (cnt_sv > 0) & ~bad_block & (cnt_sv <= 2) \
+            & (key_s < ncells)
+        normal_o = normal_s[inv]
         m_n = jnp.stack([normal_o, normal_o & (cnt_o >= 2)], axis=0)
         names = ("lon2", "lat2", "u2", "v2", "A2g", "M2g")
         pf = {nm: jnp.stack([rows[k], rows[PT_NEVAL + k]], axis=0)

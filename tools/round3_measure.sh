@@ -19,5 +19,5 @@ for p in \
   echo "--- $p done $(date -u +%T)" >> /tmp/round3_progress.log
 done
 echo "--- bench.py $(date -u +%T)" >> /tmp/round3_progress.log
-timeout 3500 python bench.py >> "$LOG" 2>/dev/null
+timeout 3500 python bench.py >> "$LOG" 2>>"$LOG.err"
 echo "=== sweep complete ===" >> "$LOG"
