@@ -218,6 +218,11 @@ def test_sharded_run_fused3_interactive_matches_single():
     for _ in range(nsteps):
         ms, out4, nbergs, overflow = run(ms, frc_s, calv, calv)
         assert int(np.max(np.asarray(overflow))) == 0
+        # honesty counters surfaced through RunOutputs: no fallback-cap
+        # drops, and the >=3-contact cluster does route through the
+        # exact fallback group
+        assert int(np.asarray(out4.contact_overflow)) == 0
+    assert int(np.asarray(out4.contact_fallback)) > 0
     got = merged_owned(ms.bergs)
 
     assert got["lon"].shape[0] == ref["lon"].shape[0]
