@@ -143,10 +143,27 @@ def main(sub_steps=60, inner=2, reps=2, vmem=True, block_n=1024):
           f"{sub_steps} substeps, cap {st.capacity}", file=sys.stderr,
           flush=True)
 
-    multi = make_multi_step(grid, cfg, inner, with_thermo=True,
-                            mts_neighbor_mode="fused", **vmem_kw)
-    s = multi(st, frc)
-    _ = np.asarray(s.lon[:1].ravel())
+    # fallback chain mirrors bench.py's headline: if a Pallas kernel is
+    # rejected by this backend's toolchain, degrade (vmem -> scan,
+    # fused Part-1 -> tables) rather than losing the metric
+    attempts = [dict(mts_neighbor_mode="fused", **vmem_kw),
+                dict(mts_neighbor_mode="fused"),
+                dict(mts_neighbor_mode="tables")]
+    multi = s = None
+    for kw in attempts:
+        try:
+            multi = make_multi_step(grid, cfg, inner, with_thermo=True,
+                                    **kw)
+            s = multi(st, frc)
+            _ = np.asarray(s.lon[:1].ravel())
+            break
+        except Exception as e:      # pragma: no cover - hw-dependent
+            print(f"# dem_1m: config {kw.get('mts_neighbor_mode')}"
+                  f"/{kw.get('mts_substep_kernel', 'scan')} failed"
+                  f" ({e}); falling back", file=sys.stderr, flush=True)
+            multi = s = None
+    if multi is None:
+        raise RuntimeError("no dem_1m config compiled")
     t0 = time.perf_counter()
     for _ in range(reps):
         s = multi(s, frc)
