@@ -118,11 +118,30 @@ def main(n_target=20000, sub_steps=60):
     bin_overflow = int(np.maximum(counts - K_BIN, 0).sum())
     from icebergs_tpu.model import make_multi_step
     INNER = 2
-    multi = make_multi_step(grid, cfg, INNER, with_thermo=True,
-                            mts_pair_cap=pair_cap, max_per_cell=K_BIN,
-                            contact_cap=max(4096, n // 4))
-    s = multi(st, frc)
-    _ = np.asarray(s.lon[:1])         # real sync (host read)
+    # Part-1 collisions through the fused sortless search (exact, no
+    # dense (N, M) slab — PLAN round-2 gap 2); the substep contact
+    # regime (use_broken_bonds=False, the reference's more expensive
+    # option, dem_ground_frac_test/input.nml:1-9) keeps the K_BIN
+    # candidate tables.  Falls back to the tables Part 1 if the Pallas
+    # kernel won't compile on this backend.
+    attempts = [dict(mts_neighbor_mode="fused"),
+                dict(mts_neighbor_mode="tables")]
+    multi = s = None
+    for kw in attempts:
+        try:
+            multi = make_multi_step(grid, cfg, INNER, with_thermo=True,
+                                    mts_pair_cap=pair_cap,
+                                    max_per_cell=K_BIN,
+                                    contact_cap=max(4096, n // 4), **kw)
+            s = multi(st, frc)
+            _ = np.asarray(s.lon[:1])     # real sync (host read)
+            break
+        except Exception as e:      # pragma: no cover - hw-dependent
+            print(f"# bench_mts: {kw} failed ({e}); falling back",
+                  file=sys.stderr, flush=True)
+            multi = s = None
+    if multi is None:
+        raise RuntimeError("no bench_mts config compiled")
     t0 = time.perf_counter()
     reps = 2
     for _ in range(reps):
