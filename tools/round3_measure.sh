@@ -14,7 +14,11 @@ for p in \
     lexsort interp index_walk index_walk_dense thermo_reprod \
     spread_reprod spread_gather spread_scatter_t \
     evolve_noia; do
-  timeout 580 python tools/profile_phases.py "$p" 2>&1 \
+  case "$p" in
+    step_*|evolve_with_*) T=1800 ;;   # cold tunneled compiles take minutes
+    *) T=900 ;;
+  esac
+  timeout $T python tools/profile_phases.py "$p" 2>&1 \
     | grep -v WARNING | tail -1 >> "$LOG"
   echo "--- $p done $(date -u +%T)" >> /tmp/round3_progress.log
 done
