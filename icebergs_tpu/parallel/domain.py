@@ -839,7 +839,8 @@ def make_sharded_step_2d(world: ShardedWorld2D, *, with_thermo=True,
             out_specs=(P(AXIS, AXIS_Y), P(), P(), P(AXIS, AXIS_Y)),
             # pallas_call (fused contact modes) lacks vma metadata;
             # keep the type check on for the non-Pallas modes
-            check_vma=neighbor_mode not in ("fused", "fused3"),
+            check_vma=step_kw.get("neighbor_mode") not in ("fused",
+                                                           "fused3"),
         )
         return fn(world.grids, st, frc)
 

@@ -182,3 +182,39 @@ def test_contact_through_the_fold():
     vv = _owned(st_s, "vvel")
     assert (vv < 0).all(), vv
     assert (_owned(st_s, "lat") < LAT_TOP).all()
+
+
+def test_contact_through_the_fold_fused3():
+    """Same fold collision through the fused3 production contact path
+    (the halo fold image supplies the partner; the Pallas search runs
+    per tile on the local sorted view)."""
+    cfg = world_cfg(dt=60.0, interactive_icebergs_on=True,
+                    spring_coef=1.e-5)
+    mesh, world = _folded_world(cfg)
+    frc = ibt.uniform_forcing(NX, NY, sst=2.0)
+
+    xa = 12000.0
+    st = ibt.create_bergs(64, lon=[xa, NX * DXY - xa],
+                          lat=[LAT_TOP - 400., LAT_TOP - 400.],
+                          vvel=[0.1, 0.1], mass=850. * 100 * 200 * 200,
+                          thickness=100., width=200., length=200.,
+                          mass_scaling=1.0, id_cnt=[1, 2])
+    frc_s = dd.shard_forcing_2d(world, frc)
+    st_s = dd.shard_state_2d(world, st, local_capacity=32)
+    step = dd.make_sharded_step_2d(world, with_thermo=False,
+                                   neighbor_mode="fused3",
+                                   fused_interpret=True,
+                                   fused_window=512)
+
+    min_gap = np.inf
+    for _ in range(120):
+        st_s, nbergs, _, overflow = step(st_s, frc_s)
+        assert int(np.asarray(nbergs)) == 2
+        assert int(np.max(np.asarray(overflow))) == 0
+        lat = _owned(st_s, "lat")
+        gap = float(np.sum(LAT_TOP - lat))
+        min_gap = min(min_gap, abs(gap))
+    assert min_gap > 100.0, min_gap
+    vv = _owned(st_s, "vvel")
+    assert (vv < 0).all(), vv
+    assert (_owned(st_s, "lat") < LAT_TOP).all()
