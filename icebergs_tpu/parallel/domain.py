@@ -1038,7 +1038,7 @@ _GHOST_DYN_FIELDS = ("lon", "lat", "lon_old", "lat_old", "uvel", "vvel",
                      "bxn_fast", "byn_fast", "ang_vel", "ang_accel", "rot")
 
 
-def make_sharded_mts_step(world: ShardedWorld, *,
+def make_sharded_mts_step(world, *,
                           exchange_width: int = 64,
                           ghost_width: int = 128,
                           ghost_slots: int = 256,
@@ -1059,24 +1059,39 @@ def make_sharded_mts_step(world: ShardedWorld, *,
     substep old at most — matching the single-device semantics where
     forces read the partners' start-of-substep state.
 
+    Accepts a 1-D ``ShardedWorld`` or a 2-D ``ShardedWorld2D`` (the
+    reference runs MTS on arbitrary 2-D mpp layouts); on the 2-D mesh
+    the ghost all_gathers and budget psums ride both axes and the
+    particle exchange runs its x-then-y passes.
+
     Returns ``step(st, frc) -> (st, nbergs, total_mass, overflow)``.
     """
     cfg = world.cfg
     nxl, H = world.nxl, world.halo
     mesh = world.mesh
+    is2d = isinstance(world, ShardedWorld2D)
+    axes = (AXIS, AXIS_Y) if is2d else AXIS
+    unit = (lambda x: x[0, 0]) if is2d else (lambda x: x[0])
+    wrap = (lambda x: x[None, None]) if is2d else (lambda x: x[None])
+    spec = P(AXIS, AXIS_Y) if is2d else P(AXIS)
+    ex_kw = {}
+    if is2d:
+        fold = ((world.fold_lon_sum, world.fold_lat_sum)
+                if world.folded_north else None)
+        ex_kw = dict(nyl=world.nyl, y_axis=AXIS_Y, fold_north=fold)
     # neighbor radius needs host values; world.grids is concrete here
     from ..ops.forces import neighbor_radius as _nr
-    nbr_radius = _nr(jax.tree.map(lambda x: x[0], world.grids), cfg)
+    nbr_radius = _nr(jax.tree.map(unit, world.grids), cfg)
 
     def local_fn(grids, st, frc):
-        grid = jax.tree.map(lambda x: x[0], grids)
-        st = jax.tree.map(lambda x: x[0], st)
-        frc = jax.tree.map(lambda x: x[0], frc)
+        grid = jax.tree.map(unit, grids)
+        st = jax.tree.map(unit, st)
+        frc = jax.tree.map(unit, frc)
         N = st.capacity
 
         # replicas must exist BEFORE the physics: exchange first
         st, overflow = exchange_particles(st, grid, cfg, nxl, H,
-                                          exchange_width)
+                                          exchange_width, **ex_kw)
 
         # ---- frozen ghost-sync setup ---------------------------------
         has_stamp = jnp.any((st.bond_id_cnt != 0) | (st.bond_id_ij != 0),
@@ -1093,11 +1108,11 @@ def make_sharded_mts_step(world: ShardedWorld, *,
 
         sid_cnt = jnp.where(ship_valid, st.id_cnt[ship_sel], 0)
         sid_ij = jnp.where(ship_valid, st.id_ij[ship_sel], 0)
-        all_cnt = jax.lax.all_gather(sid_cnt, AXIS, axis=0,
+        all_cnt = jax.lax.all_gather(sid_cnt, axes, axis=0,
                                      tiled=False).reshape(-1)
-        all_ij = jax.lax.all_gather(sid_ij, AXIS, axis=0,
+        all_ij = jax.lax.all_gather(sid_ij, axes, axis=0,
                                     tiled=False).reshape(-1)
-        all_valid = jax.lax.all_gather(ship_valid, AXIS, axis=0,
+        all_valid = jax.lax.all_gather(ship_valid, axes, axis=0,
                                        tiled=False).reshape(-1)
 
         rep = st.alive & (st.halo_berg >= 0.5) & has_stamp
@@ -1125,7 +1140,7 @@ def make_sharded_mts_step(world: ShardedWorld, *,
             M = jnp.stack([getattr(s, f) for f in _GHOST_DYN_FIELDS],
                           axis=-1)
             rows = M[ship_sel]                       # (ghost_width, F)
-            all_rows = jax.lax.all_gather(rows, AXIS, axis=0,
+            all_rows = jax.lax.all_gather(rows, axes, axis=0,
                                           tiled=False).reshape(-1, F)
             upd = all_rows[src]                      # (ghost_slots, F)
             kw = {}
@@ -1144,18 +1159,18 @@ def make_sharded_mts_step(world: ShardedWorld, *,
                                      ncells_radius=nbr_radius)
 
         owned = st.alive & (st.halo_berg < 0.5)
-        nbergs = jax.lax.psum(jnp.sum(owned.astype(jnp.int32)), AXIS)
+        nbergs = jax.lax.psum(jnp.sum(owned.astype(jnp.int32)), axes)
         total_mass = jax.lax.psum(
-            jnp.sum(jnp.where(owned, st.mass * st.mass_scaling, 0.)), AXIS)
-        return (jax.tree.map(lambda x: x[None], st), nbergs, total_mass,
-                overflow[None])
+            jnp.sum(jnp.where(owned, st.mass * st.mass_scaling, 0.)), axes)
+        return (jax.tree.map(wrap, st), nbergs, total_mass,
+                wrap(overflow))
 
     @functools.partial(jax.jit)
     def step(st, frc):
         fn = jax.shard_map(
             local_fn, mesh=mesh,
-            in_specs=(P(AXIS), P(AXIS), P(AXIS)),
-            out_specs=(P(AXIS), P(), P(), P(AXIS)))
+            in_specs=(spec, spec, spec),
+            out_specs=(spec, P(), P(), spec))
         return fn(world.grids, st, frc)
 
     return step

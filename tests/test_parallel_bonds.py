@@ -383,3 +383,86 @@ def test_sharded_mts_ring_ghost_sync_matches_single():
     o = np.argsort(idc)
     np.testing.assert_allclose(lon_s[o], ref_lon, rtol=0, atol=0.5)
     np.testing.assert_allclose(u_s[o], ref_u, rtol=2e-4, atol=1e-6)
+
+
+def test_sharded_mts_2d_mesh_matches_single():
+    """MTS/DEM ghost-sync step on a 2x2 (x, y) MESH: a bonded chain
+    straddling the tile corner evolves as on a single device — the
+    ghost all_gathers and budget psums ride both mesh axes and the
+    particle exchange runs its x-then-y passes (the reference runs MTS
+    on arbitrary 2-D mpp layouts, icebergs_framework.F90:913-934)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    NX2 = NY2 = 16
+    cfg = ibt.IcebergsConfig(
+        grid_is_latlon=False, Lx=-1.0, use_f_plane=True, lat_ref=0.,
+        dt=600.0, mts=True, mts_sub_steps=10, explicit_inner_mts=True,
+        dem=True, dem_spring_coef=5.e6, dem_damping_coef=1.0,
+        interactive_icebergs_on=True, iceberg_bonds_on=True,
+        spring_coef=1.e-5, contact_spring_coef=1.e-8,
+        contact_distance=1000., allow_bergs_to_roll=False,
+        set_melt_rates_to_zero=True, max_bonds=4, halo=2)
+
+    grid = ibt.make_uniform_grid(NX2, NY2, 0., 0., DXY, DXY,
+                                 grid_is_latlon=False)
+    frc = ibt.uniform_forcing(NX2, NY2, uo=0.3, vo=0.1, ua=5.0, sst=-2.)
+
+    # diagonal chain of 6 elements through the tile corner at (8, 8) km
+    n = 6
+    L = 300.0
+    lon = 8000.0 + (np.arange(n) - 2.5) * L
+    lat = 8000.0 + (np.arange(n) - 2.5) * L
+    st = ibt.create_bergs(32, lon=lon, lat=lat,
+                          mass=850. * 80 * L * L, thickness=80.,
+                          width=L, length=L, mass_scaling=1.,
+                          id_cnt=np.arange(n) + 1, max_bonds=4)
+    i, j, xi, yj = pos_to_cell(grid, st.lon, st.lat, -1.0)
+    st = st.replace(ine=i, jne=j, xi=xi, yj=yj)
+    st = forces.initialize_bonds_host(
+        st, cfg.replace(length_for_manually_initialize_bonds=1.6 * L))
+    st = forces.compute_conglom_ids_host(st)
+
+    nsteps = 3
+    step1 = ibt.make_step(grid, cfg, with_thermo=False, mts_pair_cap=512,
+                          contact_cap=256)
+    s1 = st
+    for _ in range(nsteps):
+        s1, _ = step1(s1, frc)
+    a1 = np.asarray(s1.alive)
+    o1 = np.argsort(np.asarray(s1.id_cnt)[a1])
+    ref_lon = np.asarray(s1.lon)[a1][o1]
+    ref_lat = np.asarray(s1.lat)[a1][o1]
+    ref_u = np.asarray(s1.uvel)[a1][o1]
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2),
+                (dd.AXIS, dd.AXIS_Y))
+    world = dd.make_sharded_world_2d(cfg, mesh, nx=NX2, ny=NY2, lon0=0.,
+                                     lat0=0., dlon=DXY, dlat=DXY)
+    frc_s = dd.shard_forcing_2d(world, frc)
+    st_s = dd.shard_state_2d(world, st, local_capacity=16)
+    st_s = jax.jit(jax.shard_map(
+        lambda g, s: jax.tree.map(
+            lambda x: x[None, None],
+            dd.relocalize(jax.tree.map(lambda x: x[0, 0], s),
+                          jax.tree.map(lambda x: x[0, 0], g), cfg)),
+        mesh=mesh, in_specs=(P(dd.AXIS, dd.AXIS_Y), P(dd.AXIS, dd.AXIS_Y)),
+        out_specs=P(dd.AXIS, dd.AXIS_Y)))(world.grids, st_s)
+
+    step2 = dd.make_sharded_mts_step(world, pair_cap=512, contact_cap=256,
+                                     ghost_width=16, ghost_slots=16)
+    for _ in range(nsteps):
+        st_s, nbergs, total_mass, ov = step2(st_s, frc_s)
+        assert int(np.max(np.asarray(ov))) == 0
+    assert int(np.asarray(nbergs)) == n
+
+    alive = np.asarray(jax.device_get(st_s.alive)).reshape(-1)
+    halo = np.asarray(jax.device_get(st_s.halo_berg)).reshape(-1)
+    own = alive & (halo < 0.5)
+    idc = np.asarray(jax.device_get(st_s.id_cnt)).reshape(-1)[own]
+    lon_s = np.asarray(jax.device_get(st_s.lon)).reshape(-1)[own]
+    lat_s = np.asarray(jax.device_get(st_s.lat)).reshape(-1)[own]
+    u_s = np.asarray(jax.device_get(st_s.uvel)).reshape(-1)[own]
+    o = np.argsort(idc)
+    np.testing.assert_allclose(lon_s[o], ref_lon, rtol=0, atol=0.5)
+    np.testing.assert_allclose(lat_s[o], ref_lat, rtol=0, atol=0.5)
+    np.testing.assert_allclose(u_s[o], ref_u, rtol=2e-4, atol=1e-6)
