@@ -911,14 +911,38 @@ def shard_forcing_2d(world: ShardedWorld2D, frc_global: Forcing) -> Forcing:
                                                      P(AXIS, AXIS_Y)))
 
 
-def shard_calving_field(world: ShardedWorld, field) -> jnp.ndarray:
+def shard_calving_field(world, field) -> jnp.ndarray:
     """Slice a global (nx+2, ny+2) calving/hflx field into per-tile slabs
     with the NON-OWNED halo ring zeroed, so each global cell's bucket
     accumulates on exactly one device (the reference accumulates only on
-    the compute domain, icebergs.F90:5389-5402)."""
+    the compute domain, icebergs.F90:5389-5402).  Accepts 1-D or 2-D
+    worlds."""
+    a = np.asarray(field)
+    if isinstance(world, ShardedWorld2D):
+        ndx, ndy = world.mesh.devices.shape
+        nxl, nyl, H = world.nxl, world.nyl, world.halo
+        rows = []
+        for dx in range(ndx):
+            col = []
+            for dy in range(ndy):
+                ix = np.clip(np.arange(dx * nxl - H,
+                                       (dx + 1) * nxl + 2 + H), 0,
+                             nxl * ndx + 1)
+                iy = np.clip(np.arange(dy * nyl - H,
+                                       (dy + 1) * nyl + 2 + H), 0,
+                             nyl * ndy + 1)
+                t = a[np.ix_(ix, iy)].copy()
+                t[:1 + H, :] = 0.0
+                t[1 + H + nxl:, :] = 0.0
+                t[:, :1 + H] = 0.0
+                t[:, 1 + H + nyl:] = 0.0
+                col.append(jnp.asarray(t))
+            rows.append(jnp.stack(col))
+        return jax.device_put(jnp.stack(rows),
+                              jax.NamedSharding(world.mesh,
+                                                P(AXIS, AXIS_Y)))
     ndev = world.mesh.devices.size
     nxl, H = world.nxl, world.halo
-    a = np.asarray(field)
     tiles = []
     for d in range(ndev):
         idx = np.clip(np.arange(d * nxl - H, (d + 1) * nxl + 2 + H), 0,
@@ -931,19 +955,28 @@ def shard_calving_field(world: ShardedWorld, field) -> jnp.ndarray:
                           jax.NamedSharding(world.mesh, P(AXIS)))
 
 
-def init_sharded_model_state(world: ShardedWorld, st_s, *, seed: int = 0,
+def init_sharded_model_state(world, st_s, *, seed: int = 0,
                              year: int = 0, yearday: float = 0.):
     """Stacked per-tile ModelState (calving buckets on tile grids, the
     SAME PRNG key on every tile — per-berg randomness is id-derived, so
-    identical keys keep stochastic spawning layout-invariant)."""
+    identical keys keep stochastic spawning layout-invariant).  Accepts
+    1-D or 2-D worlds."""
     from ..api import ModelState
     from ..calving import init_calving_state
-    ndev = world.mesh.devices.size
-    g0 = jax.tree.map(lambda x: x[0], world.grids)
+    is2d = isinstance(world, ShardedWorld2D)
+    if is2d:
+        lead = tuple(world.mesh.devices.shape)
+        g0 = jax.tree.map(lambda x: x[0, 0], world.grids)
+        sh = jax.NamedSharding(world.mesh, P(AXIS, AXIS_Y))
+    else:
+        lead = (world.mesh.devices.size,)
+        g0 = jax.tree.map(lambda x: x[0], world.grids)
+        sh = jax.NamedSharding(world.mesh, P(AXIS))
     calv0 = init_calving_state(g0, dtype=st_s.lon.dtype)
 
     def rep(x):
-        return jnp.broadcast_to(x[None], (ndev,) + x.shape)
+        return jnp.broadcast_to(
+            x[(None,) * len(lead)], lead + x.shape)
 
     ms = ModelState(
         bergs=st_s,
@@ -953,16 +986,17 @@ def init_sharded_model_state(world: ShardedWorld, st_s, *, seed: int = 0,
         current_yearday=rep(jnp.asarray(yearday, jnp.float32)),
         spread_mass_old=rep(jnp.zeros((g0.nx + 2, g0.ny + 2),
                                       st_s.lon.dtype)))
-    sh = jax.NamedSharding(world.mesh, P(AXIS))
     return jax.tree.map(lambda x: jax.device_put(x, sh), ms)
 
 
-def make_sharded_run(world: ShardedWorld, *, neighbor_mode: str = "buckets",
+def make_sharded_run(world, *, neighbor_mode: str = "buckets",
                      max_per_cell: int = 16, exchange_width: int = 64,
                      fused_interpret: bool = False, fused_kw: dict = None):
     """Jitted multi-device FULL coupling step: the entire icebergs_run
     sequence (calving spawn + footloose + thermo + spread,
-    icebergs.F90:5389-5679) per tile, then particle exchange.
+    icebergs.F90:5389-5679) per tile, then particle exchange.  Accepts a
+    1-D ``ShardedWorld`` or a 2-D ``ShardedWorld2D`` (x-then-y exchange
+    passes, collectives over both mesh axes).
 
     Spawning inside the sharded step relies on tile grids carrying
     i_off/nxg (global ids) and own_halo_x (no spawning in the halo ring);
@@ -974,13 +1008,23 @@ def make_sharded_run(world: ShardedWorld, *, neighbor_mode: str = "buckets",
     cfg = world.cfg
     nxl, H = world.nxl, world.halo
     mesh = world.mesh
+    is2d = isinstance(world, ShardedWorld2D)
+    axes = (AXIS, AXIS_Y) if is2d else AXIS
+    unit = (lambda x: x[0, 0]) if is2d else (lambda x: x[0])
+    wrap = (lambda x: x[None, None]) if is2d else (lambda x: x[None])
+    spec = P(AXIS, AXIS_Y) if is2d else P(AXIS)
+    ex_kw = {}
+    if is2d:
+        fold = ((world.fold_lon_sum, world.fold_lat_sum)
+                if world.folded_north else None)
+        ex_kw = dict(nyl=world.nyl, y_axis=AXIS_Y, fold_north=fold)
 
     def local_fn(grids, mstate, frc, calving, calving_hflx):
-        grid = jax.tree.map(lambda x: x[0], grids)
-        mstate = jax.tree.map(lambda x: x[0], mstate)
-        frc = jax.tree.map(lambda x: x[0], frc)
-        calving = calving[0]
-        calving_hflx = calving_hflx[0]
+        grid = jax.tree.map(unit, grids)
+        mstate = jax.tree.map(unit, mstate)
+        frc = jax.tree.map(unit, frc)
+        calving = unit(calving)
+        calving_hflx = unit(calving_hflx)
 
         from ..api import run_coupling_sequence
         from ..ops.forces import neighbor_radius
@@ -991,39 +1035,40 @@ def make_sharded_run(world: ShardedWorld, *, neighbor_mode: str = "buckets",
             fused_interpret=fused_interpret, fused_kw=fused_kw)
 
         st, overflow = exchange_particles(state2.bergs, grid, cfg, nxl, H,
-                                          exchange_width)
+                                          exchange_width, **ex_kw)
         state2 = state2.replace(bergs=st)
 
         owned = st.alive & (st.halo_berg < 0.5)
-        nbergs = jax.lax.psum(jnp.sum(owned.astype(jnp.int32)), AXIS)
-        budgets = jax.tree.map(lambda x: jax.lax.psum(x, AXIS),
+        nbergs = jax.lax.psum(jnp.sum(owned.astype(jnp.int32)), axes)
+        budgets = jax.tree.map(lambda x: jax.lax.psum(x, axes),
                                outputs.budgets)
         outputs = outputs._replace(
             budgets=budgets,
             nbergs=nbergs,
-            contact_overflow=jax.lax.pmax(outputs.contact_overflow, AXIS),
-            contact_fallback=jax.lax.pmax(outputs.contact_fallback, AXIS))
+            contact_overflow=jax.lax.pmax(outputs.contact_overflow, axes),
+            contact_fallback=jax.lax.pmax(outputs.contact_fallback, axes))
         out_stacked = jax.tree.map(
-            lambda x: x[None] if getattr(x, "ndim", 0) >= 2 else x, outputs)
-        return (jax.tree.map(lambda x: x[None], state2), out_stacked,
-                nbergs, overflow[None])
+            lambda x: wrap(x) if getattr(x, "ndim", 0) >= 2 else x,
+            outputs)
+        return (jax.tree.map(wrap, state2), out_stacked,
+                nbergs, wrap(overflow))
 
     @functools.partial(jax.jit)
     def run(mstate, frc, calving, calving_hflx):
         from ..api import RunOutputs
-        gridded = P(AXIS)
+        gridded = spec
         rep = P()
         fn = jax.shard_map(
             local_fn, mesh=mesh,
-            in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
-            out_specs=(P(AXIS), RunOutputs(
+            in_specs=(spec, spec, spec, spec, spec),
+            out_specs=(spec, RunOutputs(
                 calving=gridded, calving_hflx=gridded,
                 floating_melt=gridded, berg_melt=gridded,
                 spread_mass=gridded, spread_area=gridded,
                 spread_uvel=gridded, spread_vvel=gridded,
                 ustar_iceberg=gridded, mass_on_ocean=gridded,
                 nbergs=rep, budgets=rep, contact_overflow=rep,
-                contact_fallback=rep), rep, P(AXIS)),
+                contact_fallback=rep), rep, spec),
             # pallas_call (fused contact modes) lacks vma metadata;
             # keep the type check on for the non-Pallas modes
             check_vma=neighbor_mode not in ("fused", "fused3"),

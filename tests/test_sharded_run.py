@@ -231,3 +231,71 @@ def test_sharded_run_fused3_interactive_matches_single():
     np.testing.assert_allclose(
         float(jax.device_get(out4.budgets.mass)),
         float(jax.device_get(out1.budgets.mass)), rtol=1e-6)
+
+
+def test_sharded_run_2d_mesh_fused3_matches_single():
+    """The FULL coupling sequence (make_sharded_run) on a 2x2 (x, y)
+    MESH with the fused3 contact path == single-device
+    IcebergsModel(fused3) BITWISE — collision pairs straddle both the x
+    and y tile boundaries."""
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    NX2 = NY2 = 16
+    cfg = ibt.IcebergsConfig(
+        grid_is_latlon=False, Lx=-1.0, use_f_plane=True, lat_ref=30.0,
+        dt=60.0, Runge_not_Verlet=False, halo=2,
+        interactive_icebergs_on=True)
+    grid = ibt.make_uniform_grid(NX2, NY2, 0., 0., DXY, DXY,
+                                 grid_is_latlon=False)
+    frc = ibt.uniform_forcing(NX2, NY2, uo=0.3, vo=0.2, sst=2.0)
+
+    lon = [8 * DXY - 10., 8 * DXY + 30., 3 * DXY, 3 * DXY,
+           5 * DXY, 5 * DXY + 35., 5 * DXY + 17.]
+    lat = [4 * DXY, 4 * DXY, 8 * DXY - 10., 8 * DXY + 30.,
+           3 * DXY, 3 * DXY, 3 * DXY + 30.]
+    st = ibt.create_bergs(64, lon=lon, lat=lat, mass=1e8, thickness=20.,
+                          width=50., length=60., mass_scaling=1.0)
+    i, j, xi, yj = pos_to_cell(grid, st.lon, st.lat, -1.0)
+    st = st.replace(ine=i, jne=j, xi=xi, yj=yj)
+
+    fk = dict(window=512, fallback_strip_width=140)
+    nsteps = 8
+
+    model = IcebergsModel(grid, cfg, neighbor_mode="fused3",
+                          fused_interpret=True, fused_kw=fk)
+    s1 = model.init_state(st, seed=5)
+    for _ in range(nsteps):
+        s1, out1 = model.run(s1, frc)
+    ref = single_sorted(s1.bergs)
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2),
+                (dd.AXIS, dd.AXIS_Y))
+    world = dd.make_sharded_world_2d(cfg, mesh, nx=NX2, ny=NY2, lon0=0.,
+                                     lat0=0., dlon=DXY, dlat=DXY)
+    frc_s = dd.shard_forcing_2d(world, frc)
+    st_s = dd.shard_state_2d(world, st, local_capacity=32)
+    st_s = jax.jit(jax.shard_map(
+        lambda g, s: jax.tree.map(
+            lambda x: x[None, None],
+            dd.relocalize(jax.tree.map(lambda x: x[0, 0], s),
+                          jax.tree.map(lambda x: x[0, 0], g), cfg)),
+        mesh=mesh, in_specs=(P(dd.AXIS, dd.AXIS_Y), P(dd.AXIS, dd.AXIS_Y)),
+        out_specs=P(dd.AXIS, dd.AXIS_Y)))(world.grids, st_s)
+    st_s, _ = dd.make_halo_fill_2d(world)(st_s)
+    ms = dd.init_sharded_model_state(world, st_s, seed=5)
+    calv = dd.shard_calving_field(
+        world, jnp.zeros((NX2 + 2, NY2 + 2), jnp.float32))
+    run = dd.make_sharded_run(world, neighbor_mode="fused3",
+                              fused_interpret=True, fused_kw=fk)
+    for _ in range(nsteps):
+        ms, out4, nbergs, overflow = run(ms, frc_s, calv, calv)
+        assert int(np.max(np.asarray(overflow))) == 0
+        assert int(np.asarray(out4.contact_overflow)) == 0
+    got = merged_owned(ms.bergs)
+
+    assert got["lon"].shape[0] == ref["lon"].shape[0]
+    for f in ("id_cnt", "id_ij", "lon", "lat", "uvel", "vvel", "mass"):
+        np.testing.assert_array_equal(got[f], ref[f], err_msg=f)
+    np.testing.assert_allclose(
+        float(jax.device_get(out4.budgets.mass)),
+        float(jax.device_get(out1.budgets.mass)), rtol=1e-6)
