@@ -58,14 +58,22 @@ def main():
     # the same deterministic world on every rank (test_parallel.py world)
     NX, NY, DXY = 32, 8, 5000.0
     cfg = ibt.IcebergsConfig(grid_is_latlon=False, Lx=-1.0,
-                             use_f_plane=True, lat_ref=30.0, dt=600.0,
-                             Runge_not_Verlet=True, halo=2)
+                             use_f_plane=True, lat_ref=30.0, dt=60.0,
+                             Runge_not_Verlet=False, halo=2,
+                             interactive_icebergs_on=True)
     grid = ibt.make_uniform_grid(NX, NY, 0., 0., DXY, DXY,
                                  grid_is_latlon=False)
-    frc = ibt.uniform_forcing(NX, NY, uo=1.0, sst=2.0)
+    frc = ibt.uniform_forcing(NX, NY, uo=0.4, sst=2.0)
     rng = np.random.RandomState(0)
-    lon = rng.uniform(3 * DXY, (NX - 3) * DXY, 6)
-    lat = rng.uniform(2 * DXY, (NY - 2) * DXY, 6)
+    # colliding pairs straddling tile boundaries + a >=3-contact
+    # cluster: interactions through the PRODUCTION fused3 contact path
+    # across the process boundary
+    lon, lat = [], []
+    for k, x in enumerate((8 * DXY, 16 * DXY, 24 * DXY)):
+        lon += [x - 10.0, x + 30.0]
+        lat += [4 * DXY + 120.0 * k, 4 * DXY + 120.0 * k]
+    lon += [5 * DXY, 5 * DXY + 35.0, 5 * DXY + 17.0]
+    lat += [3 * DXY, 3 * DXY, 3 * DXY + 30.0]
     st = ibt.create_bergs(64, lon=lon, lat=lat, mass=1e8, thickness=20.,
                           width=50., length=60., mass_scaling=1.0)
     i, j, xi, yj = pos_to_cell(grid, st.lon, st.lat, -1.0)
@@ -85,7 +93,11 @@ def main():
         mesh=mesh, in_specs=(P(dd.AXIS), P(dd.AXIS)),
         out_specs=P(dd.AXIS)))(world.grids, st_s)
 
-    step = dd.make_sharded_step(world, with_thermo=True)
+    st_s, _ = dd.make_halo_fill(world)(st_s)
+    step = dd.make_sharded_step(world, with_thermo=True,
+                                neighbor_mode="fused3",
+                                fused_interpret=True, fused_window=512,
+                                fused_fallback_strip_width=140)
     for _ in range(nsteps):
         st_s, nbergs, total_mass, overflow = step(st_s, frc_s)
 
