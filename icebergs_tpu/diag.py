@@ -242,3 +242,36 @@ class PhaseClocks:
             n = self._n[name]
             print(f"KID-TPU {tag} | {name:<24} | {n:>7} | {tot:>10.3f} | "
                   f"{1e3 * tot / n:>9.3f} | {1e3 * self._max[name]:>9.3f}")
+
+
+def dump_halo_state(st, label: str = "", device: int = -1, file=None):
+    """``halo_debugging`` analog (icebergs_framework.F90:1828-1838): one
+    'A id pe halo_berg i j' line per alive berg (+ its bond stamps), for
+    eyeballing replication before/after a halo exchange.
+
+    Accepts a single-device state or a stacked sharded slab (leading
+    device axes of any rank); runs on host — call OUTSIDE jit, e.g.
+    around ``exchange_particles`` when ``cfg.halo_debugging`` is set.
+    """
+    import sys
+    out = file or sys.stderr
+
+    lead = np.asarray(jax.device_get(st.alive))
+    ndev = int(np.prod(lead.shape[:-1])) if lead.ndim > 1 else 1
+    cap = lead.shape[-1]
+    alive = lead.reshape(ndev, cap)
+    idc = np.asarray(jax.device_get(st.id_cnt)).reshape(ndev, cap)
+    idij = np.asarray(jax.device_get(st.id_ij)).reshape(ndev, cap)
+    hb = np.asarray(jax.device_get(st.halo_berg)).reshape(ndev, cap)
+    ine = np.asarray(jax.device_get(st.ine)).reshape(ndev, cap)
+    jne = np.asarray(jax.device_get(st.jne)).reshape(ndev, cap)
+    nb = np.asarray(jax.device_get(st.n_bonds)).reshape(ndev, cap)
+    if label:
+        print(f"halo_debugging [{label}]", file=out)
+    for d in range(ndev):
+        if device >= 0 and d != device:
+            continue
+        for k in np.nonzero(alive[d])[0]:
+            print(f"A {int(idc[d, k])}:{int(idij[d, k])} pe={d} "
+                  f"halo={int(hb[d, k])} i={int(ine[d, k])} "
+                  f"j={int(jne[d, k])} bonds={int(nb[d, k])}", file=out)

@@ -76,3 +76,27 @@ def test_phase_clocks_table(capsys):
     assert "Icebergs-step" in out and "Icebergs-I/O write" in out
     lines = [ln for ln in out.splitlines() if "Icebergs-step" in ln]
     assert "|       3 |" in lines[0]
+
+
+def test_dump_halo_state(capsys):
+    """halo_debugging analog prints one A-line per alive berg
+    (icebergs_framework.F90:1828-1838), incl. on stacked sharded slabs."""
+    import sys
+    import numpy as np
+    import icebergs_tpu as ibt
+    from icebergs_tpu.diag import dump_halo_state
+
+    st = ibt.create_bergs(8, lon=[1., 2.], lat=[1., 2.], mass=1e6,
+                          thickness=10., width=20., length=20.,
+                          mass_scaling=1., id_cnt=[5, 9])
+    dump_halo_state(st, label="t", file=sys.stdout)
+    out = capsys.readouterr().out
+    assert "halo_debugging [t]" in out
+    assert out.count("A ") == 2 and "A 5:" in out and "A 9:" in out
+
+    import jax.numpy as jnp
+    import jax
+    stacked = jax.tree.map(lambda x: jnp.stack([x, x]), st)
+    dump_halo_state(stacked, file=sys.stdout)
+    out = capsys.readouterr().out
+    assert out.count("A ") == 4 and "pe=1" in out
