@@ -342,6 +342,8 @@ def run(nml_path: str, input_dir: str = ".", output_dir: str = ".",
                   f"wall={time.time() - t_wall:.1f}s", flush=True)
         if cfg.debug and (n + 1) % verbose_every == 0:
             diag.check_state(st, grid, cfg, label=f"step {n + 1}")
+        if cfg.halo_debugging and (n + 1) % verbose_every == 0:
+            diag.dump_halo_state(st, label=f"step {n + 1}")
 
     b1 = diag.compute_budgets(st, calv)
     diag.report_budget("driver", b0, b1, nsteps * ibdt, melt_kg=melt_total)
