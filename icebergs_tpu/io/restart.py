@@ -123,6 +123,34 @@ def read_restart_bergs(path: str, capacity: int, grid: Grid,
                     uvel_old=st.uvel, vvel_old=st.vvel)
     Lx = cfg.Lx if cfg.grid_is_latlon else -1.
     i, j, xi, yj = pos_to_cell(grid, st.lon, st.lat, Lx)
+
+    # the reference's localization failure is FATAL (find_cell +
+    # slow-find, icebergs_fms2io.F90:900-1010); pos_to_cell clamps
+    # instead, so warn loudly when restart positions fall outside the
+    # grid (usually a grid/namelist mismatch, e.g. a Cartesian restart
+    # read onto the default lat-lon grid)
+    alive_h = np.arange(capacity) < n
+    if n:
+        lon_h = np.asarray(st.lon)[:n]
+        lat_h = np.asarray(st.lat)[:n]
+        g_lo_x = float(np.asarray(grid.lon0))
+        g_hi_x = g_lo_x + grid.nx * float(np.asarray(grid.dlon))
+        g_lo_y = float(np.asarray(grid.lat0))
+        g_hi_y = g_lo_y + grid.ny * float(np.asarray(grid.dlat))
+        out = (lat_h < g_lo_y) | (lat_h > g_hi_y)
+        if not (cfg.grid_is_latlon and cfg.Lx > 0.):  # x periodic?
+            out = out | (lon_h < g_lo_x) | (lon_h > g_hi_x)
+        nbad = int(out.sum())
+        if nbad:
+            import sys
+            k = int(np.argmax(out))
+            print(f"KID-TPU WARNING: {nbad}/{n} restart bergs lie "
+                  f"outside the grid (first at lon={lon_h[k]:.6g}, "
+                  f"lat={lat_h[k]:.6g}; grid x [{g_lo_x:.6g}, "
+                  f"{g_hi_x:.6g}] y [{g_lo_y:.6g}, {g_hi_y:.6g}]) — "
+                  "clamped to the nearest cell; check grid_is_latlon / "
+                  "ni / nj / gridres in the namelist",
+                  file=sys.stderr)
     return st.replace(ine=i, jne=j, xi=xi, yj=yj)
 
 
