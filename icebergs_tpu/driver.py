@@ -247,6 +247,21 @@ def run(nml_path: str, input_dir: str = ".", output_dir: str = ".",
                     print(f"KID-TPU driver: VMEM substep kernel on "
                           f"(block_n={bn}, deltas={deltas}, "
                           f"capacity={st.capacity})")
+    if (mts_pair_cap is None and cfg.mts and cfg.dem
+            and not cfg.use_broken_bonds_for_substep_contact
+            and "mts_substep_kernel" not in vmem_kw
+            and int(np.asarray(jnp.sum(st.alive))) > 0):
+        # auto-size the frozen substep pair list from the concrete ICs
+        # (PLAN round-3 gap 2) — only the use_broken_bonds=False regime
+        # runs substep contacts off the (N, M) superset
+        from .mts import auto_pair_cap
+        from .ops import forces as _fo
+        nbr0 = _fo.build_neighbor_tables(
+            st, grid, cfg, max_per_cell=16,
+            ncells_radius=_fo.neighbor_radius(grid, cfg))
+        mts_pair_cap = auto_pair_cap(st, nbr0, cfg)
+        if verbose:
+            print(f"KID-TPU driver: auto mts_pair_cap={mts_pair_cap}")
     step = model.make_step(grid, cfg, with_thermo=True,
                            neighbor_window=neighbor_window,
                            mts_pair_cap=mts_pair_cap, **vmem_kw)

@@ -142,6 +142,7 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
 
         # 2. dynamics (MTS dispatch mirrors icebergs_run 5426-5441)
         fstats = None
+        mts_pair_ov = None
         with jax.named_scope("kid_momentum"):
             if cfg.mts:
                 from .mts import evolve_icebergs_mts
@@ -156,6 +157,7 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
                 from .dynamics import EvolveOut
                 out = EvolveOut(st, jnp.zeros((), jnp.int32),
                                 jnp.zeros((), jnp.int32))
+                mts_pair_ov = mts_d.pair_overflow
             else:
                 ia_fn = None
                 if interactive:
@@ -236,7 +238,8 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
             nbergs=st.count(), tickets=out.tickets, bounced=out.bounced,
             total_mass=jnp.sum(jnp.where(st.alive,
                                          st.mass * st.mass_scaling, 0.)),
-            contact_overflow=(fstats.overflow if fstats else None),
+            contact_overflow=(fstats.overflow if fstats is not None
+                              else mts_pair_ov),
             contact_fallback=(fstats.n_fallback if fstats else None),
             floating_melt=(melt_diags.floating_melt if melt_diags else None),
             calving_hflx=(melt_diags.calving_hflx if melt_diags else None),

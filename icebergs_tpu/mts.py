@@ -36,6 +36,10 @@ class MtsDiags(NamedTuple):
     # pair list by the velocity/acceleration skin prefilter (see
     # compact_conglom_pairs; 0 when the prefilter is disabled)
     skin_dropped: jnp.ndarray = jnp.zeros((), jnp.int32)
+    # candidate pairs that did not fit in the frozen pair list's static
+    # capacity (compact_conglom_pairs cap/act_cap): nonzero means the
+    # substep contact forces MISSED pairs — resize (auto_pair_cap)
+    pair_overflow: jnp.ndarray = jnp.zeros((), jnp.int32)
 
 
 def _slow_accel_mts(st, cfg: IcebergsConfig, ia_fn):
@@ -229,6 +233,48 @@ def compact_conglom_pairs(st, nbr, cap: int, cfg: IcebergsConfig = None,
     prefilter and keep every same-conglomerate candidate.
     """
     M = nbr.cand_idx.shape[1]
+    keepM, skin_dropped = _pair_keep_mask(st, nbr, cfg, dt)
+
+    # two-level compaction: rows with any keeper first (an N-element
+    # scatter), then the flat stage over act*M only.  The single-stage
+    # flat cumsum+scatter over all N*M entries measured 272 ms at
+    # 20k x 400 on v5e, and a lane-axis argsort pre-pass 228 ms; with
+    # the internal-velocity skin almost every row is contact-free, so
+    # this is ~free at rest and scales with the colliding subset.
+    N = keepM.shape[0]
+    act_cap = max(1024, cap // 64)
+    rowany = jnp.any(keepM, axis=1)
+    rrank = jnp.cumsum(rowany.astype(jnp.int32)) - 1
+    rgrant = rowany & (rrank < act_cap)
+    rsel = jnp.zeros((act_cap,), jnp.int32).at[
+        jnp.where(rgrant, rrank, act_cap)].set(
+        jnp.arange(N, dtype=jnp.int32), mode='drop')
+    row_overflow = jnp.sum((rowany & ~rgrant).astype(jnp.int32))
+
+    keep2 = keepM[rsel]                        # (act_cap, M)
+    cand2 = nbr.cand_idx[rsel]
+    rvalid = jnp.arange(act_cap) < jnp.sum(rgrant.astype(jnp.int32))
+    keep2 = keep2 & rvalid[:, None]
+
+    F = keep2.reshape(-1)
+    rank = jnp.cumsum(F.astype(jnp.int32)) - 1
+    granted = F & (rank < cap)
+    sel = jnp.zeros((cap,), jnp.int32).at[
+        jnp.where(granted, rank, cap)].set(
+        jnp.arange(F.shape[0], dtype=jnp.int32), mode='drop')
+    npair = jnp.sum(granted.astype(jnp.int32))
+    pvalid = jnp.arange(cap) < npair
+    me = rsel[jnp.minimum(sel // M, act_cap - 1)]
+    other = cand2.reshape(-1)[sel]
+    overflow = row_overflow * M + jnp.sum((F & ~granted).astype(jnp.int32))
+    return me, other, pvalid, overflow, skin_dropped
+
+
+def _pair_keep_mask(st, nbr, cfg: IcebergsConfig = None, dt=None):
+    """The frozen substep-contact candidate mask (N, M) shared by
+    :func:`compact_conglom_pairs` and :func:`auto_pair_cap`: valid
+    same-conglomerate candidates, minus the velocity/acceleration-skin
+    prefilter when configured.  Returns ``(keepM, skin_dropped)``."""
     same = st.conglom_id[:, None] == st.conglom_id[nbr.cand_idx]
     keepM = nbr.cand_valid & same
     skin_dropped = jnp.zeros((), jnp.int32)
@@ -292,40 +338,24 @@ def compact_conglom_pairs(st, nbr, cap: int, cfg: IcebergsConfig = None,
         drop = keepM & (r2 > reach * reach)
         skin_dropped = jnp.sum(drop.astype(jnp.int32))
         keepM = keepM & ~drop
+    return keepM, skin_dropped
 
-    # two-level compaction: rows with any keeper first (an N-element
-    # scatter), then the flat stage over act*M only.  The single-stage
-    # flat cumsum+scatter over all N*M entries measured 272 ms at
-    # 20k x 400 on v5e, and a lane-axis argsort pre-pass 228 ms; with
-    # the internal-velocity skin almost every row is contact-free, so
-    # this is ~free at rest and scales with the colliding subset.
-    N = keepM.shape[0]
-    act_cap = max(1024, cap // 64)
-    rowany = jnp.any(keepM, axis=1)
-    rrank = jnp.cumsum(rowany.astype(jnp.int32)) - 1
-    rgrant = rowany & (rrank < act_cap)
-    rsel = jnp.zeros((act_cap,), jnp.int32).at[
-        jnp.where(rgrant, rrank, act_cap)].set(
-        jnp.arange(N, dtype=jnp.int32), mode='drop')
-    row_overflow = jnp.sum((rowany & ~rgrant).astype(jnp.int32))
 
-    keep2 = keepM[rsel]                        # (act_cap, M)
-    cand2 = nbr.cand_idx[rsel]
-    rvalid = jnp.arange(act_cap) < jnp.sum(rgrant.astype(jnp.int32))
-    keep2 = keep2 & rvalid[:, None]
-
-    F = keep2.reshape(-1)
-    rank = jnp.cumsum(F.astype(jnp.int32)) - 1
-    granted = F & (rank < cap)
-    sel = jnp.zeros((cap,), jnp.int32).at[
-        jnp.where(granted, rank, cap)].set(
-        jnp.arange(F.shape[0], dtype=jnp.int32), mode='drop')
-    npair = jnp.sum(granted.astype(jnp.int32))
-    pvalid = jnp.arange(cap) < npair
-    me = rsel[jnp.minimum(sel // M, act_cap - 1)]
-    other = cand2.reshape(-1)[sel]
-    overflow = row_overflow * M + jnp.sum((F & ~granted).astype(jnp.int32))
-    return me, other, pvalid, overflow, skin_dropped
+def auto_pair_cap(st, nbr, cfg: IcebergsConfig, *, safety: float = 4.0,
+                  minimum: int = 2048, multiple: int = 1024) -> int:
+    """Host-side sizing of the frozen substep pair-list capacity from the
+    CONCRETE initial state (call EAGERLY, before tracing): counts the
+    skin-filtered candidate pairs and rounds ``safety`` x the count up to
+    a ``multiple``.  The safety factor covers compaction growth during
+    the run (spawned bergs, conglomerates drifting into contact); actual
+    overflow is still counted per step (``MtsDiags.pair_overflow``) so an
+    undersized cap is detected, never silent."""
+    import numpy as _np
+    keepM, _ = _pair_keep_mask(st, nbr, cfg, cfg.dt)
+    n = int(_np.asarray(jnp.sum(keepM.astype(jnp.int32))))
+    cap = max(minimum, int(_np.ceil(safety * max(n, 1) / multiple))
+              * multiple)
+    return min(cap, keepM.shape[0] * keepM.shape[1])
 
 
 def _pair_contact_masks(st, me, other, pvalid, cfg: IcebergsConfig):
@@ -694,10 +724,11 @@ def evolve_icebergs_mts(st, grid: Grid, frc, cfg: IcebergsConfig,
     # substeps; only breakage/slot masks change)
     pairs = None
     skin_dropped = jnp.zeros((), jnp.int32)
+    pair_overflow = jnp.zeros((), jnp.int32)
     if (pair_cap is not None and cfg.dem
             and not cfg.use_broken_bonds_for_substep_contact):
-        me_p, ot_p, pv_p, _pov, skin_dropped = compact_conglom_pairs(
-            st, nbr, pair_cap, cfg=cfg, dt=cfg.dt)
+        me_p, ot_p, pv_p, pair_overflow, skin_dropped = \
+            compact_conglom_pairs(st, nbr, pair_cap, cfg=cfg, dt=cfg.dt)
         pairs = (me_p, ot_p, pv_p)
 
     def substep(s, _):
@@ -834,4 +865,5 @@ def evolve_icebergs_mts(st, grid: Grid, frc, cfg: IcebergsConfig,
                     jne=jnp.where(moving, j, st.jne),
                     xi=sel(xi, st.xi), yj=sel(yj, st.yj))
     return st, MtsDiags(broken_bonds=broken_total,
-                        skin_dropped=skin_dropped)
+                        skin_dropped=skin_dropped,
+                        pair_overflow=pair_overflow)

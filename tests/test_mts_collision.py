@@ -154,3 +154,53 @@ def test_mts_pair_compaction_matches_dense():
     np.testing.assert_allclose(np.asarray(sp.ang_vel)[:n],
                                np.asarray(sd.ang_vel)[:n], rtol=0,
                                atol=1e-7)
+
+
+def test_auto_pair_cap_and_overflow_counter():
+    """auto_pair_cap sizes the frozen substep pair list from the concrete
+    ICs (PLAN round-3 gap 2); an undersized cap surfaces a nonzero
+    StepDiags.contact_overflow instead of silently missing contacts."""
+    from icebergs_tpu.mts import auto_pair_cap, compact_conglom_pairs
+    cfg = mts_kid_config().replace(dem=True, explicit_inner_mts=True,
+                                   dem_spring_coef=5.e6,
+                                   dem_damping_coef=1.0).normalized(
+        warn=False)
+    grid = ibt.make_uniform_grid(20, 20, 0., 0., 1000., 1000.,
+                                 grid_is_latlon=False)
+    frc = ibt.uniform_forcing(20, 20, sst=-2.0, vo=0.05)
+    side = 400.0
+    lon, lat = [], []
+    for (cx, cy) in ((5000., 8000.), (5000., 9200.)):
+        for dx in (-side / 2, side / 2):
+            for dy in (-side / 2, side / 2):
+                lon.append(cx + dx)
+                lat.append(cy + dy)
+    n = len(lon)
+    st = ibt.create_bergs(32, lon=lon, lat=lat,
+                          mass=850. * 100 * side * side, thickness=100.,
+                          width=side, length=side, mass_scaling=1.,
+                          id_cnt=np.arange(n) + 1)
+    i, j, xi, yj = pos_to_cell(grid, st.lon, st.lat, -1.0)
+    st = st.replace(ine=i, jne=j, xi=xi, yj=yj)
+    st = forces.initialize_bonds_host(
+        st, cfg.replace(length_for_manually_initialize_bonds=side * 1.2))
+    st = forces.compute_conglom_ids_host(st)
+
+    nbr = forces.build_neighbor_tables(
+        st, grid, cfg, max_per_cell=16,
+        ncells_radius=forces.neighbor_radius(grid, cfg))
+    cap = auto_pair_cap(st, nbr, cfg)
+    assert cap % 1024 == 0 and cap >= 2048
+    # the sized cap holds every candidate: zero overflow
+    *_, ov, _sd = compact_conglom_pairs(st, nbr, cap, cfg=cfg, dt=cfg.dt)
+    assert int(ov) == 0
+    # a cap of 2 cannot (each 2x2 square has >= 2 same-conglom pairs per
+    # row alone): overflow must be counted and surfaced by the step
+    *_, ov2, _ = compact_conglom_pairs(st, nbr, 2, cfg=cfg, dt=cfg.dt)
+    assert int(ov2) > 0
+    step = ibt.make_step(grid, cfg, with_thermo=False, mts_pair_cap=2)
+    _, d = step(st, frc)
+    assert d.contact_overflow is not None and int(d.contact_overflow) > 0
+    step_ok = ibt.make_step(grid, cfg, with_thermo=False, mts_pair_cap=cap)
+    _, d_ok = step_ok(st, frc)
+    assert int(d_ok.contact_overflow) == 0
