@@ -62,6 +62,7 @@ class DiagManager:
         self.names = tuple(selected) if selected is not None else CATALOG
         self.average = average
         self._created: set = set()   # paths this manager created this run
+        self._acc_cache: dict = {}   # jitted accumulators by field set
 
     def init_state(self, dtype=jnp.float32) -> DiagState:
         shape = (self.grid.nx + 2, self.grid.ny + 2)
@@ -72,16 +73,29 @@ class DiagManager:
     def send_data(self, dstate: DiagState, fields: dict) -> DiagState:
         """Accumulate a step's diagnostics (send_data analog).
         Unknown/None fields are ignored; 3-D fields are summed over the
-        class axis."""
-        sums = dict(dstate.sums)
-        for name in self.names:
-            v = fields.get(name)
-            if v is None:
-                continue
-            if v.ndim == 3:
-                v = jnp.sum(v, axis=-1)
-            sums[name] = sums[name] + v
-        return DiagState(sums=sums, count=dstate.count + 1)
+        class axis.
+
+        The whole accumulation runs as ONE jitted dispatch (cached per
+        present-field set): ~30 eager adds per step dominated long
+        driver runs (69k-step footloose config: minutes of dispatch
+        overhead)."""
+        import jax
+        present = tuple(n for n in self.names
+                        if fields.get(n) is not None)
+        fn = self._acc_cache.get(present)
+        if fn is None:
+            def acc(sums, count, vals):
+                new = dict(sums)
+                for n, v in vals.items():
+                    if v.ndim == 3:
+                        v = jnp.sum(v, axis=-1)
+                    new[n] = new[n] + v
+                return new, count + 1
+            fn = jax.jit(acc)
+            self._acc_cache[present] = fn
+        vals = {n: jnp.asarray(fields[n]) for n in present}
+        sums, count = fn(dict(dstate.sums), dstate.count, vals)
+        return DiagState(sums=sums, count=count)
 
     def flush(self, dstate: DiagState, path: str, time_value: float = 0.):
         """Append the accumulated (time-averaged) record to the NetCDF
@@ -116,23 +130,12 @@ class DiagManager:
         return self.init_state(next(iter(dstate.sums.values())).dtype)
 
 
-def collect_step_fields(outputs, extra: Optional[dict] = None, *,
-                        frc=None, grid=None, st=None, cfg=None) -> dict:
-    """Build the send_data field dict from RunOutputs / StepDiags.
-
-    Optionally adds the forcing-copy fields (icebergs.F90:5529-5548),
-    grid depth, and the per-cell count/chksum fields (5620-5634)."""
+def collect_forcing_fields(frc=None, grid=None) -> dict:
+    """Forcing-copy diagnostic fields (icebergs.F90:5529-5548) + grid
+    depth.  Split from :func:`collect_step_fields` so driver loops with
+    CONSTANT forcing compute them once, not per step (pass the result
+    via ``forcing_fields=``)."""
     d = {}
-    for name in CATALOG:
-        v = getattr(outputs, name, None)
-        if v is not None:
-            d[name] = v
-    fm = d.get("floating_melt")
-    if fm is not None:
-        d.setdefault("melt", fm)
-        if cfg is not None:
-            d.setdefault("melt_m_per_year",
-                         fm * (86400.0 * 365.0 / cfg.rho_bergs))
     if frc is not None:
         # corner (B-grid) velocities averaged to centers so every catalog
         # field shares the (nx+2, ny+2) cell shape
@@ -155,10 +158,52 @@ def collect_step_fields(outputs, extra: Optional[dict] = None, *,
                     v.shape[0] != d.get("sst", v).shape[0] else v
     if grid is not None and getattr(grid, "ocean_depth", None) is not None:
         d["depth"] = grid.ocean_depth
-    if st is not None and grid is not None:
+    return d
+
+
+_PERCELL_JIT: dict = {}
+
+
+def _percell_fields(st, grid):
+    """Jitted per-cell count/chksum fields (icebergs.F90:5620-5634) —
+    one dispatch per step instead of eager scatter chains."""
+    import jax
+    key = (int(st.capacity), int(grid.nx), int(grid.ny))
+    fn = _PERCELL_JIT.get(key)
+    if fn is None:
         from .diag import bergs_per_cell, list_chksum_per_cell
-        d["bergs_per_cell"] = bergs_per_cell(st, grid)
-        d["list_chksum"] = list_chksum_per_cell(st, grid)
+        fn = jax.jit(lambda s, g: (bergs_per_cell(s, g),
+                                   list_chksum_per_cell(s, g)))
+        _PERCELL_JIT[key] = fn
+    return fn(st, grid)
+
+
+def collect_step_fields(outputs, extra: Optional[dict] = None, *,
+                        frc=None, grid=None, st=None, cfg=None,
+                        forcing_fields: Optional[dict] = None) -> dict:
+    """Build the send_data field dict from RunOutputs / StepDiags.
+
+    Optionally adds the forcing-copy fields (icebergs.F90:5529-5548),
+    grid depth, and the per-cell count/chksum fields (5620-5634).
+    ``forcing_fields`` takes a precomputed :func:`collect_forcing_fields`
+    dict (drivers with constant forcing hoist it out of the loop)."""
+    d = {}
+    for name in CATALOG:
+        v = getattr(outputs, name, None)
+        if v is not None:
+            d[name] = v
+    fm = d.get("floating_melt")
+    if fm is not None:
+        d.setdefault("melt", fm)
+        if cfg is not None:
+            d.setdefault("melt_m_per_year",
+                         fm * (86400.0 * 365.0 / cfg.rho_bergs))
+    if forcing_fields is not None:
+        d.update(forcing_fields)
+    elif frc is not None or grid is not None:
+        d.update(collect_forcing_fields(frc, grid))
+    if st is not None and grid is not None:
+        d["bergs_per_cell"], d["list_chksum"] = _percell_fields(st, grid)
     if extra:
         d.update(extra)
     return d

@@ -272,11 +272,14 @@ def run(nml_path: str, input_dir: str = ".", output_dir: str = ".",
         st.capacity, cfg.max_bonds,
         nsamples=max(2, nsteps // traj_every + 2)) \
         if cfg.save_bond_traj else None
-    from .diagnostics import DiagManager, collect_step_fields
+    from .diagnostics import (DiagManager, collect_step_fields,
+                              collect_forcing_fields)
     dmgr = DiagManager(grid)     # full reference catalog
     dstate = dmgr.init_state()
     verbose_every = max(1, int(round(cfg.verbose_hrs * 3600.0 / ibdt)))
 
+    ffields = collect_forcing_fields(frc, grid)
+    ffields_frc = frc
     b0 = diag.compute_budgets(st, calv)
     b_prev = b0
     t_wall = time.time()
@@ -327,8 +330,11 @@ def run(nml_path: str, input_dir: str = ".", output_dir: str = ".",
                 diags.floating_melt * grid.area))) * cfg.dt
             melt_total += m
             melt_interval += m
+        if ffields_frc is not frc:     # recompute only on forcing swap
+            ffields = collect_forcing_fields(frc, grid)
+            ffields_frc = frc
         dstate = dmgr.send_data(dstate, collect_step_fields(
-            diags, frc=frc, grid=grid, st=st, cfg=cfg,
+            diags, st=st, cfg=cfg, grid=grid, forcing_fields=ffields,
             extra={"stored_ice": calv.stored_ice,
                    "stored_heat": calv.stored_heat,
                    "running_mean_calving": calv.rmean_calving,

@@ -199,7 +199,12 @@ def _walk4(grid: Grid, cfg: IcebergsConfig, lon, lat, i, j, fx, fy,
 # the 4-iteration walk runs on the compacted ~9% of movers only and folds
 # back through a rank table; a lax.cond falls back to the dense walk if
 # the movers overflow the static cap (exactness guard)
-WALK_COMPACT_MIN_N = 131072
+# Mover compaction DISABLED by default: the same-window TPU A/B at 1M
+# bergs (tools/profile_phases.py, 2026-08-18) measured the compacted
+# walk at 126 ms vs 32 ms dense — the compaction scatter/gather round
+# trip costs 4x the dense 4-iteration walk it saves.  Kept for A/B
+# (set a finite threshold to re-enable).
+WALK_COMPACT_MIN_N = 1 << 60
 # cap = N // FRAC.  At dt=600 s and ~0.3 m/s drift on 2 km cells the
 # mover fraction is ~12%; N/4 leaves ample headroom before the dense
 # fallback fires (the fallback stays exact either way)

@@ -16,7 +16,7 @@ TPU-native port of ``evolve_icebergs_mts`` (``src/icebergs.F90:6576-7078``),
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -38,8 +38,12 @@ class MtsDiags(NamedTuple):
     skin_dropped: jnp.ndarray = jnp.zeros((), jnp.int32)
     # candidate pairs that did not fit in the frozen pair list's static
     # capacity (compact_conglom_pairs cap/act_cap): nonzero means the
-    # substep contact forces MISSED pairs — resize (auto_pair_cap)
-    pair_overflow: jnp.ndarray = jnp.zeros((), jnp.int32)
+    # substep contact forces MISSED pairs — resize (auto_pair_cap).
+    # None when no pair compaction runs (vmem kernel / broken-bond
+    # regimes): adding a constant-zero leaf to the step's output pytree
+    # for those paths tripped a jax executable-cache buffer-count
+    # mismatch on repeat driver runs in one process
+    pair_overflow: Optional[jnp.ndarray] = None
 
 
 def _slow_accel_mts(st, cfg: IcebergsConfig, ia_fn):
@@ -724,7 +728,7 @@ def evolve_icebergs_mts(st, grid: Grid, frc, cfg: IcebergsConfig,
     # substeps; only breakage/slot masks change)
     pairs = None
     skin_dropped = jnp.zeros((), jnp.int32)
-    pair_overflow = jnp.zeros((), jnp.int32)
+    pair_overflow = None
     if (pair_cap is not None and cfg.dem
             and not cfg.use_broken_bonds_for_substep_contact):
         me_p, ot_p, pv_p, pair_overflow, skin_dropped = \

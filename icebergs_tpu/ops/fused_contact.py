@@ -485,7 +485,7 @@ def make_ia_fn_fused3(st, grid, cfg: IcebergsConfig, *,
                       contact_cap: int = None, fallback_cap: int = 4096,
                       fallback_strip_width: int = 64,
                       deterministic: bool = True,
-                      pt_via_sort_payloads: bool = False,
+                      pt_via_sort_payloads: bool = True,
                       interpret: bool = False):
     """Fused interactive-force closure via the extraction kernel.
 

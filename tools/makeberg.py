@@ -222,6 +222,29 @@ def gen_footloose(x0, y0, thickness, width, length):
                 id_ij=np.zeros(n, int))
 
 
+def gen_footloose_pair():
+    """The reference footloose_tests initial condition: two equal
+    hexagonal elements side by side, bonded (the geometry computed in
+    reference tests/footloose_tests/makeberg/makeberg.py:244-269 —
+    grdres=5000, R_frac=0.45, thickness 300 m, square-equivalent
+    width = sqrt(hexagon area))."""
+    grdres = 5000.0
+    xc = yc = 10000.1
+    radius = (np.sqrt(3.) / 2.) * (0.45 * grdres)
+    area = (3. * np.sqrt(3.) / 2.) * ((4. / 3.) * radius ** 2)
+    width = np.sqrt(area)
+    h = 300.0
+    n = 2
+    return dict(lon=np.array([xc - radius, xc + radius]),
+                lat=np.array([yc, yc]),
+                mass=np.full(n, RHO_BERGS * h * area),
+                thickness=np.full(n, h), width=np.full(n, width),
+                length=np.full(n, width), mass_scaling=np.ones(n),
+                uvel=np.zeros(n), vvel=np.zeros(n),
+                static_berg=np.zeros(n), id_cnt=np.arange(n) + 1,
+                id_ij=np.zeros(n, int))
+
+
 def write(arrays, out_dir, *, bonds=True, capacity=None, max_bonds=6,
           bond_length_factor=None):
     import jax
