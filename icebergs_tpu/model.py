@@ -195,10 +195,22 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
 
         # 4. thermodynamics (melt + rolling + death)
         # one shared (cell, id) lexsort feeds every deterministic scatter
-        # in the step (melt fields, per-cell sums, 9-slot spreading)
+        # in the step (melt fields, per-cell sums, 9-slot spreading);
+        # the pallas spread kernel replaces the lexsort+slot machinery
+        # entirely — it does its own payload sort, so the step skips
+        # make_sort_ctx and only pins the PRE-thermo aliveness for the
+        # sort key (rows that die during thermo keep their cell so their
+        # deferred melt still lands, matching _origin_frame_ranks)
         sort_ctx = None
+        key_alive = None
+        use_spread_kernel = (cfg.parallel_reprod
+                             and _spread.SLOT_SUM_METHOD == "pallas"
+                             and not cfg.hexagonal_icebergs)
         if cfg.parallel_reprod:
-            sort_ctx = _spread.make_sort_ctx(st, grid)
+            if use_spread_kernel:
+                key_alive = st.alive
+            else:
+                sort_ctx = _spread.make_sort_ctx(st, grid)
         melt_diags = None
         defer = cfg.parallel_reprod
         if with_thermo:
@@ -213,7 +225,8 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
             if with_thermo and defer and melt_diags.deferred_cols:
                 sp, melt_fields = _spread.create_gridded_icebergs_fields(
                     st, grid, frc, cfg, sort_ctx=sort_ctx,
-                    extra_cell_cols=melt_diags.deferred_cols)
+                    extra_cell_cols=melt_diags.deferred_cols,
+                    key_alive=key_alive)
                 melt_diags = melt_diags._replace(
                     floating_melt=melt_fields[0],
                     calving_hflx=melt_fields[1],
@@ -232,7 +245,8 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
                     deferred_cols=None)
             else:
                 sp = _spread.create_gridded_icebergs_fields(
-                    st, grid, frc, cfg, sort_ctx=sort_ctx)
+                    st, grid, frc, cfg, sort_ctx=sort_ctx,
+                    key_alive=key_alive)
 
         diags = StepDiags(
             nbergs=st.count(), tickets=out.tickets, bounced=out.bounced,
@@ -278,6 +292,7 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
 def make_persistent_multi_step(grid: Grid, cfg: IcebergsConfig,
                                n_inner: int, with_stats: bool = False, *,
                                with_thermo: bool = True,
+                               neighbor_mode: str = "fused",
                                contact_cap: int = 65536,
                                fused_block_n: int = 128,
                                fused_window: int = 288,
@@ -312,23 +327,35 @@ def make_persistent_multi_step(grid: Grid, cfg: IcebergsConfig,
     from .ops import thermo as _thermo
     from .ops import spread as _spread
     from .ops.sorted import sort_state_by_cell
-    from .ops.fused_contact import make_ia_fn_fused
+    from .ops.fused_contact import make_ia_fn_fused, make_ia_fn_fused3
 
     nx, ny = grid.nx, grid.ny
     ncells = nx * ny
     assert cfg.interactive_icebergs_on and not cfg.mts
+    assert neighbor_mode in ("fused", "fused3")
 
     def step(st: BergState, cell_starts, frc):
         with jax.named_scope("kid_interface"):
             st = interp_to_bergs(st, grid, frc, cfg)
 
         with jax.named_scope("kid_momentum"):
-            ia_fn, fstats = make_ia_fn_fused(
-                st, cell_starts, grid, cfg, block_n=fused_block_n,
-                window=fused_window, contact_cap=contact_cap,
-                fallback_cap=fused_fallback_cap,
-                fallback_strip_width=fused_fallback_strip_width,
-                interpret=fused_interpret)
+            if neighbor_mode == "fused3":
+                # presorted: no payload sort, no origin-frame inverse
+                # gathers — the slab IS the sorted frame
+                ia_fn, fstats = make_ia_fn_fused3(
+                    st, grid, cfg, block_n=fused_block_n,
+                    window=fused_window, contact_cap=contact_cap,
+                    fallback_cap=fused_fallback_cap,
+                    fallback_strip_width=fused_fallback_strip_width,
+                    presorted=True, cell_starts=cell_starts,
+                    interpret=fused_interpret)
+            else:
+                ia_fn, fstats = make_ia_fn_fused(
+                    st, cell_starts, grid, cfg, block_n=fused_block_n,
+                    window=fused_window, contact_cap=contact_cap,
+                    fallback_cap=fused_fallback_cap,
+                    fallback_strip_width=fused_fallback_strip_width,
+                    interpret=fused_interpret)
             out = evolve_icebergs(st, grid, frc, cfg, ia_fn=ia_fn)
             st = out.state
 
@@ -340,16 +367,34 @@ def make_persistent_multi_step(grid: Grid, cfg: IcebergsConfig,
             rank = (jnp.arange(st.capacity, dtype=jnp.int32)
                     - cell_starts[jnp.minimum(key_s, ncells)])
             sort_ctx = (None, key_s, rank)   # identity: already sorted
+            key_alive = st.alive             # pre-thermo, for the kernel
 
         melt_diags = None
+        use_spread_kernel = (cfg.parallel_reprod
+                             and _spread.SLOT_SUM_METHOD == "pallas"
+                             and not cfg.hexagonal_icebergs)
+        defer = cfg.parallel_reprod and use_spread_kernel
         if with_thermo:
             with jax.named_scope("kid_thermodyn"):
                 st, melt_diags = _thermo.thermodynamics(
-                    st, grid, frc, cfg, sort_ctx=sort_ctx)
+                    st, grid, frc, cfg, sort_ctx=sort_ctx,
+                    defer_cell_cols=defer)
 
         with jax.named_scope("kid_diagnostics"):
-            sp = _spread.create_gridded_icebergs_fields(
-                st, grid, frc, cfg, sort_ctx=sort_ctx)
+            if with_thermo and defer and melt_diags.deferred_cols:
+                sp, melt_fields = _spread.create_gridded_icebergs_fields(
+                    st, grid, frc, cfg, sort_ctx=sort_ctx,
+                    extra_cell_cols=melt_diags.deferred_cols,
+                    key_alive=key_alive)
+                melt_diags = melt_diags._replace(
+                    floating_melt=melt_fields[0],
+                    calving_hflx=melt_fields[1],
+                    berg_melt=melt_fields[2],
+                    deferred_cols=None)
+            else:
+                sp = _spread.create_gridded_icebergs_fields(
+                    st, grid, frc, cfg, sort_ctx=sort_ctx,
+                    key_alive=key_alive if use_spread_kernel else None)
 
         diags = StepDiags(
             nbergs=st.count(), tickets=out.tickets, bounced=out.bounced,
@@ -367,18 +412,25 @@ def make_persistent_multi_step(grid: Grid, cfg: IcebergsConfig,
     @jax.jit
     def multi(st: BergState, frc):
         zero = jnp.zeros((), jnp.int32)
+        acc0 = jnp.zeros((grid.nx + 2, grid.ny + 2), st.lon.dtype)
         st, cs = sort_state_by_cell(st, grid)
 
         def body(carry, _):
-            s, cs, ov, fb = carry
+            s, cs, ov, fb, acc = carry
             s, cs, d = step(s, cs, frc)
             ov = jnp.maximum(ov, d.contact_overflow)
             fb = jnp.maximum(fb, d.contact_fallback)
-            return (s, cs, ov, fb), None
+            # keep the coupler outputs live — a stats-only consumer
+            # lets XLA dead-code the whole spreading subgraph
+            for f in (d.spread_mass, d.spread_area, d.ustar_iceberg,
+                      d.mass_on_ocean, d.floating_melt):
+                if f is not None:
+                    acc = acc + f
+            return (s, cs, ov, fb, acc), None
 
-        (st, cs, ov, fb), _ = jax.lax.scan(body, (st, cs, zero, zero),
-                                           None, length=n_inner)
-        return (st, ov, fb) if with_stats else st
+        (st, cs, ov, fb, acc), _ = jax.lax.scan(
+            body, (st, cs, zero, zero, acc0), None, length=n_inner)
+        return (st, ov, fb, acc) if with_stats else st
 
     return multi
 

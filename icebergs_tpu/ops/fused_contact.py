@@ -295,7 +295,8 @@ def _fallback_group(st, bad_o, order, key_s, cell_starts, grid, cfg, *,
     cand_s, valid_f, trunc_f = _subset_strip_tables(
         sub_f, jnp.full_like(sel_f, -1), key_s < (grid.nx * grid.ny), N,
         cell_starts, grid, fallback_strip_width, radius=radius)
-    cand_f = order[jnp.minimum(cand_s, N - 1)]
+    cand_f = (jnp.minimum(cand_s, N - 1) if order is None
+              else order[jnp.minimum(cand_s, N - 1)])
     valid_f = valid_f & (cand_f != sel_f[:, None])
     if exclude_same_group:
         valid_f = valid_f & (st.conglom_id[cand_f]
@@ -393,6 +394,7 @@ def _origin_frame_groups_extract(st, grid, cfg: IcebergsConfig, *,
                                  block_n, window, fallback_cap,
                                  fallback_strip_width, radius=1,
                                  pt_via_sort_payloads=False,
+                                 presorted=False, cell_starts=None,
                                  interpret=False):
     """Round-3 search: merged Pallas prepass + in-kernel partner-feature
     extraction (selection matmuls on the MXU).
@@ -425,21 +427,38 @@ def _origin_frame_groups_extract(st, grid, cfg: IcebergsConfig, *,
              st.mass, R, alive_f, key.astype(dtype), st.fl_k]
     slots = (PT_LON, PT_LAT, PT_U, PT_V, PT_AREA, PT_MASS,
              PT_RAD, PT_ALIVE, PT_KEY, PT_FLK)
-    if pt_via_sort_payloads:
-        # one variadic sort carries the features into sorted order
-        # (merge-network data movement instead of 10 random gathers)
-        sorted_all = jax.lax.sort(
-            (key, st.id_cnt, st.id_ij, idx) + tuple(feats), num_keys=3)
-        order = sorted_all[3]
-        feats_s = list(sorted_all[4:])
+    if presorted:
+        # persistent sorted layout: the slab is already physically
+        # (cell, id)-ordered (ops/sorted.sort_state_by_cell), so the
+        # search needs NO sort and NO origin-frame inverse mapping —
+        # rows killed since the sort carry key=ncells in place and die
+        # on the kernel's alive/key masks, and the carried cell_starts
+        # stay valid (deaths only over-cover windows, never move rows)
+        order = None
+        inv = None
+        feats_s = feats
+        key_s = key
+        if cell_starts is None:
+            cell_starts = jnp.searchsorted(
+                key_s, jnp.arange(ncells + 1, dtype=key_s.dtype)
+            ).astype(jnp.int32)
     else:
-        _, _, _, order = jax.lax.sort(
-            (key, st.id_cnt, st.id_ij, idx), num_keys=3)
-        feats_s = [f[order] for f in feats]
-    _, inv = jax.lax.sort((order, idx), num_keys=1)
-    key_s = key[order]
-    cell_starts = jnp.searchsorted(
-        key_s, jnp.arange(ncells + 1, dtype=key_s.dtype)).astype(jnp.int32)
+        if pt_via_sort_payloads:
+            # one variadic sort carries the features into sorted order
+            # (merge-network data movement instead of 10 random gathers)
+            sorted_all = jax.lax.sort(
+                (key, st.id_cnt, st.id_ij, idx) + tuple(feats), num_keys=3)
+            order = sorted_all[3]
+            feats_s = list(sorted_all[4:])
+        else:
+            _, _, _, order = jax.lax.sort(
+                (key, st.id_cnt, st.id_ij, idx), num_keys=3)
+            feats_s = [f[order] for f in feats]
+        _, inv = jax.lax.sort((order, idx), num_keys=1)
+        key_s = key[order]
+        cell_starts = jnp.searchsorted(
+            key_s, jnp.arange(ncells + 1, dtype=key_s.dtype)
+        ).astype(jnp.int32)
 
     rows = [jnp.zeros((N,), dtype)] * PT_NF
     for r, f in zip(slots, feats_s):
@@ -456,16 +475,19 @@ def _origin_frame_groups_extract(st, grid, cfg: IcebergsConfig, *,
     normal_s = (cnt_s > 0) & ~bad_block & (cnt_s <= 2) & alive_s
 
     # origin-frame mapping: one (N,) gather per result row — 13 rows
-    # total (cnt/bad/normal + 2 x PT_NEVAL partner features)
-    cnt_o = cnt_s[inv]
-    bad_o = bad_s[inv]
-    normal_o = normal_s[inv]
+    # total (cnt/bad/normal + 2 x PT_NEVAL partner features); identity
+    # (zero gathers) when presorted
+    back = (lambda x: x) if inv is None else (lambda x: x[inv])
+    cnt_o = back(cnt_s)
+    bad_o = back(bad_s)
+    normal_o = back(normal_s)
     m_n = jnp.stack([normal_o, normal_o & (cnt_o >= 2)], axis=0)
 
     names = ("lon2", "lat2", "u2", "v2", "A2g", "M2g")
     assert len(names) == PT_NEVAL
     partner_fields = {
-        nm: jnp.stack([out[EX_F1 + k][inv], out[EX_F2 + k][inv]], axis=0)
+        nm: jnp.stack([back(out[EX_F1 + k]), back(out[EX_F2 + k])],
+                      axis=0)
         for k, nm in enumerate(names)}
 
     pd_n = _forces.precompute_pair_data_T(
@@ -486,8 +508,16 @@ def make_ia_fn_fused3(st, grid, cfg: IcebergsConfig, *,
                       fallback_strip_width: int = 64,
                       deterministic: bool = True,
                       pt_via_sort_payloads: bool = True,
+                      presorted: bool = False, cell_starts=None,
                       interpret: bool = False):
     """Fused interactive-force closure via the extraction kernel.
+
+    ``presorted=True``: the state is already physically (cell, id)
+    sorted (ops/sorted.sort_state_by_cell) — the search skips its
+    payload sort AND the 13 origin-frame inverse gathers entirely
+    (``cell_starts`` from the sort may be passed to skip the
+    searchsorted too).  Per-berg results are identical; only the frame
+    the closure reads/writes is the sorted one.
 
     Same contract and bitwise-identical results as
     :func:`make_ia_fn_fused2` (partner-1/2 = min/max engaged sorted
@@ -505,7 +535,9 @@ def make_ia_fn_fused3(st, grid, cfg: IcebergsConfig, *,
         st, grid, cfg, block_n=block_n, window=window,
         fallback_cap=fallback_cap,
         fallback_strip_width=fallback_strip_width,
-        pt_via_sort_payloads=pt_via_sort_payloads, interpret=interpret)
+        pt_via_sort_payloads=pt_via_sort_payloads,
+        presorted=presorted, cell_starts=cell_starts,
+        interpret=interpret)
 
     pd_b = None
     if cfg.iceberg_bonds_on:

@@ -298,6 +298,99 @@ def _cell_slot_sums_scatter_t(key, rank, contribT, ncells, K):
     return x[:, :, 0].T
 
 
+def _ktree(x, axis):
+    """Fixed pairwise-add tree over ``axis`` (zero-padded to even at each
+    level) — the same association as :func:`_cell_slot_sums`' explicit
+    tree, expressed on any axis.  Never reassociated by XLA."""
+    k = x.shape[axis]
+    while k > 1:
+        if k % 2:
+            pad = [(0, 0, 0)] * x.ndim
+            pad[axis] = (0, 1, 0)
+            x = jax.lax.pad(x, jnp.zeros((), x.dtype), pad)
+            k += 1
+        lo = jax.lax.slice_in_dim(x, 0, k, 2, axis)
+        hi = jax.lax.slice_in_dim(x, 1, k, 2, axis)
+        x = lo + hi
+        k //= 2
+    return jnp.squeeze(x, axis)
+
+
+def _slot_sums_raw(order, key_s, w9s, value_rows, extra_rows, ncells, K,
+                   mm=False):
+    """Per-cell slot sums computed from RAW (N,) rows with the 9-weight
+    product fused INTO the block reduction.
+
+    The round-2 backends first materialize the full (9F+FX, N)
+    contribution matrix (w9 x vals outer product) and then slot-sum it
+    through a multi-GB (ncells*K) buffer — at 1M bergs that is ~420-590
+    ms/step on v5e, the whole step's dominant cost.  Here each cell's
+    K-row block gathers the ~9+F+FX RAW rows once (consecutive sorted
+    indices) and forms the product per block, so HBM never sees the
+    (9F, N) matrix or a slot buffer at all.
+
+    * ``mm=False`` (``gather_raw``): pairwise-tree reduction — BITWISE
+      identical to the ``gather``/``scatter``/``scatter_t`` backends for
+      any occupancy (same block structure as ``gather``).
+    * ``mm=True`` (``gather_mm``): the 9xF product-sum runs as one
+      batched matmul ``einsum('wkc,fkc->wfc')`` on the MXU
+      (precision=HIGHEST).  Deterministic and layout-invariant (the
+      contraction dim K is fixed), but a different fp association than
+      the tree backends; extras always reduce by tree.
+
+    Returns S (ncells, 9F+FX): columns [9F spread | FX extras], matching
+    the other backends' layout.
+    """
+    F = len(value_rows)
+    FX = len(extra_rows)
+    nw = 9 if w9s is not None else 0
+    rows = ([w9s[k] for k in range(9)] if nw else []) \
+        + list(value_rows) + list(extra_rows)
+    N = key_s.shape[0]
+    dtype = rows[0].dtype
+    if order is not None:
+        rows = [r[order] for r in rows]
+    rows_p = [jnp.concatenate([r, jnp.zeros((1,), r.dtype)]) for r in rows]
+    starts = jnp.searchsorted(
+        key_s, jnp.arange(ncells + 1, dtype=key_s.dtype)).astype(jnp.int32)
+    base, ends = starts[:-1], starts[1:]
+    ks = jnp.arange(K, dtype=jnp.int32)[:, None]
+
+    def reduce_block(r):
+        idx = base[None, :] + r * K + ks          # (K, ncells)
+        valid = idx < ends[None, :]
+        idxc = jnp.where(valid, jnp.minimum(idx, N - 1), N)
+        g = [rp[idxc] for rp in rows_p]           # each (K, ncells)
+        parts = []
+        if nw and F:
+            Wg = jnp.stack(g[:nw], 0)             # (9, K, ncells)
+            Vg = jnp.stack(g[nw:nw + F], 0)       # (F, K, ncells)
+            if mm:
+                S9 = jnp.einsum('wkc,fkc->wfc', Wg, Vg,
+                                precision=jax.lax.Precision.HIGHEST)
+            else:
+                S9 = _ktree(Wg[:, None] * Vg[None], axis=2)
+            parts.append(S9.reshape(9 * F, ncells))
+        if FX:
+            Eg = jnp.stack(g[nw + F:], 0)         # (FX, K, ncells)
+            parts.append(_ktree(Eg, axis=1))
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
+
+    acc = reduce_block(jnp.int32(0))
+    max_cnt = jnp.max(ends - base)
+
+    def cond(c):
+        r, _ = c
+        return r * K < max_cnt
+
+    def body(c):
+        r, a = c
+        return r + 1, a + reduce_block(r)
+
+    _, acc = jax.lax.while_loop(cond, body, (jnp.int32(1), acc))
+    return acc.T
+
+
 def _origin_frame_ranks(st, grid, order, key_s, alive):
     """Per-ORIGINAL-slot (key, within-cell id rank): the slot coordinates
     of the deterministic scatters without permuting any value column.
@@ -380,7 +473,15 @@ def scatter9_slots(grid, st, w, I_frac, value_list, alive, K: int = 16,
     # order=None: rows are already physically (cell, id)-sorted (the
     # persistent layout) — skip the permutation gathers
     FX = len(extra_value_list) if extra_value_list else 0
-    if SLOT_SUM_METHOD == "scatter_t":
+    if SLOT_SUM_METHOD in ("gather_raw", "gather_mm"):
+        # raw-row block gathers with the 9-weight product fused into the
+        # reduction: no (9F, N) contribution matrix, no slot buffer
+        scale_v = jnp.where(alive, I_frac, 0.)
+        w9s = w * scale_v[None, :]                # (9, N)
+        S = _slot_sums_raw(order, key_s, w9s, list(value_list),
+                           list(extra_value_list or []), ncells, K,
+                           mm=(SLOT_SUM_METHOD == "gather_mm"))
+    elif SLOT_SUM_METHOD == "scatter_t":
         # ORIGINAL-frame transposed build: every berg owns a unique
         # (cell, rank) slot, so the column scatter needs no sorted rows —
         # no per-column permutation gathers at all
@@ -471,7 +572,13 @@ def scatter_cell_deterministic(grid, st, value_list, alive, K: int = 16,
     N = st.capacity
     order, key_s, rank = (sort_ctx if sort_ctx is not None
                           else make_sort_ctx(st, grid, alive))
-    if SLOT_SUM_METHOD == "scatter_t":
+    if SLOT_SUM_METHOD in ("gather_raw", "gather_mm"):
+        # plain owning-cell columns reduce by tree in both modes —
+        # bitwise identical to the gather/scatter backends
+        S = _slot_sums_raw(order, key_s, None, [], list(value_list),
+                           ncells, K, mm=False)
+        dtype = value_list[0].dtype
+    elif SLOT_SUM_METHOD == "scatter_t":
         valsT = jnp.stack(value_list, axis=0)
         if order is not None:
             key_o, rank_o = _origin_frame_ranks(st, grid, order, key_s,
@@ -608,14 +715,122 @@ def calculate_mass_on_ocean(st, grid, frc, cfg: IcebergsConfig,
     return mass_on_ocean, area_on_ocean, U_on_ocean, V_on_ocean
 
 
+def _pallas_spread_sums(st, grid, frc, cfg: IcebergsConfig,
+                        extra_cell_cols, key_alive=None,
+                        presorted=False):
+    """Kernel-path per-cell sums: ONE payload sort + the pallas
+    segment-sum kernel (ops/pallas_spread.py), with a lax.cond fallback
+    to the scatter_t slot machinery for runs whose row windows overflow
+    (fallback bits differ — tree vs sequential association — but both
+    are deterministic; no-overflow runs are bitwise layout-invariant).
+
+    Returns S (ncells, 36 + 7 + n_extra)."""
+    from . import pallas_spread as ps
+
+    ncells = grid.nx * grid.ny
+    K = cfg.reprod_max_per_cell
+    n_extra = len(extra_cell_cols or [])
+    interp = PALLAS_SPREAD_INTERPRET
+    if interp is None:
+        interp = jax.default_backend() != "tpu"
+    S, nbad, key_s, rows_s, starts = ps.spread_cell_sums(
+        st, grid, frc, cfg, extra_cell_cols, key_alive=key_alive,
+        presorted=presorted,
+        cell_block=PALLAS_SPREAD_CB, window=PALLAS_SPREAD_WINDOW,
+        interpret=interp)
+    tbl = ps.cell_tables(grid)
+    dtype = rows_s.dtype
+
+    def fallback(_):
+        key_c = jnp.minimum(key_s, ncells - 1)
+        tblrows = tbl[:, key_c]                        # (16, N) gathers
+        w9 = ps._weights_from_rows(rows_s, tblrows, cfg, dtype)
+        area_c = jnp.maximum(tblrows[ps.T_AREA:ps.T_AREA + 1, :], 1e-30)
+        Mass = rows_s[ps.R_MASS:ps.R_MASS + 1, :]
+        LWms = rows_s[ps.R_LWMS:ps.R_LWMS + 1, :]
+        u = rows_s[ps.R_U:ps.R_U + 1, :]
+        v = rows_s[ps.R_V:ps.R_V + 1, :]
+        w_cell = rows_s[ps.R_MASSMS:ps.R_MASSMS + 1, :] / area_c
+        vals = jnp.concatenate([Mass, LWms, u * LWms, v * LWms], axis=0)
+        P9 = (w9[:, None, :] * vals[None, :, :]).reshape(36, -1)
+        Pc = jnp.concatenate(
+            [w_cell, w_cell * u, w_cell * v,
+             rows_s[ps.R_VIRT:ps.R_VIRT + 1, :],
+             rows_s[ps.R_BITS:ps.R_BITS + 1, :],
+             rows_s[ps.R_FLB:ps.R_FLB + 1, :],
+             rows_s[ps.R_FLBB:ps.R_FLBB + 1, :]], axis=0)
+        contribT = jnp.concatenate([P9, Pc, rows_s[ps.R_NFIX:, :]],
+                                   axis=0)
+        rank = (jnp.arange(key_s.shape[0], dtype=jnp.int32)
+                - starts[jnp.minimum(key_s, ncells)])
+        return _cell_slot_sums_scatter_t(key_s, rank, contribT, ncells, K)
+
+    return jax.lax.cond(nbad > 0, fallback, lambda _: S, None)
+
+
+# kernel-path knobs: window None = auto (~4x headroom over uniform
+# density, ops/pallas_spread.auto_window), interpret None = auto
+# (False on TPU).  cb=128 keeps the (cb, WL) one-hot inside the 16 MB
+# scoped-VMEM budget with HIGHEST-precision matmuls.
+PALLAS_SPREAD_CB = 128
+PALLAS_SPREAD_WINDOW = None
+PALLAS_SPREAD_INTERPRET = None
+
+
 def create_gridded_icebergs_fields(st, grid, frc, cfg: IcebergsConfig,
-                                   sort_ctx=None, extra_cell_cols=None):
+                                   sort_ctx=None, extra_cell_cols=None,
+                                   key_alive=None):
     """Derive spread_mass/area/uvel/vvel and gridded ustar
     (create_gridded_icebergs_fields, icebergs.F90:3390-3491).
 
     ``extra_cell_cols`` (reprod mode): further owning-cell columns (e.g.
     thermo's deferred melt columns) folded into the same slot-sum pass;
-    returns ``(diags, extra_fields)`` then."""
+    returns ``(diags, extra_fields)`` then.
+
+    ``SLOT_SUM_METHOD == "pallas"`` (rectangle spreading + reprod only):
+    the whole pass runs as one payload sort + the pallas segment-sum
+    kernel; ``sort_ctx`` is ignored and ``key_alive`` supplies the
+    sort-key aliveness (pre-thermo, so rows that died during thermo
+    keep their cell — _origin_frame_ranks' semantics)."""
+    use_kernel = (cfg.parallel_reprod and SLOT_SUM_METHOD == "pallas"
+                  and not cfg.hexagonal_icebergs)
+    if use_kernel:
+        nx, ny = grid.nx, grid.ny
+        FX = len(extra_cell_cols or [])
+        # identity sort_ctx (order=None) marks the persistent-layout
+        # step: the slab is already physically (cell, id) sorted
+        presorted = sort_ctx is not None and sort_ctx[0] is None
+        S = _pallas_spread_sums(st, grid, frc, cfg, extra_cell_cols,
+                                key_alive=key_alive,
+                                presorted=presorted)
+        dt_ = S.dtype
+        Sg = S[:, :36].reshape(ny, nx, 9, 4).transpose(1, 0, 2, 3)
+        out9 = jnp.zeros((nx + 2, ny + 2, 9, 4), dt_)
+        k = 0
+        for dj in (-1, 0, 1):
+            for di in (-1, 0, 1):
+                out9 = out9.at[1 + di:nx + 1 + di,
+                               1 + dj:ny + 1 + dj, k].add(Sg[:, :, k])
+                k += 1
+        mass_on, area_on, U_on, V_on = sum_slots(out9)
+        Scell = S[:, 36:43].reshape(ny, nx, 7).transpose(1, 0, 2)
+        cpad = jnp.zeros((nx + 2, ny + 2, 7), dt_).at[
+            1:-1, 1:-1, :].set(Scell)
+        (mass_cell, mom_u, mom_v, virtual_area, bergy_mass,
+         fl_bits_mass, fl_bergy_bits_mass) = [cpad[..., f]
+                                              for f in range(7)]
+        if FX:
+            Sx = S[:, 43:].reshape(ny, nx, FX).transpose(1, 0, 2)
+            xpad = jnp.zeros((nx + 2, ny + 2, FX), dt_).at[
+                1:-1, 1:-1, :].set(Sx)
+            extra_fields = [xpad[..., f] for f in range(FX)]
+        return _gridded_epilogue(
+            st, grid, frc, cfg, mass_on, area_on, U_on, V_on,
+            mass_cell, mom_u, mom_v, virtual_area, bergy_mass,
+            fl_bits_mass, fl_bergy_bits_mass,
+            extra_fields if FX else None,
+            extra_cell_cols is not None)
+
     if cfg.parallel_reprod and sort_ctx is None:
         sort_ctx = make_sort_ctx(st, grid)
 
@@ -671,6 +886,26 @@ def create_gridded_icebergs_fields(st, grid, frc, cfg: IcebergsConfig,
     else:
         mass_on, area_on, U_on, V_on = calculate_mass_on_ocean(
             st, grid, frc, cfg, sort_ctx=sort_ctx)
+    if not cfg.parallel_reprod:
+        vals = jnp.stack(cols, axis=-1)
+        packed = jnp.zeros((grid.nx + 2, grid.ny + 2, len(cols)),
+                           mass_on.dtype).at[I, J].add(vals)
+        (mass_cell, mom_u, mom_v, virtual_area, bergy_mass, fl_bits_mass,
+         fl_bergy_bits_mass) = [packed[..., k] for k in range(len(cols))]
+        extra_fields = None
+    return _gridded_epilogue(
+        st, grid, frc, cfg, mass_on, area_on, U_on, V_on,
+        mass_cell, mom_u, mom_v, virtual_area, bergy_mass,
+        fl_bits_mass, fl_bergy_bits_mass, extra_fields,
+        extra_cell_cols is not None)
+
+
+def _gridded_epilogue(st, grid, frc, cfg, mass_on, area_on, U_on, V_on,
+                      mass_cell, mom_u, mom_v, virtual_area, bergy_mass,
+                      fl_bits_mass, fl_bergy_bits_mass, extra_fields,
+                      want_extras):
+    """Gridded-field derivations shared by the slot and kernel paths
+    (icebergs.F90:3440-3491)."""
     area_g = jnp.maximum(grid.area, 1e-30)
     spread_mass = mass_on / area_g * (grid.msk > 0.)
     spread_area = area_on / area_g * (grid.msk > 0.)
@@ -691,13 +926,6 @@ def create_gridded_icebergs_fields(st, grid, frc, cfg: IcebergsConfig,
     ustar_h = jnp.maximum(cfg.ustar_icebergs_bg, ustar)
     ustar_iceberg = jnp.where(spread_area == 0., 0., ustar_h)
 
-    if not cfg.parallel_reprod:
-        vals = jnp.stack(cols, axis=-1)
-        packed = jnp.zeros(spread_mass.shape + (len(cols),),
-                           spread_mass.dtype).at[I, J].add(vals)
-        (mass_cell, mom_u, mom_v, virtual_area, bergy_mass, fl_bits_mass,
-         fl_bergy_bits_mass) = [packed[..., k] for k in range(len(cols))]
-
     # mass-weighted mean berg velocity over the OWNING cell
     # (icebergs.F90:3451-3465: u_iceberg/mass with per-cell mass)
     msafe = jnp.maximum(mass_cell, 1e-30)
@@ -711,6 +939,6 @@ def create_gridded_icebergs_fields(st, grid, frc, cfg: IcebergsConfig,
                         mass=mass_cell, virtual_area=virtual_area,
                         bergy_mass=bergy_mass, fl_bits_mass=fl_bits_mass,
                         fl_bergy_bits_mass=fl_bergy_bits_mass)
-    if extra_cell_cols is not None:
+    if want_extras:
         return diags, extra_fields
     return diags

@@ -380,6 +380,25 @@ def main():
 
     f_spread_gather = _spread_method("gather")
     f_spread_scatter_t = _spread_method("scatter_t")
+    f_spread_gather_raw = _spread_method("gather_raw")
+    f_spread_gather_mm = _spread_method("gather_mm")
+    f_spread_pallas = _spread_method("pallas")
+
+    def f_spread_pallas_x21(s):
+        # kernel path with 21 extra pass-through columns (the deferred
+        # melt load of the production step)
+        orig = _spread.SLOT_SUM_METHOD
+        _spread.SLOT_SUM_METHOD = "pallas"
+        try:
+            extras = [s.mass * (0.01 * k) for k in range(14)]
+            sp, ef = _spread.create_gridded_icebergs_fields(
+                s, grid, frc, cfg, extra_cell_cols=extras)
+        finally:
+            _spread.SLOT_SUM_METHOD = orig
+        acc = sp.spread_mass[0, 0]
+        for f in ef:
+            acc = acc + f[0, 0]
+        return s.replace(lon=s.lon + 1e-12 * acc)
 
     def f_spread_noreprod(s):
         sp = _spread.create_gridded_icebergs_fields(s, grid, frc,
@@ -487,6 +506,10 @@ def main():
             ("evolve_ia3_bn256_w512", _evolve_ia3_cfg(256, 512), st_i),
             ("spread_gather", f_spread_gather, st_i),
             ("spread_scatter_t", f_spread_scatter_t, st_i),
+            ("spread_gather_raw", f_spread_gather_raw, st_i),
+            ("spread_gather_mm", f_spread_gather_mm, st_i),
+            ("spread_pallas", f_spread_pallas, st_i),
+            ("spread_pallas_x21", f_spread_pallas_x21, st_i),
             ("step_fused", f_step_fused, st_i),
             ("step_fused3", f_step_fused3, st_i),
             ("evolve_ia_1eval", f_evolve_ia_1eval, st_i),
