@@ -395,12 +395,18 @@ def contact_extract_sorted(PT, key_s, cell_starts, grid,
             feats = win[0:8, :]                               # (8, WL)
             e1 = engf * jnp.where(widf == lmin, 1., 0.)
             e2 = engf * jnp.where(widf == lmax, 1., 0.)
+            # Precision.HIGHEST is REQUIRED for exactness: Mosaic's
+            # default dot truncates f32 operands to bf16 (measured
+            # 2e-3 rel error on selection matmuls — km-scale position
+            # error at 1e6-m coordinates)
             f1s = jax.lax.dot_general(
                 feats, e1, (((1,), (0,)), ((), ())),
-                preferred_element_type=dtype)                 # (8, BN)
+                preferred_element_type=dtype,
+                precision=jax.lax.Precision.HIGHEST)          # (8, BN)
             f2s = jax.lax.dot_general(
                 feats, e2, (((1,), (0,)), ((), ())),
-                preferred_element_type=dtype)
+                preferred_element_type=dtype,
+                precision=jax.lax.Precision.HIGHEST)
             take1 = lmin < vmin
             take2 = lmax > vmax
             f1 = jnp.where(take1, f1s, f1)
