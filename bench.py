@@ -65,25 +65,32 @@ def bench_1m_contacts():
     i, j, xi, yj = pos_to_cell(grid, st.lon, st.lat, -1.0)
     st = st.replace(ine=i, jne=j, xi=xi, yj=yj)
 
-    # fused3 = round-3 extraction kernel (search + in-kernel partner
-    # features, no (N, F) padded buffers); KID_BENCH_CONTACT_MODE=fused
-    # selects the round-2 path for A/B.  If the requested mode fails to
-    # compile/run on this backend (Mosaic rejects a kernel, driver runs
-    # an older toolchain, ...) fall back down the chain so the headline
-    # number is always produced.
+    # fused3p = fused3 extraction search + the Pallas segment-sum
+    # spreading kernel (the step skips make_sort_ctx; spreading runs as
+    # one payload sort + MXU one-hot reduction — 426 -> 86 ms at 1M).
+    # fused3 = same search with the slot-scatter spreading for A/B;
+    # KID_BENCH_CONTACT_MODE=fused selects the round-2 search.  If the
+    # requested mode fails to compile/run on this backend (Mosaic
+    # rejects a kernel, driver runs an older toolchain, ...) fall back
+    # down the chain so the headline number is always produced.
+    # (A full persistent-sorted-slab variant was measured 2.3x SLOWER:
+    # physically re-sorting all ~70 state leaves costs ~1.3 s/step.)
     import os
-    mode = os.environ.get("KID_BENCH_CONTACT_MODE", "fused3")
-    chain = [mode] + [m for m in ("fused3", "fused", "sorted")
+    from icebergs_tpu.ops import spread as _spread
+    mode = os.environ.get("KID_BENCH_CONTACT_MODE", "fused3p")
+    chain = [mode] + [m for m in ("fused3p", "fused3", "fused", "sorted")
                       if m != mode]
     multi = out = None
     for m in chain:
-        fb = 4096 if m == "fused3" else 16384
+        fb = 16384 if m in ("fused", "sorted") else 4096
         try:
-            multi = make_multi_step(grid, cfg, INNER, with_stats=True,
-                                    with_thermo=True, neighbor_mode=m,
-                                    fused_block_n=128, fused_window=288,
-                                    contact_cap=131072,
-                                    fused_fallback_cap=fb)
+            _spread.SLOT_SUM_METHOD = ("pallas" if m == "fused3p"
+                                       else "scatter")
+            multi = make_multi_step(
+                grid, cfg, INNER, with_stats=True, with_thermo=True,
+                neighbor_mode=("fused3" if m == "fused3p" else m),
+                fused_block_n=128, fused_window=288,
+                contact_cap=131072, fused_fallback_cap=fb)
             out = multi(st, frc)   # warmup/compile
             _sync(out)
             break

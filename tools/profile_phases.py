@@ -348,14 +348,20 @@ def main():
         out = dynamics.evolve_icebergs(s, grid, frc, cfg, ia_fn=ia_fn)
         return out.state
 
-    def _full_step(mode, fb):
-        step = model.make_step(grid, cfg, with_thermo=True,
-                               neighbor_mode=mode, fused_block_n=128,
-                               fused_window=288, contact_cap=131072,
-                               fused_fallback_cap=fb)
-
+    def _full_step(mode, fb, spread_method="scatter"):
         def f(s):
-            s2, d = step(s, frc)
+            orig = _spread.SLOT_SUM_METHOD
+            _spread.SLOT_SUM_METHOD = spread_method
+            try:
+                step = model.make_step(grid, cfg, with_thermo=True,
+                                       neighbor_mode=mode,
+                                       fused_block_n=128,
+                                       fused_window=288,
+                                       contact_cap=131072,
+                                       fused_fallback_cap=fb)
+                s2, d = step(s, frc)
+            finally:
+                _spread.SLOT_SUM_METHOD = orig
             # keep the coupler fields alive (a state-only consumer lets
             # XLA dead-code the whole spreading/diagnostic subgraph)
             acc = (d.spread_mass + d.spread_area + d.ustar_iceberg
@@ -365,6 +371,7 @@ def main():
 
     f_step_fused = _full_step("fused", 16384)
     f_step_fused3 = _full_step("fused3", 4096)
+    f_step_fused3_pallas = _full_step("fused3", 4096, "pallas")
 
     def _spread_method(m):
         def f(s):
@@ -485,6 +492,40 @@ def main():
 
     import sys
     only = sys.argv[1:] if len(sys.argv) > 1 else None
+
+    def time_persistent(spread_method):
+        # make_persistent_multi_step is its own jitted scan: time it
+        # like bench.py (the INNER-step program includes ONE entry sort
+        # of an already-sorted slab, ~15 ms/INNER overhead)
+        orig = _spread.SLOT_SUM_METHOD
+        _spread.SLOT_SUM_METHOD = spread_method
+        try:
+            multi = model.make_persistent_multi_step(
+                grid, cfg, INNER, with_stats=True, with_thermo=True,
+                neighbor_mode="fused3", fused_block_n=128,
+                fused_window=288, contact_cap=131072,
+                fused_fallback_cap=4096)
+            out = multi(st, frc)
+            _ = np.asarray(out[3]).ravel()[:1]
+            t0 = time.perf_counter()
+            reps = 2
+            for _ in range(reps):
+                out = multi(out[0], frc)
+                _ = np.asarray(out[3]).ravel()[:1]
+            return (time.perf_counter() - t0) / (reps * INNER)
+        finally:
+            _spread.SLOT_SUM_METHOD = orig
+
+    for pname, meth in (("step_fused3p", "scatter"),
+                        ("step_fused3p_pallas", "pallas")):
+        if only and pname not in only:
+            continue
+        try:
+            t = time_persistent(meth)
+            print(f"{pname}: {t*1e3:.1f} ms", flush=True)
+        except Exception as e:
+            print(f"{pname}: FAILED {type(e).__name__}: {str(e)[:300]}",
+                  flush=True)
     for name, fn, arg in (
             ("lexsort", f_lexsort, st),
             ("lexsort_pack_starts", f_lexsort_pack_starts, st_i),
@@ -512,6 +553,7 @@ def main():
             ("spread_pallas_x21", f_spread_pallas_x21, st_i),
             ("step_fused", f_step_fused, st_i),
             ("step_fused3", f_step_fused3, st_i),
+            ("step_fused3_pallas", f_step_fused3_pallas, st_i),
             ("evolve_ia_1eval", f_evolve_ia_1eval, st_i),
             ("evolve_ia_zero2", f_evolve_ia_zero2, st_i),
             ("evolve_noia", f_evolve, st_i),
