@@ -116,13 +116,15 @@ def prepare_forcing(grid: Grid, cfg: IcebergsConfig, frc: Forcing,
     ua, va = vel(frc.ua, frc.va, stress_stagger)
 
     if not cfg.tau_is_velocity:
-        # invert_tau_for_du (icebergs.F90:8271-8296): u = sqrt(tau/(rho Cd))
+        # invert_tau_for_du (icebergs.F90:8271-8296): |du| = sqrt(|tau|/cd)
+        # with cd=0.0015 and NO air-density factor (the reference divides
+        # each component by sqrt(cd*|tau|))
         def invert(tau_x, tau_y):
             mag = jnp.sqrt(tau_x ** 2 + tau_y ** 2)
-            spd = jnp.sqrt(mag / (C.RHO_AIR * 0.0015))
-            den = jnp.where(mag > 0., mag, 1.)
-            return jnp.where(mag > 0., spd * tau_x / den, 0.), \
-                jnp.where(mag > 0., spd * tau_y / den, 0.)
+            cddvmod = jnp.sqrt(0.0015 * mag)
+            den = jnp.where(cddvmod > 0., cddvmod, 1.)
+            return jnp.where(cddvmod > 0., tau_x / den, 0.), \
+                jnp.where(cddvmod > 0., tau_y / den, 0.)
         ua, va = invert(ua, va)
 
     sst = frc.sst

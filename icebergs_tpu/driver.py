@@ -92,6 +92,13 @@ def build_grid_and_forcing(cfg, drv, dtype=None):
         # default deep ocean so nothing grounds spuriously
         grid = grid.replace(ocean_depth=jnp.full_like(grid.ocean_depth,
                                                       1000.0))
+    # the reference driver hands ibua/ibuy to icebergs_run through the
+    # WIND-STRESS slots (tauxa/tauya, driver:225 + icebergs_driver:389),
+    # so the interface layer applies: stress -> velocity inversion unless
+    # tau_is_velocity, Kelvin SST autodetect, NaN scrub
+    # (icebergs.F90:5236-5383).  B-grid staggering is an identity here.
+    from .api import prepare_forcing
+    frc = prepare_forcing(grid, cfg, frc)
     return grid, frc
 
 
@@ -316,7 +323,16 @@ def run(nml_path: str, input_dir: str = ".", output_dir: str = ".",
         if ck:
             ck.end("Icebergs-interface")
             ck.begin("Icebergs-step")
-        st, diags = step(st, frc)
+        if cfg.footloose:
+            # deterministic per-step placement stream (the reference
+            # seeds per berg id; fold_in(step) keeps restarts and
+            # layouts reproducible)
+            st, diags = step(st, frc, fl_key=jax.random.fold_in(
+                jax.random.PRNGKey(7), n),
+                current_yearday=jnp.asarray(n * ibdt / 86400.,
+                                            jnp.float32))
+        else:
+            st, diags = step(st, frc)
         if ck:
             ck.end("Icebergs-step", sync=st.lon)
             ck.begin("Icebergs-diagnostics")

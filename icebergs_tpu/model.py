@@ -35,6 +35,8 @@ class StepDiags(NamedTuple):
     total_mass: jnp.ndarray          # sum alive mass*mass_scaling (kg)
     contact_overflow: Optional[jnp.ndarray] = None  # fused-path cap drops
     contact_fallback: Optional[jnp.ndarray] = None  # bergs on exact fallback
+    nbergs_calved_fl: Optional[jnp.ndarray] = None  # footloose children
+    fl_spawn_overflow: Optional[jnp.ndarray] = None  # slots exhausted
     floating_melt: Optional[jnp.ndarray] = None   # (nx+2,ny+2) kg/m2/s
     calving_hflx: Optional[jnp.ndarray] = None    # W/m2
     berg_melt: Optional[jnp.ndarray] = None
@@ -122,7 +124,8 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
                    if with_interactions is None else with_interactions)
     nbr_radius = _forces.neighbor_radius(grid, cfg) if interactive else 1
 
-    def step(st: BergState, frc, stored_ice=None):
+    def step(st: BergState, frc, stored_ice=None, fl_key=None,
+             current_year=0, current_yearday=0.):
         # phase scopes mirror the reference's mpp_clock sub-timers
         # (icebergs_framework.F90:896-908) for jax.profiler traces
         # 0. (sorted layout) physically reorder the slab by cell so the
@@ -193,6 +196,30 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
                 out = evolve_icebergs(st, grid, frc, cfg, ia_fn=ia_fn)
                 st = out.state
 
+        # 3b. footloose calving (icebergs_run steps 10-12,
+        # icebergs.F90:5453-5488): part-1 foot-shed spawn/shrink,
+        # delete fully-calved edge elements, child interactivity
+        # promotion — the same sequence api.run_coupling_step runs;
+        # placement randomness comes from the caller's fl_key
+        # (deterministic per step in the driver)
+        fl_diag = None
+        if cfg.footloose:
+            with jax.named_scope("kid_footloose"):
+                from .footloose import (footloose_calving,
+                                        delete_fully_fl_calved,
+                                        adjust_fl_berg_interactivity)
+                key = (fl_key if fl_key is not None
+                       else jax.random.PRNGKey(0))
+                st, fl_diag = footloose_calving(
+                    st, grid, cfg, key, current_year=current_year,
+                    current_yearday=current_yearday)
+                st, _ = delete_fully_fl_calved(st)
+                if interactive:
+                    nbr2 = _forces.build_neighbor_tables(
+                        st, grid, cfg, ncells_radius=nbr_radius,
+                        max_per_cell=max_per_cell)
+                    st = adjust_fl_berg_interactivity(st, nbr2, cfg)
+
         # 4. thermodynamics (melt + rolling + death)
         # one shared (cell, id) lexsort feeds every deterministic scatter
         # in the step (melt fields, per-cell sums, 9-slot spreading);
@@ -255,6 +282,10 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
             contact_overflow=(fstats.overflow if fstats is not None
                               else mts_pair_ov),
             contact_fallback=(fstats.n_fallback if fstats else None),
+            nbergs_calved_fl=(fl_diag.nbergs_calved_fl
+                              if fl_diag else None),
+            fl_spawn_overflow=(fl_diag.spawn_overflow
+                               if fl_diag else None),
             floating_melt=(melt_diags.floating_melt if melt_diags else None),
             calving_hflx=(melt_diags.calving_hflx if melt_diags else None),
             berg_melt=(melt_diags.berg_melt if melt_diags else None),

@@ -397,19 +397,30 @@ def thermodynamics(st, grid, frc, cfg: IcebergsConfig, sort_ctx=None,
 
     Vsafe = jnp.maximum(Vol, 1e-30)
     if cfg.use_operator_splitting:
-        # operator-split volume update (icebergs.F90:2995-3013)
+        # operator-split volume update (icebergs.F90:2995-3013).  The
+        # mass diffs are the reference's Mnew_k - Mnew_{k+1} rewritten in
+        # PRODUCT form (algebraically identical): the literal subtraction
+        # is catastrophic in f32 — at dt=10 s a 3.6 km berg erodes
+        # ~7e-5 m/step, far below ulp(W*L), so dMe/dMv round to 0 and the
+        # footloose foot (fl_k += dMe/fb, icebergs.F90:3018) never grows.
+        # The reference is immune only because it compiles -r8.
+        dT = jnp.minimum(Mb * dt, T)
         Tn = jnp.maximum(T - Mb * dt, 0.)
-        Mnew1 = (Tn * W * L / Vsafe) * M
-        dMb = M - Mnew1
-        Ln1 = jnp.maximum(L - Mv * dt, 0.)
-        Wn1 = jnp.maximum(W - Mv * dt, 0.)
-        Mnew2 = (Tn * Wn1 * Ln1 / Vsafe) * M
-        dMv = Mnew1 - Mnew2
-        Ln = jnp.maximum(Ln1 - Me * dt, 0.)
-        Wn = jnp.maximum(Wn1 - Me * dt, 0.)
-        Mnew = (Tn * Wn * Ln / Vsafe) * M
-        dMe = Mnew2 - Mnew
-        dM = M - Mnew
+        dMb = (M / Vsafe) * (W * L) * dT
+        dv = Mv * dt
+        dWv = jnp.minimum(dv, W)
+        dLv = jnp.minimum(dv, L)
+        Ln1 = jnp.maximum(L - dv, 0.)
+        Wn1 = jnp.maximum(W - dv, 0.)
+        dMv = (M / Vsafe) * Tn * (dWv * L + dLv * W - dWv * dLv)
+        de = Me * dt
+        dWe = jnp.minimum(de, Wn1)
+        dLe = jnp.minimum(de, Ln1)
+        Ln = jnp.maximum(Ln1 - de, 0.)
+        Wn = jnp.maximum(Wn1 - de, 0.)
+        dMe = (M / Vsafe) * Tn * (dWe * Ln1 + dLe * Wn1 - dWe * dLe)
+        dM = dMb + dMv + dMe
+        Mnew = M - dM
     else:
         Ln = jnp.maximum(L - (Mv + Me) * dt, 0.)
         Wn = jnp.maximum(W - (Mv + Me) * dt, 0.)

@@ -57,8 +57,10 @@ def test_prepare_forcing_interface():
     out = prepare_forcing(grid, cfg, frc)
     # Kelvin -> Celsius autodetect
     np.testing.assert_allclose(float(out.sst[4, 4]), 5.0, atol=1e-3)
-    # wind stress (0.1 Pa) -> speed sqrt(tau/(rho_air*0.0015))
-    expected = np.sqrt(0.1 / (1.1 * 0.0015))
+    # wind stress (0.1 Pa) -> speed sqrt(tau/cd), cd=0.0015, NO air
+    # density (invert_tau_for_du divides by sqrt(cd*|tau|),
+    # icebergs.F90:8281-8292)
+    expected = np.sqrt(0.1 / 0.0015)
     np.testing.assert_allclose(float(out.ua[4, 4]), expected, rtol=1e-4)
     # tau_is_velocity passes winds through
     out2 = prepare_forcing(grid, cfg.replace(tau_is_velocity=True), frc)

@@ -223,3 +223,72 @@ def test_ground_frac(tmp_path):
 
     cs, n = jax.jit(diag.berg_chksum)(st)
     _check_golden("ground_frac", int(cs), int(n))
+
+
+def test_footloose_reference_scenario(tmp_path):
+    """footloose_tests: two hexagonal parents shed footloose children
+    per Huth 2022a over 192 h at dt=10 s (fl_style='fl_bits' binning,
+    promotion to new bergs at 3e11 kg).  The reference's recorded
+    restart line is #=12 bergs (tests/footloose_tests/README:
+    chksum ... #=12): 2 parents + 10 promoted children.
+
+    This scenario caught three real defects when first run end-to-end:
+    the driver never invoked the footloose phase at all; the
+    operator-split melt diffs cancelled catastrophically in f32 (a
+    3.6 km berg erodes ~7e-5 m per 10 s step — below ulp(W*L) — so
+    fl_k never grew; fixed by product-form diffs in ops/thermo.py);
+    and the driver handed ibua/ibuy to the model as wind VELOCITY
+    while the reference routes them through the wind-stress slots and
+    inverts (invert_tau_for_du, icebergs.F90:8271) — a 26x wind-speed
+    and ~4.5x erosion-rate error."""
+    import icebergs_tpu as ibt
+    from icebergs_tpu import driver as drv
+    from icebergs_tpu import diag
+    from icebergs_tpu.io.namelist import config_from_namelist
+    from icebergs_tpu.io import restart as rio
+    from icebergs_tpu.grid import pos_to_cell
+    from makeberg import gen_footloose_pair
+
+    src = os.path.join(REF, "footloose_tests", "input.nml")
+    nml = tmp_path / "input.nml"
+    nml.write_text(open(src).read())
+    cfg, drvp = config_from_namelist(str(nml))
+    assert cfg.footloose and cfg.fl_style == "fl_bits"
+    assert drvp["fl_test"] is True
+
+    arrays = gen_footloose_pair()
+    st0 = ibt.create_bergs(64, max_bonds=6, **arrays)
+    grid = ibt.make_uniform_grid(20, 20, 0., 0., 1000., 1000.,
+                                 grid_is_latlon=False)
+    i, j, xi, yj = pos_to_cell(grid, st0.lon, st0.lat, -1.0)
+    rio.write_restart_bergs(str(tmp_path / "icebergs.res.nc"),
+                            st0.replace(ine=i, jne=j, xi=xi, yj=yj), cfg)
+
+    st = drv.run(str(nml), input_dir=str(tmp_path),
+                 output_dir=str(tmp_path / "out"), capacity=64,
+                 verbose=False)
+    alive = np.asarray(st.alive)
+    # the reference's recorded outcome: 12 bergs (2 parents + 10
+    # children promoted from fl_bits)
+    assert alive.sum() == 12, alive.sum()
+    flk = np.asarray(st.fl_k)[alive]
+    parents = flk >= 0.
+    children = ~parents
+    assert parents.sum() == 2 and children.sum() == 10
+    # each promotion event spawns ONE berg representing
+    # k*thres/cberg_mass bergs via mass_scaling (calve_fl_icebergs,
+    # icebergs.F90:6494-6500)
+    scal = np.asarray(st.mass_scaling)[alive]
+    mass = np.asarray(st.mass)[alive]
+    # at spawn scal*mass == k*thres exactly (k=1 here); children then
+    # melt for the remaining hours, so the product sits a bit below
+    prod = scal[children] * mass[children]
+    thres = cfg.new_berg_from_fl_bits_mass_thres
+    assert np.all((prod > 0.6 * thres) & (prod < 1.05 * thres)), prod
+    # parents shed ~half their mass through the foot mechanism
+    m0 = float(np.asarray(st0.mass)[0])
+    assert np.all(mass[parents] < 0.6 * m0)
+    assert np.all(mass[parents] > 0.3 * m0)
+
+    cs, n = jax.jit(diag.berg_chksum)(st)
+    _check_golden("footloose", int(cs), int(n))
