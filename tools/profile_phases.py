@@ -16,9 +16,14 @@ setup might read, so nothing can be hoisted and probe numbers match the
 production step's per-iteration cost.
 """
 
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 INNER = 4
 
