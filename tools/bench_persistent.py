@@ -71,6 +71,7 @@ def main():
               f"dropped={int(np.asarray(out[1]))} "
               f"fallback={int(np.asarray(out[2]))}", flush=True)
 
+    from icebergs_tpu.ops import spread as _spread
     if which in ("fused2", "both"):
         run("fused2_per_step", make_multi_step(
             grid, cfg, INNER, with_stats=True, with_thermo=True,
@@ -81,6 +82,22 @@ def main():
             grid, cfg, INNER, with_stats=True, with_thermo=True,
             fused_block_n=128, fused_window=288,
             contact_cap=131072, fused_fallback_cap=16384))
+    if which in ("fused3p", "p3", "both3"):
+        # the headline config: per-step fused3 search + pallas spreading
+        _spread.SLOT_SUM_METHOD = "pallas"
+        run("fused3p_per_step", make_multi_step(
+            grid, cfg, INNER, with_stats=True, with_thermo=True,
+            neighbor_mode="fused3", fused_block_n=128, fused_window=288,
+            contact_cap=131072, fused_fallback_cap=4096))
+    if which in ("persistent3", "p3", "both3"):
+        # persistent sorted slab: one variadic re-sort per step serves the
+        # fused3 presorted search (no payload sort, no inv gathers) AND
+        # the presorted pallas spread kernel
+        _spread.SLOT_SUM_METHOD = "pallas"
+        run("persistent3", make_persistent_multi_step(
+            grid, cfg, INNER, with_stats=True, with_thermo=True,
+            neighbor_mode="fused3", fused_block_n=128, fused_window=288,
+            contact_cap=131072, fused_fallback_cap=4096))
 
 
 if __name__ == "__main__":
