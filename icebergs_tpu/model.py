@@ -365,9 +365,18 @@ def make_persistent_multi_step(grid: Grid, cfg: IcebergsConfig,
     assert cfg.interactive_icebergs_on and not cfg.mts
     assert neighbor_mode in ("fused", "fused3")
 
+    from .ops import pallas_interp as _pinterp
+    use_interp_kernel = (
+        _pinterp.INTERP_KERNEL and cfg.grid_is_regular and not cfg.mts
+        and cfg.coastal_drift == 0. and cfg.tidal_drift == 0.)
+
     def step(st: BergState, cell_starts, frc):
         with jax.named_scope("kid_interface"):
-            st = interp_to_bergs(st, grid, frc, cfg)
+            if use_interp_kernel:
+                st = _pinterp.interp_to_bergs_sorted(
+                    st, grid, frc, cfg, interpret=fused_interpret)
+            else:
+                st = interp_to_bergs(st, grid, frc, cfg)
 
         with jax.named_scope("kid_momentum"):
             if neighbor_mode == "fused3":

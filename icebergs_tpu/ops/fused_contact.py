@@ -406,7 +406,9 @@ def _origin_frame_groups_extract(st, grid, cfg: IcebergsConfig, *,
     anywhere: the feature matrix is a (16, N) transposed stack built
     from per-field sorted gathers (or sort payloads).
     """
-    from .pallas_prepass import (contact_extract_sorted, EX_CNT, EX_F1,
+    from . import pallas_prepass as pp
+    from .pallas_prepass import (contact_extract_sorted,
+                                 contact_extract_sorted_p, EX_CNT, EX_F1,
                                  EX_F2, PT_NF, PT_NEVAL, PT_LON, PT_LAT,
                                  PT_U, PT_V, PT_AREA, PT_MASS, PT_RAD,
                                  PT_ALIVE, PT_KEY, PT_FLK)
@@ -465,7 +467,9 @@ def _origin_frame_groups_extract(st, grid, cfg: IcebergsConfig, *,
         rows[r] = f
     PT = jnp.stack(rows, axis=0)
 
-    out, bad_block = contact_extract_sorted(
+    extract = (contact_extract_sorted_p if pp.EXTRACT_PIPELINED
+               else contact_extract_sorted)
+    out, bad_block = extract(
         PT, key_s, cell_starts, grid, cfg, block_n=block_n,
         window=window, radius=radius, interpret=interpret)
 

@@ -1,0 +1,341 @@
+"""Sorted-frame field->berg interpolation kernel (Pallas).
+
+``interp_flds`` (ops/interp.py, port of icebergs.F90:4718-4969) costs one
+(N, S~80) row gather at 1M bergs — the row buffer tile-pads to 128 lanes
+(512 MB) and the random-access gather dominates the phase (~40 of
+55 ms/step on v5e).  On the PERSISTENT (cell, id)-sorted slab the gather
+rows are *contiguous*: a block of BN consecutive bergs reads a
+contiguous cell range of the slot table.  This kernel streams that range
+through VMEM (Element-indexed window operand, auto-pipelined) and
+extracts each berg's row with an exact 0/1 selection matmul on the MXU —
+the ``contact_extract_sorted`` trick (ops/pallas_prepass.py).
+
+Two layers:
+
+* :func:`interp_cell_table` precomputes every per-CELL quantity on the
+  2-D grid: the 4 corner values of the 8 corner-interpolated fields, the
+  12 ``ddx``/``ddy`` SSH-stencil values (the same arithmetic
+  ``interp_flds`` does per berg, hoisted to per cell — elementwise
+  identical), the A-grid scalars and ocean depth + ssh.
+* :func:`interp_sorted` runs the kernel: per block, one window DMA + one
+  (S, CL) @ (CL, BN) selection matmul + the per-berg bilinear/stencil
+  math on (1, BN) rows — bitwise identical to ``interp_flds`` (asserted
+  by tests/test_pallas_interp.py).
+
+Blocks whose cell span exceeds the static window are flagged; the caller
+falls back to the XLA path for those rows (lax.cond — free when no block
+overflows, which is the steady state at production densities).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import IcebergsConfig
+from ..grid import Grid
+
+# route the persistent step's interface phase through the kernel
+# (regular-grid, non-MTS, no coastal/tidal drift configs only)
+INTERP_KERNEL = False
+
+# slot-row layout of the per-cell table
+# corners: field k in (cosc, sinc, uo, vo, ui, vi, ua, va), corner
+# (io, jo) row-major -> rows 4*k + 2*io + jo
+S_CORN = 0
+# ddx at (ii_off, jj_off) in ((0,1),(0,0),(0,-1),(-1,1),(-1,0),(-1,-1))
+S_DDX = 32
+# ddy at ((1,0),(0,0),(-1,0),(1,-1),(0,-1),(-1,-1))
+S_DDY = 38
+S_SST, S_SSS, S_CN, S_HI, S_OD = 44, 45, 46, 47, 48
+# nonfinite-ddx/ddy indicator bitmasks (bit s = slot S_DDX/Y + s was
+# NaN/inf before scrubbing) — see the NaN note in interp_cell_table
+S_NANX, S_NANY = 49, 50
+S_NROWS = 56          # padded to a sublane-tile multiple
+
+
+def interp_cell_table(grid: Grid, frc, cfg: IcebergsConfig):
+    """(S_NROWS, ncells) per-cell slot table, interior cell-key order
+    (key = jne*nx + ine).
+
+    Every row is the exact value ``interp_flds`` reads (corners) or
+    computes from per-cell reads only (ddx/ddy) for a berg in that cell;
+    the arithmetic is elementwise, so hoisting it from per-berg to
+    per-cell is bitwise-neutral.
+    """
+    nx, ny = grid.nx, grid.ny
+
+    def interior(f2d):
+        # (nx+2, ny+2) padded field -> (ncells,) interior in key order
+        return f2d[1:nx + 1, 1:ny + 1].T.reshape(-1)
+
+    rows = [None] * S_NROWS
+
+    # corner values: value at padded cell (I, J), corner (io, jo) is
+    # fpad[I-1+io, J-1+jo] on a (1, 2)-padded field (ops/interp._interp_table)
+    for k, f in enumerate([grid.cosc, grid.sinc, frc.uo, frc.vo, frc.ui,
+                           frc.vi, frc.ua, frc.va]):
+        fp = jnp.pad(f, ((1, 2), (1, 2)))
+        for io in (0, 1):
+            for jo in (0, 1):
+                v = fp[io:io + f.shape[0] + 1, jo:jo + f.shape[1] + 1]
+                rows[S_CORN + 4 * k + 2 * io + jo] = interior(
+                    v[:f.shape[0], :f.shape[1]])
+
+    # center reads, edge-clamped exactly like _interp_table.center
+    def center(f, di, dj):
+        fp = jnp.pad(f, ((2, 2), (2, 2)), mode='edge')
+        return fp[2 + di:2 + di + f.shape[0], 2 + dj:2 + dj + f.shape[1]]
+
+    ssh, msk, dx, dy = frc.ssh, grid.msk, grid.dx, grid.dy
+
+    def ddx(o0, o1):
+        dxp = 0.5 * (center(dx, o0 + 1, o1) + center(dx, o0 + 1, o1 - 1))
+        dx0 = 0.5 * (center(dx, o0, o1) + center(dx, o0, o1 - 1))
+        return 2. * (center(ssh, o0 + 1, o1) - center(ssh, o0, o1)) \
+            / (dx0 + dxp) * center(msk, o0 + 1, o1) * center(msk, o0, o1)
+
+    def ddy(o0, o1):
+        dyp = 0.5 * (center(dy, o0, o1 + 1) + center(dy, o0 - 1, o1 + 1))
+        dy0 = 0.5 * (center(dy, o0, o1) + center(dy, o0 - 1, o1))
+        return 2. * (center(ssh, o0, o1 + 1) - center(ssh, o0, o1)) \
+            / (dy0 + dyp) * center(msk, o0, o1 + 1) * center(msk, o0, o1)
+
+    # NaN NOTE: boundary cells divide by zero dx/dy sums -> NaN (inf *
+    # msk 0).  interp_flds lets the NaN flow to the berg's rotated
+    # ssh_x/ssh_y and scrubs it there (icebergs.F90:4893-4894); a NaN in
+    # this table would instead poison every berg in the kernel's window
+    # (NaN * one-hot 0.0 = NaN through the matmul).  So nonfinite
+    # stencil values are scrubbed to 0 here and recorded in per-cell
+    # indicator bitmasks; _env_rows_from_slots re-applies the reference
+    # scrub from the bits.  (A +-inf that would survive interp_flds
+    # unscrubbed becomes 0 here — that needs dx==0 on an ocean-ocean
+    # cell pair, which no valid grid has.)
+    nanx = jnp.zeros(nx * ny, jnp.float32)
+    nany = jnp.zeros(nx * ny, jnp.float32)
+    for s, o in enumerate(((0, 1), (0, 0), (0, -1),
+                           (-1, 1), (-1, 0), (-1, -1))):
+        v = interior(ddx(*o))
+        fin = jnp.isfinite(v)
+        nanx = nanx + jnp.where(fin, 0., float(1 << s))
+        rows[S_DDX + s] = jnp.where(fin, v, 0.)
+    for s, o in enumerate(((1, 0), (0, 0), (-1, 0),
+                           (1, -1), (0, -1), (-1, -1))):
+        v = interior(ddy(*o))
+        fin = jnp.isfinite(v)
+        nany = nany + jnp.where(fin, 0., float(1 << s))
+        rows[S_DDY + s] = jnp.where(fin, v, 0.)
+    rows[S_NANX] = nanx
+    rows[S_NANY] = nany
+
+    rows[S_SST] = interior(frc.sst)
+    rows[S_SSS] = interior(frc.sss)
+    rows[S_CN] = interior(frc.cn)
+    rows[S_HI] = interior(frc.hi)
+    rows[S_OD] = interior(grid.ocean_depth + frc.ssh)
+
+    z = jnp.zeros_like(rows[0])
+    rows = [z if r is None else r for r in rows]
+    return jnp.stack([r.astype(jnp.float32) for r in rows], axis=0)
+
+
+def _env_rows_from_slots(read, xi, yj, cfg: IcebergsConfig):
+    """The per-berg interp math on slot accessors — mirrors
+    ``interp_flds`` (ops/interp.py) term for term on whatever shape
+    ``read`` returns ((1, BN) in the kernel)."""
+    ob = cfg.old_bug_bilin
+
+    vals = []
+    for k in range(8):
+        f00 = read(S_CORN + 4 * k + 0)
+        f01 = read(S_CORN + 4 * k + 1)
+        f10 = read(S_CORN + 4 * k + 2)
+        f11 = read(S_CORN + 4 * k + 3)
+        if ob:
+            vals.append((f11 * (1. - xi) + f01 * xi) * (1. - yj)
+                        + (f10 * (1. - xi) + f00 * xi) * yj)
+        else:
+            vals.append((f11 * xi + f01 * (1. - xi)) * yj
+                        + (f10 * xi + f00 * (1. - xi)) * (1. - yj))
+    cos_rot, sin_rot = vals[0], vals[1]
+    uo, vo = vals[2], vals[3]
+    ui, vi = vals[4], vals[5]
+    ua, va = vals[6], vals[7]
+
+    dX = [read(S_DDX + s) for s in range(6)]   # (0,1),(0,0),(0,-1),(-1,*)
+    dY = [read(S_DDY + s) for s in range(6)]   # (1,0),(0,0),(-1,0),(*,-1)
+
+    hxp = jnp.where(yj >= 0.5,
+                    (yj - 0.5) * dX[0] + (1.5 - yj) * dX[1],
+                    (yj + 0.5) * dX[1] + (0.5 - yj) * dX[2])
+    hxm = jnp.where(yj >= 0.5,
+                    (yj - 0.5) * dX[3] + (1.5 - yj) * dX[4],
+                    (yj + 0.5) * dX[4] + (0.5 - yj) * dX[5])
+    ssh_x = xi * hxp + (1. - xi) * hxm
+
+    hyp = jnp.where(xi >= 0.5,
+                    (xi - 0.5) * dY[0] + (1.5 - xi) * dY[1],
+                    (xi + 0.5) * dY[1] + (0.5 - xi) * dY[2])
+    hym = jnp.where(xi >= 0.5,
+                    (xi - 0.5) * dY[3] + (1.5 - xi) * dY[4],
+                    (xi + 0.5) * dY[4] + (0.5 - xi) * dY[5])
+    ssh_y = yj * hyp + (1. - yj) * hym
+
+    def rot(u, v):
+        return cos_rot * u + sin_rot * v, cos_rot * v - sin_rot * u
+
+    uo, vo = rot(uo, vo)
+    ui, vi = rot(ui, vi)
+    ua, va = rot(ua, va)
+    ssh_x, ssh_y = rot(ssh_x, ssh_y)
+
+    # the reference NaN scrub (icebergs.F90:4893-4894), reconstructed
+    # from the table's nonfinite-indicator bits: a rotated component is
+    # NaN iff any ddx/ddy slot its taken where-branches touched was
+    # nonfinite (0 * NaN = NaN keeps zero-weight terms poisonous, and
+    # the rotation mixes x into y and vice versa)
+    bx = read(S_NANX).astype(jnp.int32)
+    by = read(S_NANY).astype(jnp.int32)
+
+    def anybit(b, bits):
+        m = 0
+        for k in bits:
+            m |= 1 << k
+        return (b & m) != 0
+
+    px = jnp.where(yj >= 0.5, anybit(bx, (0, 1, 3, 4)),
+                   anybit(bx, (1, 2, 4, 5)))
+    py = jnp.where(xi >= 0.5, anybit(by, (0, 1, 3, 4)),
+                   anybit(by, (1, 2, 4, 5)))
+    poison = px | py
+    ssh_x = jnp.where(poison, 0., ssh_x)
+    ssh_y = jnp.where(poison, 0., ssh_y)
+
+    return [uo, vo, ui, vi, ua, va, ssh_x, ssh_y,
+            read(S_SST), read(S_SSS), read(S_CN), read(S_HI),
+            read(S_OD)]
+
+
+E_NOUT = 16           # 13 Env rows + pad to a sublane-tile multiple
+
+
+def interp_sorted(tbl, key_s, xi, yj, grid: Grid, cfg: IcebergsConfig, *,
+                  block_n: int = 128, cell_window: int = 384,
+                  interpret: bool = False):
+    """Env rows for a (cell, id)-sorted slab.
+
+    tbl: (S_NROWS, ncells) from :func:`interp_cell_table`
+    key_s: (N,) sorted cell keys (dead rows = ncells)
+    xi/yj: (N,) intra-cell coordinates (sorted frame)
+
+    Returns (env_rows (13, N), bad_row (N,) bool).  ``bad_row`` marks
+    rows in blocks whose cell span exceeds ``cell_window`` (their output
+    is garbage — the caller re-does them through the XLA path).
+    Requires ``coastal_drift == tidal_drift == 0`` and the non-MTS
+    ocean-depth read (PCM od+ssh); callers gate on that.
+    """
+    from jax._src.pallas.core import Element as _Element
+
+    assert cfg.coastal_drift == 0. and cfg.tidal_drift == 0.
+    assert not cfg.mts
+    N = key_s.shape[0]
+    BN = block_n
+    CL = -(-(cell_window + 128) // 128) * 128
+    nblocks = -(-N // BN)
+    Npad = nblocks * BN
+    ncells = tbl.shape[1]
+    dtype = xi.dtype
+
+    tbl_pad = jnp.concatenate(
+        [tbl, jnp.zeros((S_NROWS, CL), tbl.dtype)], axis=1)
+    key = jnp.concatenate(
+        [key_s.astype(jnp.int32),
+         jnp.full((Npad - N,), ncells, jnp.int32)])
+    P = jnp.stack([key.astype(dtype),
+                   jnp.concatenate([xi, jnp.zeros((Npad - N,), dtype)]),
+                   jnp.concatenate([yj, jnp.zeros((Npad - N,), dtype)]),
+                   jnp.zeros((Npad,), dtype),
+                   jnp.zeros((Npad,), dtype),
+                   jnp.zeros((Npad,), dtype),
+                   jnp.zeros((Npad,), dtype),
+                   jnp.zeros((Npad,), dtype)], axis=0)   # (8, Npad)
+
+    c0 = key[::BN]
+    c1 = jnp.minimum(key[BN - 1::BN], ncells - 1)
+    w0 = jnp.minimum(c0, ncells - 1) // 128 * 128
+    bad = (c1 - w0 + 1) > CL
+
+    def kernel(w0_ref, self_ref, win_ref, out_ref):
+        b = pl.program_id(0)
+        rows = self_ref[...]                   # (8, BN)
+        keyb = rows[0:1, :]
+        xib = rows[1:2, :]
+        yjb = rows[2:3, :]
+        win = win_ref[...]                     # (S_NROWS, CL)
+
+        w0b = w0_ref[b]
+        cells = (w0b + jax.lax.broadcasted_iota(jnp.int32, (CL, 1), 0)
+                 ).astype(dtype)               # (CL, 1)
+        oh = jnp.where(cells == keyb, 1., 0.).astype(dtype)   # (CL, BN)
+        # exact extraction: each product is 1.0 * slot or 0.0
+        # (HIGHEST: Mosaic's default dot truncates f32 operands to bf16)
+        g = jax.lax.dot_general(
+            win, oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=dtype,
+            precision=jax.lax.Precision.HIGHEST)              # (S, BN)
+
+        env = _env_rows_from_slots(lambda s: g[s:s + 1, :], xib, yjb, cfg)
+        out_ref[...] = jnp.concatenate(
+            env + [jnp.zeros((E_NOUT - len(env), BN), dtype)], axis=0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[pl.BlockSpec((8, BN), lambda b, *_: (0, b)),
+                  pl.BlockSpec((_Element(S_NROWS), _Element(CL)),
+                               lambda b, w0r: (0, w0r[b]))],
+        out_specs=pl.BlockSpec((E_NOUT, BN), lambda b, *_: (0, b)),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((E_NOUT, Npad), dtype),
+        interpret=interpret,
+    )(w0.astype(jnp.int32), P, tbl_pad)[:13, :N]
+
+    bad_row = jnp.repeat(bad, BN, total_repeat_length=Npad)[:N]
+    return out, bad_row
+
+
+def interp_to_bergs_sorted(st, grid: Grid, frc, cfg: IcebergsConfig, *,
+                           block_n: int = 128, cell_window: int = 384,
+                           interpret: bool = False):
+    """Kernel-path twin of ``model.interp_to_bergs`` for the persistent
+    sorted slab: bitwise-identical Env caching, with a full-XLA fallback
+    under ``lax.cond`` when any block's cell span overflows the window
+    (zero cost in the steady state)."""
+    from .interp import interp_flds
+
+    ncells = grid.nx * grid.ny
+    key_s = jnp.where(st.alive, st.jne * grid.nx + st.ine, ncells)
+    tbl = interp_cell_table(grid, frc, cfg)
+    rows, bad_row = interp_sorted(
+        tbl, key_s, st.xi, st.yj, grid, cfg, block_n=block_n,
+        cell_window=cell_window, interpret=interpret)
+
+    def with_fallback(rows):
+        env = interp_flds(grid, frc, cfg, st.lon, st.lat, st.ine, st.jne,
+                          st.xi, st.yj)
+        xla = jnp.stack([env.uo, env.vo, env.ui, env.vi, env.ua, env.va,
+                         env.ssh_x, env.ssh_y, env.sst, env.sss, env.cn,
+                         env.hi, env.od], axis=0)
+        return jnp.where(bad_row[None, :], xla, rows)
+
+    rows = jax.lax.cond(jnp.any(bad_row), with_fallback,
+                        lambda r: r, rows)
+    return st.replace(uo=rows[0], vo=rows[1], ui=rows[2], vi=rows[3],
+                      ua=rows[4], va=rows[5], ssh_x=rows[6],
+                      ssh_y=rows[7], sst=rows[8], sss=rows[9],
+                      cn=rows[10], hi=rows[11], od=rows[12])

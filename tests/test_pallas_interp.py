@@ -1,0 +1,112 @@
+"""Sorted-frame interp kernel (ops/pallas_interp.py) vs the XLA
+``interp_flds`` path: bitwise parity on alive rows (interpret mode)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import icebergs_tpu as ibt
+from icebergs_tpu.grid import pos_to_cell
+from icebergs_tpu.model import interp_to_bergs
+from icebergs_tpu.ops import pallas_interp as pi
+from icebergs_tpu.ops.sorted import sort_state_by_cell
+
+
+def _setup(n=3000, nx=48, ny=40, latlon=False, seed=0, ssh_amp=0.5):
+    dxy = 700.0
+    cfg = ibt.IcebergsConfig(
+        grid_is_latlon=latlon, Lx=(360.0 if latlon else -1.0),
+        use_f_plane=not latlon, lat_ref=45.0, dt=600.0,
+        Runge_not_Verlet=False, interactive_icebergs_on=True)
+    if latlon:
+        grid = ibt.make_uniform_grid(nx, ny, 0., -30., 0.25, 0.25,
+                                     grid_is_latlon=True)
+    else:
+        grid = ibt.make_uniform_grid(nx, ny, 0., 0., dxy, dxy,
+                                     grid_is_latlon=False)
+    rng = np.random.RandomState(seed)
+    frc = ibt.uniform_forcing(nx, ny, uo=0.3, vo=0.1, ua=5.0, va=-2.0,
+                              ui=0.05, vi=0.02, sst=4.0, sss=33.0)
+    # non-trivial ssh so the gradient stencil is exercised
+    ssh = ssh_amp * np.sin(np.linspace(0, 6, nx + 2))[:, None] \
+        * np.cos(np.linspace(0, 5, ny + 2))[None, :]
+    frc = frc.replace(ssh=jnp.asarray(ssh, jnp.float32))
+    if latlon:
+        lon = rng.uniform(grid.lon0 + 2 * 0.25, grid.lon0 + (nx - 2) * 0.25, n)
+        lat = rng.uniform(grid.lat0 + 2 * 0.25, grid.lat0 + (ny - 2) * 0.25, n)
+    else:
+        lon = rng.uniform(2 * dxy, (nx - 2) * dxy, n)
+        lat = rng.uniform(2 * dxy, (ny - 2) * dxy, n)
+    st = ibt.create_bergs(n, lon=lon, lat=lat, mass=850. * 40. * 150. * 150.,
+                          thickness=40., width=150., length=150.,
+                          mass_scaling=1.0)
+    i, j, xi, yj = pos_to_cell(grid, st.lon, st.lat,
+                               360.0 if latlon else -1.0)
+    st = st.replace(ine=i, jne=j, xi=xi, yj=yj)
+    st, starts = sort_state_by_cell(st, grid)
+    return st, grid, frc, cfg
+
+
+ENV_FIELDS = ("uo", "vo", "ui", "vi", "ua", "va", "ssh_x", "ssh_y",
+              "sst", "sss", "cn", "hi", "od")
+
+
+def _assert_env_matches(ref, out, alive):
+    """On TPU the slot values are exact (HIGHEST one-hot matmul) and the
+    env math is exact-HLO, so kernel == XLA bitwise.  On CPU the
+    interpret-mode kernel body is one jitted program in which LLVM
+    contracts mul+add chains into FMAs, while the eager XLA reference
+    runs per-primitive — a <= 2-ulp wobble on the bilinear combinations
+    that does not exist on hardware.  Assert bitwise on TPU, 2-ulp
+    relative agreement elsewhere."""
+    import jax
+    bitwise = jax.default_backend() == "tpu"
+    for f in ENV_FIELDS:
+        a = np.asarray(getattr(ref, f))[alive]
+        b = np.asarray(getattr(out, f))[alive]
+        assert np.isfinite(b).all(), f
+        if bitwise:
+            assert np.array_equal(a, b), f
+        else:
+            np.testing.assert_allclose(a, b, rtol=5e-7, atol=1e-11,
+                                       err_msg=f)
+
+
+@pytest.mark.parametrize("latlon", [False, True])
+@pytest.mark.parametrize("ob", [False, True])
+def test_interp_kernel_vs_xla(latlon, ob):
+    st, grid, frc, cfg = _setup(latlon=latlon)
+    cfg = cfg.replace(old_bug_bilin=ob)
+    ref = interp_to_bergs(st, grid, frc, cfg)
+    out = pi.interp_to_bergs_sorted(st, grid, frc, cfg, interpret=True)
+    _assert_env_matches(ref, out, np.asarray(st.alive))
+
+
+def test_interp_kernel_boundary_nan_scrub():
+    """Bergs in edge cells, where the ssh-stencil ddx/ddy divide by
+    zero halo widths: the table's nonfinite scrub + indicator bits must
+    reproduce the XLA path's post-rotation NaN scrub (ssh slopes 0)."""
+    st, grid, frc, cfg = _setup(n=800)
+    dxy = 700.0
+    rng = np.random.RandomState(3)
+    lon = rng.uniform(0.05 * dxy, 48 * dxy * 0.999, 800)
+    lat = rng.uniform(0.05 * dxy, 40 * dxy * 0.999, 800)
+    st = st.replace(lon=jnp.asarray(lon, jnp.float32),
+                    lat=jnp.asarray(lat, jnp.float32))
+    i, j, xi, yj = pos_to_cell(grid, st.lon, st.lat, -1.0)
+    st = st.replace(ine=i, jne=j, xi=xi, yj=yj)
+    st, _ = sort_state_by_cell(st, grid)
+    ref = interp_to_bergs(st, grid, frc, cfg)
+    out = pi.interp_to_bergs_sorted(st, grid, frc, cfg, interpret=True)
+    _assert_env_matches(ref, out, np.asarray(st.alive))
+
+
+def test_interp_kernel_window_overflow_falls_back():
+    # tiny window forces bad blocks -> every row goes through the
+    # lax.cond XLA fallback, which must reproduce the reference path
+    st, grid, frc, cfg = _setup(n=1500)
+    ref = interp_to_bergs(st, grid, frc, cfg)
+    out = pi.interp_to_bergs_sorted(st, grid, frc, cfg, cell_window=1,
+                                    interpret=True)
+    _assert_env_matches(ref, out, np.asarray(st.alive))
