@@ -367,3 +367,46 @@ def test_fused3_footloose_minus1_excluded():
     for f in ("IA_x", "IA_y", "P11", "Pu_x"):
         v = np.asarray(getattr(ia, f))
         assert v[3] == 0.0 and v[7] == 0.0, f
+
+
+def test_persistent_all_kernels_matches_per_step():
+    """Persistent step with EVERY kernel flag on (pipelined extraction +
+    pipelined pallas spreading + sorted-frame interp kernel) vs
+    make_multi_step(fused3): per-berg state equal to <= 2-ulp relative
+    (the interp kernel's interpret-mode body FMA-contracts on CPU; on
+    TPU it is bitwise — see tests/test_pallas_interp.py)."""
+    import icebergs_tpu.model as model
+    from icebergs_tpu.ops import spread as _sp
+    from icebergs_tpu.ops import pallas_prepass as _pp
+    from icebergs_tpu.ops import pallas_spread as _ps
+    from icebergs_tpu.ops import pallas_interp as _pi
+    cfg, grid, st = _world(300, seed=11, cluster=True)
+    frc = ibt.uniform_forcing(16, 16, uo=0.1, vo=0.05, ua=4.0,
+                              sst=6.0, sss=33.0)
+    kw = dict(fused_block_n=64, fused_window=512, fused_interpret=True,
+              fused_fallback_strip_width=140)
+    multi_ref = model.make_multi_step(grid, cfg, 4, with_stats=True,
+                                      neighbor_mode="fused3", **kw)
+    st_ref, ov_r, fb_r, acc_r = multi_ref(st, frc)
+    olds = (_sp.SLOT_SUM_METHOD, _pp.EXTRACT_PIPELINED,
+            _ps.SPREAD_PIPELINED, _pi.INTERP_KERNEL)
+    _sp.SLOT_SUM_METHOD = "pallas"
+    _pp.EXTRACT_PIPELINED = True
+    _ps.SPREAD_PIPELINED = True
+    _pi.INTERP_KERNEL = True
+    try:
+        multi_per = model.make_persistent_multi_step(
+            grid, cfg, 4, with_stats=True, neighbor_mode="fused3", **kw)
+        st_per, ov_p, fb_p, acc_p = multi_per(st, frc)
+    finally:
+        (_sp.SLOT_SUM_METHOD, _pp.EXTRACT_PIPELINED,
+         _ps.SPREAD_PIPELINED, _pi.INTERP_KERNEL) = olds
+    assert int(ov_r) == 0 and int(ov_p) == 0
+    a, b = _state_by_id(st_ref), _state_by_id(st_per)
+    for f, va in a.items():
+        if f in ("ine", "jne"):
+            np.testing.assert_array_equal(va, b[f], err_msg=f)
+        else:
+            np.testing.assert_allclose(va, b[f], rtol=3e-6, atol=1e-9,
+                                       err_msg=f)
+    assert np.isfinite(np.asarray(acc_p)).all()

@@ -98,6 +98,20 @@ def main():
             grid, cfg, INNER, with_stats=True, with_thermo=True,
             neighbor_mode="fused3", fused_block_n=128, fused_window=288,
             contact_cap=131072, fused_fallback_cap=4096))
+    if which in ("persistent3k", "p3k"):
+        # + every round-3 session-6 kernel: pipelined extraction,
+        # pipelined spreading, sorted-frame interp kernel
+        from icebergs_tpu.ops import pallas_prepass as _pp
+        from icebergs_tpu.ops import pallas_spread as _ps
+        from icebergs_tpu.ops import pallas_interp as _pi
+        _spread.SLOT_SUM_METHOD = "pallas"
+        _pp.EXTRACT_PIPELINED = True
+        _ps.SPREAD_PIPELINED = True
+        _pi.INTERP_KERNEL = True
+        run("persistent3k", make_persistent_multi_step(
+            grid, cfg, INNER, with_stats=True, with_thermo=True,
+            neighbor_mode="fused3", fused_block_n=128, fused_window=288,
+            contact_cap=131072, fused_fallback_cap=4096))
 
 
 if __name__ == "__main__":

@@ -13,6 +13,7 @@ run() {  # name, timeout, cmd...
   timeout "$t" "$@" 2>&1 | grep -v WARNING | tail -4 >> "$LOG"
 }
 
+run kernel_probe 3000 python tools/probe_kernel.py
+run persistent3k 5400 python tools/bench_persistent.py persistent3k
 run persistent3 5400 python tools/bench_persistent.py persistent3
-run kernel_probe 2400 python tools/probe_kernel.py
 echo "=== sweep complete $(date -u +%T) ===" >> "$LOG"
