@@ -357,8 +357,9 @@ def make_persistent_multi_step(grid: Grid, cfg: IcebergsConfig,
     """
     from .ops import thermo as _thermo
     from .ops import spread as _spread
-    from .ops.sorted import sort_state_by_cell
+    from .ops.sorted import sort_state_by_cell, uniform_state_fields
     from .ops.fused_contact import make_ia_fn_fused, make_ia_fn_fused3
+    _uniform_fields = uniform_state_fields(cfg)
 
     nx, ny = grid.nx, grid.ny
     ncells = nx * ny
@@ -400,8 +401,10 @@ def make_persistent_multi_step(grid: Grid, cfg: IcebergsConfig,
             st = out.state
 
         # one re-sort serves thermo, spreading AND the next step's search
+        # (row-uniform leaves under this cfg are skipped — identity)
         with jax.named_scope("kid_binning"):
-            st, cell_starts = sort_state_by_cell(st, grid)
+            st, cell_starts = sort_state_by_cell(
+                st, grid, static_fields=_uniform_fields)
             key_s = jnp.where(st.alive, st.jne * nx + st.ine,
                               ncells).astype(cell_starts.dtype)
             rank = (jnp.arange(st.capacity, dtype=jnp.int32)

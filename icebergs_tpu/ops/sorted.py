@@ -50,7 +50,7 @@ def permute_tree_rows(tree, order):
 
 
 def sort_state_by_cell(st, grid: Grid, *, id_tiebreak: bool = True,
-                       via_payloads: bool = None):
+                       via_payloads: bool = None, static_fields=()):
     """Reorder every state leaf by (cell key, id) — dead bergs last.
 
     Returns (sorted_state, cell_starts) where cell_starts[(j*nx+i)] is the
@@ -79,7 +79,8 @@ def sort_state_by_cell(st, grid: Grid, *, id_tiebreak: bool = True,
     if via_payloads is None:
         via_payloads = id_tiebreak
     if via_payloads and id_tiebreak:
-        new, sorted_key, order = _payload_sort_state(st, key)
+        new, sorted_key, order = _payload_sort_state(
+            st, key, static_fields=static_fields)
         inv = jnp.zeros_like(order).at[order].set(
             jnp.arange(order.shape[0], dtype=order.dtype))
     else:
@@ -91,52 +92,90 @@ def sort_state_by_cell(st, grid: Grid, *, id_tiebreak: bool = True,
             jnp.arange(order.shape[0], dtype=order.dtype))
         new = permute_tree_rows(st, order)
         sorted_key = key[order]
-    # remap bond partner slots through the permutation
-    bidx = new.bond_idx
-    remapped = jnp.where(bidx >= 0, inv[jnp.maximum(bidx, 0)], -1)
-    new = new.replace(bond_idx=remapped.astype(jnp.int32))
+    # remap bond partner slots through the permutation (skippable when
+    # the table is row-uniform, i.e. bonds off: all -1 -> all -1)
+    if "bond_idx" not in static_fields:
+        bidx = new.bond_idx
+        remapped = jnp.where(bidx >= 0, inv[jnp.maximum(bidx, 0)], -1)
+        new = new.replace(bond_idx=remapped.astype(jnp.int32))
 
     cell_starts = jnp.searchsorted(sorted_key,
                                    jnp.arange(ncells + 1, dtype=key.dtype))
     return new, cell_starts.astype(jnp.int32)
 
 
-def _payload_sort_state(st, key):
+def uniform_state_fields(cfg: IcebergsConfig):
+    """Field names guaranteed row-UNIFORM (same value in every slot)
+    under ``cfg``, so a row permutation is the identity on them and the
+    payload sort can skip their columns.
+
+    With bonds off, nothing ever writes the 10 (N, max_bonds) bond
+    tables or n_bonds — 60+ of the ~120 payload columns; with MTS off
+    the fast-accel / DEM-angular / conglomerate fields stay at their
+    init constants likewise.
+    """
+    out = []
+    if not cfg.iceberg_bonds_on:
+        out += ["bond_idx", "bond_id_cnt", "bond_id_ij", "bond_broken",
+                "bond_length", "bond_tangd1", "bond_tangd2",
+                "bond_nstress", "bond_sstress", "bond_rel_rotation",
+                "n_bonds"]
+    if not cfg.mts:
+        out += ["axn_fast", "ayn_fast", "bxn_fast", "byn_fast",
+                "conglom_id"]
+        if not cfg.dem:
+            out += ["ang_vel", "ang_accel", "rot"]
+    return tuple(out)
+
+
+def _payload_sort_state(st, key, static_fields=()):
     """One (cell, id_cnt, id_ij)-keyed variadic ``lax.sort`` carrying
     every (N,) leaf (and each (N, B) bond column) as a payload.
 
     Returns (sorted_state, sorted_key, order).  ``order`` rides along as
     one extra int32 payload (needed for the bond-slot remap and by
     callers tracking the permutation).
+
+    ``static_fields``: names of row-uniform leaves (see
+    :func:`uniform_state_fields`) whose payload columns are skipped —
+    the permutation is the identity on a uniform column, so results are
+    bitwise unchanged and the variadic sort sheds ~0.5 ms per column at
+    1M rows.
     """
-    leaves, treedef = jax.tree.flatten(st)
+    import dataclasses
     N = key.shape[0]
-    cols = []       # (leaf_index, bond_col_or_None)
+    names = [f.name for f in dataclasses.fields(st)
+             if hasattr(getattr(st, f.name), "ndim")]
+    skip = set(static_fields)
+    cols = []       # (field_name, bond_col_or_None)
     pays = []
-    for li, leaf in enumerate(leaves):
+    for nm in names:
+        if nm in skip:
+            continue
+        leaf = getattr(st, nm)
         if leaf.ndim == 1:
-            cols.append((li, None))
+            cols.append((nm, None))
             pays.append(leaf)
         else:
             assert leaf.ndim == 2 and leaf.shape[0] == N, leaf.shape
             for b in range(leaf.shape[1]):
-                cols.append((li, b))
+                cols.append((nm, b))
                 pays.append(leaf[:, b])
     idx = jnp.arange(N, dtype=jnp.int32)
     out = jax.lax.sort((key, st.id_cnt, st.id_ij, idx) + tuple(pays),
                        num_keys=3)
     sorted_key, order = out[0], out[3]
-    new_leaves = list(leaves)
+    new_fields = {}
     packs = {}
-    for (li, b), p in zip(cols, out[4:]):
+    for (nm, b), p in zip(cols, out[4:]):
         if b is None:
-            new_leaves[li] = p
+            new_fields[nm] = p
         else:
-            packs.setdefault(li, {})[b] = p
-    for li, colmap in packs.items():
-        new_leaves[li] = jnp.stack(
+            packs.setdefault(nm, {})[b] = p
+    for nm, colmap in packs.items():
+        new_fields[nm] = jnp.stack(
             [colmap[b] for b in range(len(colmap))], axis=1)
-    return jax.tree.unflatten(treedef, new_leaves), sorted_key, order
+    return st.replace(**new_fields), sorted_key, order
 
 
 def strip_neighbor_tables(st, grid: Grid, cfg: IcebergsConfig,

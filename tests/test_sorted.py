@@ -83,3 +83,38 @@ def test_sorted_mode_matches_bucket_mode():
     vs = by_id(ss, "uvel")
     for k in vb:
         assert abs(vb[k] - vs[k]) < 1e-6, (k, vb[k], vs[k])
+
+
+def test_payload_sort_static_fields_bitwise():
+    """Skipping row-uniform payload columns (bonds/MTS off) leaves the
+    sorted state bitwise identical to the full variadic sort."""
+    import numpy as np
+    import icebergs_tpu as ibt
+    from icebergs_tpu.grid import pos_to_cell
+    from icebergs_tpu.ops.sorted import (sort_state_by_cell,
+                                         uniform_state_fields)
+    cfg = ibt.IcebergsConfig(grid_is_latlon=False, Lx=-1.0)
+    grid = ibt.make_uniform_grid(12, 12, 0., 0., 1000., 1000.,
+                                 grid_is_latlon=False)
+    rng = np.random.RandomState(7)
+    n = 200
+    st = ibt.create_bergs(256, lon=rng.uniform(1e3, 11e3, n),
+                          lat=rng.uniform(1e3, 11e3, n),
+                          mass=1e9, thickness=40., width=150.,
+                          length=150., mass_scaling=1.,
+                          id_cnt=rng.permutation(n) + 1)
+    i, j, xi, yj = pos_to_cell(grid, st.lon, st.lat, -1.)
+    st = st.replace(ine=i, jne=j, xi=xi, yj=yj)
+    a, sa = sort_state_by_cell(st, grid)
+    uf = uniform_state_fields(cfg)
+    assert "bond_idx" in uf and "conglom_id" in uf
+    b, sb = sort_state_by_cell(st, grid, static_fields=uf)
+    np.testing.assert_array_equal(np.asarray(sa), np.asarray(sb))
+    import dataclasses
+    for f in dataclasses.fields(st):
+        va = getattr(a, f.name)
+        if not hasattr(va, "shape"):
+            continue
+        np.testing.assert_array_equal(
+            np.asarray(va), np.asarray(getattr(b, f.name)),
+            err_msg=f.name)
