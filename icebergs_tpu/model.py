@@ -428,7 +428,7 @@ def make_persistent_multi_step(grid: Grid, cfg: IcebergsConfig,
                 sp, melt_fields = _spread.create_gridded_icebergs_fields(
                     st, grid, frc, cfg, sort_ctx=sort_ctx,
                     extra_cell_cols=melt_diags.deferred_cols,
-                    key_alive=key_alive)
+                    key_alive=key_alive, cell_starts=cell_starts)
                 melt_diags = melt_diags._replace(
                     floating_melt=melt_fields[0],
                     calving_hflx=melt_fields[1],
@@ -437,7 +437,9 @@ def make_persistent_multi_step(grid: Grid, cfg: IcebergsConfig,
             else:
                 sp = _spread.create_gridded_icebergs_fields(
                     st, grid, frc, cfg, sort_ctx=sort_ctx,
-                    key_alive=key_alive if use_spread_kernel else None)
+                    key_alive=key_alive if use_spread_kernel else None,
+                    cell_starts=(cell_starts if use_spread_kernel
+                                 else None))
 
         diags = StepDiags(
             nbergs=st.count(), tickets=out.tickets, bounced=out.bounced,

@@ -439,7 +439,7 @@ def sort_rows(key, st, rows):
 
 def spread_cell_sums(st, grid, frc, cfg: IcebergsConfig, extra_cols,
                      *, key_alive=None, presorted: bool = False,
-                     cell_block: int = 128,
+                     cell_starts=None, cell_block: int = 128,
                      window: int = None, interpret: bool = False):
     """End-to-end kernel path: build rows -> payload sort -> kernel.
 
@@ -462,9 +462,15 @@ def spread_cell_sums(st, grid, frc, cfg: IcebergsConfig, extra_cols,
         rows_s = jnp.stack(rows, axis=0)
     else:
         key_s, rows_s = sort_rows(key, st, rows)
-    starts = jnp.searchsorted(
-        key_s, jnp.arange(ncells + 1, dtype=key_s.dtype)).astype(
-        jnp.int32)
+        cell_starts = None
+    if cell_starts is not None:
+        # the persistent step's carried offsets (same key, same
+        # aliveness) — skip the 262k-query searchsorted
+        starts = cell_starts.astype(jnp.int32)
+    else:
+        starts = jnp.searchsorted(
+            key_s, jnp.arange(ncells + 1, dtype=key_s.dtype)).astype(
+            jnp.int32)
     tbl = cell_tables(grid)
     seg = segment_spread_sums_p if SPREAD_PIPELINED else segment_spread_sums
     S, bad = seg(

@@ -717,7 +717,7 @@ def calculate_mass_on_ocean(st, grid, frc, cfg: IcebergsConfig,
 
 def _pallas_spread_sums(st, grid, frc, cfg: IcebergsConfig,
                         extra_cell_cols, key_alive=None,
-                        presorted=False):
+                        presorted=False, cell_starts=None):
     """Kernel-path per-cell sums: ONE payload sort + the pallas
     segment-sum kernel (ops/pallas_spread.py), with a lax.cond fallback
     to the scatter_t slot machinery for runs whose row windows overflow
@@ -735,7 +735,7 @@ def _pallas_spread_sums(st, grid, frc, cfg: IcebergsConfig,
         interp = jax.default_backend() != "tpu"
     S, nbad, key_s, rows_s, starts = ps.spread_cell_sums(
         st, grid, frc, cfg, extra_cell_cols, key_alive=key_alive,
-        presorted=presorted,
+        presorted=presorted, cell_starts=cell_starts,
         cell_block=PALLAS_SPREAD_CB, window=PALLAS_SPREAD_WINDOW,
         interpret=interp)
     tbl = ps.cell_tables(grid)
@@ -779,7 +779,7 @@ PALLAS_SPREAD_INTERPRET = None
 
 def create_gridded_icebergs_fields(st, grid, frc, cfg: IcebergsConfig,
                                    sort_ctx=None, extra_cell_cols=None,
-                                   key_alive=None):
+                                   key_alive=None, cell_starts=None):
     """Derive spread_mass/area/uvel/vvel and gridded ustar
     (create_gridded_icebergs_fields, icebergs.F90:3390-3491).
 
@@ -802,7 +802,8 @@ def create_gridded_icebergs_fields(st, grid, frc, cfg: IcebergsConfig,
         presorted = sort_ctx is not None and sort_ctx[0] is None
         S = _pallas_spread_sums(st, grid, frc, cfg, extra_cell_cols,
                                 key_alive=key_alive,
-                                presorted=presorted)
+                                presorted=presorted,
+                                cell_starts=cell_starts)
         dt_ = S.dtype
         Sg = S[:, :36].reshape(ny, nx, 9, 4).transpose(1, 0, 2, 3)
         out9 = jnp.zeros((nx + 2, ny + 2, 9, 4), dt_)
