@@ -128,15 +128,20 @@ def _msk25_table(msk):
 
 
 def _walk4(grid: Grid, cfg: IcebergsConfig, lon, lat, i, j, fx, fy,
-           m25_tab):
+           m25_tab, m25_pre=None):
     """The 4-iteration masked land-bounce walk — the bitwise core of
     :func:`adjust_index_and_ground` (icebergs.F90:7941-8057) — on
     whatever row set it is given.  Returns
-    ``(lon, lat, i, j, fx, fy, bounced)``."""
+    ``(lon, lat, i, j, fx, fy, bounced)``.
+
+    ``m25_pre``: the first anchor's packed mask, precomputed (the
+    sorted-frame interp kernel extracts it for free at the same cell) —
+    skips one (N,) table gather; iteration 3's re-anchor still
+    gathers."""
     dtype = lon.dtype
     bounced = jnp.zeros(lon.shape, bool)
 
-    m25 = m25_tab[i + 3, j + 3]
+    m25 = m25_tab[i + 3, j + 3] if m25_pre is None else m25_pre
     oi = jnp.zeros_like(i)               # current offset from the anchor
     oj = jnp.zeros_like(j)
 
@@ -213,7 +218,7 @@ WALK_COMPACT_CAP_FLOOR = 4096
 
 
 def _walk4_compact(grid: Grid, cfg: IcebergsConfig, lon, lat, i, j,
-                   fx, fy, m25_tab):
+                   fx, fy, m25_tab, m25_pre=None):
     """Mover-compacted :func:`_walk4`: bitwise identical outputs."""
     import jax
     N = lon.shape[0]
@@ -227,7 +232,7 @@ def _walk4_compact(grid: Grid, cfg: IcebergsConfig, lon, lat, i, j,
     n_mov = jnp.sum(mover.astype(jnp.int32))
 
     def dense(args):
-        return _walk4(grid, cfg, *args, m25_tab)
+        return _walk4(grid, cfg, *args, m25_tab, m25_pre=m25_pre)
 
     def compact(args):
         lon, lat, i, j, fx, fy = args
@@ -236,7 +241,9 @@ def _walk4_compact(grid: Grid, cfg: IcebergsConfig, lon, lat, i, j,
             jnp.where(granted, rank, cap)].set(
             jnp.arange(N, dtype=jnp.int32), mode='drop')
         sub = _walk4(grid, cfg, lon[sel], lat[sel], i[sel], j[sel],
-                     fx[sel], fy[sel], m25_tab)
+                     fx[sel], fy[sel], m25_tab,
+                     m25_pre=(None if m25_pre is None
+                              else m25_pre[sel]))
         code = jnp.minimum(jnp.where(granted, rank, cap), cap)
 
         def fold(orig, s):
@@ -256,7 +263,8 @@ def _walk4_compact(grid: Grid, cfg: IcebergsConfig, lon, lat, i, j,
                         (lon, lat, i, j, fx, fy))
 
 
-def adjust_index_and_ground(grid: Grid, cfg: IcebergsConfig, lon, lat, i, j):
+def adjust_index_and_ground(grid: Grid, cfg: IcebergsConfig, lon, lat,
+                            i, j, m25_pre=None):
     """Re-localize bergs after motion, bouncing off land cells.
 
     Port of ``adjust_index_and_ground`` (icebergs.F90:7819-8100), regular
@@ -284,10 +292,10 @@ def adjust_index_and_ground(grid: Grid, cfg: IcebergsConfig, lon, lat, i, j):
 
     if lon.ndim == 1 and lon.shape[0] >= WALK_COMPACT_MIN_N:
         lon, lat, i, j, fx, fy, bounced = _walk4_compact(
-            grid, cfg, lon, lat, i, j, fx, fy, m25_tab)
+            grid, cfg, lon, lat, i, j, fx, fy, m25_tab, m25_pre=m25_pre)
     else:
         lon, lat, i, j, fx, fy, bounced = _walk4(
-            grid, cfg, lon, lat, i, j, fx, fy, m25_tab)
+            grid, cfg, lon, lat, i, j, fx, fy, m25_tab, m25_pre=m25_pre)
 
     # final safety clamp (icebergs.F90:8058-8066)
     xi = fx - i.astype(dtype)
@@ -377,7 +385,8 @@ def _cached_env(st) -> Env:
                cn=st.cn, hi=st.hi, od=st.od)
 
 
-def verlet_step(st, grid: Grid, frc, cfg: IcebergsConfig, ia_fn=None):
+def verlet_step(st, grid: Grid, frc, cfg: IcebergsConfig, ia_fn=None,
+                m25_pre=None):
     """Velocity-Verlet step (verlet_stepping + update_verlet_position).
 
     Port of icebergs.F90:7203-7330 and 7684-7766; see Stern et al 2017
@@ -422,7 +431,7 @@ def verlet_step(st, grid: Grid, frc, cfg: IcebergsConfig, ia_fn=None):
     vvel2 = st.vvel + dt_2 * (st.ayn + st.byn)
     lonn, latn = _advance_position(grid, cfg, st.lon, st.lat, uvel2, vvel2, dt)
     lonn, latn, i, j, xi, yj, bounced = adjust_index_and_ground(
-        grid, cfg, lonn, latn, st.ine, st.jne)
+        grid, cfg, lonn, latn, st.ine, st.jne, m25_pre=m25_pre)
 
     st = st.replace(
         lon=sel(lonn, st.lon), lat=sel(latn, st.lat),
@@ -434,7 +443,8 @@ def verlet_step(st, grid: Grid, frc, cfg: IcebergsConfig, ia_fn=None):
     return EvolveOut(st, tickets, nbounce)
 
 
-def rk4_step(st, grid: Grid, frc, cfg: IcebergsConfig, ia_fn=None):
+def rk4_step(st, grid: Grid, frc, cfg: IcebergsConfig, ia_fn=None,
+             m25_pre=None):
     """4th-order Runge-Kutta step (Runge_Kutta_stepping, icebergs.F90:7331).
 
     With the default ``old_interp_flds_order=False`` every stage uses the
@@ -475,7 +485,7 @@ def rk4_step(st, grid: Grid, frc, cfg: IcebergsConfig, ia_fn=None):
     lon2, lat2 = _advance_position(grid, cfg, lon1, lat1, uvel1, vvel1, dt_2)
     uvel2, vvel2 = uvel1 + dt_2 * o1.ax, vvel1 + dt_2 * o1.ay
     lon2, lat2, i2, j2, xi2, yj2, b2 = adjust_index_and_ground(
-        grid, cfg, lon2, lat2, i1, j1)
+        grid, cfg, lon2, lat2, i1, j1, m25_pre=m25_pre)
     dxdl2, _ = metric(lat2)
     u2, v2 = uvel2 * dxdl2, vvel2 * dydl
     o2 = call_accel(stage_env(lon2, lat2, i2, j2, xi2, yj2),
@@ -485,7 +495,7 @@ def rk4_step(st, grid: Grid, frc, cfg: IcebergsConfig, ia_fn=None):
     lon3, lat3 = _advance_position(grid, cfg, lon1, lat1, uvel2, vvel2, dt_2)
     uvel3, vvel3 = uvel1 + dt_2 * o2.ax, vvel1 + dt_2 * o2.ay
     lon3, lat3, i3, j3, xi3, yj3, b3 = adjust_index_and_ground(
-        grid, cfg, lon3, lat3, i1, j1)
+        grid, cfg, lon3, lat3, i1, j1, m25_pre=m25_pre)
     dxdl3, _ = metric(lat3)
     u3, v3 = uvel3 * dxdl3, vvel3 * dydl
     o3 = call_accel(stage_env(lon3, lat3, i3, j3, xi3, yj3),
@@ -495,7 +505,7 @@ def rk4_step(st, grid: Grid, frc, cfg: IcebergsConfig, ia_fn=None):
     lon4, lat4 = _advance_position(grid, cfg, lon1, lat1, uvel3, vvel3, dt)
     uvel4, vvel4 = uvel1 + dt * o3.ax, vvel1 + dt * o3.ay
     lon4, lat4, i4, j4, xi4, yj4, b4 = adjust_index_and_ground(
-        grid, cfg, lon4, lat4, i1, j1)
+        grid, cfg, lon4, lat4, i1, j1, m25_pre=m25_pre)
     dxdl4, _ = metric(lat4)
     u4, v4 = uvel4 * dxdl4, vvel4 * dydl
     o4 = call_accel(stage_env(lon4, lat4, i4, j4, xi4, yj4),
@@ -516,7 +526,7 @@ def rk4_step(st, grid: Grid, frc, cfg: IcebergsConfig, ia_fn=None):
         vveln = jnp.full_like(vveln, cfg.v_override)
 
     lonn, latn, i, j, xi, yj, bn = adjust_index_and_ground(
-        grid, cfg, lonn, latn, i1, j1)
+        grid, cfg, lonn, latn, i1, j1, m25_pre=m25_pre)
 
     def sel(new, old):
         return jnp.where(moving, new, old)
@@ -535,16 +545,18 @@ def rk4_step(st, grid: Grid, frc, cfg: IcebergsConfig, ia_fn=None):
     return EvolveOut(st, tickets, nbounce)
 
 
-def evolve_icebergs(st, grid: Grid, frc, cfg: IcebergsConfig, ia_fn=None):
+def evolve_icebergs(st, grid: Grid, frc, cfg: IcebergsConfig, ia_fn=None,
+                    m25_pre=None):
     """One dynamics step for all bergs (evolve_icebergs, icebergs.F90:7081).
 
     After stepping, the order-invariance copies (uvel_old/lon_old...) are
     refreshed in a second pass exactly like the reference (7185-7198).
     """
     if cfg.Runge_not_Verlet:
-        out = rk4_step(st, grid, frc, cfg, ia_fn=ia_fn)
+        out = rk4_step(st, grid, frc, cfg, ia_fn=ia_fn, m25_pre=m25_pre)
     else:
-        out = verlet_step(st, grid, frc, cfg, ia_fn=ia_fn)
+        out = verlet_step(st, grid, frc, cfg, ia_fn=ia_fn,
+                          m25_pre=m25_pre)
     st = out.state
     if cfg.interactive_icebergs_on:
         moving = st.alive & (st.static_berg < 0.5)

@@ -372,9 +372,10 @@ def make_persistent_multi_step(grid: Grid, cfg: IcebergsConfig,
         and cfg.coastal_drift == 0. and cfg.tidal_drift == 0.)
 
     def step(st: BergState, cell_starts, frc):
+        m25_pre = None
         with jax.named_scope("kid_interface"):
             if use_interp_kernel:
-                st = _pinterp.interp_to_bergs_sorted(
+                st, m25_pre = _pinterp.interp_to_bergs_sorted(
                     st, grid, frc, cfg, interpret=fused_interpret)
             else:
                 st = interp_to_bergs(st, grid, frc, cfg)
@@ -397,7 +398,8 @@ def make_persistent_multi_step(grid: Grid, cfg: IcebergsConfig,
                     fallback_cap=fused_fallback_cap,
                     fallback_strip_width=fused_fallback_strip_width,
                     interpret=fused_interpret)
-            out = evolve_icebergs(st, grid, frc, cfg, ia_fn=ia_fn)
+            out = evolve_icebergs(st, grid, frc, cfg, ia_fn=ia_fn,
+                                  m25_pre=m25_pre)
             st = out.state
 
         # one re-sort serves thermo, spreading AND the next step's search

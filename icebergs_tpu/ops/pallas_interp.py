@@ -53,6 +53,9 @@ S_SST, S_SSS, S_CN, S_HI, S_OD = 44, 45, 46, 47, 48
 # nonfinite-ddx/ddy indicator bitmasks (bit s = slot S_DDX/Y + s was
 # NaN/inf before scrubbing) — see the NaN note in interp_cell_table
 S_NANX, S_NANY = 49, 50
+# the walk's 5x5 packed land-mask anchor (dynamics._msk25_table value at
+# this cell), split 13 lo + 12 hi bits so each row is f32-exact
+S_M25L, S_M25H = 51, 52
 S_NROWS = 56          # padded to a sublane-tile multiple
 
 
@@ -136,6 +139,14 @@ def interp_cell_table(grid: Grid, frc, cfg: IcebergsConfig):
     rows[S_HI] = interior(frc.hi)
     rows[S_OD] = interior(grid.ocean_depth + frc.ssh)
 
+    # walk anchor: m25_tab[(i+1)+2, (j+1)+2] per interior cell, split
+    # into two <= 2^13 halves (25 packed bits exceed f32's 2^24 integer
+    # range through the extraction matmul)
+    from ..dynamics import _msk25_table
+    m25 = _msk25_table(grid.msk)[3:nx + 3, 3:ny + 3].T.reshape(-1)
+    rows[S_M25L] = (m25 & 0x1FFF).astype(jnp.float32)
+    rows[S_M25H] = (m25 >> 13).astype(jnp.float32)
+
     z = jnp.zeros_like(rows[0])
     rows = [z if r is None else r for r in rows]
     return jnp.stack([r.astype(jnp.float32) for r in rows], axis=0)
@@ -215,10 +226,10 @@ def _env_rows_from_slots(read, xi, yj, cfg: IcebergsConfig):
 
     return [uo, vo, ui, vi, ua, va, ssh_x, ssh_y,
             read(S_SST), read(S_SSS), read(S_CN), read(S_HI),
-            read(S_OD)]
+            read(S_OD), read(S_M25L), read(S_M25H)]
 
 
-E_NOUT = 16           # 13 Env rows + pad to a sublane-tile multiple
+E_NOUT = 16           # 13 Env + 2 walk-anchor rows + 1 pad row
 
 
 def interp_sorted(tbl, key_s, xi, yj, grid: Grid, cfg: IcebergsConfig, *,
@@ -230,7 +241,8 @@ def interp_sorted(tbl, key_s, xi, yj, grid: Grid, cfg: IcebergsConfig, *,
     key_s: (N,) sorted cell keys (dead rows = ncells)
     xi/yj: (N,) intra-cell coordinates (sorted frame)
 
-    Returns (env_rows (13, N), bad_row (N,) bool).  ``bad_row`` marks
+    Returns (env_rows (15, N): 13 Env + 2 walk-anchor halves, bad_row
+    (N,) bool).  ``bad_row`` marks
     rows in blocks whose cell span exceeds ``cell_window`` (their output
     is garbage — the caller re-does them through the XLA path).
     Requires ``coastal_drift == tidal_drift == 0`` and the non-MTS
@@ -303,7 +315,7 @@ def interp_sorted(tbl, key_s, xi, yj, grid: Grid, cfg: IcebergsConfig, *,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((E_NOUT, Npad), dtype),
         interpret=interpret,
-    )(w0.astype(jnp.int32), P, tbl_pad)[:13, :N]
+    )(w0.astype(jnp.int32), P, tbl_pad)[:15, :N]
 
     bad_row = jnp.repeat(bad, BN, total_repeat_length=Npad)[:N]
     return out, bad_row
@@ -317,6 +329,7 @@ def interp_to_bergs_sorted(st, grid: Grid, frc, cfg: IcebergsConfig, *,
     under ``lax.cond`` when any block's cell span overflows the window
     (zero cost in the steady state)."""
     from .interp import interp_flds
+    from ..dynamics import _msk25_table
 
     ncells = grid.nx * grid.ny
     key_s = jnp.where(st.alive, st.jne * grid.nx + st.ine, ncells)
@@ -328,14 +341,25 @@ def interp_to_bergs_sorted(st, grid: Grid, frc, cfg: IcebergsConfig, *,
     def with_fallback(rows):
         env = interp_flds(grid, frc, cfg, st.lon, st.lat, st.ine, st.jne,
                           st.xi, st.yj)
+        m25 = _msk25_table(grid.msk)[st.ine + 3, st.jne + 3]
         xla = jnp.stack([env.uo, env.vo, env.ui, env.vi, env.ua, env.va,
                          env.ssh_x, env.ssh_y, env.sst, env.sss, env.cn,
-                         env.hi, env.od], axis=0)
+                         env.hi, env.od,
+                         (m25 & 0x1FFF).astype(rows.dtype),
+                         (m25 >> 13).astype(rows.dtype)], axis=0)
         return jnp.where(bad_row[None, :], xla, rows)
 
     rows = jax.lax.cond(jnp.any(bad_row), with_fallback,
                         lambda r: r, rows)
-    return st.replace(uo=rows[0], vo=rows[1], ui=rows[2], vi=rows[3],
-                      ua=rows[4], va=rows[5], ssh_x=rows[6],
-                      ssh_y=rows[7], sst=rows[8], sss=rows[9],
-                      cn=rows[10], hi=rows[11], od=rows[12])
+    # the walk's first-anchor packed mask, recombined (dead rows read 0
+    # = all-land: the walk then leaves them in place, which is as
+    # meaningful as the XLA path's stale-cell gather)
+    # combine in INT space: lo + hi*8192 reaches 2^25, beyond f32's
+    # exact-integer range
+    m25_pre = (rows[13].astype(jnp.int32)
+               + rows[14].astype(jnp.int32) * 8192)
+    st = st.replace(uo=rows[0], vo=rows[1], ui=rows[2], vi=rows[3],
+                    ua=rows[4], va=rows[5], ssh_x=rows[6],
+                    ssh_y=rows[7], sst=rows[8], sss=rows[9],
+                    cn=rows[10], hi=rows[11], od=rows[12])
+    return st, m25_pre

@@ -79,8 +79,14 @@ def test_interp_kernel_vs_xla(latlon, ob):
     st, grid, frc, cfg = _setup(latlon=latlon)
     cfg = cfg.replace(old_bug_bilin=ob)
     ref = interp_to_bergs(st, grid, frc, cfg)
-    out = pi.interp_to_bergs_sorted(st, grid, frc, cfg, interpret=True)
+    out, m25 = pi.interp_to_bergs_sorted(st, grid, frc, cfg, interpret=True)
     _assert_env_matches(ref, out, np.asarray(st.alive))
+    # the walk anchor equals the real packed-mask gather on alive rows
+    from icebergs_tpu.dynamics import _msk25_table
+    ref25 = np.asarray(_msk25_table(grid.msk))[np.asarray(st.ine) + 3,
+                                               np.asarray(st.jne) + 3]
+    alive = np.asarray(st.alive)
+    assert np.array_equal(np.asarray(m25)[alive], ref25[alive])
 
 
 def test_interp_kernel_boundary_nan_scrub():
@@ -98,7 +104,7 @@ def test_interp_kernel_boundary_nan_scrub():
     st = st.replace(ine=i, jne=j, xi=xi, yj=yj)
     st, _ = sort_state_by_cell(st, grid)
     ref = interp_to_bergs(st, grid, frc, cfg)
-    out = pi.interp_to_bergs_sorted(st, grid, frc, cfg, interpret=True)
+    out, m25 = pi.interp_to_bergs_sorted(st, grid, frc, cfg, interpret=True)
     _assert_env_matches(ref, out, np.asarray(st.alive))
 
 
@@ -107,6 +113,6 @@ def test_interp_kernel_window_overflow_falls_back():
     # lax.cond XLA fallback, which must reproduce the reference path
     st, grid, frc, cfg = _setup(n=1500)
     ref = interp_to_bergs(st, grid, frc, cfg)
-    out = pi.interp_to_bergs_sorted(st, grid, frc, cfg, cell_window=1,
-                                    interpret=True)
+    out, m25 = pi.interp_to_bergs_sorted(st, grid, frc, cfg, cell_window=1,
+                                         interpret=True)
     _assert_env_matches(ref, out, np.asarray(st.alive))

@@ -157,8 +157,9 @@ def main():
         return s.replace(uvel=s.uvel + 1e-30 * s2.uo)
 
     def f_interp_kernel(s):
-        s2 = pin.interp_to_bergs_sorted(s, grid, frc, cfg)
-        return s.replace(uvel=s.uvel + 1e-30 * s2.uo)
+        s2, m25 = pin.interp_to_bergs_sorted(s, grid, frc, cfg)
+        return s.replace(uvel=s.uvel + 1e-30 * (s2.uo
+                                                + m25.astype(s.dtype)))
 
     run("interp_xla", f_interp_xla, st_s)
     run("interp_kernel", f_interp_kernel, st_s)
