@@ -76,21 +76,32 @@ def bench_1m_contacts():
     # (A full persistent-sorted-slab variant was measured 2.3x SLOWER:
     # physically re-sorting all ~70 state leaves costs ~1.3 s/step.)
     import os
+    from icebergs_tpu.model import make_persistent_multi_step
     from icebergs_tpu.ops import spread as _spread
+    from icebergs_tpu.ops import pallas_prepass as _pp
+    from icebergs_tpu.ops import pallas_spread as _ps
+    from icebergs_tpu.ops import pallas_interp as _pi
     mode = os.environ.get("KID_BENCH_CONTACT_MODE", "fused3p")
-    chain = [mode] + [m for m in ("fused3p", "fused3", "fused", "sorted")
+    chain = [mode] + [m for m in ("p3k", "fused3p", "fused3", "fused",
+                                  "sorted")
                       if m != mode]
     multi = out = None
     for m in chain:
         fb = 16384 if m in ("fused", "sorted") else 4096
         try:
-            _spread.SLOT_SUM_METHOD = ("pallas" if m == "fused3p"
+            _spread.SLOT_SUM_METHOD = ("pallas" if m in ("fused3p", "p3k")
                                        else "scatter")
-            multi = make_multi_step(
+            _pp.EXTRACT_PIPELINED = m == "p3k"
+            _ps.SPREAD_PIPELINED = m == "p3k"
+            _pi.INTERP_KERNEL = m == "p3k"
+            factory = make_persistent_multi_step if m == "p3k" \
+                else make_multi_step
+            kw = {"neighbor_mode": "fused3"} if m in ("p3k", "fused3p") \
+                else {"neighbor_mode": m}
+            multi = factory(
                 grid, cfg, INNER, with_stats=True, with_thermo=True,
-                neighbor_mode=("fused3" if m == "fused3p" else m),
                 fused_block_n=128, fused_window=288,
-                contact_cap=131072, fused_fallback_cap=fb)
+                contact_cap=131072, fused_fallback_cap=fb, **kw)
             out = multi(st, frc)   # warmup/compile
             _sync(out)
             break
