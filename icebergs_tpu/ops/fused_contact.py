@@ -408,7 +408,8 @@ def _origin_frame_groups_extract(st, grid, cfg: IcebergsConfig, *,
     """
     from . import pallas_prepass as pp
     from .pallas_prepass import (contact_extract_sorted,
-                                 contact_extract_sorted_p, EX_CNT, EX_F1,
+                                 contact_extract_sorted_p,
+                                 contact_extract_sorted_g, EX_CNT, EX_F1,
                                  EX_F2, PT_NF, PT_NEVAL, PT_LON, PT_LAT,
                                  PT_U, PT_V, PT_AREA, PT_MASS, PT_RAD,
                                  PT_ALIVE, PT_KEY, PT_FLK)
@@ -467,7 +468,8 @@ def _origin_frame_groups_extract(st, grid, cfg: IcebergsConfig, *,
         rows[r] = f
     PT = jnp.stack(rows, axis=0)
 
-    extract = (contact_extract_sorted_p if pp.EXTRACT_PIPELINED
+    extract = (contact_extract_sorted_g if pp.EXTRACT_GATHERED
+               else contact_extract_sorted_p if pp.EXTRACT_PIPELINED
                else contact_extract_sorted)
     out, bad_block = extract(
         PT, key_s, cell_starts, grid, cfg, block_n=block_n,

@@ -40,6 +40,10 @@ from . import forces as _forces
 # pipeline the extraction kernel's window DMAs via Element-indexed
 # operands (contact_extract_sorted_p) instead of manual copy/wait
 EXTRACT_PIPELINED = False
+# materialize window strips by a tile-granular XLA gather up front and
+# feed the kernel through the standard block pipeline
+# (contact_extract_sorted_g); takes precedence over EXTRACT_PIPELINED
+EXTRACT_GATHERED = False
 
 # packed feature columns: lon_old, lat_old, radius, fl_k, alive, key
 _F_LON, _F_LAT, _F_RAD, _F_FLK, _F_ALIVE, _F_KEY = range(6)
@@ -603,6 +607,176 @@ def contact_extract_sorted_p(PT, key_s, cell_starts, grid,
       c_lo.astype(jnp.int32).reshape(-1),
       c_hi.astype(jnp.int32).reshape(-1), PTpad,
       *([PTpad] * nstrips))[:, :N]
+
+    bad_block = jnp.repeat(bad, BN, total_repeat_length=Npad)[:N]
+    return out, bad_block
+
+
+def contact_extract_sorted_g(PT, key_s, cell_starts, grid,
+                             cfg: IcebergsConfig, *, block_n: int = 128,
+                             window: int = 288, interpret: bool = False,
+                             radius: int = 1,
+                             exclude_same_group: bool = False):
+    """Gathered-window twin of :func:`contact_extract_sorted`.
+
+    Same outputs bit-for-bit.  Instead of in-kernel window DMAs (manual
+    copy/wait exposes full HBM latency per block; Element-indexed
+    operands depend on Mosaic's emitter handling dynamic starts), every
+    block's three strip windows are materialized UP FRONT by one
+    tile-granular XLA gather — the 128-aligned window starts make each
+    gathered chunk a whole (PT_NF, 128) lane tile (8 KB), so the gather
+    streams at near HBM bandwidth — and the kernel consumes them through
+    the standard block pipeline (regular double-buffered prefetch, no
+    per-block latency stall).  Costs one (nblocks, nstrips*WL) * PT_NF
+    f32 intermediate in HBM (~768 MB at 1M bergs, BN=128, W=288).
+    """
+    N = PT.shape[1]
+    BN = block_n
+    WL = -(-(window + 128) // 128) * 128
+    ntw = WL // 128
+    nblocks = -(-N // BN)
+    Npad = nblocks * BN
+    nx, ny = grid.nx, grid.ny
+    ncells = nx * ny
+    nstrips = 2 * radius + 1
+    dtype = PT.dtype
+
+    PTpad = jnp.concatenate(
+        [PT, jnp.zeros((PT_NF, Npad - N + WL), dtype)], axis=1)
+    key = jnp.concatenate(
+        [key_s, jnp.full((Npad - N,), ncells, key_s.dtype)])
+    c0 = key[::BN]
+    c1 = key[BN - 1::BN]
+    c1c = jnp.minimum(c1, ncells - 1)
+    span_bad = (c1c - c0) > (nx - nstrips)
+
+    offs = jnp.arange(-radius, radius + 1, dtype=jnp.int32) * nx
+    c_lo = jnp.clip(c0[:, None] - radius + offs[None, :], 0, ncells - 1)
+    c_hi = jnp.clip(c1c[:, None] + radius + offs[None, :], -1, ncells - 1)
+    ws = cell_starts[c_lo]
+    ws128 = ws // 128                        # (nblocks, nstrips)
+    win_need = cell_starts[c_hi + 1] - ws128 * 128
+    win_bad = jnp.any(win_need > WL, axis=1)
+    bad = span_bad | win_bad
+
+    # tile-granular window materialization: tile t of strip (b, s) is
+    # lane-tile ws128[b, s] + t of PTpad.  max index = Npad/128 + ntw - 1
+    # = T - 1 by construction (cell_starts <= N <= Npad), no clamp needed.
+    T = (Npad + WL) // 128
+    PTr = PTpad.reshape(PT_NF, T, 128)
+    tidx = (ws128.astype(jnp.int32)[:, :, None]
+            + jnp.arange(ntw, dtype=jnp.int32))          # (nb, ns, ntw)
+    Wg = jnp.take(PTr, tidx.reshape(-1), axis=1)
+    Wg = Wg.reshape(PT_NF, nblocks, nstrips * WL)
+
+    slack = 1. + 1e-6
+    cd = float(cfg.contact_distance)
+    if cfg.grid_is_latlon:
+        rearth = float(cfg.Rearth)
+    BIG = float(2 * N)
+
+    def kernel(ws_ref, clo_ref, chi_ref, self_ref, win_ref, out_ref):
+        b = pl.program_id(0)
+        rows = self_ref[...]                  # (PT_NF, BN)
+        winall = win_ref[:, 0, :]             # (PT_NF, nstrips*WL)
+        lon1 = rows[PT_LON:PT_LON + 1, :]
+        lat1 = rows[PT_LAT:PT_LAT + 1, :]
+        R1 = rows[PT_RAD:PT_RAD + 1, :]
+        fl1 = rows[PT_FLK:PT_FLK + 1, :]
+        al1 = rows[PT_ALIVE:PT_ALIVE + 1, :]
+        if exclude_same_group:
+            grp1 = rows[PT_GRP:PT_GRP + 1, :]
+
+        gid = b * BN + jax.lax.broadcasted_iota(jnp.int32, (1, BN), 1)
+        rowi = jax.lax.broadcasted_iota(jnp.int32, (WL, 1), 0)
+
+        cnt = jnp.zeros((1, BN), dtype)
+        vmin = jnp.full((1, BN), BIG, dtype)
+        vmax = jnp.full((1, BN), -1., dtype)
+        f1 = jnp.zeros((8, BN), dtype)
+        f2 = jnp.zeros((8, BN), dtype)
+
+        for s in range(nstrips):
+            w0 = ws_ref[b * nstrips + s] * 128
+            win = winall[:, s * WL:(s + 1) * WL]          # (PT_NF, WL)
+            winT = win.T                      # (WL, PT_NF)
+            lon2 = winT[:, PT_LON:PT_LON + 1]
+            lat2 = winT[:, PT_LAT:PT_LAT + 1]
+            R2 = winT[:, PT_RAD:PT_RAD + 1]
+            fl2 = winT[:, PT_FLK:PT_FLK + 1]
+            al2 = winT[:, PT_ALIVE:PT_ALIVE + 1]
+            key2 = winT[:, PT_KEY:PT_KEY + 1]
+
+            clo = clo_ref[b * nstrips + s].astype(dtype)
+            chi = chi_ref[b * nstrips + s].astype(dtype)
+            wid = w0 + rowi                   # (WL, 1)
+            valid = ((key2 >= clo) & (key2 <= chi) & (al2 > 0.5)
+                     & (al1 > 0.5) & (wid != gid)
+                     & (fl1 != -1.) & (fl2 != -1.))
+            if exclude_same_group:
+                valid = valid & (winT[:, PT_GRP:PT_GRP + 1] != grp1)
+
+            if cfg.grid_is_latlon:
+                lat_ref_ = 0.5 * (lat1 + lat2)
+                dx_dlon = PI_180 * rearth * jnp.cos(PI_180 * lat_ref_)
+                rx = (lon1 - lon2) * dx_dlon
+                ry = (lat1 - lat2) * (PI_180 * rearth)
+            else:
+                rx = lon1 - lon2
+                ry = lat1 - lat2
+            r2 = rx * rx + ry * ry
+            crit = jnp.maximum(R1 + R2, cd)
+            engaged = valid & (r2 > 0.) & (r2 <= crit * crit * slack)
+            engf = jnp.where(engaged, 1., 0.).astype(dtype)   # (WL, BN)
+
+            cnt = cnt + jnp.sum(engf, axis=0, keepdims=True)
+            widf = wid.astype(dtype)
+            lmin = jnp.min(jnp.where(engaged, widf, BIG), axis=0,
+                           keepdims=True)                     # (1, BN)
+            lmax = jnp.max(jnp.where(engaged, widf, -1.), axis=0,
+                           keepdims=True)
+
+            feats = win[0:8, :]                               # (8, WL)
+            e1 = engf * jnp.where(widf == lmin, 1., 0.)
+            e2 = engf * jnp.where(widf == lmax, 1., 0.)
+            # Precision.HIGHEST is REQUIRED for exactness (Mosaic's
+            # default dot truncates f32 operands to bf16)
+            f1s = jax.lax.dot_general(
+                feats, e1, (((1,), (0,)), ((), ())),
+                preferred_element_type=dtype,
+                precision=jax.lax.Precision.HIGHEST)          # (8, BN)
+            f2s = jax.lax.dot_general(
+                feats, e2, (((1,), (0,)), ((), ())),
+                preferred_element_type=dtype,
+                precision=jax.lax.Precision.HIGHEST)
+            take1 = lmin < vmin
+            take2 = lmax > vmax
+            f1 = jnp.where(take1, f1s, f1)
+            f2 = jnp.where(take2, f2s, f2)
+            vmin = jnp.minimum(vmin, lmin)
+            vmax = jnp.maximum(vmax, lmax)
+
+        pad = jnp.zeros((1, BN), dtype)
+        out_ref[...] = jnp.concatenate(
+            [cnt, vmin, vmax, pad, f1, f2,
+             jnp.zeros((EX_NOUT - 20, BN), dtype)], axis=0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nblocks,),
+        in_specs=[pl.BlockSpec((PT_NF, BN), lambda b, *_: (0, b)),
+                  pl.BlockSpec((PT_NF, 1, nstrips * WL),
+                               lambda b, *_: (0, b, 0))],
+        out_specs=pl.BlockSpec((EX_NOUT, BN), lambda b, *_: (0, b)),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((EX_NOUT, Npad), dtype),
+        interpret=interpret,
+    )(ws128.astype(jnp.int32).reshape(-1),
+      c_lo.astype(jnp.int32).reshape(-1),
+      c_hi.astype(jnp.int32).reshape(-1), PTpad, Wg)[:, :N]
 
     bad_block = jnp.repeat(bad, BN, total_repeat_length=Npad)[:N]
     return out, bad_block

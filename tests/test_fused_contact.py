@@ -191,6 +191,32 @@ def test_fused3_dead_rows_and_empty():
         assert not np.any(np.asarray(getattr(ia, f))), f
 
 
+def test_fused3_extract_gathered_matches_default():
+    """contact_extract_sorted_g (tile-gathered windows, standard block
+    pipeline) must be BITWISE equal to the default manual-DMA kernel —
+    same body, exact tile-granular gather feeding it."""
+    from icebergs_tpu.ops import pallas_prepass as _pp
+    from icebergs_tpu.ops.fused_contact import make_ia_fn_fused3
+    for seed, cluster in ((9, False), (3, True)):
+        cfg, grid, st = _world(400, seed=seed, cluster=cluster)
+        kw = dict(block_n=64, window=512, interpret=True,
+                  fallback_strip_width=140)
+        ia_ref = make_ia_fn_fused3(st, grid, cfg, **kw)[0](
+            st.uvel, st.vvel)
+        _pp.EXTRACT_GATHERED = True
+        try:
+            ia_fn, stats = make_ia_fn_fused3(st, grid, cfg, **kw)
+            ia = ia_fn(st.uvel, st.vvel)
+        finally:
+            _pp.EXTRACT_GATHERED = False
+        assert int(stats.overflow) == 0
+        alive = np.asarray(st.alive)
+        for f in ("IA_x", "IA_y", "P11", "P12", "P22", "Pu_x", "Pu_y"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(ia, f))[alive],
+                np.asarray(getattr(ia_ref, f))[alive], err_msg=f)
+
+
 def _state_by_id(st):
     """Alive rows of every per-berg leaf, ordered by id (layout-free)."""
     import numpy as np

@@ -110,7 +110,8 @@ def main():
             return pt + 1e-30 * out[0:1, :]
         return f
 
-    from icebergs_tpu.ops.pallas_prepass import contact_extract_sorted_p
+    from icebergs_tpu.ops.pallas_prepass import (contact_extract_sorted_p,
+                                                 contact_extract_sorted_g)
 
     run("ex_bn128_w288", mk(128, 288), PT)
     run("ex_bn128_w160", mk(128, 160), PT)
@@ -120,6 +121,9 @@ def main():
     run("exp_bn128_w160", mk(128, 160, contact_extract_sorted_p), PT)
     run("exp_bn256_w416", mk(256, 416, contact_extract_sorted_p), PT)
     run("exp_bn512_w672", mk(512, 672, contact_extract_sorted_p), PT)
+    run("exg_bn128_w288", mk(128, 288, contact_extract_sorted_g), PT)
+    run("exg_bn256_w416", mk(256, 416, contact_extract_sorted_g), PT)
+    run("exg_bn512_w672", mk(512, 672, contact_extract_sorted_g), PT)
 
     # pipelined spread kernel A/B (production 21 extra columns)
     from icebergs_tpu.ops import pallas_spread as psp
