@@ -40,6 +40,11 @@ from ..grid import Grid
 # route the persistent step's interface phase through the kernel
 # (regular-grid, non-MTS, no coastal/tidal drift configs only)
 INTERP_KERNEL = False
+# materialize each block's cell-table window by a tile-granular XLA
+# gather and feed the kernel through the standard block pipeline
+# instead of Element-indexed window operands (same trade as
+# pallas_prepass.EXTRACT_GATHERED)
+INTERP_GATHERED = False
 
 # slot-row layout of the per-cell table
 # corners: field k in (cosc, sinc, uo, vo, ui, vi, ua, va), corner
@@ -234,7 +239,7 @@ E_NOUT = 16           # 13 Env + 2 walk-anchor rows + 1 pad row
 
 def interp_sorted(tbl, key_s, xi, yj, grid: Grid, cfg: IcebergsConfig, *,
                   block_n: int = 128, cell_window: int = 384,
-                  interpret: bool = False):
+                  interpret: bool = False, gathered: bool = None):
     """Env rows for a (cell, id)-sorted slab.
 
     tbl: (S_NROWS, ncells) from :func:`interp_cell_table`
@@ -279,13 +284,30 @@ def interp_sorted(tbl, key_s, xi, yj, grid: Grid, cfg: IcebergsConfig, *,
     w0 = jnp.minimum(c0, ncells - 1) // 128 * 128
     bad = (c1 - w0 + 1) > CL
 
+    if gathered is None:
+        gathered = INTERP_GATHERED
+    if gathered:
+        # tile-granular up-front window materialization (see
+        # pallas_prepass.contact_extract_sorted_g): each block's
+        # CL-cell window is ntw whole (S_NROWS, 128) lane tiles
+        ntw = CL // 128
+        Wt = -(-(ncells + CL) // 128) * 128
+        tblw = jnp.concatenate(
+            [tbl, jnp.zeros((S_NROWS, Wt - ncells), tbl.dtype)], axis=1)
+        tblr = tblw.reshape(S_NROWS, Wt // 128, 128)
+        tidx = (w0.astype(jnp.int32)[:, None] // 128
+                + jnp.arange(ntw, dtype=jnp.int32))      # (nb, ntw)
+        Wg = jnp.take(tblr, tidx.reshape(-1), axis=1)
+        Wg = Wg.reshape(S_NROWS, nblocks, CL)
+
     def kernel(w0_ref, self_ref, win_ref, out_ref):
         b = pl.program_id(0)
         rows = self_ref[...]                   # (8, BN)
         keyb = rows[0:1, :]
         xib = rows[1:2, :]
         yjb = rows[2:3, :]
-        win = win_ref[...]                     # (S_NROWS, CL)
+        win = (win_ref[:, 0, :] if gathered
+               else win_ref[...])              # (S_NROWS, CL)
 
         w0b = w0_ref[b]
         cells = (w0b + jax.lax.broadcasted_iota(jnp.int32, (CL, 1), 0)
@@ -302,12 +324,14 @@ def interp_sorted(tbl, key_s, xi, yj, grid: Grid, cfg: IcebergsConfig, *,
         out_ref[...] = jnp.concatenate(
             env + [jnp.zeros((E_NOUT - len(env), BN), dtype)], axis=0)
 
+    win_spec = (pl.BlockSpec((S_NROWS, 1, CL), lambda b, *_: (0, b, 0))
+                if gathered else
+                pl.BlockSpec((_Element(S_NROWS), _Element(CL)),
+                             lambda b, w0r: (0, w0r[b])))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblocks,),
-        in_specs=[pl.BlockSpec((8, BN), lambda b, *_: (0, b)),
-                  pl.BlockSpec((_Element(S_NROWS), _Element(CL)),
-                               lambda b, w0r: (0, w0r[b]))],
+        in_specs=[pl.BlockSpec((8, BN), lambda b, *_: (0, b)), win_spec],
         out_specs=pl.BlockSpec((E_NOUT, BN), lambda b, *_: (0, b)),
     )
     out = pl.pallas_call(
@@ -315,7 +339,7 @@ def interp_sorted(tbl, key_s, xi, yj, grid: Grid, cfg: IcebergsConfig, *,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((E_NOUT, Npad), dtype),
         interpret=interpret,
-    )(w0.astype(jnp.int32), P, tbl_pad)[:15, :N]
+    )(w0.astype(jnp.int32), P, Wg if gathered else tbl_pad)[:15, :N]
 
     bad_row = jnp.repeat(bad, BN, total_repeat_length=Npad)[:N]
     return out, bad_row

@@ -89,6 +89,29 @@ def test_interp_kernel_vs_xla(latlon, ob):
     assert np.array_equal(np.asarray(m25)[alive], ref25[alive])
 
 
+def test_interp_kernel_gathered_matches_element():
+    """INTERP_GATHERED (tile-gathered windows through the standard block
+    pipeline) must be bitwise-identical to the Element-indexed window
+    path — same kernel body, exact tile-granular gather feeding it."""
+    for latlon in (False, True):
+        st, grid, frc, cfg = _setup(latlon=latlon)
+        ref, m25_ref = pi.interp_to_bergs_sorted(st, grid, frc, cfg,
+                                                 interpret=True)
+        pi.INTERP_GATHERED = True
+        try:
+            out, m25 = pi.interp_to_bergs_sorted(st, grid, frc, cfg,
+                                                 interpret=True)
+        finally:
+            pi.INTERP_GATHERED = False
+        alive = np.asarray(st.alive)
+        for f in ENV_FIELDS:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(ref, f))[alive],
+                np.asarray(getattr(out, f))[alive], err_msg=f)
+        assert np.array_equal(np.asarray(m25_ref)[alive],
+                              np.asarray(m25)[alive])
+
+
 def test_interp_kernel_boundary_nan_scrub():
     """Bergs in edge cells, where the ssh-stencil ddx/ddy divide by
     zero halo widths: the table's nonfinite scrub + indicator bits must

@@ -165,8 +165,18 @@ def main():
         return s.replace(uvel=s.uvel + 1e-30 * (s2.uo
                                                 + m25.astype(s.dtype)))
 
+    def f_interp_gathered(s):
+        pin.INTERP_GATHERED = True
+        try:
+            s2, m25 = pin.interp_to_bergs_sorted(s, grid, frc, cfg)
+        finally:
+            pin.INTERP_GATHERED = False
+        return s.replace(uvel=s.uvel + 1e-30 * (s2.uo
+                                                + m25.astype(s.dtype)))
+
     run("interp_xla", f_interp_xla, st_s)
     run("interp_kernel", f_interp_kernel, st_s)
+    run("interp_gathered", f_interp_gathered, st_s)
 
 
 if __name__ == "__main__":
