@@ -39,6 +39,11 @@ from ..config import IcebergsConfig
 # pipeline the window DMA via an Element-indexed operand
 # (segment_spread_sums_p) instead of the manual copy/wait
 SPREAD_PIPELINED = False
+# materialize each cell block's sorted-row window by a tile-granular
+# XLA gather up front and feed the kernel through the standard block
+# pipeline (segment_spread_sums_g); takes precedence over
+# SPREAD_PIPELINED
+SPREAD_GATHERED = False
 
 # payload-row indices in the sorted stack (values set in build_rows)
 R_KEY = 0          # cell key as f32 (exact below 2^24 cells)
@@ -363,6 +368,125 @@ def segment_spread_sums_p(rows_s, cell_starts, tbl, cfg: IcebergsConfig,
     return S.T, bad
 
 
+def segment_spread_sums_g(rows_s, cell_starts, tbl, cfg: IcebergsConfig,
+                          n_extra: int, *, cell_block: int = 128,
+                          window: int = None, interpret: bool = False):
+    """Gathered-window twin of :func:`segment_spread_sums` (same sums
+    bit-for-bit): every cell block's sorted-row window is materialized
+    UP FRONT by one tile-granular XLA gather (128-aligned starts make
+    each chunk a whole (Rpad, 128) lane tile) and the kernel consumes
+    them through the standard double-buffered block pipeline — no
+    per-block DMA latency stall, no Element-indexed operands.  Costs an
+    (Rpad, nblocks, WL) f32 intermediate in HBM (~1.2 GB at 1M bergs,
+    cb=128)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R, N = rows_s.shape
+    cb = cell_block
+    ncells = tbl.shape[1]
+    nblocks = -(-ncells // cb)
+    ncpad = nblocks * cb
+    if window is None:
+        window = auto_window(N, ncells, cb)
+    OUT = 36 + 7 + n_extra
+    Rpad = -(-R // 8) * 8
+    OUTP = -(-OUT // 8) * 8
+    WL = -(-(window + 128) // 128) * 128
+    dtype = rows_s.dtype
+
+    rows_pad = jnp.concatenate(
+        [rows_s, jnp.zeros((R, WL), dtype)
+         .at[R_KEY].set(float(ncells))], axis=1)
+    rows_pad = jnp.concatenate(
+        [rows_pad, jnp.zeros((Rpad - R, N + WL), dtype)], axis=0)
+    tbl_pad = jnp.concatenate(
+        [tbl, jnp.zeros((T_NROWS, ncpad - ncells), tbl.dtype)], axis=1)
+
+    b0 = jnp.arange(nblocks, dtype=jnp.int32) * cb
+    ws = cell_starts[jnp.minimum(b0, ncells)]
+    ws128 = ws // 128
+    wend = cell_starts[jnp.minimum(b0 + cb, ncells)]
+    win_need = wend - ws128 * 128
+    bad = win_need > WL
+
+    # tile-granular window materialization: tile t of block b is
+    # lane-tile ws128[b] + t of rows_pad (cell_starts <= N keeps the
+    # max tile index within the padded width)
+    ntw = WL // 128
+    Wt = -(-(N + WL) // 128) * 128
+    if Wt > N + WL:
+        rows_pad = jnp.concatenate(
+            [rows_pad, jnp.zeros((Rpad, Wt - (N + WL)), dtype)], axis=1)
+    rowsr = rows_pad.reshape(Rpad, Wt // 128, 128)
+    tidx = (ws128.astype(jnp.int32)[:, None]
+            + jnp.arange(ntw, dtype=jnp.int32))          # (nb, ntw)
+    Wg = jnp.take(rowsr, tidx.reshape(-1), axis=1)
+    Wg = Wg.reshape(Rpad, nblocks, WL)
+
+    def kernel(ws_ref, tbl_ref, strip_ref, out_ref):
+        b = pl.program_id(0)
+        tblblk = tbl_ref[...]                          # (T_NROWS, cb)
+        rows = strip_ref[:, 0, :]                      # (Rpad, WL)
+
+        key2 = rows[R_KEY:R_KEY + 1, :]                # (1, WL)
+        cells = (b * cb
+                 + jax.lax.broadcasted_iota(jnp.int32, (cb, 1), 0)
+                 ).astype(dtype)                       # (cb, 1)
+        ohT = jnp.where(cells == key2, 1., 0.).astype(dtype)  # (cb, WL)
+        lo = (b * cb).astype(dtype)
+        hi = (b * cb + cb).astype(dtype)
+        rowok = jnp.where((key2 >= lo) & (key2 < hi), 1., 0.)
+
+        tblrows = jax.lax.dot_general(
+            tblblk, ohT, (((1,), (0,)), ((), ())),
+            preferred_element_type=dtype,
+            precision=jax.lax.Precision.HIGHEST)       # (T_NROWS, WL)
+
+        w9 = _weights_from_rows(rows, tblrows, cfg, dtype)   # (9, WL)
+
+        area_c = jnp.maximum(tblrows[T_AREA:T_AREA + 1, :], 1e-30)
+        Mass = rows[R_MASS:R_MASS + 1, :]
+        LWms = rows[R_LWMS:R_LWMS + 1, :]
+        u = rows[R_U:R_U + 1, :]
+        v = rows[R_V:R_V + 1, :]
+        massms = rows[R_MASSMS:R_MASSMS + 1, :] * rowok
+        w_cell = massms / area_c
+        vals = jnp.concatenate([Mass, LWms, u * LWms, v * LWms], axis=0)
+        P9 = (w9[:, None, :] * vals[None, :, :]).reshape(36, WL)
+        Pc = jnp.concatenate(
+            [w_cell, w_cell * u, w_cell * v,
+             rows[R_VIRT:R_VIRT + 1, :], rows[R_BITS:R_BITS + 1, :],
+             rows[R_FLB:R_FLB + 1, :], rows[R_FLBB:R_FLBB + 1, :]],
+            axis=0)                                    # (7, WL)
+        parts = [P9, Pc]
+        if R > R_NFIX:
+            parts.append(rows[R_NFIX:R, :])
+        if OUTP > OUT:
+            parts.append(jnp.zeros((OUTP - OUT, WL), dtype))
+        P = jnp.concatenate(parts, axis=0)
+
+        out_ref[...] = jax.lax.dot_general(
+            P, ohT, (((1,), (1,)), ((), ())),
+            preferred_element_type=dtype,
+            precision=jax.lax.Precision.HIGHEST)       # (OUTP, cb)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[pl.BlockSpec((T_NROWS, cb), lambda b, *_: (0, b)),
+                  pl.BlockSpec((Rpad, 1, WL), lambda b, *_: (0, b, 0))],
+        out_specs=pl.BlockSpec((OUTP, cb), lambda b, *_: (0, b)),
+    )
+    S = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((OUTP, ncpad), dtype),
+        interpret=interpret,
+    )(ws128.astype(jnp.int32), tbl_pad, Wg)[:OUT, :ncells]
+    return S.T, bad
+
+
 def build_rows(st, grid, frc, cfg: IcebergsConfig, extra_cols,
                key_alive=None):
     """The UNSORTED payload stack + sort keys for the spread kernel.
@@ -472,7 +596,9 @@ def spread_cell_sums(st, grid, frc, cfg: IcebergsConfig, extra_cols,
             key_s, jnp.arange(ncells + 1, dtype=key_s.dtype)).astype(
             jnp.int32)
     tbl = cell_tables(grid)
-    seg = segment_spread_sums_p if SPREAD_PIPELINED else segment_spread_sums
+    seg = (segment_spread_sums_g if SPREAD_GATHERED
+           else segment_spread_sums_p if SPREAD_PIPELINED
+           else segment_spread_sums)
     S, bad = seg(
         rows_s, starts, tbl, cfg, len(extra_cols or []),
         cell_block=cell_block, window=window, interpret=interpret)

@@ -70,6 +70,31 @@ def test_pallas_spread_matches_scatter(old_spreading):
         assert rel < 1e-5, ("extra", k, rel)
 
 
+def test_pallas_spread_gathered_matches_default():
+    """segment_spread_sums_g (tile-gathered windows, standard block
+    pipeline) must be BITWISE equal to the manual-DMA kernel: same body,
+    exact tile-granular gather feeding it."""
+    from icebergs_tpu.ops import pallas_spread as ps
+    cfg, grid, frc, st, rng = _world()
+    extras = [st.mass * 0.5, st.width * 2.]
+    sp.SLOT_SUM_METHOD = "pallas"
+    dref, eref = sp.create_gridded_icebergs_fields(
+        st, grid, frc, cfg, extra_cell_cols=extras)
+    ps.SPREAD_GATHERED = True
+    try:
+        dg, eg = sp.create_gridded_icebergs_fields(
+            st, grid, frc, cfg, extra_cell_cols=extras)
+    finally:
+        ps.SPREAD_GATHERED = False
+    for f in dref._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(dref, f)), np.asarray(getattr(dg, f)),
+            err_msg=f)
+    for k, (a, b) in enumerate(zip(eref, eg)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=f"extra{k}")
+
+
 def test_pallas_spread_window_overflow_fallback():
     """A window too small for the densest block must flip the whole run
     to the (exact, deterministic) scatter_t fallback — nothing silently

@@ -151,6 +151,7 @@ def main():
 
     run("spread_x21", mk_spread(psp.segment_spread_sums), st_s)
     run("spreadp_x21", mk_spread(psp.segment_spread_sums_p), st_s)
+    run("spreadg_x21", mk_spread(psp.segment_spread_sums_g), st_s)
 
     # sorted-frame interp kernel vs the XLA row-gather path
     from icebergs_tpu.ops import pallas_interp as pin

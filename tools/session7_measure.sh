@@ -18,5 +18,6 @@ run fused3p 5400 python tools/bench_persistent.py fused3p
 run kernel_probe 4800 python tools/probe_kernel.py \
     ex_bn128_w288 exp_bn128_w288 exg_bn128_w288 \
     ex_bn256_w416 exp_bn256_w416 exg_bn256_w416 exg_bn512_w672 \
-    spread_x21 spreadp_x21 interp_xla interp_kernel interp_gathered
+    spread_x21 spreadp_x21 spreadg_x21 \
+    interp_xla interp_kernel interp_gathered
 echo "=== sweep complete $(date -u +%T) ===" >> "$LOG"
