@@ -112,6 +112,28 @@ def main():
             grid, cfg, INNER, with_stats=True, with_thermo=True,
             neighbor_mode="fused3", fused_block_n=128, fused_window=288,
             contact_cap=131072, fused_fallback_cap=4096))
+    if which in ("persistent3g", "p3g"):
+        # + the session-7 GATHERED kernels: tile-granular up-front
+        # window gathers + standard block pipeline in all three kernels
+        from icebergs_tpu.ops import pallas_prepass as _pp
+        from icebergs_tpu.ops import pallas_spread as _ps
+        from icebergs_tpu.ops import pallas_interp as _pi
+        _spread.SLOT_SUM_METHOD = "pallas"
+        _pp.EXTRACT_GATHERED = True
+        _ps.SPREAD_GATHERED = True
+        _pi.INTERP_KERNEL = True
+        _pi.INTERP_GATHERED = True
+        try:
+            run("persistent3g", make_persistent_multi_step(
+                grid, cfg, INNER, with_stats=True, with_thermo=True,
+                neighbor_mode="fused3", fused_block_n=128,
+                fused_window=288, contact_cap=131072,
+                fused_fallback_cap=4096))
+        finally:
+            _pp.EXTRACT_GATHERED = False
+            _ps.SPREAD_GATHERED = False
+            _pi.INTERP_KERNEL = False
+            _pi.INTERP_GATHERED = False
 
 
 if __name__ == "__main__":
