@@ -20,4 +20,5 @@ run kernel_probe 4800 python tools/probe_kernel.py \
     ex_bn256_w416 exp_bn256_w416 exg_bn256_w416 exg_bn512_w672 \
     spread_x21 spreadp_x21 spreadg_x21 \
     interp_xla interp_kernel interp_gathered
+run persistent3g 5400 python tools/bench_persistent.py persistent3g
 echo "=== sweep complete $(date -u +%T) ===" >> "$LOG"
