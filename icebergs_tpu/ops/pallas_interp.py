@@ -298,7 +298,9 @@ def interp_sorted(tbl, key_s, xi, yj, grid: Grid, cfg: IcebergsConfig, *,
         tidx = (w0.astype(jnp.int32)[:, None] // 128
                 + jnp.arange(ntw, dtype=jnp.int32))      # (nb, ntw)
         Wg = jnp.take(tblr, tidx.reshape(-1), axis=1)
-        Wg = Wg.reshape(S_NROWS, nblocks, CL)
+        # block-major (nblocks, S_NROWS, CL): Mosaic requires the last
+        # two BLOCK dims (8, 128)-aligned — a (R, 1, W) block fails
+        Wg = jnp.swapaxes(Wg.reshape(S_NROWS, nblocks, CL), 0, 1)
 
     def kernel(w0_ref, self_ref, win_ref, out_ref):
         b = pl.program_id(0)
@@ -306,7 +308,7 @@ def interp_sorted(tbl, key_s, xi, yj, grid: Grid, cfg: IcebergsConfig, *,
         keyb = rows[0:1, :]
         xib = rows[1:2, :]
         yjb = rows[2:3, :]
-        win = (win_ref[:, 0, :] if gathered
+        win = (win_ref[0, :, :] if gathered
                else win_ref[...])              # (S_NROWS, CL)
 
         w0b = w0_ref[b]
@@ -324,7 +326,7 @@ def interp_sorted(tbl, key_s, xi, yj, grid: Grid, cfg: IcebergsConfig, *,
         out_ref[...] = jnp.concatenate(
             env + [jnp.zeros((E_NOUT - len(env), BN), dtype)], axis=0)
 
-    win_spec = (pl.BlockSpec((S_NROWS, 1, CL), lambda b, *_: (0, b, 0))
+    win_spec = (pl.BlockSpec((1, S_NROWS, CL), lambda b, *_: (b, 0, 0))
                 if gathered else
                 pl.BlockSpec((_Element(S_NROWS), _Element(CL)),
                              lambda b, w0r: (0, w0r[b])))

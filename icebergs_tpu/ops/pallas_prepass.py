@@ -667,7 +667,10 @@ def contact_extract_sorted_g(PT, key_s, cell_starts, grid,
     tidx = (ws128.astype(jnp.int32)[:, :, None]
             + jnp.arange(ntw, dtype=jnp.int32))          # (nb, ns, ntw)
     Wg = jnp.take(PTr, tidx.reshape(-1), axis=1)
-    Wg = Wg.reshape(PT_NF, nblocks, nstrips * WL)
+    # block-major (nblocks, PT_NF, nstrips*WL): Mosaic requires the last
+    # two BLOCK dims (8, 128)-aligned, so the per-block window must live
+    # in the trailing axes (a (R, 1, W) block fails to lower)
+    Wg = jnp.swapaxes(Wg.reshape(PT_NF, nblocks, nstrips * WL), 0, 1)
 
     slack = 1. + 1e-6
     cd = float(cfg.contact_distance)
@@ -678,7 +681,7 @@ def contact_extract_sorted_g(PT, key_s, cell_starts, grid,
     def kernel(ws_ref, clo_ref, chi_ref, self_ref, win_ref, out_ref):
         b = pl.program_id(0)
         rows = self_ref[...]                  # (PT_NF, BN)
-        winall = win_ref[:, 0, :]             # (PT_NF, nstrips*WL)
+        winall = win_ref[0, :, :]             # (PT_NF, nstrips*WL)
         lon1 = rows[PT_LON:PT_LON + 1, :]
         lat1 = rows[PT_LAT:PT_LAT + 1, :]
         R1 = rows[PT_RAD:PT_RAD + 1, :]
@@ -765,8 +768,8 @@ def contact_extract_sorted_g(PT, key_s, cell_starts, grid,
         num_scalar_prefetch=3,
         grid=(nblocks,),
         in_specs=[pl.BlockSpec((PT_NF, BN), lambda b, *_: (0, b)),
-                  pl.BlockSpec((PT_NF, 1, nstrips * WL),
-                               lambda b, *_: (0, b, 0))],
+                  pl.BlockSpec((1, PT_NF, nstrips * WL),
+                               lambda b, *_: (b, 0, 0))],
         out_specs=pl.BlockSpec((EX_NOUT, BN), lambda b, *_: (0, b)),
     )
     out = pl.pallas_call(

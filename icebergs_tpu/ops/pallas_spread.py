@@ -422,12 +422,14 @@ def segment_spread_sums_g(rows_s, cell_starts, tbl, cfg: IcebergsConfig,
     tidx = (ws128.astype(jnp.int32)[:, None]
             + jnp.arange(ntw, dtype=jnp.int32))          # (nb, ntw)
     Wg = jnp.take(rowsr, tidx.reshape(-1), axis=1)
-    Wg = Wg.reshape(Rpad, nblocks, WL)
+    # block-major (nblocks, Rpad, WL): Mosaic requires the last two
+    # BLOCK dims (8, 128)-aligned — a (R, 1, W) block fails to lower
+    Wg = jnp.swapaxes(Wg.reshape(Rpad, nblocks, WL), 0, 1)
 
     def kernel(ws_ref, tbl_ref, strip_ref, out_ref):
         b = pl.program_id(0)
         tblblk = tbl_ref[...]                          # (T_NROWS, cb)
-        rows = strip_ref[:, 0, :]                      # (Rpad, WL)
+        rows = strip_ref[0, :, :]                      # (Rpad, WL)
 
         key2 = rows[R_KEY:R_KEY + 1, :]                # (1, WL)
         cells = (b * cb
@@ -475,7 +477,7 @@ def segment_spread_sums_g(rows_s, cell_starts, tbl, cfg: IcebergsConfig,
         num_scalar_prefetch=1,
         grid=(nblocks,),
         in_specs=[pl.BlockSpec((T_NROWS, cb), lambda b, *_: (0, b)),
-                  pl.BlockSpec((Rpad, 1, WL), lambda b, *_: (0, b, 0))],
+                  pl.BlockSpec((1, Rpad, WL), lambda b, *_: (b, 0, 0))],
         out_specs=pl.BlockSpec((OUTP, cb), lambda b, *_: (0, b)),
     )
     S = pl.pallas_call(
