@@ -82,22 +82,26 @@ def bench_1m_contacts():
     from icebergs_tpu.ops import pallas_spread as _ps
     from icebergs_tpu.ops import pallas_interp as _pi
     mode = os.environ.get("KID_BENCH_CONTACT_MODE", "fused3p")
-    chain = [mode] + [m for m in ("p3k", "fused3p", "fused3", "fused",
-                                  "sorted")
+    chain = [mode] + [m for m in ("fused3p", "fused3", "fused", "sorted")
                       if m != mode]
+    PERSISTENT = ("p3", "p3g", "p3k")   # persistent sorted slab variants
     multi = out = None
     for m in chain:
         fb = 16384 if m in ("fused", "sorted") else 4096
         try:
-            _spread.SLOT_SUM_METHOD = ("pallas" if m in ("fused3p", "p3k")
-                                       else "scatter")
+            _spread.SLOT_SUM_METHOD = (
+                "pallas" if m in ("fused3p",) + PERSISTENT else "scatter")
             _pp.EXTRACT_PIPELINED = m == "p3k"
             _ps.SPREAD_PIPELINED = m == "p3k"
-            _pi.INTERP_KERNEL = m == "p3k"
-            factory = make_persistent_multi_step if m == "p3k" \
+            _pp.EXTRACT_GATHERED = m == "p3g"
+            _ps.SPREAD_GATHERED = m == "p3g"
+            _pi.INTERP_GATHERED = m == "p3g"
+            _pi.INTERP_KERNEL = m in ("p3k", "p3g")
+            factory = make_persistent_multi_step if m in PERSISTENT \
                 else make_multi_step
-            kw = {"neighbor_mode": "fused3"} if m in ("p3k", "fused3p") \
-                else {"neighbor_mode": m}
+            kw = ({"neighbor_mode": "fused3"}
+                  if m in ("fused3p",) + PERSISTENT
+                  else {"neighbor_mode": m})
             multi = factory(
                 grid, cfg, INNER, with_stats=True, with_thermo=True,
                 fused_block_n=128, fused_window=288,
