@@ -43,7 +43,9 @@ def bench_1m_contacts():
     NBERGS = int(os.environ.get("KID_BENCH_N", 1_000_000))
     NX = NY = int(os.environ.get("KID_BENCH_NX", 512))
     DXY = 2000.0
-    INNER = 6          # amortize the tunneled runtime's ~0.35 s/dispatch
+    # amortize the tunneled runtime's ~0.35 s/dispatch (at INNER=6 that
+    # artifact alone reads as ~58 ms/step on a ~500 ms step)
+    INNER = int(os.environ.get("KID_BENCH_INNER", 24))
 
     cfg = ibt.IcebergsConfig(
         grid_is_latlon=False, Lx=-1.0, use_f_plane=True, lat_ref=45.0,
