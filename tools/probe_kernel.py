@@ -124,6 +124,10 @@ def main():
     run("exg_bn128_w288", mk(128, 288, contact_extract_sorted_g), PT)
     run("exg_bn256_w416", mk(256, 416, contact_extract_sorted_g), PT)
     run("exg_bn512_w672", mk(512, 672, contact_extract_sorted_g), PT)
+    # smaller blocks: the shared window shrinks with the block's cell
+    # span (slop stays 128) — fewer wasted pair tests per berg
+    run("ex_bn64_w160", mk(64, 160), PT)
+    run("exg_bn64_w160", mk(64, 160, contact_extract_sorted_g), PT)
 
     # pipelined spread kernel A/B (production 21 extra columns)
     from icebergs_tpu.ops import pallas_spread as psp

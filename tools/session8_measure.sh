@@ -12,8 +12,11 @@ run() {  # name, timeout, cmd...
   timeout "$t" stdbuf -oL "$@" 2>&1 | grep -v WARNING >> "$LOG"
 }
 
+run persistent3 10800 python tools/bench_persistent.py persistent3
 run kernel_probe 7200 python tools/probe_kernel.py \
     ex_bn128_w288 exg_bn128_w288 exg_bn256_w416 exg_bn512_w672 \
+    ex_bn64_w160 exg_bn64_w160 \
     spread_x21 spreadg_x21 interp_xla interp_kernel interp_gathered
-run persistent3 10800 python tools/bench_persistent.py persistent3
+run persistent_phases 7200 python tools/profile_persistent.py
+run persistent3g 7200 python tools/bench_persistent.py persistent3g
 echo "=== sweep complete $(date -u +%T) ===" >> "$LOG"
