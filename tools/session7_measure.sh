@@ -11,7 +11,7 @@ echo "=== $(date -u +%FT%TZ) session7 sweep ===" >> "$LOG"
 run() {  # name, timeout, cmd...
   local name=$1 t=$2; shift 2
   echo "--- $name $(date -u +%T)" >> "$LOG"
-  timeout "$t" stdbuf -oL "$@" 2>&1 | grep -v WARNING >> "$LOG"
+  timeout "$t" stdbuf -oL "$@" 2>&1 | grep --line-buffered -v WARNING >> "$LOG"
 }
 
 run fused3p 5400 python tools/bench_persistent.py fused3p

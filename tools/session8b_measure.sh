@@ -8,7 +8,7 @@ echo "=== $(date -u +%FT%TZ) session8b sweep ===" >> "$LOG"
 run() {
   local name=$1 t=$2; shift 2
   echo "--- $name $(date -u +%T)" >> "$LOG"
-  timeout "$t" stdbuf -oL "$@" 2>&1 | grep -v WARNING >> "$LOG"
+  timeout "$t" stdbuf -oL "$@" 2>&1 | grep --line-buffered -v WARNING >> "$LOG"
 }
 run persistent_phases 7200 python tools/profile_persistent.py
 run kernel_probe_bn64 3600 python tools/probe_kernel.py \
