@@ -11,7 +11,8 @@ run() {
   timeout "$t" stdbuf -oL "$@" 2>&1 | grep --line-buffered -v WARNING >> "$LOG"
 }
 run persistent_phases 7200 python tools/profile_persistent.py
-run kernel_probe_bn64 3600 python tools/probe_kernel.py \
-    ex_bn64_w160 exg_bn64_w160
+run kernel_probe2 7200 python tools/probe_kernel.py \
+    ex_bn64_w160 exg_bn64_w160 exg_bn128_w288 \
+    spread_x21 spreadg_x21 interp_xla interp_kernel interp_gathered
 run persistent3g 7200 python tools/bench_persistent.py persistent3g
 echo "=== sweep complete $(date -u +%T) ===" >> "$LOG"
