@@ -28,6 +28,8 @@ def main():
     from icebergs_tpu.model import make_multi_step, make_persistent_multi_step
 
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    BN = int(os.environ.get("KID_P3_BN", 128))
+    W = int(os.environ.get("KID_P3_W", 288))
     NBERGS = 1_000_000
     NX = NY = 512
     DXY = 2000.0
@@ -75,19 +77,19 @@ def main():
     if which in ("fused2", "both"):
         run("fused2_per_step", make_multi_step(
             grid, cfg, INNER, with_stats=True, with_thermo=True,
-            neighbor_mode="fused", fused_block_n=128, fused_window=288,
+            neighbor_mode="fused", fused_block_n=BN, fused_window=W,
             contact_cap=131072, fused_fallback_cap=16384))
     if which in ("persistent", "both"):
         run("persistent", make_persistent_multi_step(
             grid, cfg, INNER, with_stats=True, with_thermo=True,
-            fused_block_n=128, fused_window=288,
+            fused_block_n=BN, fused_window=W,
             contact_cap=131072, fused_fallback_cap=16384))
     if which in ("fused3p", "p3", "both3"):
         # the headline config: per-step fused3 search + pallas spreading
         _spread.SLOT_SUM_METHOD = "pallas"
         run("fused3p_per_step", make_multi_step(
             grid, cfg, INNER, with_stats=True, with_thermo=True,
-            neighbor_mode="fused3", fused_block_n=128, fused_window=288,
+            neighbor_mode="fused3", fused_block_n=BN, fused_window=W,
             contact_cap=131072, fused_fallback_cap=4096))
     if which in ("persistent3", "p3", "both3"):
         # persistent sorted slab: one variadic re-sort per step serves the
@@ -96,7 +98,7 @@ def main():
         _spread.SLOT_SUM_METHOD = "pallas"
         run("persistent3", make_persistent_multi_step(
             grid, cfg, INNER, with_stats=True, with_thermo=True,
-            neighbor_mode="fused3", fused_block_n=128, fused_window=288,
+            neighbor_mode="fused3", fused_block_n=BN, fused_window=W,
             contact_cap=131072, fused_fallback_cap=4096))
     if which in ("persistent3k", "p3k"):
         # + every round-3 session-6 kernel: pipelined extraction,
@@ -110,7 +112,7 @@ def main():
         _pi.INTERP_KERNEL = True
         run("persistent3k", make_persistent_multi_step(
             grid, cfg, INNER, with_stats=True, with_thermo=True,
-            neighbor_mode="fused3", fused_block_n=128, fused_window=288,
+            neighbor_mode="fused3", fused_block_n=BN, fused_window=W,
             contact_cap=131072, fused_fallback_cap=4096))
     if which in ("persistent3g", "p3g"):
         # + the session-7 GATHERED kernels: tile-granular up-front
@@ -126,8 +128,8 @@ def main():
         try:
             run("persistent3g", make_persistent_multi_step(
                 grid, cfg, INNER, with_stats=True, with_thermo=True,
-                neighbor_mode="fused3", fused_block_n=128,
-                fused_window=288, contact_cap=131072,
+                neighbor_mode="fused3", fused_block_n=BN,
+                fused_window=W, contact_cap=131072,
                 fused_fallback_cap=4096))
         finally:
             _pp.EXTRACT_GATHERED = False
