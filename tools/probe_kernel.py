@@ -15,7 +15,11 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
-INNER = 4
+# Per-dispatch tunnel overhead is ~0.35 s on the axon backend; at
+# INNER=4 that inflated every probe by ~90 ms.  INNER=16 brings the
+# floor to ~22 ms, and the unconditional "null" probe below measures
+# the residual floor exactly — subtract it from every number.
+INNER = 16
 
 
 def scan_timeit(fn, arg, reps=2):
@@ -91,8 +95,8 @@ def main():
     print("device:", jax.devices()[0], flush=True)
     only = set(sys.argv[1:])
 
-    def run(name, fn, arg):
-        if only and name not in only:
+    def run(name, fn, arg, always=False):
+        if only and name not in only and not always:
             return
         try:
             t = scan_timeit(fn, arg)
@@ -100,6 +104,10 @@ def main():
         except Exception as e:
             print(f"{name}: FAILED {type(e).__name__} {str(e)[:200]}",
                   flush=True)
+
+    # dispatch-floor calibration: one trivial pass over PT through the
+    # same scan harness; its time is pure per-dispatch overhead / INNER
+    run("null", lambda pt: pt + 1e-30, PT, always=True)
 
     def mk(bn, w, fn=contact_extract_sorted, **kw):
         def f(carry):

@@ -19,7 +19,9 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
-INNER = 4
+# ~0.35 s per-dispatch tunnel overhead => ~22 ms floor at INNER=16;
+# the unconditional "null" probe measures the exact floor to subtract.
+INNER = 16
 
 _DEP_F32 = ("lon", "lat", "lon_old", "lat_old", "uvel", "vvel",
             "uvel_old", "vvel_old", "length", "width")
@@ -103,8 +105,8 @@ def main():
     only = set(sys.argv[1:])
     ncells = NX * NY
 
-    def run(name, fn):
-        if only and name not in only:
+    def run(name, fn, always=False):
+        if only and name not in only and not always:
             return
         try:
             t = scan_timeit(fn, (st_s, starts0))
@@ -112,6 +114,10 @@ def main():
         except Exception as e:
             print(f"{name}: FAILED {type(e).__name__} {str(e)[:200]}",
                   flush=True)
+
+    # dispatch-floor calibration (pure tunnel overhead / INNER)
+    run("null", lambda s, cs: (s.replace(uvel=s.uvel + 1e-30), cs),
+        always=True)
 
     # --- interface -------------------------------------------------
     def p_interp_xla(s, cs):
