@@ -132,6 +132,11 @@ def main():
     run("exg_bn128_w288", mk(128, 288, contact_extract_sorted_g), PT)
     run("exg_bn256_w416", mk(256, 416, contact_extract_sorted_g), PT)
     run("exg_bn512_w672", mk(512, 672, contact_extract_sorted_g), PT)
+    # larger blocks: fewer per-block DMAs, more wasted compares (window
+    # = block cell span + 1 ring + 160 slop) — find the U-curve minimum
+    run("exg_bn384_w544", mk(384, 544, contact_extract_sorted_g), PT)
+    run("exg_bn768_w928", mk(768, 928, contact_extract_sorted_g), PT)
+    run("exg_bn1024_w1184", mk(1024, 1184, contact_extract_sorted_g), PT)
     # smaller blocks: the shared window shrinks with the block's cell
     # span (slop stays 128) — fewer wasted pair tests per berg
     run("ex_bn64_w160", mk(64, 160), PT)
