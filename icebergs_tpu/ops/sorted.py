@@ -80,7 +80,7 @@ def sort_state_by_cell(st, grid: Grid, *, id_tiebreak: bool = True,
         via_payloads = id_tiebreak
     if via_payloads and id_tiebreak:
         new, sorted_key, order = _payload_sort_state(
-            st, key, static_fields=static_fields)
+            st, key, static_fields=static_fields, dead_key=ncells)
         inv = jnp.zeros_like(order).at[order].set(
             jnp.arange(order.shape[0], dtype=order.dtype))
     else:
@@ -128,7 +128,7 @@ def uniform_state_fields(cfg: IcebergsConfig):
     return tuple(out)
 
 
-def _payload_sort_state(st, key, static_fields=()):
+def _payload_sort_state(st, key, static_fields=(), dead_key=None):
     """One (cell, id_cnt, id_ij)-keyed variadic ``lax.sort`` carrying
     every (N,) leaf (and each (N, B) bond column) as a payload.
 
@@ -147,6 +147,12 @@ def _payload_sort_state(st, key, static_fields=()):
     names = [f.name for f in dataclasses.fields(st)
              if hasattr(getattr(st, f.name), "ndim")]
     skip = set(static_fields)
+    # id_cnt/id_ij ARE sort keys 2-3 (their sorted values come out of
+    # the same lax.sort), and alive is exactly sorted_key < dead_key —
+    # none of the three needs a payload column
+    skip |= {"id_cnt", "id_ij"}
+    if dead_key is not None:
+        skip.add("alive")
     cols = []       # (field_name, bond_col_or_None)
     pays = []
     for nm in names:
@@ -165,7 +171,9 @@ def _payload_sort_state(st, key, static_fields=()):
     out = jax.lax.sort((key, st.id_cnt, st.id_ij, idx) + tuple(pays),
                        num_keys=3)
     sorted_key, order = out[0], out[3]
-    new_fields = {}
+    new_fields = {"id_cnt": out[1], "id_ij": out[2]}
+    if dead_key is not None:
+        new_fields["alive"] = sorted_key < dead_key
     packs = {}
     for (nm, b), p in zip(cols, out[4:]):
         if b is None:

@@ -25,7 +25,9 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
-INNER = 4
+# ~22 ms dispatch floor at INNER=16 (was ~90 at 4); the "null" probe
+# in main() measures the exact floor to subtract from every number
+INNER = 16
 
 _DEP_F32 = ("lon", "lat", "lon_old", "lat_old", "uvel", "vvel",
             "uvel_old", "vvel_old", "length", "width")
@@ -532,6 +534,9 @@ def main():
             print(f"{pname}: FAILED {type(e).__name__}: {str(e)[:300]}",
                   flush=True)
     for name, fn, arg in (
+            # dispatch-floor calibration: pure tunnel overhead / INNER,
+            # runs unconditionally (probe selection never filters it)
+            ("null", lambda s: s.replace(uvel=s.uvel + 1e-30), st),
             ("lexsort", f_lexsort, st),
             ("lexsort_pack_starts", f_lexsort_pack_starts, st_i),
             ("ia_fused_total", f_ia_fused, st_i),
@@ -575,7 +580,7 @@ def main():
             ("scatter9_only", f_scatter9_only, st_i),
             ("sort_by_cell_id", f_sort, st),
     ):
-        if only and name not in only:
+        if only and name not in only and name != "null":
             continue
         try:
             t = scan_timeit(fn, arg)
