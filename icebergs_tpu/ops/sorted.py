@@ -26,6 +26,19 @@ from ..grid import Grid
 from .forces import NeighborTables
 
 
+# Re-sort backend for sort_state_by_cell's id_tiebreak path:
+#   False - one variadic lax.sort carrying every leaf as a payload
+#           (~0.5 ms/column at 1M; ~50 columns -> ~45 ms, and a
+#           50+-operand sort program for the compiler to chew);
+#   True  - sort (key, id, id2, iota) ONLY, then apply the permutation
+#           by packed (N, <=128)-lane row gathers: on TPU any (N, C)
+#           f32/u32 matrix with C <= 128 is padded to 128 lanes, so ONE
+#           row gather moves up to 128 columns for the price of 14
+#           (~16 ms measured for a packed (N, 14) row gather at 1M).
+# Bitwise identical either way (same comparator, u32 bit transport).
+SORT_PACKED_PERMUTE = False
+
+
 def lex_cell_id_order(key, id_cnt, id_ij):
     """Layout-invariant (cell, id_cnt, id_ij) lexicographic permutation.
 
@@ -79,7 +92,9 @@ def sort_state_by_cell(st, grid: Grid, *, id_tiebreak: bool = True,
     if via_payloads is None:
         via_payloads = id_tiebreak
     if via_payloads and id_tiebreak:
-        new, sorted_key, order = _payload_sort_state(
+        impl = (_packed_permute_state if SORT_PACKED_PERMUTE
+                else _payload_sort_state)
+        new, sorted_key, order = impl(
             st, key, static_fields=static_fields, dead_key=ncells)
         inv = jnp.zeros_like(order).at[order].set(
             jnp.arange(order.shape[0], dtype=order.dtype))
@@ -180,6 +195,67 @@ def _payload_sort_state(st, key, static_fields=(), dead_key=None):
             new_fields[nm] = p
         else:
             packs.setdefault(nm, {})[b] = p
+    for nm, colmap in packs.items():
+        new_fields[nm] = jnp.stack(
+            [colmap[b] for b in range(len(colmap))], axis=1)
+    return st.replace(**new_fields), sorted_key, order
+
+
+def _packed_permute_state(st, key, static_fields=(), dead_key=None):
+    """`_payload_sort_state` semantics via key-only sort + packed gather.
+
+    Sorts ``(key, id_cnt, id_ij, iota)`` (4 operands), then reorders all
+    remaining leaves by bitcasting each (N,) column (and each (N, B)
+    bond column) to u32 lanes of (N, <=128) pack matrices and applying
+    ``order`` with one row gather per pack.  The TPU pads any (N, C<=128)
+    matrix to 128 lanes, so a pack's gather costs the same no matter how
+    many of its lanes are used — ~2 gathers cover the full BergState.
+
+    Bitwise identical to the payload path: identical comparator and
+    permutation; u32 bitcast transport is exact for f32/i32, and bool
+    columns round-trip via 0/1 u32.
+    """
+    N = key.shape[0]
+    names = [f.name for f in dataclasses.fields(st)
+             if hasattr(getattr(st, f.name), "ndim")]
+    skip = set(static_fields) | {"id_cnt", "id_ij"}
+    if dead_key is not None:
+        skip.add("alive")
+    idx = jnp.arange(N, dtype=jnp.int32)
+    sorted_key, sid_cnt, sid_ij, order = jax.lax.sort(
+        (key, st.id_cnt, st.id_ij, idx), num_keys=3)
+
+    cols = []      # (field_name, bond_col_or_None, dtype)
+    lanes = []
+    u32 = jnp.uint32
+    for nm in names:
+        if nm in skip:
+            continue
+        leaf = getattr(st, nm)
+        sub = ([(None, leaf)] if leaf.ndim == 1 else
+               [(b, leaf[:, b]) for b in range(leaf.shape[1])])
+        for b, col in sub:
+            if col.dtype == jnp.bool_:
+                lanes.append(col.astype(u32))
+            else:
+                lanes.append(jax.lax.bitcast_convert_type(col, u32))
+            cols.append((nm, b, col.dtype))
+
+    new_fields = {"id_cnt": sid_cnt, "id_ij": sid_ij}
+    if dead_key is not None:
+        new_fields["alive"] = sorted_key < dead_key
+    packs = {}
+    for lo in range(0, len(lanes), 128):
+        P = jnp.stack(lanes[lo:lo + 128], axis=1)        # (N, <=128) u32
+        S = jnp.take(P, order, axis=0)                   # one row gather
+        for k, (nm, b, dt) in enumerate(cols[lo:lo + 128]):
+            col = S[:, k]
+            col = (col > 0) if dt == jnp.bool_ \
+                else jax.lax.bitcast_convert_type(col, dt)
+            if b is None:
+                new_fields[nm] = col
+            else:
+                packs.setdefault(nm, {})[b] = col
     for nm, colmap in packs.items():
         new_fields[nm] = jnp.stack(
             [colmap[b] for b in range(len(colmap))], axis=1)

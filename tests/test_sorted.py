@@ -118,3 +118,31 @@ def test_payload_sort_static_fields_bitwise():
         np.testing.assert_array_equal(
             np.asarray(va), np.asarray(getattr(b, f.name)),
             err_msg=f.name)
+
+
+def test_packed_permute_sort_bitwise():
+    """SORT_PACKED_PERMUTE (key-only sort + packed u32 row gathers) is
+    bitwise identical to the variadic payload sort, with bonds ON (so
+    the (N, B) bond columns and the bond-slot remap are exercised and
+    the lane count crosses one 128-lane pack)."""
+    import dataclasses
+    from icebergs_tpu.ops import sorted as srt
+    from icebergs_tpu.ops import forces
+    cfg, grid, frc, st = make_world()
+    st = forces.initialize_bonds_host(
+        st, cfg.replace(length_for_manually_initialize_bonds=1500.,
+                        iceberg_bonds_on=True))
+    a, sa = sort_state_by_cell(st, grid)
+    srt.SORT_PACKED_PERMUTE = True
+    try:
+        b, sb = sort_state_by_cell(st, grid)
+    finally:
+        srt.SORT_PACKED_PERMUTE = False
+    np.testing.assert_array_equal(np.asarray(sa), np.asarray(sb))
+    for f in dataclasses.fields(st):
+        va = getattr(a, f.name)
+        if not hasattr(va, "shape"):
+            continue
+        np.testing.assert_array_equal(
+            np.asarray(va), np.asarray(getattr(b, f.name)),
+            err_msg=f.name)

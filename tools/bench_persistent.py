@@ -100,6 +100,22 @@ def main():
             grid, cfg, INNER, with_stats=True, with_thermo=True,
             neighbor_mode="fused3", fused_block_n=BN, fused_window=W,
             contact_cap=131072, fused_fallback_cap=4096))
+    if which in ("persistent3pack", "p3pack"):
+        # persistent3 with the packed-permute re-sort backend: key-only
+        # lax.sort (4 operands) + <=2 packed u32 row gathers instead of
+        # the ~50-operand variadic payload sort — both a runtime A/B and
+        # a compile-time probe (the giant payload-sort program is the
+        # prime suspect in persistent3's >40-min remote compiles)
+        from icebergs_tpu.ops import sorted as _srt
+        _spread.SLOT_SUM_METHOD = "pallas"
+        _srt.SORT_PACKED_PERMUTE = True
+        try:
+            run("persistent3pack", make_persistent_multi_step(
+                grid, cfg, INNER, with_stats=True, with_thermo=True,
+                neighbor_mode="fused3", fused_block_n=BN, fused_window=W,
+                contact_cap=131072, fused_fallback_cap=4096))
+        finally:
+            _srt.SORT_PACKED_PERMUTE = False
     if which in ("persistent3k", "p3k"):
         # + every round-3 session-6 kernel: pipelined extraction,
         # pipelined spreading, sorted-frame interp kernel

@@ -165,6 +165,15 @@ def main():
         s2, cs2 = sort_state_by_cell(s, grid, static_fields=_uniform)
         return s2, cs2
 
+    def p_sort_packed(s, cs):
+        from icebergs_tpu.ops import sorted as _srt
+        _srt.SORT_PACKED_PERMUTE = True
+        try:
+            s2, cs2 = sort_state_by_cell(s, grid, static_fields=_uniform)
+        finally:
+            _srt.SORT_PACKED_PERMUTE = False
+        return s2, cs2
+
     # --- thermo + spreading in the identity sort frame ---------------
     def _sort_ctx(s, cs):
         key_s = jnp.where(s.alive, s.jne * NX + s.ine,
@@ -197,6 +206,7 @@ def main():
     run("p_evolve_zeroia", p_evolve_zeroia)
     run("p_evolve_full", p_evolve_full)
     run("p_sort", p_sort)
+    run("p_sort_packed", p_sort_packed)
     run("p_thermo", p_thermo)
     run("p_spread_kernel", p_spread_kernel)
 
