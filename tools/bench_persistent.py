@@ -33,7 +33,9 @@ def main():
     NBERGS = 1_000_000
     NX = NY = 512
     DXY = 2000.0
-    INNER = 6
+    # 24: the tunnel's dispatch+readback cycle drifts 0.3-3.5 s between
+    # windows; the null calibration in run() subtracts the residue
+    INNER = int(os.environ.get("KID_P3_INNER", 24))
 
     cfg = ibt.IcebergsConfig(
         grid_is_latlon=False, Lx=-1.0, use_f_plane=True, lat_ref=45.0,
@@ -56,6 +58,26 @@ def main():
     st = st.replace(ine=i, jne=j, xi=xi, yj=yj)
     print("device:", jax.devices()[0], flush=True)
 
+    def _floor():
+        """Identity-scan dispatch floor with the same call/sync shape."""
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def null_multi(s):
+            def body(c, _):
+                return c.replace(uvel=c.uvel + 1e-30), None
+            o, _ = jax.lax.scan(body, s, None, length=INNER)
+            return o
+
+        o = null_multi(st)
+        _sync(o)
+        t0 = time.perf_counter()
+        for _ in range(2):
+            o = null_multi(o)
+            _sync(o)
+        return (time.perf_counter() - t0) / (2 * INNER)
+
     def run(name, multi):
         t0 = time.perf_counter()
         out = multi(st, frc)
@@ -68,8 +90,11 @@ def main():
             out = multi(out[0], frc)
             _sync(out)
         dt = (time.perf_counter() - t0) / (reps * INNER)
-        print(f"{name}: {dt*1e3:.1f} ms/step = "
-              f"{NBERGS/dt/1e6:.2f} M berg-steps/s  "
+        fl = _floor()
+        dev = max(dt - fl, 0.2 * dt)
+        print(f"{name}: {dt*1e3:.1f} ms/step raw, floor {fl*1e3:.1f} "
+              f"-> {dev*1e3:.1f} ms/step = "
+              f"{NBERGS/dev/1e6:.2f} M berg-steps/s  "
               f"dropped={int(np.asarray(out[1]))} "
               f"fallback={int(np.asarray(out[2]))}", flush=True)
 
