@@ -15,9 +15,9 @@ run() {
   echo "--- $name $(date -u +%T)" >> "$LOG"
   timeout "$t" stdbuf -oL "$@" 2>&1 | grep --line-buffered -v WARNING >> "$LOG"
 }
-run persistent3pack 6000 python tools/bench_persistent.py p3pack
-run persistent3_long 6000 python tools/bench_persistent.py persistent3
 run exg_geometry 7200 python tools/probe_kernel.py \
     exg_bn512_w672 exg_bn384_w544 exg_bn768_w928 exg_bn1024_w1184
+run persistent3pack 6000 python tools/bench_persistent.py p3pack
+run persistent3_long 6000 python tools/bench_persistent.py persistent3
 run bench 10800 python bench.py
 echo "=== sweep complete $(date -u +%T) ===" >> "$LOG"
