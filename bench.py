@@ -88,6 +88,37 @@ def bench_1m_contacts():
                       if m != mode]
     PERSISTENT = ("p3", "p3g", "p3k")   # persistent sorted slab variants
     multi = out = None
+    # The tunneled axon client has NO RPC timeout: a tunnel blip during
+    # a long remote compile wedges the call forever (observed on every
+    # >40-min persistent3 compile).  Run each mode's warmup in an
+    # abandonable thread: on timeout the thread is left to the wedged
+    # RPC (daemon, GIL released) and the chain falls back to the next
+    # mode, so this bench always terminates.
+    import threading as _th
+    compile_timeout = float(os.environ.get("KID_BENCH_COMPILE_TIMEOUT",
+                                           2700.0))
+
+    def _run_abandonable(fn, timeout):
+        """fn() in a daemon thread; raises TimeoutError if not done in
+        time (the thread is abandoned — daemon, so exit never joins)."""
+        box = {}
+
+        def worker():
+            try:
+                box["v"] = fn()
+            except BaseException as e:   # surfaced to the caller
+                box["e"] = e
+
+        t = _th.Thread(target=worker, daemon=True)
+        t.start()
+        t.join(timeout)
+        if t.is_alive():
+            raise TimeoutError(f"warmup exceeded {timeout:.0f}s "
+                               "(wedged remote compile?)")
+        if "e" in box:
+            raise box["e"]
+        return box["v"]
+
     for m in chain:
         fb = 16384 if m in ("fused", "sorted") else 4096
         try:
@@ -108,7 +139,8 @@ def bench_1m_contacts():
                 grid, cfg, INNER, with_stats=True, with_thermo=True,
                 fused_block_n=128, fused_window=288,
                 contact_cap=131072, fused_fallback_cap=fb, **kw)
-            out = multi(st, frc)   # warmup/compile
+            out = _run_abandonable(lambda mu=multi: mu(st, frc),
+                                   compile_timeout)   # warmup/compile
             _sync(out)
             break
         except Exception as e:     # pragma: no cover - hardware-dependent
