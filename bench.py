@@ -84,6 +84,12 @@ def bench_1m_contacts():
     from icebergs_tpu.ops import pallas_spread as _ps
     from icebergs_tpu.ops import pallas_interp as _pi
     mode = os.environ.get("KID_BENCH_CONTACT_MODE", "fused3p")
+    BN = int(os.environ.get("KID_BENCH_BN", 128))
+    W = int(os.environ.get("KID_BENCH_W", 288))
+    # force the gathered-window extraction kernel in every fused3 mode
+    # (p3g sets it anyway); same-window A/B 2026-08-20: exg 9.6 ms vs
+    # ex 25.1 ms floor-subtracted at bn128_w288
+    force_gathered = os.environ.get("KID_BENCH_GATHERED", "") == "1"
     chain = [mode] + [m for m in ("fused3p", "fused3", "fused", "sorted")
                       if m != mode]
     PERSISTENT = ("p3", "p3g", "p3k")   # persistent sorted slab variants
@@ -126,7 +132,7 @@ def bench_1m_contacts():
                 "pallas" if m in ("fused3p",) + PERSISTENT else "scatter")
             _pp.EXTRACT_PIPELINED = m == "p3k"
             _ps.SPREAD_PIPELINED = m == "p3k"
-            _pp.EXTRACT_GATHERED = m == "p3g"
+            _pp.EXTRACT_GATHERED = m == "p3g" or force_gathered
             _ps.SPREAD_GATHERED = m == "p3g"
             _pi.INTERP_GATHERED = m == "p3g"
             _pi.INTERP_KERNEL = m in ("p3k", "p3g")
@@ -137,7 +143,7 @@ def bench_1m_contacts():
                   else {"neighbor_mode": m})
             multi = factory(
                 grid, cfg, INNER, with_stats=True, with_thermo=True,
-                fused_block_n=128, fused_window=288,
+                fused_block_n=BN, fused_window=W,
                 contact_cap=131072, fused_fallback_cap=fb, **kw)
             out = _run_abandonable(lambda mu=multi: mu(st, frc),
                                    compile_timeout)   # warmup/compile
