@@ -236,14 +236,30 @@ def main():
     (steps_per_sec, nbergs, dropped, fallback, mode,
      raw_step_s, floor_s) = bench_1m_contacts()
     skip_dem = os.environ.get("KID_BENCH_ONLY") == "headline"
-    try:
-        dem1m_esps = -1.0 if skip_dem else bench_dem_1m()
-    except Exception:
-        dem1m_esps = -1.0
-    try:
-        dem_esps = -1.0 if skip_dem else bench_dem_mts()
-    except Exception:
-        dem_esps = -1.0
+    # DEM benches in abandonable daemon threads: a wedged remote compile
+    # there must never cost the headline JSON line
+    import threading
+
+    def _abandonable(fn, timeout):
+        box = {}
+
+        def w():
+            try:
+                box["v"] = fn()
+            except BaseException as e:
+                box["e"] = e
+        t = threading.Thread(target=w, daemon=True)
+        t.start()
+        t.join(timeout)
+        if t.is_alive() or "e" in box:
+            return -1.0
+        return box["v"]
+
+    dem_timeout = float(os.environ.get("KID_BENCH_DEM_TIMEOUT", 2700.0))
+    dem1m_esps = -1.0 if skip_dem else _abandonable(bench_dem_1m,
+                                                    dem_timeout)
+    dem_esps = -1.0 if skip_dem else _abandonable(bench_dem_mts,
+                                                  dem_timeout)
     berg_steps = steps_per_sec * nbergs
     print(json.dumps({
         "metric": "berg_steps_per_sec_1M_contacts",
