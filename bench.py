@@ -86,10 +86,11 @@ def bench_1m_contacts():
     mode = os.environ.get("KID_BENCH_CONTACT_MODE", "fused3p")
     BN = int(os.environ.get("KID_BENCH_BN", 128))
     W = int(os.environ.get("KID_BENCH_W", 288))
-    # force the gathered-window extraction kernel in every fused3 mode
-    # (p3g sets it anyway); same-window A/B 2026-08-20: exg 9.6 ms vs
-    # ex 25.1 ms floor-subtracted at bn128_w288
-    force_gathered = os.environ.get("KID_BENCH_GATHERED", "") == "1"
+    # gathered-window extraction kernel in every fused3 mode (module
+    # default since 2026-08-20: same-window floor-subtracted A/B read
+    # 9.6 ms vs 25.1 ms manual at bn128_w288); KID_BENCH_GATHERED=0
+    # restores the manual-DMA kernel for A/B
+    force_gathered = os.environ.get("KID_BENCH_GATHERED", "1") == "1"
     chain = [mode] + [m for m in ("fused3p", "fused3", "fused", "sorted")
                       if m != mode]
     PERSISTENT = ("p3", "p3g", "p3k")   # persistent sorted slab variants

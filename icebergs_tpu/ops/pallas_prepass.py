@@ -42,8 +42,13 @@ from . import forces as _forces
 EXTRACT_PIPELINED = False
 # materialize window strips by a tile-granular XLA gather up front and
 # feed the kernel through the standard block pipeline
-# (contact_extract_sorted_g); takes precedence over EXTRACT_PIPELINED
-EXTRACT_GATHERED = False
+# (contact_extract_sorted_g); takes precedence over EXTRACT_PIPELINED.
+# DEFAULT ON: same-window floor-subtracted A/B on v5e (2026-08-20,
+# INNER=16 + null calibration) measured 9.6 ms vs 25.1 ms for the
+# manual-DMA kernel at bn128_w288 (1M bergs); the 2026-08-19 window
+# agreed directionally. Bit-identical outputs; costs one gathered
+# window buffer (~768 MB at 1M, bn128_w288).
+EXTRACT_GATHERED = True
 
 # packed feature columns: lon_old, lat_old, radius, fl_k, alive, key
 _F_LON, _F_LAT, _F_RAD, _F_FLK, _F_ALIVE, _F_KEY = range(6)

@@ -173,7 +173,6 @@ def main():
                 fused_window=W, contact_cap=131072,
                 fused_fallback_cap=4096))
         finally:
-            _pp.EXTRACT_GATHERED = False
             _ps.SPREAD_GATHERED = False
             _pi.INTERP_KERNEL = False
             _pi.INTERP_GATHERED = False
