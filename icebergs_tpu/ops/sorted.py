@@ -39,6 +39,23 @@ from .forces import NeighborTables
 SORT_PACKED_PERMUTE = False
 
 
+def stack_cols(cols):
+    """``jnp.stack(cols, axis=1)`` without (N, 1) padded temps.
+
+    ``stack``/``concatenate`` along axis 1 materialize each (N,) column
+    as a (N, 1) operand, which the TPU tiles as T(8, 128) — a 128x HBM
+    expansion (488 MB per column at N=1M; dozens live at the concat
+    OOM'd the p3pack step at 60 GB).  A 1-D concatenate has zero
+    padding, the (C*N,) -> (C, N) reshape is free in row-major layout,
+    and the final (C, N) -> (N, C) transpose is one well-tiled copy.
+    """
+    C = len(cols)
+    if C == 1:
+        return cols[0][:, None]
+    N = cols[0].shape[0]
+    return jnp.concatenate(cols, axis=0).reshape(C, N).T
+
+
 def lex_cell_id_order(key, id_cnt, id_ij):
     """Layout-invariant (cell, id_cnt, id_ij) lexicographic permutation.
 
@@ -196,8 +213,8 @@ def _payload_sort_state(st, key, static_fields=(), dead_key=None):
         else:
             packs.setdefault(nm, {})[b] = p
     for nm, colmap in packs.items():
-        new_fields[nm] = jnp.stack(
-            [colmap[b] for b in range(len(colmap))], axis=1)
+        new_fields[nm] = stack_cols(
+            [colmap[b] for b in range(len(colmap))])
     return st.replace(**new_fields), sorted_key, order
 
 
@@ -246,7 +263,7 @@ def _packed_permute_state(st, key, static_fields=(), dead_key=None):
         new_fields["alive"] = sorted_key < dead_key
     packs = {}
     for lo in range(0, len(lanes), 128):
-        P = jnp.stack(lanes[lo:lo + 128], axis=1)        # (N, <=128) u32
+        P = stack_cols(lanes[lo:lo + 128])               # (N, <=128) u32
         S = jnp.take(P, order, axis=0)                   # one row gather
         for k, (nm, b, dt) in enumerate(cols[lo:lo + 128]):
             col = S[:, k]
@@ -257,8 +274,8 @@ def _packed_permute_state(st, key, static_fields=(), dead_key=None):
             else:
                 packs.setdefault(nm, {})[b] = col
     for nm, colmap in packs.items():
-        new_fields[nm] = jnp.stack(
-            [colmap[b] for b in range(len(colmap))], axis=1)
+        new_fields[nm] = stack_cols(
+            [colmap[b] for b in range(len(colmap))])
     return st.replace(**new_fields), sorted_key, order
 
 
