@@ -55,8 +55,12 @@ def bench_1m_contacts():
 
     grid = ibt.make_uniform_grid(NX, NY, 0., 0., DXY, DXY,
                                  grid_is_latlon=False)
-    frc = ibt.uniform_forcing(NX, NY, uo=0.3, vo=0.1, ua=5.0, sst=4.0,
-                              sss=33.0)
+    # divergence-free swirl, NOT a uniform current: a mean drift piles
+    # the bergs against the downstream wall, so the local density (and
+    # with it the exact search's fallback share) grows with every step
+    # measured — the swirl keeps the density statistically steady
+    frc = ibt.swirl_forcing(NX, NY, DXY, uo=0.3, ua=5.0, sst=4.0,
+                            sss=33.0)
 
     rng = np.random.RandomState(0)
     lon = rng.uniform(2 * DXY, (NX - 2) * DXY, NBERGS)

@@ -14,7 +14,8 @@ from .config import IcebergsConfig, NCLASSES
 from .grid import Grid, make_uniform_grid, make_curvilinear_grid
 from .state import (BergState, empty_state, create_bergs,
                     allocate_slots, grow_capacity)
-from .forcing import Forcing, uniform_forcing, forcing_from_arrays
+from .forcing import (Forcing, uniform_forcing, forcing_from_arrays,
+                      swirl_forcing)
 from .model import (make_step, make_multi_step, step_dynamics,
                     interp_to_bergs, StepDiags)
 
@@ -26,6 +27,7 @@ __all__ = [
     "BergState", "empty_state", "create_bergs", "allocate_slots",
     "grow_capacity",
     "Forcing", "uniform_forcing", "forcing_from_arrays",
+    "swirl_forcing",
     "make_step", "make_multi_step", "step_dynamics", "interp_to_bergs",
     "StepDiags",
     # lazily-importable subsystems: api, diag, diagnostics, calving,

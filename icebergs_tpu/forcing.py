@@ -50,6 +50,45 @@ def uniform_forcing(nx: int, ny: int, *, uo=0., vo=0., ui=0., vi=0.,
                    hi=center(hi))
 
 
+def swirl_forcing(nx: int, ny: int, dxy: float, *, uo=0.3, ua=5.0,
+                  ssh=0., sst=5., sss=30., cn=0., hi=0., core_frac=0.35,
+                  dtype=jnp.float32) -> Forcing:
+    """Divergence-free clockwise Rankine swirl on a uniform Cartesian grid.
+
+    Statistically steady benchmark forcing: a uniform current piles the
+    bergs against the downstream wall (every extra step raises the local
+    density until neighbor windows overflow), while an azimuthal flow
+    preserves the uniform density indefinitely — solid-body rotation out
+    to ``core_frac`` of the half-width, 1/r decay beyond.  Clockwise so
+    the f-plane Coriolis force (NH) points toward the vortex center and
+    holds the bergs in.  ``uo``/``ua`` are the peak ocean/wind speeds.
+    """
+    L = min(nx, ny) * dxy
+    xc, yc = 0.5 * nx * dxy, 0.5 * ny * dxy
+    r0 = core_frac * 0.5 * L
+    x = np.arange(nx + 1) * dxy - xc
+    y = np.arange(ny + 1) * dxy - yc
+    X, Y = np.meshgrid(x, y, indexing="ij")
+    r = np.hypot(X, Y)
+    rs = np.maximum(r, 1e-9)
+    prof = np.minimum(rs / r0, r0 / rs)         # Rankine profile, <= 1
+    ex, ey = Y / rs, -X / rs                    # clockwise unit azimuth
+
+    def corner(vmax):
+        return (jnp.asarray(prof * ex * vmax, dtype),
+                jnp.asarray(prof * ey * vmax, dtype))
+
+    def center(v):
+        return jnp.full((nx + 2, ny + 2), v, dtype)
+
+    uoc, voc = corner(uo)
+    uac, vac = corner(ua)
+    zero = jnp.zeros((nx + 1, ny + 1), dtype)
+    return Forcing(uo=uoc, vo=voc, ui=zero, vi=zero, ua=uac, va=vac,
+                   ssh=center(ssh), sst=center(sst), sss=center(sss),
+                   cn=center(cn), hi=center(hi))
+
+
 def forcing_from_arrays(*, uo, vo, ui, vi, ua, va, ssh, sst, sss, cn, hi,
                         dtype=jnp.float32) -> Forcing:
     """Build Forcing from raw numpy arrays.

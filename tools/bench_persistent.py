@@ -45,8 +45,9 @@ def main():
 
     grid = ibt.make_uniform_grid(NX, NY, 0., 0., DXY, DXY,
                                  grid_is_latlon=False)
-    frc = ibt.uniform_forcing(NX, NY, uo=0.3, vo=0.1, ua=5.0, sst=4.0,
-                              sss=33.0)
+    # steady swirl (see bench.py): uniform drift piles bergs on the wall
+    frc = ibt.swirl_forcing(NX, NY, DXY, uo=0.3, ua=5.0, sst=4.0,
+                            sss=33.0)
 
     rng = np.random.RandomState(0)
     lon = rng.uniform(2 * DXY, (NX - 2) * DXY, NBERGS)
