@@ -87,7 +87,7 @@ def bench_1m_contacts():
     from icebergs_tpu.ops import pallas_prepass as _pp
     from icebergs_tpu.ops import pallas_spread as _ps
     from icebergs_tpu.ops import pallas_interp as _pi
-    mode = os.environ.get("KID_BENCH_CONTACT_MODE", "fused3p")
+    mode = os.environ.get("KID_BENCH_CONTACT_MODE", "p3pack")
     BN = int(os.environ.get("KID_BENCH_BN", 128))
     W = int(os.environ.get("KID_BENCH_W", 288))
     # gathered-window extraction kernel in every fused3 mode (module
@@ -95,9 +95,14 @@ def bench_1m_contacts():
     # 9.6 ms vs 25.1 ms manual at bn128_w288); KID_BENCH_GATHERED=0
     # restores the manual-DMA kernel for A/B
     force_gathered = os.environ.get("KID_BENCH_GATHERED", "1") == "1"
-    chain = [mode] + [m for m in ("fused3p", "fused3", "fused", "sorted")
-                      if m != mode]
-    PERSISTENT = ("p3", "p3g", "p3k")   # persistent sorted slab variants
+    chain = [mode] + [m for m in ("p3pack", "fused3p", "fused3", "fused",
+                                  "sorted") if m != mode]
+    # persistent sorted slab variants; p3pack = persistent + the
+    # packed-permute re-sort backend (key-only 4-operand sort + packed
+    # u32 row gathers: compiles in ~100 s where the ~50-operand variadic
+    # payload sort wedged the remote compiler for >40 min, and measured
+    # 428-436 ms/step vs fused3p's 555 at 1M)
+    PERSISTENT = ("p3", "p3g", "p3k", "p3pack")
     multi = out = None
     # The tunneled axon client has NO RPC timeout: a tunnel blip during
     # a long remote compile wedges the call forever (observed on every
@@ -130,9 +135,11 @@ def bench_1m_contacts():
             raise box["e"]
         return box["v"]
 
+    from icebergs_tpu.ops import sorted as _srt
     for m in chain:
         fb = 16384 if m in ("fused", "sorted") else 4096
         try:
+            _srt.SORT_PACKED_PERMUTE = m == "p3pack"
             _spread.SLOT_SUM_METHOD = (
                 "pallas" if m in ("fused3p",) + PERSISTENT else "scatter")
             _pp.EXTRACT_PIPELINED = m == "p3k"
