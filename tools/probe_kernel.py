@@ -144,8 +144,8 @@ def main():
 
     # pipelined spread kernel A/B (production 21 extra columns)
     from icebergs_tpu.ops import pallas_spread as psp
-    from icebergs_tpu import uniform_forcing
-    frc = uniform_forcing(NX, NY, uo=0.3, vo=0.1, ua=5.0, sst=4.0,
+    from icebergs_tpu import swirl_forcing
+    frc = swirl_forcing(NX, NY, DXY, uo=0.3, ua=5.0, sst=4.0,
                           sss=33.0)
     st_s = jax.jit(lambda s: sort_state_by_cell(s, grid)[0])(st)
     st_s = jax.block_until_ready(st_s)

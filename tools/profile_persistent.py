@@ -86,7 +86,7 @@ def main():
         use_new_predictive_corrective=True, allow_bergs_to_roll=True)
     grid = ibt.make_uniform_grid(NX, NY, 0., 0., DXY, DXY,
                                  grid_is_latlon=False)
-    frc = ibt.uniform_forcing(NX, NY, uo=0.3, vo=0.1, ua=5.0, sst=4.0,
+    frc = ibt.swirl_forcing(NX, NY, DXY, uo=0.3, ua=5.0, sst=4.0,
                               sss=33.0)
     rng = np.random.RandomState(0)
     st = ibt.create_bergs(NBERGS,
