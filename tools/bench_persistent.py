@@ -156,6 +156,31 @@ def main():
             grid, cfg, INNER, with_stats=True, with_thermo=True,
             neighbor_mode="fused3", fused_block_n=BN, fused_window=W,
             contact_cap=131072, fused_fallback_cap=4096))
+    if which in ("persistent3gpack", "p3gpack"):
+        # packed-permute re-sort + ALL gathered-window kernels: the
+        # expected production combination if the session-10 kernel A/Bs
+        # confirm the gathered variants (extraction already defaulted)
+        from icebergs_tpu.ops import sorted as _srt
+        from icebergs_tpu.ops import pallas_prepass as _pp
+        from icebergs_tpu.ops import pallas_spread as _ps
+        from icebergs_tpu.ops import pallas_interp as _pi
+        _spread.SLOT_SUM_METHOD = "pallas"
+        _srt.SORT_PACKED_PERMUTE = True
+        _pp.EXTRACT_GATHERED = True
+        _ps.SPREAD_GATHERED = True
+        _pi.INTERP_KERNEL = True
+        _pi.INTERP_GATHERED = True
+        try:
+            run("persistent3gpack", make_persistent_multi_step(
+                grid, cfg, INNER, with_stats=True, with_thermo=True,
+                neighbor_mode="fused3", fused_block_n=BN,
+                fused_window=W, contact_cap=131072,
+                fused_fallback_cap=4096))
+        finally:
+            _srt.SORT_PACKED_PERMUTE = False
+            _ps.SPREAD_GATHERED = False
+            _pi.INTERP_KERNEL = False
+            _pi.INTERP_GATHERED = False
     if which in ("persistent3g", "p3g"):
         # + the session-7 GATHERED kernels: tile-granular up-front
         # window gathers + standard block pipeline in all three kernels
