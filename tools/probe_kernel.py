@@ -166,9 +166,11 @@ def main():
             return s.replace(mass=s.mass + 1e-30 * S[0, 0])
         return f
 
+    # gathered first: the decision-critical NEW number — if the window
+    # dies mid-stage the unmeasured variant should be the old one
+    run("spreadg_x21", mk_spread(psp.segment_spread_sums_g), st_s)
     run("spread_x21", mk_spread(psp.segment_spread_sums), st_s)
     run("spreadp_x21", mk_spread(psp.segment_spread_sums_p), st_s)
-    run("spreadg_x21", mk_spread(psp.segment_spread_sums_g), st_s)
 
     # sorted-frame interp kernel vs the XLA row-gather path
     from icebergs_tpu.ops import pallas_interp as pin
@@ -192,9 +194,9 @@ def main():
         return s.replace(uvel=s.uvel + 1e-30 * (s2.uo
                                                 + m25.astype(s.dtype)))
 
-    run("interp_xla", f_interp_xla, st_s)
-    run("interp_kernel", f_interp_kernel, st_s)
     run("interp_gathered", f_interp_gathered, st_s)
+    run("interp_kernel", f_interp_kernel, st_s)
+    run("interp_xla", f_interp_xla, st_s)
 
 
 if __name__ == "__main__":

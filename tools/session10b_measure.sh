@@ -1,0 +1,45 @@
+#!/bin/bash
+# Session-10b: long-leash sweep.  This window's remote compiles exceed
+# 20 min (the 1200 s stall watchdog was killing LIVE compiles and each
+# retry restarted the same compile from scratch — no .jax_cache entry
+# is written for an unfinished compile).  One attempt, 3600 s leash.
+cd "$(dirname "$0")/.."
+export PYTHONPATH=/root/.axon_site:/root/repo
+LOG=${1:-/tmp/session10_measure.log}
+echo "=== $(date -u +%FT%TZ) session10b long-leash sweep ===" >> "$LOG"
+
+run() {  # name stall_s attempts timeout cmd...
+  local name=$1 stall_lim=$2 attempts=$3 t=$4; shift 4
+  local attempt
+  for attempt in $(seq 1 "$attempts"); do
+    echo "--- $name $(date -u +%T) (attempt $attempt)" >> "$LOG"
+    setsid timeout "$t" stdbuf -oL "$@" \
+      > >(grep --line-buffered -v WARNING >> "$LOG") 2>&1 &
+    local tpid=$!
+    local last="" stall=0 wedged=0
+    while kill -0 "$tpid" 2>/dev/null; do
+      sleep 60
+      local py=$(pgrep -P "$tpid" | head -1)
+      local cpu=$(ps -o time= -p "$py" 2>/dev/null | tr -d ' ')
+      local sig="$(stat -c %s "$LOG" 2>/dev/null):$cpu"
+      if [ "$sig" = "$last" ]; then stall=$((stall + 60)); else stall=0; fi
+      last="$sig"
+      if [ "$stall" -ge "$stall_lim" ]; then
+        echo "[watchdog] $name wedged ${stall}s, killing" >> "$LOG"
+        kill -- -"$tpid" 2>/dev/null; sleep 5
+        kill -9 -- -"$tpid" 2>/dev/null
+        wedged=1
+        break
+      fi
+    done
+    wait "$tpid" 2>/dev/null
+    [ "$wedged" = 0 ] && return
+  done
+}
+
+run kernel_probe 3600 2 9000 python tools/probe_kernel.py \
+    spreadg_x21 spread_x21 interp_gathered interp_kernel interp_xla
+run p3gpack 3600 1 7200 python tools/bench_persistent.py p3gpack
+run persistent_phases 3600 2 9000 python tools/profile_persistent.py
+run bench 2400 2 10800 python bench.py
+echo "=== sweep10b complete $(date -u +%T) ===" >> "$LOG"
