@@ -436,3 +436,51 @@ def test_persistent_all_kernels_matches_per_step():
             np.testing.assert_allclose(va, b[f], rtol=3e-6, atol=1e-9,
                                        err_msg=f)
     assert np.isfinite(np.asarray(acc_p)).all()
+
+
+def test_persistent_gpack_matches_per_step():
+    """The production combination (bench mode "p3gpack"/"p3pack"):
+    packed-permute re-sort + GATHERED extraction/spread windows +
+    sorted-frame interp kernel, vs make_multi_step(fused3).  Bitwise
+    except the interp kernel's interpret-mode FMA contraction on CPU
+    (<= 2-ulp; bitwise on TPU, see tests/test_pallas_interp.py)."""
+    import icebergs_tpu.model as model
+    from icebergs_tpu.ops import sorted as _srt
+    from icebergs_tpu.ops import spread as _sp
+    from icebergs_tpu.ops import pallas_prepass as _pp
+    from icebergs_tpu.ops import pallas_spread as _ps
+    from icebergs_tpu.ops import pallas_interp as _pi
+    cfg, grid, st = _world(300, seed=11, cluster=True)
+    frc = ibt.uniform_forcing(16, 16, uo=0.1, vo=0.05, ua=4.0,
+                              sst=6.0, sss=33.0)
+    kw = dict(fused_block_n=64, fused_window=512, fused_interpret=True,
+              fused_fallback_strip_width=140)
+    multi_ref = model.make_multi_step(grid, cfg, 4, with_stats=True,
+                                      neighbor_mode="fused3", **kw)
+    st_ref, ov_r, fb_r, acc_r = multi_ref(st, frc)
+    olds = (_srt.SORT_PACKED_PERMUTE, _sp.SLOT_SUM_METHOD,
+            _pp.EXTRACT_GATHERED, _ps.SPREAD_GATHERED,
+            _pi.INTERP_KERNEL, _pi.INTERP_GATHERED)
+    _srt.SORT_PACKED_PERMUTE = True
+    _sp.SLOT_SUM_METHOD = "pallas"
+    _pp.EXTRACT_GATHERED = True
+    _ps.SPREAD_GATHERED = True
+    _pi.INTERP_KERNEL = True
+    _pi.INTERP_GATHERED = True
+    try:
+        multi_per = model.make_persistent_multi_step(
+            grid, cfg, 4, with_stats=True, neighbor_mode="fused3", **kw)
+        st_per, ov_p, fb_p, acc_p = multi_per(st, frc)
+    finally:
+        (_srt.SORT_PACKED_PERMUTE, _sp.SLOT_SUM_METHOD,
+         _pp.EXTRACT_GATHERED, _ps.SPREAD_GATHERED,
+         _pi.INTERP_KERNEL, _pi.INTERP_GATHERED) = olds
+    assert int(ov_r) == 0 and int(ov_p) == 0
+    a, b = _state_by_id(st_ref), _state_by_id(st_per)
+    for f, va in a.items():
+        if f in ("ine", "jne"):
+            np.testing.assert_array_equal(va, b[f], err_msg=f)
+        else:
+            np.testing.assert_allclose(va, b[f], rtol=3e-6, atol=1e-9,
+                                       err_msg=f)
+    assert np.isfinite(np.asarray(acc_p)).all()
