@@ -95,14 +95,14 @@ def bench_1m_contacts():
     # 9.6 ms vs 25.1 ms manual at bn128_w288); KID_BENCH_GATHERED=0
     # restores the manual-DMA kernel for A/B
     force_gathered = os.environ.get("KID_BENCH_GATHERED", "1") == "1"
-    chain = [mode] + [m for m in ("p3pack", "fused3p", "fused3", "fused",
-                                  "sorted") if m != mode]
+    chain = [mode] + [m for m in ("p3pack", "p3gpack", "fused3p", "fused3",
+                                  "fused", "sorted") if m != mode]
     # persistent sorted slab variants; p3pack = persistent + the
     # packed-permute re-sort backend (key-only 4-operand sort + packed
     # u32 row gathers: compiles in ~100 s where the ~50-operand variadic
     # payload sort wedged the remote compiler for >40 min, and measured
     # 428-436 ms/step vs fused3p's 555 at 1M)
-    PERSISTENT = ("p3", "p3g", "p3k", "p3pack")
+    PERSISTENT = ("p3", "p3g", "p3k", "p3pack", "p3gpack")
     multi = out = None
     # The tunneled axon client has NO RPC timeout: a tunnel blip during
     # a long remote compile wedges the call forever (observed on every
@@ -139,15 +139,15 @@ def bench_1m_contacts():
     for m in chain:
         fb = 16384 if m in ("fused", "sorted") else 4096
         try:
-            _srt.SORT_PACKED_PERMUTE = m == "p3pack"
+            _srt.SORT_PACKED_PERMUTE = m in ("p3pack", "p3gpack")
             _spread.SLOT_SUM_METHOD = (
                 "pallas" if m in ("fused3p",) + PERSISTENT else "scatter")
             _pp.EXTRACT_PIPELINED = m == "p3k"
             _ps.SPREAD_PIPELINED = m == "p3k"
-            _pp.EXTRACT_GATHERED = m == "p3g" or force_gathered
-            _ps.SPREAD_GATHERED = m == "p3g"
-            _pi.INTERP_GATHERED = m == "p3g"
-            _pi.INTERP_KERNEL = m in ("p3k", "p3g")
+            _pp.EXTRACT_GATHERED = m in ("p3g", "p3gpack") or force_gathered
+            _ps.SPREAD_GATHERED = m in ("p3g", "p3gpack")
+            _pi.INTERP_GATHERED = m in ("p3g", "p3gpack")
+            _pi.INTERP_KERNEL = m in ("p3k", "p3g", "p3gpack")
             factory = make_persistent_multi_step if m in PERSISTENT \
                 else make_multi_step
             kw = ({"neighbor_mode": "fused3"}
