@@ -215,17 +215,20 @@ def _env_rows_from_slots(read, xi, yj, cfg: IcebergsConfig):
     bx = read(S_NANX).astype(jnp.int32)
     by = read(S_NANY).astype(jnp.int32)
 
-    def anybit(b, bits):
+    def bitmask(bits):
         m = 0
         for k in bits:
             m |= 1 << k
-        return (b & m) != 0
+        return m
 
-    px = jnp.where(yj >= 0.5, anybit(bx, (0, 1, 3, 4)),
-                   anybit(bx, (1, 2, 4, 5)))
-    py = jnp.where(xi >= 0.5, anybit(by, (0, 1, 3, 4)),
-                   anybit(by, (1, 2, 4, 5)))
-    poison = px | py
+    # keep the bit tests in i32 until ONE final compare: Mosaic cannot
+    # lower the i8->i1 truncations a select on boolean operands emits
+    # ("Unsupported target bitwidth for truncation", seen on the
+    # gathered-interp compile 2026-08-20)
+    mlo, mhi = bitmask((0, 1, 3, 4)), bitmask((1, 2, 4, 5))
+    px = bx & jnp.where(yj >= 0.5, mlo, mhi)
+    py = by & jnp.where(xi >= 0.5, mlo, mhi)
+    poison = (px | py) != 0
     ssh_x = jnp.where(poison, 0., ssh_x)
     ssh_y = jnp.where(poison, 0., ssh_y)
 
