@@ -46,9 +46,12 @@ def initialize_multihost(coordinator_address: str | None = None,
         # single-process run (dev boxes may still carry TPU pod env vars
         # from the device plugin — they do not imply a coordinator)
         return 1
+    # 300 s init leash: the default 30 s Gloo rendezvous deadline flakes
+    # when many xdist workers compile concurrently on one core
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
-                               process_id=process_id)
+                               process_id=process_id,
+                               initialization_timeout=300)
     return jax.process_count()
 
 

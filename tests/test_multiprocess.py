@@ -29,6 +29,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, "tools", "multiproc_worker.py")
 NSTEPS = 12
 
+pytestmark = pytest.mark.slow    # ~100 s standalone: 2 spawned ranks
+
 
 def _free_port():
     s = socket.socket()

@@ -36,8 +36,9 @@ GOLDEN = os.path.join(os.path.dirname(__file__), "golden_scenarios.json")
 
 sys.path.insert(0, os.path.join(REPO, "tools"))
 
-pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
-                                reason="reference tree not present")
+pytestmark = [pytest.mark.skipif(not os.path.isdir(REF),
+                                 reason="reference tree not present"),
+              pytest.mark.slow]
 
 
 def _check_golden(name, chksum, nbergs):
