@@ -179,7 +179,7 @@ def main(sub_steps=60, inner=2, reps=2, vmem=True, block_n=1024):
         "substeps": sub_steps,
     }
     print(json.dumps(out), file=sys.stderr, flush=True)
-    return esps
+    return out
 
 
 if __name__ == "__main__":
