@@ -79,6 +79,13 @@ class RunOutputs(NamedTuple):
     # same numbers in StepDiags)
     contact_overflow: jnp.ndarray = None
     contact_fallback: jnp.ndarray = None
+    # slot-pool exhaustion counters: calving-bucket spawns and footloose
+    # children that wanted a slot and found none (allocate_slots).  The
+    # reference grows its buffers on demand (increase_ibuffer,
+    # icebergs_framework.F90:3710-3747); the slab analog is
+    # IcebergsModel.run_adaptive -> state.grow_capacity between steps.
+    spawn_overflow: jnp.ndarray = None
+    fl_spawn_overflow: jnp.ndarray = None
 
 
 def prepare_forcing(grid: Grid, cfg: IcebergsConfig, frc: Forcing,
@@ -185,13 +192,13 @@ def run_coupling_sequence(cfg: IcebergsConfig, grid: Grid, state: ModelState,
         st = interp_to_bergs(st, grid, frc, cfg)
 
     # 5. evolve
+    fstats = None
     if cfg.mts:
         from .mts import evolve_icebergs_mts
         st, _ = evolve_icebergs_mts(st, grid, frc, cfg)
     else:
         ia_fn = None
         nbr = None
-        fstats = None
         if cfg.interactive_icebergs_on:
             if neighbor_mode in ("fused", "fused3"):
                 # production Pallas search (sortless, cap-free normal
@@ -295,7 +302,11 @@ def run_coupling_sequence(cfg: IcebergsConfig, grid: Grid, state: ModelState,
         contact_overflow=(fstats.overflow if fstats is not None
                           else jnp.zeros((), jnp.int32)),
         contact_fallback=(fstats.n_fallback if fstats is not None
-                          else jnp.zeros((), jnp.int32)))
+                          else jnp.zeros((), jnp.int32)),
+        spawn_overflow=calv_diag.get("spawn_overflow",
+                                     jnp.zeros((), jnp.int32)),
+        fl_spawn_overflow=(fl_diag.spawn_overflow if fl_diag is not None
+                           else jnp.zeros((), jnp.int32)))
 
     day = state.current_yearday + cfg.dt / 86400.
     state = state.replace(bergs=st, calving=calv, key=key,

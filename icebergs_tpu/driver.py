@@ -269,9 +269,12 @@ def run(nml_path: str, input_dir: str = ".", output_dir: str = ".",
         mts_pair_cap = auto_pair_cap(st, nbr0, cfg)
         if verbose:
             print(f"KID-TPU driver: auto mts_pair_cap={mts_pair_cap}")
-    step = model.make_step(grid, cfg, with_thermo=True,
-                           neighbor_window=neighbor_window,
-                           mts_pair_cap=mts_pair_cap, **vmem_kw)
+    def _build_step(pair_cap):
+        return model.make_step(grid, cfg, with_thermo=True,
+                               neighbor_window=neighbor_window,
+                               mts_pair_cap=pair_cap, **vmem_kw)
+
+    step = _build_step(mts_pair_cap)
     buf = tio.init_traj_buffer(st.capacity,
                                nsamples=max(2, nsteps // traj_every + 2),
                                cfg=cfg)
@@ -323,16 +326,52 @@ def run(nml_path: str, input_dir: str = ".", output_dir: str = ".",
         if ck:
             ck.end("Icebergs-interface")
             ck.begin("Icebergs-step")
-        if cfg.footloose:
-            # deterministic per-step placement stream (the reference
-            # seeds per berg id; fold_in(step) keeps restarts and
-            # layouts reproducible)
-            st, diags = step(st, frc, fl_key=jax.random.fold_in(
-                jax.random.PRNGKey(7), n),
-                current_yearday=jnp.asarray(n * ibdt / 86400.,
-                                            jnp.float32))
-        else:
-            st, diags = step(st, frc)
+        def _call_step(s):
+            if cfg.footloose:
+                # deterministic per-step placement stream (the reference
+                # seeds per berg id; fold_in(step) keeps restarts and
+                # layouts reproducible)
+                return step(s, frc, fl_key=jax.random.fold_in(
+                    jax.random.PRNGKey(7), n),
+                    current_yearday=jnp.asarray(n * ibdt / 86400.,
+                                                jnp.float32))
+            return step(s, frc)
+
+        st_prev = st
+        st, diags = _call_step(st)
+        # increase_ibuffer analog (icebergs_framework.F90:3710-3747):
+        # when a spawn found no free slot or the frozen MTS pair list
+        # overflowed, grow the exhausted buffer, rebuild the jitted
+        # step (recompile accepted) and RE-RUN this step from the saved
+        # pre-step state — overflow is corrected, never just counted.
+        for _ in range(3):
+            fl_ov = (int(np.asarray(diags.fl_spawn_overflow))
+                     if diags.fl_spawn_overflow is not None else 0)
+            pair_ov = (int(np.asarray(diags.contact_overflow))
+                       if (cfg.mts and mts_pair_cap is not None
+                           and diags.contact_overflow is not None) else 0)
+            if fl_ov == 0 and pair_ov == 0:
+                break
+            from .state import grow_capacity
+            if fl_ov > 0:
+                newcap = max(2 * st_prev.capacity,
+                             st_prev.capacity + 4 * fl_ov)
+                print(f"KID-TPU driver: slot pool exhausted at step "
+                      f"{n + 1} ({fl_ov} spawns denied) — growing "
+                      f"capacity {st_prev.capacity} -> {newcap}",
+                      flush=True)
+                st_prev = grow_capacity(st_prev, newcap)
+                buf = tio.grow_traj_buffer(buf, newcap)
+                if bond_buf is not None:
+                    bond_buf = tio.grow_traj_buffer(
+                        bond_buf, newcap * cfg.max_bonds)
+            if pair_ov > 0:
+                mts_pair_cap = 2 * mts_pair_cap
+                print(f"KID-TPU driver: MTS pair list overflowed at "
+                      f"step {n + 1} ({pair_ov} pairs) — growing "
+                      f"pair cap to {mts_pair_cap}", flush=True)
+            step = _build_step(mts_pair_cap)
+            st, diags = _call_step(st_prev)
         if ck:
             ck.end("Icebergs-step", sync=st.lon)
             ck.begin("Icebergs-diagnostics")

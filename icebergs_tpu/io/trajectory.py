@@ -59,6 +59,23 @@ def init_traj_buffer(capacity: int, nsamples: int, cfg: IcebergsConfig,
                       cursor=jnp.zeros((), jnp.int32))
 
 
+def grow_traj_buffer(buf: TrajBuffer, new_width: int) -> TrajBuffer:
+    """Pad the per-slot (trailing) axis to ``new_width``.
+
+    The driver's increase_ibuffer analog: when the slot pool grows
+    mid-run (state.grow_capacity), the ring buffers grow with it.
+    Recorded samples keep their rows; new slots append at the end (for
+    the bond buffer, slot-major record packing means appended records
+    are exactly the new slots' bonds)."""
+    old = buf.valid.shape[-1]
+    if new_width <= old:
+        return buf
+    pad = ((0, 0), (0, new_width - old))
+    return TrajBuffer(
+        data={n: jnp.pad(a, pad) for n, a in buf.data.items()},
+        valid=jnp.pad(buf.valid, pad), cursor=buf.cursor)
+
+
 def record_posn(buf: TrajBuffer, st, cfg: IcebergsConfig, day, year,
                 sample_mask=None) -> TrajBuffer:
     """Append one snapshot row for eligible bergs (record_posn).
