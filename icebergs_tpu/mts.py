@@ -64,7 +64,12 @@ def _slow_accel_mts(st, cfg: IcebergsConfig, ia_fn):
         f_cori = (2. * C.OMEGA) * jnp.sin(C.PI_180 * cfg.lat_ref) \
             * jnp.ones_like(st.lat)
 
-    M = st.mass
+    # clamp: dead slots carry mass/width/length 0, and the raw x/0
+    # lanes in the drag/wave terms — though masked downstream — are
+    # inf/NaN intermediates that XLA fusion can leak into live lanes
+    # inside a larger jit (observed on XLA:CPU; see accel counterpart).
+    # Bitwise identical for real bergs.
+    M = jnp.maximum(st.mass, 1e-30)
     T = st.thickness
     D = (cfg.rho_bergs / C.RHO_SEAWATER) * T
     F = T - D
@@ -87,8 +92,14 @@ def _slow_accel_mts(st, cfg: IcebergsConfig, ia_fn):
                               0., 1.)
     else:
         groundfrac = jnp.where(D > st.od, 1.0, 0.0)
+    # M is clamped: dead slots carry mass 0 and the raw 0/0 lane —
+    # though where()'d out — is a NaN intermediate that XLA's fusion
+    # rewrites can leak into live lanes inside a larger jit (observed on
+    # XLA:CPU: jitted step NaN'd while the de-optimized graph was
+    # finite).  Bitwise identical for any real berg (M > 0).
     c_gnd = jnp.where(groundfrac > 0.,
-                      (cfg.cdrag_grounding * W * L * groundfrac) / M, 0.)
+                      (cfg.cdrag_grounding * W * L * groundfrac)
+                      / jnp.maximum(M, 1e-30), 0.)
     if cfg.short_step_mts_grounding:
         c_gnd = jnp.zeros_like(c_gnd)
 
@@ -99,7 +110,8 @@ def _slow_accel_mts(st, cfg: IcebergsConfig, ia_fn):
     Lwl = 0.32 * wmod2
     Cr = 0.06 * jnp.clip((L2 - 0.125 * Lwl) / (0.125 * Lwl + 1.e-30), 0., 1.)
     wave_rad = 0.5 * C.RHO_SEAWATER / M * Cr * C.GRAVITY * ampl \
-        * jnp.minimum(ampl, F) * (2. * W2 * L2) / (W2 + L2)
+        * jnp.minimum(ampl, F) * (2. * W2 * L2) \
+        / jnp.maximum(W2 + L2, 1e-30)
     wmod = jnp.sqrt(ua ** 2 + va ** 2)
     nz = wmod != 0.
     uwave = jnp.where(nz, ua / jnp.where(nz, wmod, 1.), 0.)

@@ -82,7 +82,13 @@ def accel(cfg: IcebergsConfig, grid, *, lat, mass, thickness, width, length,
         f_cori = (2. * C.OMEGA) * jnp.sin(C.PI_180 * cfg.lat_ref) \
             * jnp.ones_like(lat)
 
-    M = mass
+    # clamp: dead slots carry mass 0, and the raw x/0 lanes in the
+    # drag/wave terms — though masked downstream by the alive/moving
+    # selects — are inf/NaN intermediates that XLA fusion rewrites can
+    # leak into live lanes inside a larger jit (observed on XLA:CPU:
+    # the jitted MTS step NaN'd while the de-optimized graph was
+    # finite).  Bitwise identical for real bergs (M > 0).
+    M = jnp.maximum(mass, 1e-30)
     T = thickness
     D = (cfg.rho_bergs / C.RHO_SEAWATER) * T     # draught (keel depth)
     F = T - D                                     # freeboard
@@ -111,7 +117,8 @@ def accel(cfg: IcebergsConfig, grid, *, lat, mass, thickness, width, length,
     Ltop = 0.25 * Lwavelength
     Cr = Cr0 * jnp.clip((L - Lcutoff) / ((Ltop - Lcutoff) + 1.e-30), 0., 1.)
     wave_rad = 0.5 * C.RHO_SEAWATER / M * Cr * C.GRAVITY * ampl \
-        * jnp.minimum(ampl, F) * (2. * W * L) / (W + L)
+        * jnp.minimum(ampl, F) * (2. * W * L) \
+        / jnp.maximum(W + L, 1e-30)
     wmod = jnp.sqrt(ua * ua + va * va)
     nonzero_wind = wmod != 0.
     uwave = jnp.where(nonzero_wind, ua / jnp.where(nonzero_wind, wmod, 1.), 0.)

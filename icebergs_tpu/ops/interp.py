@@ -193,19 +193,28 @@ def interp_flds(grid: Grid, frc, cfg: IcebergsConfig, lon, lat, i, j, xi, yj,
         vo, vi = vo + dv, vi + dv
 
     # SSH gradient stencil + A-grid PCM scalars (icebergs.F90:4826-4884)
+    # denominators are CLAMPED away from zero: padded halo cells carry
+    # dx=dy=0 and the raw 0/0 (or x/0) lanes — though masked out by the
+    # msk factors and the NaN scrub below — are inf/NaN intermediates
+    # that XLA's select/fusion rewrites can leak into live lanes when
+    # this stencil is fused into a larger jit (observed: jit(interp +
+    # mts-evolve) NaN'd while the same ops eager or separately jitted
+    # were finite).  Bitwise identical wherever dx/dy > 0.
     def ddx(ii_off, jj_off):
         o = (ii_off, jj_off)
         dxp = 0.5 * (a("dx", o[0] + 1, o[1]) + a("dx", o[0] + 1, o[1] - 1))
         dx0 = 0.5 * (a("dx", o[0], o[1]) + a("dx", o[0], o[1] - 1))
         return 2. * (a("ssh", o[0] + 1, o[1]) - a("ssh", o[0], o[1])) \
-            / (dx0 + dxp) * a("msk", o[0] + 1, o[1]) * a("msk", o[0], o[1])
+            / jnp.maximum(dx0 + dxp, 1e-30) \
+            * a("msk", o[0] + 1, o[1]) * a("msk", o[0], o[1])
 
     def ddy(ii_off, jj_off):
         o = (ii_off, jj_off)
         dyp = 0.5 * (a("dy", o[0], o[1] + 1) + a("dy", o[0] - 1, o[1] + 1))
         dy0 = 0.5 * (a("dy", o[0], o[1]) + a("dy", o[0] - 1, o[1]))
         return 2. * (a("ssh", o[0], o[1] + 1) - a("ssh", o[0], o[1])) \
-            / (dy0 + dyp) * a("msk", o[0], o[1] + 1) * a("msk", o[0], o[1])
+            / jnp.maximum(dy0 + dyp, 1e-30) \
+            * a("msk", o[0], o[1] + 1) * a("msk", o[0], o[1])
 
     sst, sss = a("sst", 0, 0), a("sss", 0, 0)
     cn, hi = a("cn", 0, 0), a("hi", 0, 0)

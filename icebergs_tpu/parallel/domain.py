@@ -1046,7 +1046,10 @@ def make_sharded_run(world, *, neighbor_mode: str = "buckets",
             budgets=budgets,
             nbergs=nbergs,
             contact_overflow=jax.lax.pmax(outputs.contact_overflow, axes),
-            contact_fallback=jax.lax.pmax(outputs.contact_fallback, axes))
+            contact_fallback=jax.lax.pmax(outputs.contact_fallback, axes),
+            spawn_overflow=jax.lax.psum(outputs.spawn_overflow, axes),
+            fl_spawn_overflow=jax.lax.psum(outputs.fl_spawn_overflow,
+                                           axes))
         out_stacked = jax.tree.map(
             lambda x: wrap(x) if getattr(x, "ndim", 0) >= 2 else x,
             outputs)
@@ -1068,7 +1071,8 @@ def make_sharded_run(world, *, neighbor_mode: str = "buckets",
                 spread_uvel=gridded, spread_vvel=gridded,
                 ustar_iceberg=gridded, mass_on_ocean=gridded,
                 nbergs=rep, budgets=rep, contact_overflow=rep,
-                contact_fallback=rep), rep, spec),
+                contact_fallback=rep, spawn_overflow=rep,
+                fl_spawn_overflow=rep), rep, spec),
             # pallas_call (fused contact modes) lacks vma metadata;
             # keep the type check on for the non-Pallas modes
             check_vma=neighbor_mode not in ("fused", "fused3"),

@@ -25,6 +25,50 @@ def cfg_bonded():
                               max_bonds=4)
 
 
+# the MTS/DEM ghost-sync tests use the iKID/A68 production parameter
+# set (numerically STABLE for a bonded chain).  The previous ad-hoc
+# parameters (dem_spring 5e6 on 300 m / 6e9 kg elements) made the
+# straight chain an unstable ANGULAR equilibrium: eager arithmetic kept
+# the torque exactly zero, but any jitted evaluation seeds it at ulp
+# level and the substeps amplify it to NaN — and assert_allclose's
+# default equal_nan=True let NaN==NaN pass silently.  Both tests now
+# assert finiteness explicitly.
+MTS_R = 1500.0
+MTS_DXY = 7000.0
+
+
+def cfg_mts_stable():
+    return ibt.IcebergsConfig(
+        grid_is_latlon=False, Lx=-1.0, use_f_plane=True, lat_ref=-55.0,
+        dt=120.0, Runge_not_Verlet=False, mts=True, mts_sub_steps=12,
+        explicit_inner_mts=True, dem=True, dem_spring_coef=5.e6,
+        dem_damping_coef=1.0, poisson=0.3, interactive_icebergs_on=True,
+        iceberg_bonds_on=True, spring_coef=0.00065359477124183,
+        contact_spring_coef=1.e-7, contact_distance=4.e3,
+        use_broken_bonds_for_substep_contact=True,
+        break_bonds_on_sub_steps=True, fracture_criterion="stress",
+        frac_thres_scaling=1., frac_thres_n=18.e3, frac_thres_t=100.e3,
+        constant_interaction_LW=True, constant_length=2 * MTS_R,
+        constant_width=2 * MTS_R, manually_initialize_bonds=True,
+        manually_initialize_bonds_from_radii=True,
+        allow_bergs_to_roll=False, max_bonds=6,
+        set_melt_rates_to_zero=True, halo=2).normalized(warn=False)
+
+
+def mts_chain_state(cfg, x0, y0, ux=1.0, uy=0.0, n=6):
+    """n bonded elements along (ux, uy) centered on (x0, y0)."""
+    t = (np.arange(n) - (n - 1) / 2.) * 2 * MTS_R
+    rng = np.random.RandomState(5)
+    st = ibt.create_bergs(32, lon=x0 + t * ux, lat=y0 + t * uy,
+                          uvel=rng.uniform(-0.1, 0.1, n),
+                          vvel=rng.uniform(-0.1, 0.1, n),
+                          mass=850. * 200. * (2 * MTS_R) ** 2,
+                          thickness=200., width=2 * MTS_R,
+                          length=2 * MTS_R, mass_scaling=1.,
+                          id_cnt=np.arange(n) + 1, max_bonds=6)
+    return st
+
+
 def bonded_pair_state(grid, cfg):
     # pair straddles the 2-device boundary at x = 8000 m
     st = ibt.create_bergs(32, lon=[7800., 8200.], lat=[4500., 4500.],
@@ -315,33 +359,20 @@ def test_sharded_mts_ring_ghost_sync_matches_single():
     partner state the single-device substep reads."""
     if len(jax.devices()) < 2:
         pytest.skip("needs 2 devices")
-    cfg = ibt.IcebergsConfig(
-        grid_is_latlon=False, Lx=-1.0, use_f_plane=True, lat_ref=0.,
-        dt=600.0, mts=True, mts_sub_steps=10, explicit_inner_mts=True,
-        dem=True, dem_spring_coef=5.e6, dem_damping_coef=1.0,
-        interactive_icebergs_on=True, iceberg_bonds_on=True,
-        spring_coef=1.e-5, contact_spring_coef=1.e-8,
-        contact_distance=1000., allow_bergs_to_roll=False,
-        set_melt_rates_to_zero=True, max_bonds=4, halo=2)
+    cfg = cfg_mts_stable()
 
-    grid = ibt.make_uniform_grid(NX, NY, 0., 0., DXY, DXY,
+    grid = ibt.make_uniform_grid(NX, NY, 0., 0., MTS_DXY, MTS_DXY,
                                  grid_is_latlon=False)
-    frc = ibt.uniform_forcing(NX, NY, uo=0.3, vo=0.1, ua=5.0, sst=-2.)
+    frc = ibt.uniform_forcing(NX, NY, uo=0.25, vo=0.05, ua=5.0, sst=-2.)
 
-    # chain of 6 elements straddling the 2-device boundary at x = 8 km
+    # chain of 6 elements straddling the 2-device boundary at x = 8 cells
     n = 6
-    L = 300.0
-    lon = 8000.0 + (np.arange(n) - 2.5) * L
-    lat = np.full(n, 4.3 * DXY)
-    st = ibt.create_bergs(32, lon=lon, lat=lat,
-                          mass=850. * 80 * L * L, thickness=80.,
-                          width=L, length=L, mass_scaling=1.,
-                          id_cnt=np.arange(n) + 1, max_bonds=4)
+    st = mts_chain_state(cfg, 8 * MTS_DXY, 4.3 * MTS_DXY)
     i, j, xi, yj = pos_to_cell(grid, st.lon, st.lat, -1.0)
     st = st.replace(ine=i, jne=j, xi=xi, yj=yj)
-    st = forces.initialize_bonds_host(
-        st, cfg.replace(length_for_manually_initialize_bonds=1.5 * L))
+    st = forces.initialize_bonds_host(st, cfg)
     st = forces.compute_conglom_ids_host(st)
+    assert int(np.asarray(st.n_bonds).sum()) == 2 * (n - 1)
 
     nsteps = 3
     step1 = ibt.make_step(grid, cfg, with_thermo=False, mts_pair_cap=512,
@@ -356,7 +387,7 @@ def test_sharded_mts_ring_ghost_sync_matches_single():
 
     mesh = Mesh(np.array(jax.devices()[:2]), (dd.AXIS,))
     world = dd.make_sharded_world(cfg, mesh, nx=NX, ny=NY, lon0=0., lat0=0.,
-                                  dlon=DXY, dlat=DXY)
+                                  dlon=MTS_DXY, dlat=MTS_DXY)
     frc_s = dd.shard_forcing(world, frc)
     st_s = dd.shard_state(world, st, local_capacity=16)
     st_s = jax.jit(jax.shard_map(
@@ -381,6 +412,7 @@ def test_sharded_mts_ring_ghost_sync_matches_single():
     lon_s = np.asarray(jax.device_get(st_s.lon)).reshape(-1)[own]
     u_s = np.asarray(jax.device_get(st_s.uvel)).reshape(-1)[own]
     o = np.argsort(idc)
+    assert np.isfinite(ref_lon).all() and np.isfinite(lon_s).all()
     np.testing.assert_allclose(lon_s[o], ref_lon, rtol=0, atol=0.5)
     np.testing.assert_allclose(u_s[o], ref_u, rtol=2e-4, atol=1e-6)
 
@@ -394,33 +426,21 @@ def test_sharded_mts_2d_mesh_matches_single():
     if len(jax.devices()) < 4:
         pytest.skip("needs 4 devices")
     NX2 = NY2 = 16
-    cfg = ibt.IcebergsConfig(
-        grid_is_latlon=False, Lx=-1.0, use_f_plane=True, lat_ref=0.,
-        dt=600.0, mts=True, mts_sub_steps=10, explicit_inner_mts=True,
-        dem=True, dem_spring_coef=5.e6, dem_damping_coef=1.0,
-        interactive_icebergs_on=True, iceberg_bonds_on=True,
-        spring_coef=1.e-5, contact_spring_coef=1.e-8,
-        contact_distance=1000., allow_bergs_to_roll=False,
-        set_melt_rates_to_zero=True, max_bonds=4, halo=2)
+    cfg = cfg_mts_stable()
 
-    grid = ibt.make_uniform_grid(NX2, NY2, 0., 0., DXY, DXY,
+    grid = ibt.make_uniform_grid(NX2, NY2, 0., 0., MTS_DXY, MTS_DXY,
                                  grid_is_latlon=False)
-    frc = ibt.uniform_forcing(NX2, NY2, uo=0.3, vo=0.1, ua=5.0, sst=-2.)
+    frc = ibt.uniform_forcing(NX2, NY2, uo=0.25, vo=0.05, ua=5.0, sst=-2.)
 
-    # diagonal chain of 6 elements through the tile corner at (8, 8) km
+    # diagonal chain of 6 elements through the tile corner at 8x8 cells
     n = 6
-    L = 300.0
-    lon = 8000.0 + (np.arange(n) - 2.5) * L
-    lat = 8000.0 + (np.arange(n) - 2.5) * L
-    st = ibt.create_bergs(32, lon=lon, lat=lat,
-                          mass=850. * 80 * L * L, thickness=80.,
-                          width=L, length=L, mass_scaling=1.,
-                          id_cnt=np.arange(n) + 1, max_bonds=4)
+    s2 = 1.0 / np.sqrt(2.)
+    st = mts_chain_state(cfg, 8 * MTS_DXY, 8 * MTS_DXY, ux=s2, uy=s2)
     i, j, xi, yj = pos_to_cell(grid, st.lon, st.lat, -1.0)
     st = st.replace(ine=i, jne=j, xi=xi, yj=yj)
-    st = forces.initialize_bonds_host(
-        st, cfg.replace(length_for_manually_initialize_bonds=1.6 * L))
+    st = forces.initialize_bonds_host(st, cfg)
     st = forces.compute_conglom_ids_host(st)
+    assert int(np.asarray(st.n_bonds).sum()) == 2 * (n - 1)
 
     nsteps = 3
     step1 = ibt.make_step(grid, cfg, with_thermo=False, mts_pair_cap=512,
@@ -437,7 +457,7 @@ def test_sharded_mts_2d_mesh_matches_single():
     mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2),
                 (dd.AXIS, dd.AXIS_Y))
     world = dd.make_sharded_world_2d(cfg, mesh, nx=NX2, ny=NY2, lon0=0.,
-                                     lat0=0., dlon=DXY, dlat=DXY)
+                                     lat0=0., dlon=MTS_DXY, dlat=MTS_DXY)
     frc_s = dd.shard_forcing_2d(world, frc)
     st_s = dd.shard_state_2d(world, st, local_capacity=16)
     st_s = jax.jit(jax.shard_map(
@@ -463,6 +483,7 @@ def test_sharded_mts_2d_mesh_matches_single():
     lat_s = np.asarray(jax.device_get(st_s.lat)).reshape(-1)[own]
     u_s = np.asarray(jax.device_get(st_s.uvel)).reshape(-1)[own]
     o = np.argsort(idc)
+    assert np.isfinite(ref_lon).all() and np.isfinite(lon_s).all()
     np.testing.assert_allclose(lon_s[o], ref_lon, rtol=0, atol=0.5)
     np.testing.assert_allclose(lat_s[o], ref_lat, rtol=0, atol=0.5)
     np.testing.assert_allclose(u_s[o], ref_u, rtol=2e-4, atol=1e-6)
