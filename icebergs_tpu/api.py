@@ -82,10 +82,34 @@ class RunOutputs(NamedTuple):
     # slot-pool exhaustion counters: calving-bucket spawns and footloose
     # children that wanted a slot and found none (allocate_slots).  The
     # reference grows its buffers on demand (increase_ibuffer,
-    # icebergs_framework.F90:3710-3747); the slab analog is
-    # IcebergsModel.run_adaptive -> state.grow_capacity between steps.
+    # icebergs_framework.F90:3710-3747); the slab analog is the driver's
+    # grow-and-re-run reaction (driver.run) via state.grow_capacity.
     spawn_overflow: jnp.ndarray = None
     fl_spawn_overflow: jnp.ndarray = None
+    # interval-budget scalars for diag.IntervalBudget /
+    # report_full_budget (the reference's lbudget accumulators,
+    # icebergs.F90:5680-5700): per-step counts and strict per-category
+    # kg/J sources and sinks
+    tickets: jnp.ndarray = None
+    nbergs_calved: jnp.ndarray = None
+    nbergs_calved_fl: jnp.ndarray = None
+    nbergs_melted: jnp.ndarray = None
+    nbergs_deleted_fl: jnp.ndarray = None
+    net_calving_used: jnp.ndarray = None      # kg into the buckets
+    heat_used: jnp.ndarray = None             # J into stored heat
+    calving_to_bergs: jnp.ndarray = None      # kg buckets -> new bergs
+    heat_to_bergs: jnp.ndarray = None         # J buckets -> new bergs
+    net_melt_heat: jnp.ndarray = None         # J floating -> ocean
+    net_melt_kg: jnp.ndarray = None
+    berg_melt_kg: jnp.ndarray = None
+    bergy_src_kg: jnp.ndarray = None
+    bergy_melt_kg: jnp.ndarray = None
+    fl_bits_melt_kg: jnp.ndarray = None
+    flb_bergy_melt_kg: jnp.ndarray = None
+    flb_internal_eros_kg: jnp.ndarray = None
+    fl_bits_src: jnp.ndarray = None           # (nx+2,ny+2) kg/m2/s
+    fl_to_berg_kg: jnp.ndarray = None         # fl bits -> new berg
+    flb_to_bergy_kg: jnp.ndarray = None       # fl bergy -> bergy bits
 
 
 def prepare_forcing(grid: Grid, cfg: IcebergsConfig, frc: Forcing,
@@ -193,6 +217,7 @@ def run_coupling_sequence(cfg: IcebergsConfig, grid: Grid, state: ModelState,
 
     # 5. evolve
     fstats = None
+    tickets = jnp.zeros((), jnp.int32)
     if cfg.mts:
         from .mts import evolve_icebergs_mts
         st, _ = evolve_icebergs_mts(st, grid, frc, cfg)
@@ -233,15 +258,17 @@ def run_coupling_sequence(cfg: IcebergsConfig, grid: Grid, state: ModelState,
                 ia_fn = _forces.make_ia_fn(st, nbr, cfg)
         out = evolve_icebergs(st, grid, frc, cfg, ia_fn=ia_fn)
         st = out.state
+        tickets = out.tickets
 
     # 6. footloose calving + interactivity bookkeeping
     fl_diag = None
+    fl_deleted = None
     if cfg.footloose:
         key, sub = jax.random.split(key)
         st, fl_diag = footloose_calving(
             st, grid, cfg, sub, current_year=state.current_year,
             current_yearday=state.current_yearday)
-        st, _ = delete_fully_fl_calved(st)
+        st, fl_deleted = delete_fully_fl_calved(st)
         if cfg.interactive_icebergs_on:
             if neighbor_mode in ("sorted", "fused", "fused3"):
                 # fused modes reuse the sorted strip tables here: the
@@ -306,7 +333,28 @@ def run_coupling_sequence(cfg: IcebergsConfig, grid: Grid, state: ModelState,
         spawn_overflow=calv_diag.get("spawn_overflow",
                                      jnp.zeros((), jnp.int32)),
         fl_spawn_overflow=(fl_diag.spawn_overflow if fl_diag is not None
-                           else jnp.zeros((), jnp.int32)))
+                           else jnp.zeros((), jnp.int32)),
+        tickets=tickets,
+        nbergs_calved=calv_diag.get("nbergs_calved"),
+        nbergs_calved_fl=(fl_diag.nbergs_calved_fl
+                          if fl_diag is not None else None),
+        nbergs_melted=melt.nbergs_melted,
+        nbergs_deleted_fl=fl_deleted,
+        net_calving_used=used_kg, heat_used=used_J,
+        calving_to_bergs=calv_diag.get("calving_to_bergs"),
+        heat_to_bergs=calv_diag.get("heat_to_bergs"),
+        net_melt_heat=melt.net_heat,
+        net_melt_kg=melt.net_melt_kg, berg_melt_kg=melt.berg_melt_kg,
+        bergy_src_kg=melt.bergy_src_kg, bergy_melt_kg=melt.bergy_melt_kg,
+        fl_bits_melt_kg=melt.fl_bits_melt_kg,
+        flb_bergy_melt_kg=melt.flb_bergy_melt_kg,
+        flb_internal_eros_kg=melt.flb_internal_eros_kg,
+        fl_bits_src=(fl_diag.fl_bits_src if fl_diag is not None
+                     else None),
+        fl_to_berg_kg=(fl_diag.fl_to_berg_kg if fl_diag is not None
+                       else None),
+        flb_to_bergy_kg=(fl_diag.flb_to_bergy_kg
+                         if fl_diag is not None else None))
 
     day = state.current_yearday + cfg.dt / 86400.
     state = state.replace(bergs=st, calving=calv, key=key,

@@ -138,11 +138,15 @@ def debug_write_and_stop(st, cfg, path: str = "debug_state.nc",
 
 class Budgets(NamedTuple):
     nbergs: jnp.ndarray
-    mass: jnp.ndarray            # kg (incl. mass_scaling)
-    mass_of_bits: jnp.ndarray
+    mass: jnp.ndarray            # berg kg (incl. mass_scaling)
+    mass_of_bits: jnp.ndarray    # ALL bits kg (bergy + fl + fl-bergy)
     heat: jnp.ndarray            # J
     stored_ice: jnp.ndarray      # kg in calving buckets
     stored_heat: jnp.ndarray
+    # category split (sum_mass justbergs/justbits/justflbits,
+    # icebergs_framework.F90:6606-6680) for the full budget tables
+    bergy_mass: jnp.ndarray = None       # bergy bits only
+    fl_bits_mass: jnp.ndarray = None     # footloose bits (+fl bergy)
 
 
 def compute_budgets(st, calv=None) -> Budgets:
@@ -150,17 +154,24 @@ def compute_budgets(st, calv=None) -> Budgets:
     icebergs_framework.F90:6606-6680)."""
     own = st.alive & (st.halo_berg < 0.5)
     mass = jnp.sum(jnp.where(own, st.mass * st.mass_scaling, 0.))
-    bits = jnp.sum(jnp.where(
-        own, (st.mass_of_bits + st.mass_of_fl_bits
-              + st.mass_of_fl_bergy_bits) * st.mass_scaling, 0.))
-    heat = jnp.sum(jnp.where(own, st.mass * st.mass_scaling
-                             * st.heat_density, 0.))
+    bergy = jnp.sum(jnp.where(own, st.mass_of_bits * st.mass_scaling, 0.))
+    flb = jnp.sum(jnp.where(
+        own, (st.mass_of_fl_bits + st.mass_of_fl_bergy_bits)
+        * st.mass_scaling, 0.))
+    # floating heat covers bergs AND their bits (sum_heat with no
+    # flags, icebergs_framework.F90:6636-6666: (mass + all bits) *
+    # heat_density)
+    heat = jnp.sum(jnp.where(
+        own, (st.mass + st.mass_of_bits + st.mass_of_fl_bits
+              + st.mass_of_fl_bergy_bits) * st.mass_scaling
+        * st.heat_density, 0.))
     z = jnp.zeros(())
     return Budgets(
         nbergs=jnp.sum(own.astype(jnp.int32)),
-        mass=mass, mass_of_bits=bits, heat=heat,
+        mass=mass, mass_of_bits=bergy + flb, heat=heat,
         stored_ice=jnp.sum(calv.stored_ice) if calv is not None else z,
-        stored_heat=jnp.sum(calv.stored_heat) if calv is not None else z)
+        stored_heat=jnp.sum(calv.stored_heat) if calv is not None else z,
+        bergy_mass=bergy, fl_bits_mass=flb)
 
 
 def report_budget(tag: str, b0: Budgets, b1: Budgets, dt_total: float,
@@ -188,6 +199,186 @@ def report_budget(tag: str, b0: Budgets, b1: Budgets, dt_total: float,
     print(f"KID-TPU budget | in-out={rhs:+.5e} kg  dM={dm:+.5e} kg  "
           f"err={err:+.3e} kg (rel {err / denom:+.3e})")
     return err
+
+
+class IntervalBudget:
+    """Interval source/sink accumulators for the reference's
+    category-resolved budget tables (the ``lbudget`` block,
+    icebergs.F90:5700-5860).
+
+    The driver (or any coupling loop) feeds one step's diagnostics in
+    after every step; :func:`report_full_budget` prints the tables each
+    ``verbose_hrs`` and the accumulators reset — exactly the reference's
+    cadence.  All values are plain Python floats (host-side)."""
+
+    SCALARS = (
+        "nbergs_calved",          # bucket spawns granted
+        "nbergs_calved_fl",       # footloose children spawned
+        "nbergs_melted",          # deaths by melt
+        "nspeeding_tickets",
+        "net_calving_used",       # kg drawn from the buckets
+        "net_incoming_calving_heat_used",   # J drawn from stored heat
+        "net_calving_to_bergs",   # kg given to newborn bergs
+        "net_heat_to_bergs",      # J given to newborn bergs
+        "net_melt",               # kg total floating -> ocean
+        "berg_melt",              # kg melted off bergs proper
+        "bergy_src",              # kg eroded into bergy bits
+        "bergy_melt",             # kg bergy bits -> ocean
+        "fl_bits_src",            # kg footloose-calved into fl bits
+        "fl_bits_melt",           # kg fl bits -> ocean
+        "fl_to_berg_kg",          # kg fl bits promoted into new bergs
+        "flb_to_bergy_kg",        # kg fl bergy bits -> bergy bits
+        "net_heat_to_ocean",      # J
+    )
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        for k in self.SCALARS:
+            setattr(self, k, 0.0)
+
+    def _field_kg(self, field, grid, dt):
+        """(nx+2, ny+2) kg/m2/s rate field -> interval kg."""
+        if field is None:
+            return 0.0
+        import numpy as np
+        return float(np.sum(np.asarray(field * grid.area))) * dt
+
+    def add_step(self, d, grid, dt):
+        """Accumulate one step's ``StepDiags`` / ``RunOutputs``-like
+        diagnostics (missing attributes count as zero).
+
+        The mass sinks use the STRICT per-category scalars carried on
+        the diags (net_melt_kg/berg_melt_kg/... from
+        ops.thermo.MeltDiags) — the gridded melt fields lump the
+        fl-internal erosion like the reference's diagnostics do, which
+        would break exact per-category closure."""
+        import numpy as np
+
+        def sc(name):
+            v = getattr(d, name, None)
+            return float(np.asarray(v)) if v is not None else 0.0
+
+        self.nbergs_calved += sc("nbergs_calved")
+        self.nbergs_calved_fl += sc("nbergs_calved_fl")
+        self.nbergs_melted += sc("nbergs_melted") + sc("nbergs_deleted_fl")
+        self.nspeeding_tickets += sc("tickets")
+        self.net_calving_used += sc("net_calving_used")
+        self.net_incoming_calving_heat_used += sc("heat_used")
+        self.net_calving_to_bergs += sc("calving_to_bergs")
+        self.net_heat_to_bergs += sc("heat_to_bergs")
+        self.net_heat_to_ocean += sc("net_melt_heat")
+        self.net_melt += sc("net_melt_kg")
+        self.berg_melt += sc("berg_melt_kg")
+        self.bergy_src += sc("bergy_src_kg")
+        self.bergy_melt += sc("bergy_melt_kg")
+        # fl-category outflow: fl-bits loss MINUS the part eroded into
+        # fl bergy bits (stays in the category) PLUS fl-bergy-bits melt
+        self.fl_bits_melt += (sc("fl_bits_melt_kg")
+                              - sc("flb_internal_eros_kg")
+                              + sc("flb_bergy_melt_kg"))
+        # footloose shed mass enters the fl category via the rate field
+        # (NET of the promoted mass, which the two promotion scalars
+        # then re-route into the berg and bergy categories)
+        self.fl_bits_src += self._field_kg(
+            getattr(d, "fl_bits_src", None), grid, dt)
+        self.fl_to_berg_kg += sc("fl_to_berg_kg")
+        self.flb_to_bergy_kg += sc("flb_to_bergy_kg")
+
+
+def report_full_budget(tag: str, b0: Budgets, b1: Budgets,
+                       acc: IntervalBudget, file=None):
+    """The reference's category-resolved budget tables
+    (report_state / report_istate / report_ibudget / report_budget,
+    icebergs.F90:5780-5860) over one verbose interval.
+
+    Rows print in the reference's order with the same in/out term
+    decomposition; every ``budget`` row carries the reference's
+    normalized closure error.  Returns ``{row_title: error}`` so tests
+    can assert term-by-term closure."""
+    import sys
+    out = file or sys.stdout
+    errs = {}
+
+    def p(line):
+        print(f"KID-TPU: {line}", file=out)
+
+    def f(v):
+        return f"{float(v):14.7e}"
+
+    def state(title, v0, v1, unit, nbergs=None):
+        tail = (f", # of bergs={int(nbergs):8d}"
+                if nbergs is not None else "")
+        p(f"{title + ' state:':<22}start={f(v0)} {unit}, end={f(v1)} "
+          f"{unit}, Delta={f(v1 - v0)} {unit}{tail}")
+
+    def istate(title, v0, v1):
+        p(f"{title + ' state:':<22}start={int(v0):14d}, "
+          f"end={int(v1):14d}, Delta={int(v1 - v0):14d}")
+
+    def budget(title, unit, in_s, inv, out_s, outv, v0, v1):
+        d_state = float(v1) - float(v0)
+        d_flux = float(inv) - float(outv)
+        err = (d_state - d_flux) / max(1e-30, max(abs(d_state),
+                                                  abs(d_flux)))
+        errs[title] = err
+        p(f"{title + ' budget:':<22}{in_s} in={f(inv)} {unit}, "
+          f"{out_s} out={f(outv)} {unit}, Delta={f(d_flux)} {unit}, "
+          f"error={err:10.3e} nd")
+
+    def ibudget(title, in1_s, in1, in2_s, in2, out_s, outv, v0, v1):
+        d = int(in1) + int(in2) - int(outv)
+        err = (int(v1) - int(v0)) - d
+        errs[title] = err
+        p(f"{title + ' budget:':<22}{in1_s} in={int(in1):10d}, "
+          f"{in2_s} in={int(in2):10d}, {out_s} out={int(outv):10d}, "
+          f"Delta={d:10d}, error={err:10d}")
+
+    def consistant(title, unit, a_s, av, b_s, bv):
+        err = (float(bv) - float(av)) / (float(bv) + float(av) + 1e-30)
+        errs[f"{title} check"] = err
+        p(f"{title + ' check:':<22}{a_s}={f(av)} {unit}, "
+          f"{b_s}={f(bv)} {unit}, error={err:10.3e} nd")
+
+    floating0 = float(b0.mass) + float(b0.mass_of_bits)
+    floating1 = float(b1.mass) + float(b1.mass_of_bits)
+    p(f"budget tables [{tag}]")
+    state("stored ice", b0.stored_ice, b1.stored_ice, "kg")
+    state("floating", floating0, floating1, "kg", nbergs=b1.nbergs)
+    state("icebergs", b0.mass, b1.mass, "kg")
+    state("bits", b0.bergy_mass, b1.bergy_mass, "kg")
+    state("fl_bits", b0.fl_bits_mass, b1.fl_bits_mass, "kg")
+    istate("berg #", b0.nbergs, b1.nbergs)
+    ibudget("berg #", "calved", acc.nbergs_calved,
+            "FL calved", acc.nbergs_calved_fl,
+            "melted", acc.nbergs_melted, b0.nbergs, b1.nbergs)
+    budget("stored mass", "kg", "calving used", acc.net_calving_used,
+           "bergs", acc.net_calving_to_bergs,
+           b0.stored_ice, b1.stored_ice)
+    budget("floating mass", "kg", "calving used",
+           acc.net_calving_to_bergs, "melt", acc.net_melt,
+           floating0, floating1)
+    budget("berg mass", "kg", "calving+promo",
+           acc.net_calving_to_bergs + acc.fl_to_berg_kg,
+           "melt+eros+fl", acc.berg_melt + acc.fl_bits_src
+           + acc.fl_to_berg_kg, b0.mass, b1.mass)
+    budget("bits mass", "kg", "eros used",
+           acc.bergy_src + acc.flb_to_bergy_kg,
+           "bergs", acc.bergy_melt, b0.bergy_mass, b1.bergy_mass)
+    budget("fl bits mass", "kg", "fl calving", acc.fl_bits_src,
+           "fl melt+eros", acc.fl_bits_melt + acc.flb_to_bergy_kg,
+           b0.fl_bits_mass, b1.fl_bits_mass)
+    state("stored heat", b0.stored_heat, b1.stored_heat, "J")
+    state("floating heat", b0.heat, b1.heat, "J")
+    budget("stored heat", "J", "calving used",
+           acc.net_incoming_calving_heat_used, "bergs",
+           acc.net_heat_to_bergs, b0.stored_heat, b1.stored_heat)
+    budget("flting heat", "J", "calved", acc.net_heat_to_bergs,
+           "melt", acc.net_heat_to_ocean, b0.heat, b1.heat)
+    if acc.nspeeding_tickets > 0:
+        p(f"speeding tickets issued = {int(acc.nspeeding_tickets):4d}")
+    return errs
 
 
 class PhaseClocks:

@@ -300,6 +300,9 @@ def run(nml_path: str, input_dir: str = ".", output_dir: str = ".",
     # measures device time, not dispatch time — only when asked for
     # (--clocks), since the sync serializes the async pipeline
     ck = diag.PhaseClocks() if clocks else None
+    # interval source/sink accumulators for the category-resolved
+    # budget tables (report_full_budget, the reference's lbudget block)
+    acc = diag.IntervalBudget()
     for n in range(nsteps):
         if ck:
             ck.begin("Icebergs-interface")
@@ -405,11 +408,15 @@ def run(nml_path: str, input_dir: str = ".", output_dir: str = ".",
                 bond_buf = tio.record_bonds(bond_buf, st, cfg, day=day)
             if ck:
                 ck.end("Icebergs-traj record")
+        acc.add_step(diags, grid, ibdt)
         if verbose and (n + 1) % verbose_every == 0:
             b_now = diag.compute_budgets(st, calv)
             diag.report_budget(f"hr {((n + 1) * ibdt) / 3600.:.0f}",
                                b_prev, b_now, verbose_every * ibdt,
                                melt_kg=melt_interval)
+            diag.report_full_budget(
+                f"hr {((n + 1) * ibdt) / 3600.:.0f}", b_prev, b_now, acc)
+            acc.reset()
             b_prev = b_now
             melt_interval = 0.0
         if verbose and (n + 1) % max(1, int(drv.get("write_time_inc",

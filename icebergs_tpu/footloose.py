@@ -32,6 +32,12 @@ class FootlooseDiags(NamedTuple):
     nbergs_calved_fl: jnp.ndarray
     fl_bits_src: jnp.ndarray       # (nx+2, ny+2) kg/m2/s
     spawn_overflow: jnp.ndarray
+    # cross-category promotion flows (kg this step, scaled): fl_bits
+    # promoted into a tracked berg, and the proportional fl-bergy-bits
+    # transferred to the new berg's bergy-bits pool — the budget tables
+    # (diag.report_full_budget) need both to close per category
+    fl_to_berg_kg: jnp.ndarray = None
+    flb_to_bergy_kg: jnp.ndarray = None
 
 
 def _constants(cfg: IcebergsConfig):
@@ -126,9 +132,9 @@ def footloose_calving(st, grid: Grid, cfg: IcebergsConfig, key,
     if cfg.fl_style == 'new_bergs':
         # one child per calving parent, representing k bergs
         key, sub = jax.random.split(key)
-        st, ns, ov = _spawn_children(st, grid, cfg, sub, calved, k, l_b,
-                                     current_year, current_yearday,
-                                     berg_from_bits=False)
+        st, ns, ov, _, _, _ = _spawn_children(
+            st, grid, cfg, sub, calved, k, l_b,
+            current_year, current_yearday, berg_from_bits=False)
         nspawned = nspawned + ns
         overflow = overflow + ov
     else:
@@ -143,17 +149,22 @@ def footloose_calving(st, grid: Grid, cfg: IcebergsConfig, key,
     promote = st.alive & (st.mass_of_fl_bits * st.mass_scaling > thres)
     kp = jnp.floor(st.mass_of_fl_bits * st.mass_scaling / thres)
     key, sub = jax.random.split(key)
-    st, ns, ov = _spawn_children(st, grid, cfg, sub, promote, kp,
-                                 l_b, current_year, current_yearday,
-                                 berg_from_bits=True)
+    st, ns, ov, to_berg_kg, to_bergy_kg, gp = _spawn_children(
+        st, grid, cfg, sub, promote, kp, l_b, current_year,
+        current_yearday, berg_from_bits=True)
     nspawned = nspawned + ns
     overflow = overflow + ov
+    # only GRANTED promotions remove mass from the fl pool (a denied
+    # spawn leaves the parent's fl_bits untouched; subtracting for all
+    # promote rows under-reported fl_bits_src whenever slots ran out)
     fl_bits_src = fl_bits_src.at[IJ].add(
-        jnp.where(promote, -kp * thres / (cfg.dt * area), 0.))
+        jnp.where(gp, -kp * thres / (cfg.dt * area), 0.))
 
     return st, FootlooseDiags(nbergs_calved_fl=nspawned,
                               fl_bits_src=fl_bits_src,
-                              spawn_overflow=overflow)
+                              spawn_overflow=overflow,
+                              fl_to_berg_kg=to_berg_kg,
+                              flb_to_bergy_kg=to_bergy_kg)
 
 
 def _id_uniform(key, st, dtype):
@@ -224,6 +235,11 @@ def _spawn_children(st, grid: Grid, cfg: IcebergsConfig, key, want, k, l_b,
             st.mass_of_fl_bits * st.mass_scaling, 1e-30)
         c_bits = (pct * st.mass_of_fl_bergy_bits * st.mass_scaling) \
             / jnp.maximum(c_scal, 1e-30)
+        gp = granted_to_parent(granted, want)
+        to_berg_kg = jnp.sum(jnp.where(
+            gp, k * cfg.new_berg_from_fl_bits_mass_thres, 0.))
+        to_bergy_kg = jnp.sum(jnp.where(
+            gp, pct * st.mass_of_fl_bergy_bits * st.mass_scaling, 0.))
         # parent bookkeeping
         st = st.replace(
             mass_of_fl_bergy_bits=jnp.where(
@@ -297,7 +313,10 @@ def _spawn_children(st, grid: Grid, cfg: IcebergsConfig, key, want, k, l_b,
     st = st.replace(alive=st.alive | reborn, **kw)
     nspawned = jnp.sum(granted.astype(jnp.int32))
     overflow = jnp.sum((want & ~granted).astype(jnp.int32))
-    return st, nspawned, overflow
+    if not berg_from_bits:
+        to_berg_kg = to_bergy_kg = jnp.zeros((), st.lon.dtype)
+    return (st, nspawned, overflow, to_berg_kg, to_bergy_kg,
+            granted_to_parent(granted, want))
 
 
 def granted_to_parent(granted, want):

@@ -37,6 +37,20 @@ class StepDiags(NamedTuple):
     contact_fallback: Optional[jnp.ndarray] = None  # bergs on exact fallback
     nbergs_calved_fl: Optional[jnp.ndarray] = None  # footloose children
     fl_spawn_overflow: Optional[jnp.ndarray] = None  # slots exhausted
+    # interval-budget scalars (diag.IntervalBudget / report_full_budget):
+    # strict per-category sources/sinks in kg this step
+    nbergs_melted: Optional[jnp.ndarray] = None
+    nbergs_deleted_fl: Optional[jnp.ndarray] = None  # fully-fl-calved
+    net_melt_kg: Optional[jnp.ndarray] = None
+    berg_melt_kg: Optional[jnp.ndarray] = None
+    bergy_src_kg: Optional[jnp.ndarray] = None
+    bergy_melt_kg: Optional[jnp.ndarray] = None
+    fl_bits_melt_kg: Optional[jnp.ndarray] = None
+    flb_bergy_melt_kg: Optional[jnp.ndarray] = None
+    flb_internal_eros_kg: Optional[jnp.ndarray] = None
+    fl_bits_src: Optional[jnp.ndarray] = None       # (nx+2,ny+2) kg/m2/s
+    fl_to_berg_kg: Optional[jnp.ndarray] = None     # fl bits -> new berg
+    flb_to_bergy_kg: Optional[jnp.ndarray] = None   # fl bergy -> bergy
     floating_melt: Optional[jnp.ndarray] = None   # (nx+2,ny+2) kg/m2/s
     calving_hflx: Optional[jnp.ndarray] = None    # W/m2
     berg_melt: Optional[jnp.ndarray] = None
@@ -213,7 +227,7 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
                 st, fl_diag = footloose_calving(
                     st, grid, cfg, key, current_year=current_year,
                     current_yearday=current_yearday)
-                st, _ = delete_fully_fl_calved(st)
+                st, fl_deleted = delete_fully_fl_calved(st)
                 if interactive:
                     nbr2 = _forces.build_neighbor_tables(
                         st, grid, cfg, ncells_radius=nbr_radius,
@@ -286,6 +300,26 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
                               if fl_diag else None),
             fl_spawn_overflow=(fl_diag.spawn_overflow
                                if fl_diag else None),
+            nbergs_melted=(melt_diags.nbergs_melted
+                           if melt_diags else None),
+            nbergs_deleted_fl=(fl_deleted if fl_diag else None),
+            net_melt_kg=(melt_diags.net_melt_kg if melt_diags else None),
+            berg_melt_kg=(melt_diags.berg_melt_kg
+                          if melt_diags else None),
+            bergy_src_kg=(melt_diags.bergy_src_kg
+                          if melt_diags else None),
+            bergy_melt_kg=(melt_diags.bergy_melt_kg
+                           if melt_diags else None),
+            fl_bits_melt_kg=(melt_diags.fl_bits_melt_kg
+                             if melt_diags else None),
+            flb_bergy_melt_kg=(melt_diags.flb_bergy_melt_kg
+                               if melt_diags else None),
+            flb_internal_eros_kg=(melt_diags.flb_internal_eros_kg
+                                  if melt_diags else None),
+            fl_bits_src=(fl_diag.fl_bits_src if fl_diag else None),
+            fl_to_berg_kg=(fl_diag.fl_to_berg_kg if fl_diag else None),
+            flb_to_bergy_kg=(fl_diag.flb_to_bergy_kg
+                             if fl_diag else None),
             floating_melt=(melt_diags.floating_melt if melt_diags else None),
             calving_hflx=(melt_diags.calving_hflx if melt_diags else None),
             berg_melt=(melt_diags.berg_melt if melt_diags else None),

@@ -44,6 +44,19 @@ class MeltDiags(NamedTuple):
     # with defer_cell_cols: the 14 per-berg melt columns, to be reduced
     # by the caller inside the spreading slot-sum pass
     deferred_cols: tuple = None
+    # strict per-category interval scalars (kg this step, mass_scaling
+    # applied) for the budget tables (diag.report_full_budget): the
+    # gridded bergy_src/bergy_melt fields LUMP the fl-bits-internal
+    # erosion with the berg->bits source (matching the reference's
+    # diagnostics), so exact per-category closure needs the split
+    bergy_src_kg: jnp.ndarray = None       # berg mass -> bergy bits
+    bergy_melt_kg: jnp.ndarray = None      # bergy bits -> ocean
+    flb_bergy_melt_kg: jnp.ndarray = None  # fl bergy bits -> ocean
+    berg_melt_kg: jnp.ndarray = None       # total berg mass loss (dM)
+    fl_bits_melt_kg: jnp.ndarray = None    # fl-bits loss (dMfl, incl.
+    #                                        the part eroded to fl bergy)
+    net_melt_kg: jnp.ndarray = None        # total floating -> ocean
+    flb_internal_eros_kg: jnp.ndarray = None  # fl bits -> fl bergy bits
 
 
 def melt_by_class_field(st, grid, cfg: IcebergsConfig, melt_rate_w, alive):
@@ -524,6 +537,15 @@ def thermodynamics(st, grid, frc, cfg: IcebergsConfig, sort_ctx=None,
     melt_tot = (dM - (dMbitsE - dMbitsM) + dMfl - (dMbitsE_fl - dMbitsM_fl))
     net_heat = jnp.sum(jnp.where(alive, melt_tot * st.heat_density * scale,
                                  0.))
+
+    def _kg(x):
+        return jnp.sum(jnp.where(alive, x * scale, 0.))
+
+    budget_scalars = dict(
+        bergy_src_kg=_kg(dMbitsE), bergy_melt_kg=_kg(dMbitsM),
+        flb_bergy_melt_kg=_kg(dMbitsM_fl), berg_melt_kg=_kg(dM),
+        fl_bits_melt_kg=_kg(dMfl), net_melt_kg=_kg(melt_tot),
+        flb_internal_eros_kg=_kg(dMbitsE_fl))
     # all melt diagnostics in ONE packed row scatter (14 fields).
     # melt_buoy/eros/conv accumulate only for non-footloose bergs; the
     # *_fl twins take the fl-bits melt (parents, when dMfl>0) or the
@@ -637,5 +659,6 @@ def thermodynamics(st, grid, frc, cfg: IcebergsConfig, sort_ctx=None,
         melt_by_class=mbc,
         fl_parent_melt=fl_parent_melt, fl_child_melt=fl_child_melt,
         melt_buoy_fl=melt_buoy_fl, melt_eros_fl=melt_eros_fl,
-        melt_conv_fl=melt_conv_fl, deferred_cols=deferred)
+        melt_conv_fl=melt_conv_fl, deferred_cols=deferred,
+        **budget_scalars)
     return st, diags

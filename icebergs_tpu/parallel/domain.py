@@ -1042,14 +1042,23 @@ def make_sharded_run(world, *, neighbor_mode: str = "buckets",
         nbergs = jax.lax.psum(jnp.sum(owned.astype(jnp.int32)), axes)
         budgets = jax.tree.map(lambda x: jax.lax.psum(x, axes),
                                outputs.budgets)
+        # interval-budget scalars: per-tile sums -> global sums
+        _SUM_SCALARS = (
+            "spawn_overflow", "fl_spawn_overflow", "tickets",
+            "nbergs_calved", "nbergs_calved_fl", "nbergs_melted",
+            "nbergs_deleted_fl", "net_calving_used", "heat_used",
+            "calving_to_bergs", "heat_to_bergs", "net_melt_heat",
+            "net_melt_kg", "berg_melt_kg", "bergy_src_kg",
+            "bergy_melt_kg", "fl_bits_melt_kg", "flb_bergy_melt_kg",
+            "flb_internal_eros_kg", "fl_to_berg_kg", "flb_to_bergy_kg")
+        psums = {f: jax.lax.psum(getattr(outputs, f), axes)
+                 for f in _SUM_SCALARS if getattr(outputs, f) is not None}
         outputs = outputs._replace(
             budgets=budgets,
             nbergs=nbergs,
             contact_overflow=jax.lax.pmax(outputs.contact_overflow, axes),
             contact_fallback=jax.lax.pmax(outputs.contact_fallback, axes),
-            spawn_overflow=jax.lax.psum(outputs.spawn_overflow, axes),
-            fl_spawn_overflow=jax.lax.psum(outputs.fl_spawn_overflow,
-                                           axes))
+            **psums)
         out_stacked = jax.tree.map(
             lambda x: wrap(x) if getattr(x, "ndim", 0) >= 2 else x,
             outputs)
@@ -1061,6 +1070,7 @@ def make_sharded_run(world, *, neighbor_mode: str = "buckets",
         from ..api import RunOutputs
         gridded = spec
         rep = P()
+        fl = rep if cfg.footloose else None
         fn = jax.shard_map(
             local_fn, mesh=mesh,
             in_specs=(spec, spec, spec, spec, spec),
@@ -1072,7 +1082,18 @@ def make_sharded_run(world, *, neighbor_mode: str = "buckets",
                 ustar_iceberg=gridded, mass_on_ocean=gridded,
                 nbergs=rep, budgets=rep, contact_overflow=rep,
                 contact_fallback=rep, spawn_overflow=rep,
-                fl_spawn_overflow=rep), rep, spec),
+                fl_spawn_overflow=rep,
+                tickets=rep, nbergs_calved=rep, nbergs_calved_fl=fl,
+                nbergs_melted=rep, nbergs_deleted_fl=fl,
+                net_calving_used=rep, heat_used=rep,
+                calving_to_bergs=rep, heat_to_bergs=rep,
+                net_melt_heat=rep, net_melt_kg=rep, berg_melt_kg=rep,
+                bergy_src_kg=rep, bergy_melt_kg=rep,
+                fl_bits_melt_kg=rep, flb_bergy_melt_kg=rep,
+                flb_internal_eros_kg=rep,
+                fl_bits_src=(gridded if cfg.footloose else None),
+                fl_to_berg_kg=fl, flb_to_bergy_kg=fl),
+                rep, spec),
             # pallas_call (fused contact modes) lacks vma metadata;
             # keep the type check on for the non-Pallas modes
             check_vma=neighbor_mode not in ("fused", "fused3"),
