@@ -16,6 +16,7 @@ Sequence (mirroring the reference's call order):
 from __future__ import annotations
 
 import functools
+from types import SimpleNamespace
 from typing import NamedTuple, Optional
 
 import jax
@@ -357,6 +358,9 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
 def make_persistent_multi_step(grid: Grid, cfg: IcebergsConfig,
                                n_inner: int, with_stats: bool = False, *,
                                with_thermo: bool = True,
+                               with_interp: bool = True,
+                               with_ia: bool = True,
+                               with_spread: bool = True,
                                neighbor_mode: str = "fused",
                                contact_cap: int = 65536,
                                fused_block_n: int = 128,
@@ -408,14 +412,22 @@ def make_persistent_multi_step(grid: Grid, cfg: IcebergsConfig,
     def step(st: BergState, cell_starts, frc):
         m25_pre = None
         with jax.named_scope("kid_interface"):
-            if use_interp_kernel:
+            if not with_interp:
+                pass                # env cached from init (probe only)
+            elif use_interp_kernel:
                 st, m25_pre = _pinterp.interp_to_bergs_sorted(
                     st, grid, frc, cfg, interpret=fused_interpret)
             else:
                 st = interp_to_bergs(st, grid, frc, cfg)
 
         with jax.named_scope("kid_momentum"):
-            if neighbor_mode == "fused3":
+            if not with_ia:
+                from .ops.fused_contact import FusedContactStats
+                ia_fn = None
+                fstats = FusedContactStats(
+                    overflow=jnp.zeros((), jnp.int32),
+                    n_fallback=jnp.zeros((), jnp.int32))
+            elif neighbor_mode == "fused3":
                 # presorted: no payload sort, no origin-frame inverse
                 # gathers — the slab IS the sorted frame
                 ia_fn, fstats = make_ia_fn_fused3(
@@ -460,7 +472,15 @@ def make_persistent_multi_step(grid: Grid, cfg: IcebergsConfig,
                     defer_cell_cols=defer)
 
         with jax.named_scope("kid_diagnostics"):
-            if with_thermo and defer and melt_diags.deferred_cols:
+            if not with_spread:
+                shp = (grid.nx + 2, grid.ny + 2)
+                z = jnp.zeros(shp, st.lon.dtype)
+                sp = SimpleNamespace(
+                    spread_mass=z, spread_area=z, spread_uvel=z,
+                    spread_vvel=z, ustar_iceberg=z, mass_on_ocean=z)
+                if melt_diags is not None:
+                    melt_diags = melt_diags._replace(deferred_cols=None)
+            elif with_thermo and defer and melt_diags.deferred_cols:
                 sp, melt_fields = _spread.create_gridded_icebergs_fields(
                     st, grid, frc, cfg, sort_ctx=sort_ctx,
                     extra_cell_cols=melt_diags.deferred_cols,

@@ -181,6 +181,63 @@ def main():
             _ps.SPREAD_GATHERED = False
             _pi.INTERP_KERNEL = False
             _pi.INTERP_GATHERED = False
+    if which.startswith("p3pack_no") or which == "sortprobe":
+        # leave-one-out phase budget in the FULL-step frame: the
+        # standalone per-phase profiler (tools/profile_persistent.py)
+        # wedges the remote compiler, but whole-step programs of this
+        # exact shape compile in 100-280 s — so each phase's cost is
+        # (full p3pack) - (p3pack without it), all same-window
+        from icebergs_tpu.ops import sorted as _srt
+        from icebergs_tpu.ops import pallas_prepass as _pp
+        from icebergs_tpu.ops import pallas_interp as _pi
+        _spread.SLOT_SUM_METHOD = "pallas"
+        _srt.SORT_PACKED_PERMUTE = True
+        _pp.EXTRACT_GATHERED = True
+        loo = dict(p3pack_noia=dict(with_ia=False),
+                   p3pack_nothermo=dict(with_thermo=False),
+                   p3pack_nospread=dict(with_spread=False),
+                   p3pack_nointerp=dict(with_interp=False))
+        try:
+            if which == "sortprobe":
+                # standalone scanned re-sort (the only phase a
+                # leave-one-out can't isolate: skipping it would
+                # degrade the layout and so the downstream workload)
+                import jax.numpy as jnp
+                from icebergs_tpu.ops.sorted import (
+                    sort_state_by_cell, uniform_state_fields)
+                uni = uniform_state_fields(cfg)
+
+                @jax.jit
+                def multi_sort(s):
+                    def body(c, _):
+                        s, cs = c
+                        # data-dependent perturbation so nothing hoists
+                        e = jnp.sum(s.uvel[:8]) * 1e-38
+                        s = s.replace(lon=s.lon + e,
+                                      uvel=s.uvel + e)
+                        return sort_state_by_cell(
+                            s, grid, static_fields=uni), None
+                    (s, cs), _ = jax.lax.scan(
+                        body, sort_state_by_cell(
+                            s, grid, static_fields=uni), None,
+                        length=INNER)
+                    return s, jnp.zeros((), jnp.int32), \
+                        jnp.zeros((), jnp.int32)
+
+                class _W:  # adapt to run()'s multi(st, frc) protocol
+                    def __call__(self, s, frc):
+                        out = multi_sort(s if not isinstance(s, tuple)
+                                         else s[0])
+                        return out
+                run("sortprobe", _W())
+            else:
+                run(which, make_persistent_multi_step(
+                    grid, cfg, INNER, with_stats=True,
+                    neighbor_mode="fused3", fused_block_n=BN,
+                    fused_window=W, contact_cap=131072,
+                    fused_fallback_cap=4096, **loo[which]))
+        finally:
+            _srt.SORT_PACKED_PERMUTE = False
     if which in ("persistent3g", "p3g"):
         # + the session-7 GATHERED kernels: tile-granular up-front
         # window gathers + standard block pipeline in all three kernels
