@@ -457,6 +457,12 @@ def run(nml_path: str, input_dir: str = ".", output_dir: str = ".",
         ck.end("Icebergs-I/O write")
         ck.report()
     secs = time.time() - t_wall
+    sim_days = nsteps * ibdt / 86400.
+    if sim_days > 0:
+        # the reference driver's per-increment timing line
+        # (icebergs_driver.F90:355-366)
+        print(f"KID-TPU driver: {secs / sim_days:.1f} s per simulated "
+              f"day ({sim_days:.2f} days)")
     print(f"KID-TPU driver: {nsteps} steps in {secs:.1f}s "
           f"({nsteps / max(secs, 1e-9):.2f} steps/s)")
     return st

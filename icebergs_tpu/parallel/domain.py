@@ -1113,7 +1113,9 @@ def make_sharded_mts_step(world, *,
                           ghost_width: int = 128,
                           ghost_slots: int = 256,
                           pair_cap: int | None = None,
-                          contact_cap: int | None = None):
+                          contact_cap: int | None = None,
+                          ghost_sync: str = "ring",
+                          ghost_hops: int = 2):
     """Sharded MTS/DEM step with PER-SUBSTEP ghost-state refresh.
 
     The replicate-then-local-compute pattern (transfer_mts_bergs) keeps
@@ -1122,8 +1124,21 @@ def make_sharded_mts_step(world, *,
     state of conglomerate replicas INSIDE the substep scan — the
     ring-pipelined design slot of SURVEY §2.6 for aggregates larger than
     a device: membership (who ships, which replica slots receive) is
-    frozen per outer step, so each substep is one small all_gather of
-    the packed dynamic rows plus masked row updates.
+    frozen per outer step, so each substep moves only the packed
+    dynamic rows plus masked row updates.
+
+    ``ghost_sync="ring"`` (default) transports those rows by
+    ``ghost_hops``-hop neighbor ppermutes along the mesh ring(s) — the
+    SURVEY §2.6 boundary-slab design: per-substep traffic is
+    O(hops x ghost_width), independent of the device count, and a
+    conglomerate may span up to ``2*ghost_hops + 1`` tiles (replicas
+    whose owner sits further away are counted in ``overflow``, never
+    silently stale).  On a 2-D mesh the x-ring stack feeds the y-ring,
+    so diagonal neighbors ride the corner pass-through exactly like the
+    particle exchange.  ``ghost_sync="allgather"`` restores the
+    O(n_devices) full-membership gather (any span; the A/B reference —
+    the two are bitwise identical wherever the hop budget covers the
+    span, since the ring delivers the same source rows).
 
     Owned elements then integrate against partner state that is one
     substep old at most — matching the single-device semantics where
@@ -1131,7 +1146,7 @@ def make_sharded_mts_step(world, *,
 
     Accepts a 1-D ``ShardedWorld`` or a 2-D ``ShardedWorld2D`` (the
     reference runs MTS on arbitrary 2-D mpp layouts); on the 2-D mesh
-    the ghost all_gathers and budget psums ride both axes and the
+    the ghost collectives and budget psums ride both axes and the
     particle exchange runs its x-then-y passes.
 
     Returns ``step(st, frc) -> (st, nbergs, total_mass, overflow)``.
@@ -1176,14 +1191,49 @@ def make_sharded_mts_step(world, *,
             granted.astype(jnp.int32))
         ov_ship = jnp.sum((ship & ~granted).astype(jnp.int32))
 
+        # --- shipped-row transport: K-hop ring ppermutes (default) or
+        # the all-device gather.  The ring delivers the identical source
+        # rows for any conglomerate spanning <= 2*ghost_hops+1 tiles, so
+        # results are bitwise equal to the all_gather there; traffic is
+        # O(hops x ghost_width) per substep instead of O(n_devices).
+        ndev_x = mesh.shape[AXIS]
+        ndev_y = mesh.shape[AXIS_Y] if is2d else 1
+
+        def _ring(rows2, name, n):
+            outs = [rows2]
+            k = min(ghost_hops, n - 1)
+            fwd = [(i, (i + 1) % n) for i in range(n)]
+            bwd = [(i, (i - 1) % n) for i in range(n)]
+            a = b = rows2
+            for _ in range(k):
+                a = jax.lax.ppermute(a, name, fwd)
+                outs.append(a)
+            for _ in range(k):
+                b = jax.lax.ppermute(b, name, bwd)
+                outs.append(b)
+            return jnp.concatenate(outs, axis=0)
+
+        def transport(rows):
+            """(W, C) shipped rows -> (S, C) source-stacked rows in a
+            fixed, layout-independent order."""
+            if ghost_sync == "allgather":
+                return jax.lax.all_gather(
+                    rows, axes, axis=0, tiled=False).reshape(
+                    -1, rows.shape[-1])
+            out = _ring(rows, AXIS, ndev_x)
+            if is2d:
+                # the x-stack rides the y-ring: diagonal neighbors
+                # arrive via the corner pass-through
+                out = _ring(out, AXIS_Y, ndev_y)
+            return out
+
         sid_cnt = jnp.where(ship_valid, st.id_cnt[ship_sel], 0)
         sid_ij = jnp.where(ship_valid, st.id_ij[ship_sel], 0)
-        all_cnt = jax.lax.all_gather(sid_cnt, axes, axis=0,
-                                     tiled=False).reshape(-1)
-        all_ij = jax.lax.all_gather(sid_ij, axes, axis=0,
-                                    tiled=False).reshape(-1)
-        all_valid = jax.lax.all_gather(ship_valid, axes, axis=0,
-                                       tiled=False).reshape(-1)
+        idpack = jnp.stack([sid_cnt, sid_ij,
+                            ship_valid.astype(jnp.int32)], axis=-1)
+        allp = transport(idpack)
+        all_cnt, all_ij = allp[:, 0], allp[:, 1]
+        all_valid = allp[:, 2] > 0
 
         rep = st.alive & (st.halo_berg >= 0.5) & has_stamp
         rrank = jnp.cumsum(rep.astype(jnp.int32)) - 1
@@ -1203,6 +1253,11 @@ def make_sharded_mts_step(world, *,
         src = jnp.argmax(eq, axis=1).astype(jnp.int32)
         found = jnp.any(eq, axis=1) & rep_valid
         tgt_slots = jnp.where(found, rep_sel, N)     # N -> dropped
+        # a replica whose owner's rows never arrived (owner beyond the
+        # ring's hop budget, or ship-cap overflow) would integrate
+        # against STALE partner state — counted, never silent
+        overflow = overflow + jnp.sum(
+            (rep_valid & ~found).astype(jnp.int32))
 
         F = len(_GHOST_DYN_FIELDS)
 
@@ -1210,8 +1265,7 @@ def make_sharded_mts_step(world, *,
             M = jnp.stack([getattr(s, f) for f in _GHOST_DYN_FIELDS],
                           axis=-1)
             rows = M[ship_sel]                       # (ghost_width, F)
-            all_rows = jax.lax.all_gather(rows, axes, axis=0,
-                                          tiled=False).reshape(-1, F)
+            all_rows = transport(rows)               # (S, F)
             upd = all_rows[src]                      # (ghost_slots, F)
             kw = {}
             for fi, f in enumerate(_GHOST_DYN_FIELDS):

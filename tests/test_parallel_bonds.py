@@ -398,13 +398,26 @@ def test_sharded_mts_ring_ghost_sync_matches_single():
         mesh=mesh, in_specs=(P(dd.AXIS), P(dd.AXIS)),
         out_specs=P(dd.AXIS)))(world.grids, st_s)
 
-    step2 = dd.make_sharded_mts_step(world, pair_cap=512, contact_cap=256,
-                                     ghost_width=16, ghost_slots=16)
-    for _ in range(nsteps):
-        st_s, nbergs, total_mass, ov = step2(st_s, frc_s)
-        assert int(np.max(np.asarray(ov))) == 0
-    assert int(np.asarray(nbergs)) == n
+    # ring ghost-sync (production default) AND the all_gather reference:
+    # the ring ships identical source rows for this 2-tile conglomerate,
+    # so the two final states must be BITWISE equal
+    finals = {}
+    for mode in ("ring", "allgather"):
+        step2 = dd.make_sharded_mts_step(
+            world, pair_cap=512, contact_cap=256, ghost_width=16,
+            ghost_slots=16, ghost_sync=mode)
+        ss = st_s
+        for _ in range(nsteps):
+            ss, nbergs, total_mass, ov = step2(ss, frc_s)
+            assert int(np.max(np.asarray(ov))) == 0
+        assert int(np.asarray(nbergs)) == n
+        finals[mode] = ss
+    for f in ("lon", "lat", "uvel", "vvel", "rot", "bond_nstress"):
+        a = np.asarray(jax.device_get(getattr(finals["ring"], f)))
+        b = np.asarray(jax.device_get(getattr(finals["allgather"], f)))
+        np.testing.assert_array_equal(a, b, err_msg=f)
 
+    st_s = finals["ring"]
     alive = np.asarray(jax.device_get(st_s.alive)).reshape(-1)
     halo = np.asarray(jax.device_get(st_s.halo_berg)).reshape(-1)
     own = alive & (halo < 0.5)

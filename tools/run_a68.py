@@ -252,8 +252,26 @@ def main():
     print(f"run_a68: grounded elements {grounded}")
     cs, nb = diag.berg_chksum(st)
     print(f"run_a68: chksum={int(cs)} #={int(nb)}")
+    # wall clock per simulated day — the reference driver prints this
+    # line every write_time_inc (icebergs_driver.F90:355-366)
+    wall = time.time() - t0
+    days = a.hours / 24.
+    print(f"run_a68: {wall:.1f}s for {days:.2f} simulated days = "
+          f"{wall / max(days, 1e-9):.1f} s per simulated day", flush=True)
 
     os.makedirs(a.out, exist_ok=True)
+    import json
+    with open(os.path.join(a.out, "a68_hindcast.json"), "w") as f:
+        json.dump({"elements": n0, "nbergs_end": int(nb),
+                   "chksum": int(cs),
+                   "bonds_intact": intact,
+                   "bonds_fractured": int(has.sum()) - intact,
+                   "grounded": grounded,
+                   "hours": a.hours, "dt": cfg.dt,
+                   "substeps": int(cfg.mts_sub_steps),
+                   "wall_s": round(wall, 1),
+                   "s_per_sim_day": round(wall / max(days, 1e-9), 2)},
+                  f, indent=1)
     tio.write_trajectories(os.path.join(a.out, "iceberg_trajectories.nc"),
                            buf, cfg)
     rio.write_restart_bergs(os.path.join(a.out, "icebergs.res.nc"), st,
