@@ -160,6 +160,25 @@ def bench_1m_contacts():
             out = _run_abandonable(lambda mu=multi: mu(st, frc),
                                    compile_timeout)   # warmup/compile
             _sync(out)
+            # auto-size the fallback cap (mirrors mts.auto_pair_cap's
+            # grow-on-evidence design): a density spike that overruns
+            # the static cap must grow it and re-measure, not silently
+            # report dropped>0 (the headline claims an exact search)
+            for _ in range(3):
+                if int(np.asarray(out[1])) == 0:
+                    break
+                fb = min(4 * fb, NBERGS)
+                print(f"bench: contact fallback cap overran "
+                      f"(dropped={int(np.asarray(out[1]))}); growing "
+                      f"to {fb} and recompiling", file=__import__(
+                          'sys').stderr)
+                multi = factory(
+                    grid, cfg, INNER, with_stats=True, with_thermo=True,
+                    fused_block_n=BN, fused_window=W,
+                    contact_cap=131072, fused_fallback_cap=fb, **kw)
+                out = _run_abandonable(lambda mu=multi: mu(st, frc),
+                                       compile_timeout)
+                _sync(out)
             break
         except Exception as e:     # pragma: no cover - hardware-dependent
             import sys

@@ -181,6 +181,24 @@ def main():
             _ps.SPREAD_GATHERED = False
             _pi.INTERP_KERNEL = False
             _pi.INTERP_GATHERED = False
+    if which == "p3pack_ik":
+        # p3pack + the sorted-frame interp KERNEL alone (manual-DMA
+        # variant, no gathered windows anywhere): isolates the interp
+        # lever from the gathered-kernel regression seen in p3gpack
+        from icebergs_tpu.ops import sorted as _srt
+        from icebergs_tpu.ops import pallas_interp as _pi
+        _spread.SLOT_SUM_METHOD = "pallas"
+        _srt.SORT_PACKED_PERMUTE = True
+        _pi.INTERP_KERNEL = True
+        try:
+            run("p3pack_ik", make_persistent_multi_step(
+                grid, cfg, INNER, with_stats=True, with_thermo=True,
+                neighbor_mode="fused3", fused_block_n=BN,
+                fused_window=W, contact_cap=131072,
+                fused_fallback_cap=4096))
+        finally:
+            _srt.SORT_PACKED_PERMUTE = False
+            _pi.INTERP_KERNEL = False
     if which.startswith("p3pack_no") or which == "sortprobe":
         # leave-one-out phase budget in the FULL-step frame: the
         # standalone per-phase profiler (tools/profile_persistent.py)

@@ -45,4 +45,5 @@ run sortprobe    2400 1 7200 python tools/bench_persistent.py sortprobe
 run nospread     2400 1 7200 python tools/bench_persistent.py p3pack_nospread
 run nothermo     2400 1 7200 python tools/bench_persistent.py p3pack_nothermo
 run nointerp     2400 1 7200 python tools/bench_persistent.py p3pack_nointerp
+run interp_kernel 2400 1 7200 python tools/bench_persistent.py p3pack_ik
 echo "=== sweep13 complete $(date -u +%T) ===" >> "$LOG"
