@@ -181,6 +181,32 @@ def main():
             _ps.SPREAD_GATHERED = False
             _pi.INTERP_KERNEL = False
             _pi.INTERP_GATHERED = False
+    if which in ("p3pack_fb8", "p3pack_1eval", "p3pack_w160"):
+        # contact-chain drill-down (all same-window vs p3pack):
+        #   fb8   - fallback machinery shrunk 512x (cap 4096 -> 8):
+        #           isolates the always-built exact-fallback group cost
+        #   1eval - use_new_predictive_corrective=False: one pair eval
+        #           instead of the predictor+corrector pair
+        #   w160  - extraction kernel window 288 -> 160
+        from icebergs_tpu.ops import sorted as _srt
+        _spread.SLOT_SUM_METHOD = "pallas"
+        _srt.SORT_PACKED_PERMUTE = True
+        kw = dict(fused_fallback_cap=4096)
+        cfg2 = cfg
+        W2 = W
+        if which == "p3pack_fb8":
+            kw = dict(fused_fallback_cap=8)
+        elif which == "p3pack_1eval":
+            cfg2 = cfg.replace(use_new_predictive_corrective=False)
+        elif which == "p3pack_w160":
+            W2 = 160
+        try:
+            run(which, make_persistent_multi_step(
+                grid, cfg2, INNER, with_stats=True, with_thermo=True,
+                neighbor_mode="fused3", fused_block_n=BN,
+                fused_window=W2, contact_cap=131072, **kw))
+        finally:
+            _srt.SORT_PACKED_PERMUTE = False
     if which == "p3pack_ik":
         # p3pack + the sorted-frame interp KERNEL alone (manual-DMA
         # variant, no gathered windows anywhere): isolates the interp
