@@ -405,15 +405,19 @@ def make_persistent_multi_step(grid: Grid, cfg: IcebergsConfig,
     assert neighbor_mode in ("fused", "fused3")
 
     from .ops import pallas_interp as _pinterp
-    use_interp_kernel = (
-        _pinterp.INTERP_KERNEL and cfg.grid_is_regular and not cfg.mts
-        and cfg.coastal_drift == 0. and cfg.tidal_drift == 0.)
+    _interp_ok = (cfg.grid_is_regular and not cfg.mts
+                  and cfg.coastal_drift == 0. and cfg.tidal_drift == 0.)
+    use_interp_kernel = _pinterp.INTERP_KERNEL and _interp_ok
+    use_interp_table = _pinterp.INTERP_TABLE and _interp_ok
 
     def step(st: BergState, cell_starts, frc):
         m25_pre = None
         with jax.named_scope("kid_interface"):
             if not with_interp:
                 pass                # env cached from init (probe only)
+            elif use_interp_table:
+                st, m25_pre = _pinterp.interp_to_bergs_table(
+                    st, grid, frc, cfg)
             elif use_interp_kernel:
                 st, m25_pre = _pinterp.interp_to_bergs_sorted(
                     st, grid, frc, cfg, interpret=fused_interpret)

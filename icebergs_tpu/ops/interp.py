@@ -193,47 +193,72 @@ def interp_flds(grid: Grid, frc, cfg: IcebergsConfig, lon, lat, i, j, xi, yj,
         vo, vi = vo + dv, vi + dv
 
     # SSH gradient stencil + A-grid PCM scalars (icebergs.F90:4826-4884)
-    # denominators are CLAMPED away from zero: padded halo cells carry
-    # dx=dy=0 and the raw 0/0 (or x/0) lanes — though masked out by the
-    # msk factors and the NaN scrub below — are inf/NaN intermediates
+    # NaN-free stencil: padded halo cells carry dx=dy=0, and the raw
+    # 0/0 (or x/0) lanes of the reference formulation — though caught
+    # by its post-rotation isnan scrub — are inf/NaN INTERMEDIATES
     # that XLA's select/fusion rewrites can leak into live lanes when
     # this stencil is fused into a larger jit (observed: jit(interp +
     # mts-evolve) NaN'd while the same ops eager or separately jitted
-    # were finite).  Bitwise identical wherever dx/dy > 0.
+    # were finite).  So each slot divides by a clamped denominator and
+    # records ``den == 0`` as its poison flag; the scrub below zeroes
+    # ssh_x/ssh_y from the flags of the branch-touched slots — exactly
+    # the lanes whose NaN the reference scrub would have caught (a slot
+    # value is nonfinite iff its denominator is 0), and exactly the
+    # bitmask scheme the kernel table path uses (pallas_interp).
     def ddx(ii_off, jj_off):
         o = (ii_off, jj_off)
         dxp = 0.5 * (a("dx", o[0] + 1, o[1]) + a("dx", o[0] + 1, o[1] - 1))
         dx0 = 0.5 * (a("dx", o[0], o[1]) + a("dx", o[0], o[1] - 1))
-        return 2. * (a("ssh", o[0] + 1, o[1]) - a("ssh", o[0], o[1])) \
-            / jnp.maximum(dx0 + dxp, 1e-30) \
+        den = dx0 + dxp
+        v = 2. * (a("ssh", o[0] + 1, o[1]) - a("ssh", o[0], o[1])) \
+            / jnp.maximum(den, 1e-30) \
             * a("msk", o[0] + 1, o[1]) * a("msk", o[0], o[1])
+        return v, den == 0.
 
     def ddy(ii_off, jj_off):
         o = (ii_off, jj_off)
         dyp = 0.5 * (a("dy", o[0], o[1] + 1) + a("dy", o[0] - 1, o[1] + 1))
         dy0 = 0.5 * (a("dy", o[0], o[1]) + a("dy", o[0] - 1, o[1]))
-        return 2. * (a("ssh", o[0], o[1] + 1) - a("ssh", o[0], o[1])) \
-            / jnp.maximum(dy0 + dyp, 1e-30) \
+        den = dy0 + dyp
+        v = 2. * (a("ssh", o[0], o[1] + 1) - a("ssh", o[0], o[1])) \
+            / jnp.maximum(den, 1e-30) \
             * a("msk", o[0], o[1] + 1) * a("msk", o[0], o[1])
+        return v, den == 0.
 
     sst, sss = a("sst", 0, 0), a("sss", 0, 0)
     cn, hi = a("cn", 0, 0), a("hi", 0, 0)
 
+    x01, px01 = ddx(0, 1)
+    x00, px00 = ddx(0, 0)
+    x0m, px0m = ddx(0, -1)
+    xm1, pxm1 = ddx(-1, 1)
+    xm0, pxm0 = ddx(-1, 0)
+    xmm, pxmm = ddx(-1, -1)
     hxp = jnp.where(yj >= 0.5,
-                    (yj - 0.5) * ddx(0, 1) + (1.5 - yj) * ddx(0, 0),
-                    (yj + 0.5) * ddx(0, 0) + (0.5 - yj) * ddx(0, -1))
+                    (yj - 0.5) * x01 + (1.5 - yj) * x00,
+                    (yj + 0.5) * x00 + (0.5 - yj) * x0m)
     hxm = jnp.where(yj >= 0.5,
-                    (yj - 0.5) * ddx(-1, 1) + (1.5 - yj) * ddx(-1, 0),
-                    (yj + 0.5) * ddx(-1, 0) + (0.5 - yj) * ddx(-1, -1))
+                    (yj - 0.5) * xm1 + (1.5 - yj) * xm0,
+                    (yj + 0.5) * xm0 + (0.5 - yj) * xmm)
     ssh_x = xi * hxp + (1. - xi) * hxm
+    poison_x = jnp.where(yj >= 0.5, px01 | px00 | pxm1 | pxm0,
+                         px00 | px0m | pxm0 | pxmm)
 
+    y10, py10 = ddy(1, 0)
+    y00, py00 = ddy(0, 0)
+    ym0, pym0 = ddy(-1, 0)
+    y1m, py1m = ddy(1, -1)
+    y0m, py0m = ddy(0, -1)
+    ymm, pymm = ddy(-1, -1)
     hyp = jnp.where(xi >= 0.5,
-                    (xi - 0.5) * ddy(1, 0) + (1.5 - xi) * ddy(0, 0),
-                    (xi + 0.5) * ddy(0, 0) + (0.5 - xi) * ddy(-1, 0))
+                    (xi - 0.5) * y10 + (1.5 - xi) * y00,
+                    (xi + 0.5) * y00 + (0.5 - xi) * ym0)
     hym = jnp.where(xi >= 0.5,
-                    (xi - 0.5) * ddy(1, -1) + (1.5 - xi) * ddy(0, -1),
-                    (xi + 0.5) * ddy(0, -1) + (0.5 - xi) * ddy(-1, -1))
+                    (xi - 0.5) * y1m + (1.5 - xi) * y0m,
+                    (xi + 0.5) * y0m + (0.5 - xi) * ymm)
     ssh_y = yj * hyp + (1. - yj) * hym
+    poison_y = jnp.where(xi >= 0.5, py10 | py00 | py1m | py0m,
+                         py00 | pym0 | py0m | pymm)
 
     # rotate vectors from local grid orientation to lat/lon (icebergs.F90:4887)
     def rot(u, v):
@@ -244,9 +269,13 @@ def interp_flds(grid: Grid, frc, cfg: IcebergsConfig, lon, lat, i, j, xi, yj,
     ua, va = rot(ua, va)
     ssh_x, ssh_y = rot(ssh_x, ssh_y)
 
-    # scrub NaN SSH slopes at boundaries (icebergs.F90:4893-4894)
-    ssh_x = jnp.where(jnp.isnan(ssh_x), 0., ssh_x)
-    ssh_y = jnp.where(jnp.isnan(ssh_y), 0., ssh_y)
+    # scrub SSH slopes whose touched stencil slots divided by zero —
+    # exactly the lanes the reference's post-rotation isnan scrub
+    # caught (icebergs.F90:4893-4894): a slot is nonfinite iff its
+    # denominator is 0, and the rotation mixes x into y and vice versa
+    poison = poison_x | poison_y
+    ssh_x = jnp.where(poison, 0., ssh_x)
+    ssh_y = jnp.where(poison, 0., ssh_y)
 
     # ocean depth (+ssh): quadratic A-grid in MTS mode, PCM otherwise
     # (icebergs.F90:4930-4950)

@@ -40,6 +40,11 @@ from ..grid import Grid
 # route the persistent step's interface phase through the kernel
 # (regular-grid, non-MTS, no coastal/tidal drift configs only)
 INTERP_KERNEL = False
+# plain-XLA table path: ONE packed (N, 64-lane) row gather of the
+# per-cell slot table + the identical per-berg math — replaces ~56
+# separate (N,) grid-table gathers (the XLA interp's ~72 ms at 1M).
+# Works on any frame (gather by key), not just the sorted slab.
+INTERP_TABLE = False
 # materialize each block's cell-table window by a tile-granular XLA
 # gather and feed the kernel through the standard block pipeline
 # instead of Element-indexed window operands (same trade as
@@ -99,17 +104,25 @@ def interp_cell_table(grid: Grid, frc, cfg: IcebergsConfig):
 
     ssh, msk, dx, dy = frc.ssh, grid.msk, grid.dx, grid.dy
 
+    # NaN-free like ops/interp.ddx: clamped denominator + den==0 as the
+    # poison indicator (a raw slot is nonfinite iff den == 0)
     def ddx(o0, o1):
         dxp = 0.5 * (center(dx, o0 + 1, o1) + center(dx, o0 + 1, o1 - 1))
         dx0 = 0.5 * (center(dx, o0, o1) + center(dx, o0, o1 - 1))
-        return 2. * (center(ssh, o0 + 1, o1) - center(ssh, o0, o1)) \
-            / (dx0 + dxp) * center(msk, o0 + 1, o1) * center(msk, o0, o1)
+        den = dx0 + dxp
+        v = 2. * (center(ssh, o0 + 1, o1) - center(ssh, o0, o1)) \
+            / jnp.maximum(den, 1e-30) \
+            * center(msk, o0 + 1, o1) * center(msk, o0, o1)
+        return v, den == 0.
 
     def ddy(o0, o1):
         dyp = 0.5 * (center(dy, o0, o1 + 1) + center(dy, o0 - 1, o1 + 1))
         dy0 = 0.5 * (center(dy, o0, o1) + center(dy, o0 - 1, o1))
-        return 2. * (center(ssh, o0, o1 + 1) - center(ssh, o0, o1)) \
-            / (dy0 + dyp) * center(msk, o0, o1 + 1) * center(msk, o0, o1)
+        den = dy0 + dyp
+        v = 2. * (center(ssh, o0, o1 + 1) - center(ssh, o0, o1)) \
+            / jnp.maximum(den, 1e-30) \
+            * center(msk, o0, o1 + 1) * center(msk, o0, o1)
+        return v, den == 0.
 
     # NaN NOTE: boundary cells divide by zero dx/dy sums -> NaN (inf *
     # msk 0).  interp_flds lets the NaN flow to the berg's rotated
@@ -125,16 +138,16 @@ def interp_cell_table(grid: Grid, frc, cfg: IcebergsConfig):
     nany = jnp.zeros(nx * ny, jnp.float32)
     for s, o in enumerate(((0, 1), (0, 0), (0, -1),
                            (-1, 1), (-1, 0), (-1, -1))):
-        v = interior(ddx(*o))
-        fin = jnp.isfinite(v)
-        nanx = nanx + jnp.where(fin, 0., float(1 << s))
-        rows[S_DDX + s] = jnp.where(fin, v, 0.)
+        v, bad = ddx(*o)
+        v, bad = interior(v), interior(bad)
+        nanx = nanx + jnp.where(bad, float(1 << s), 0.)
+        rows[S_DDX + s] = jnp.where(bad, 0., v)
     for s, o in enumerate(((1, 0), (0, 0), (-1, 0),
                            (1, -1), (0, -1), (-1, -1))):
-        v = interior(ddy(*o))
-        fin = jnp.isfinite(v)
-        nany = nany + jnp.where(fin, 0., float(1 << s))
-        rows[S_DDY + s] = jnp.where(fin, v, 0.)
+        v, bad = ddy(*o)
+        v, bad = interior(v), interior(bad)
+        nany = nany + jnp.where(bad, float(1 << s), 0.)
+        rows[S_DDY + s] = jnp.where(bad, 0., v)
     rows[S_NANX] = nanx
     rows[S_NANY] = nany
 
@@ -348,6 +361,41 @@ def interp_sorted(tbl, key_s, xi, yj, grid: Grid, cfg: IcebergsConfig, *,
 
     bad_row = jnp.repeat(bad, BN, total_repeat_length=Npad)[:N]
     return out, bad_row
+
+
+def interp_to_bergs_table(st, grid: Grid, frc, cfg: IcebergsConfig):
+    """Single-gather interface phase: the per-cell slot table
+    (:func:`interp_cell_table`) is transposed to (ncells+1, 64 lanes)
+    and each berg reads its row with ONE packed row gather; the env
+    then comes from the identical per-berg arithmetic the kernel runs
+    (:func:`_env_rows_from_slots`).
+
+    Same table, same expressions as the kernel path — and unlike the
+    kernel it needs no sorted frame (the gather is keyed), no Mosaic,
+    and no window-overflow fallback.  At 1M bergs this replaces the XLA
+    interp's ~56 separate (N,) grid-table gathers (~72 ms measured on
+    v5e, session-13 leave-one-out) with one ~16 ms packed gather.
+
+    Returns ``(state_with_env, m25_pre)`` like
+    :func:`interp_to_bergs_sorted`.
+    """
+    assert cfg.coastal_drift == 0. and cfg.tidal_drift == 0.
+    assert not cfg.mts
+    ncells = grid.nx * grid.ny
+    key = jnp.where(st.alive, st.jne * grid.nx + st.ine,
+                    ncells).astype(jnp.int32)
+    tbl = interp_cell_table(grid, frc, cfg)           # (S_NROWS, ncells)
+    tblT = jnp.concatenate(
+        [tbl, jnp.zeros((S_NROWS, 1), tbl.dtype)], axis=1).T
+    rows = tblT[key]                                  # (N, S_NROWS)
+    out = _env_rows_from_slots(lambda s: rows[:, s], st.xi, st.yj, cfg)
+    m25_pre = (out[13].astype(jnp.int32)
+               + out[14].astype(jnp.int32) * 8192)
+    st = st.replace(uo=out[0], vo=out[1], ui=out[2], vi=out[3],
+                    ua=out[4], va=out[5], ssh_x=out[6], ssh_y=out[7],
+                    sst=out[8], sss=out[9], cn=out[10], hi=out[11],
+                    od=out[12])
+    return st, m25_pre
 
 
 def interp_to_bergs_sorted(st, grid: Grid, frc, cfg: IcebergsConfig, *,

@@ -89,6 +89,40 @@ def test_interp_kernel_vs_xla(latlon, ob):
     assert np.array_equal(np.asarray(m25)[alive], ref25[alive])
 
 
+@pytest.mark.parametrize("latlon", [False, True])
+@pytest.mark.parametrize("ob", [False, True])
+def test_interp_table_vs_xla(latlon, ob):
+    """The single-gather TABLE path (plain XLA, no kernel) must match
+    interp_flds: same per-cell table, same per-berg expressions."""
+    st, grid, frc, cfg = _setup(latlon=latlon)
+    cfg = cfg.replace(old_bug_bilin=ob)
+    ref = interp_to_bergs(st, grid, frc, cfg)
+    out, m25 = pi.interp_to_bergs_table(st, grid, frc, cfg)
+    _assert_env_matches(ref, out, np.asarray(st.alive))
+    from icebergs_tpu.dynamics import _msk25_table
+    ref25 = np.asarray(_msk25_table(grid.msk))[np.asarray(st.ine) + 3,
+                                               np.asarray(st.jne) + 3]
+    alive = np.asarray(st.alive)
+    assert np.array_equal(np.asarray(m25)[alive], ref25[alive])
+
+
+def test_interp_table_unsorted_frame():
+    """Unlike the kernel, the table path needs no sorted slab: a
+    shuffled state gets the identical env per row."""
+    st, grid, frc, cfg = _setup()
+    rng = np.random.RandomState(3)
+    perm = jnp.asarray(rng.permutation(st.capacity))
+    st2 = jax.tree.map(lambda x: x[perm] if getattr(x, "ndim", 0) >= 1
+                       and x.shape[:1] == (st.capacity,) else x, st)
+    out, _ = pi.interp_to_bergs_table(st, grid, frc, cfg)
+    out2, _ = pi.interp_to_bergs_table(st2, grid, frc, cfg)
+    for f in ENV_FIELDS:
+        a = np.asarray(getattr(out, f))[np.asarray(perm)]
+        b = np.asarray(getattr(out2, f))
+        alive2 = np.asarray(st2.alive)
+        assert np.array_equal(a[alive2], b[alive2]), f
+
+
 def test_interp_kernel_gathered_matches_element():
     """INTERP_GATHERED (tile-gathered windows through the standard block
     pipeline) must be bitwise-identical to the Element-indexed window

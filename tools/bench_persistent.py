@@ -181,6 +181,33 @@ def main():
             _ps.SPREAD_GATHERED = False
             _pi.INTERP_KERNEL = False
             _pi.INTERP_GATHERED = False
+    if which in ("p3pack_it", "p3pack_fb1024", "p3pack_itfb",
+                 "p3pack_itfbw"):
+        # candidate production combinations from the session-13 budget:
+        #   it     - single-gather TABLE interp (replaces the ~72 ms
+        #            XLA interp with one packed row gather)
+        #   fb1024 - fallback cap 4096 -> 1024 (the always-built exact
+        #            fallback group measured ~100 ms at cap 4096 vs
+        #            488 rows actually needing it; bench.py grows the
+        #            cap on dropped>0 so smaller defaults stay exact)
+        #   itfb   - both; itfbw - both + window 160
+        from icebergs_tpu.ops import sorted as _srt
+        from icebergs_tpu.ops import pallas_interp as _pi
+        _spread.SLOT_SUM_METHOD = "pallas"
+        _srt.SORT_PACKED_PERMUTE = True
+        fb = 4096 if which == "p3pack_it" else 1024
+        W2 = 160 if which == "p3pack_itfbw" else W
+        if which != "p3pack_fb1024":
+            _pi.INTERP_TABLE = True
+        try:
+            run(which, make_persistent_multi_step(
+                grid, cfg, INNER, with_stats=True, with_thermo=True,
+                neighbor_mode="fused3", fused_block_n=BN,
+                fused_window=W2, contact_cap=131072,
+                fused_fallback_cap=fb))
+        finally:
+            _srt.SORT_PACKED_PERMUTE = False
+            _pi.INTERP_TABLE = False
     if which in ("p3pack_fb8", "p3pack_1eval", "p3pack_w160"):
         # contact-chain drill-down (all same-window vs p3pack):
         #   fb8   - fallback machinery shrunk 512x (cap 4096 -> 8):
