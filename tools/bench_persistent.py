@@ -181,6 +181,87 @@ def main():
             _ps.SPREAD_GATHERED = False
             _pi.INTERP_KERNEL = False
             _pi.INTERP_GATHERED = False
+    if which == "sortparts":
+        # decompose the 74.6 ms re-sort (session-13 sortprobe): the
+        # 4-operand key sort alone, and the packed-permute transport
+        # alone (pack + one (N,128)-lane u32 row gather + unpack) with
+        # a fixed permutation
+        import jax.numpy as jnp
+        import dataclasses
+        from icebergs_tpu.ops.sorted import (uniform_state_fields,
+                                             stack_cols)
+        uni = set(uniform_state_fields(cfg)) | {"id_cnt", "id_ij",
+                                                "alive"}
+        ncells = NX * NY
+        perm = jnp.asarray(np.random.RandomState(1).permutation(
+            st.capacity).astype(np.int32))
+
+        @jax.jit
+        def keys_only(s):
+            def body(c, _):
+                s = c
+                e = jnp.sum(s.uvel[:8]) * 1e-38
+                key = jnp.where(s.alive, s.jne * NX + s.ine, ncells) \
+                    + (e * 0.).astype(jnp.int32)
+                idx = jnp.arange(s.capacity, dtype=jnp.int32)
+                out = jax.lax.sort((key, s.id_cnt, s.id_ij, idx),
+                                   num_keys=3)
+                s = s.replace(uvel=s.uvel
+                              + 1e-38 * out[3][:1].astype(s.dtype))
+                return s, None
+            s, _ = jax.lax.scan(body, s, None, length=INNER)
+            return s, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)
+
+        @jax.jit
+        def perm_only(s):
+            names = [f.name for f in dataclasses.fields(s)
+                     if hasattr(getattr(s, f.name), "ndim")
+                     and f.name not in uni]
+
+            def body(c, _):
+                s = c
+                e = jnp.sum(s.uvel[:8]) * 1e-38
+                s = s.replace(uvel=s.uvel + e)
+                lanes = []
+                cols = []
+                for nm in names:
+                    leaf = getattr(s, nm)
+                    sub = ([(None, leaf)] if leaf.ndim == 1 else
+                           [(b, leaf[:, b])
+                            for b in range(leaf.shape[1])])
+                    for b, col in sub:
+                        if col.dtype == jnp.bool_:
+                            lanes.append(col.astype(jnp.uint32))
+                        else:
+                            lanes.append(jax.lax.bitcast_convert_type(
+                                col, jnp.uint32))
+                        cols.append((nm, b, col.dtype))
+                P = stack_cols(lanes)
+                S = jnp.take(P, perm, axis=0)
+                new = {}
+                packs = {}
+                for k, (nm, b, dt) in enumerate(cols):
+                    col = S[:, k]
+                    col = (col > 0) if dt == jnp.bool_ else \
+                        jax.lax.bitcast_convert_type(col, dt)
+                    if b is None:
+                        new[nm] = col
+                    else:
+                        packs.setdefault(nm, {})[b] = col
+                for nm, cm in packs.items():
+                    new[nm] = stack_cols([cm[b] for b in range(len(cm))])
+                return s.replace(**new), None
+            s, _ = jax.lax.scan(body, s, None, length=INNER)
+            return s, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)
+
+        class _W:
+            def __init__(self, f):
+                self.f = f
+
+            def __call__(self, s, frc):
+                return self.f(s if not isinstance(s, tuple) else s[0])
+        run("sort_keys_only", _W(keys_only))
+        run("sort_perm_only", _W(perm_only))
     if which in ("p3pack_it", "p3pack_fb1024", "p3pack_itfb",
                  "p3pack_itfbw"):
         # candidate production combinations from the session-13 budget:
