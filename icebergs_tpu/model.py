@@ -367,6 +367,7 @@ def make_persistent_multi_step(grid: Grid, cfg: IcebergsConfig,
                                fused_window: int = 288,
                                fused_fallback_cap: int = 8192,
                                fused_fallback_strip_width: int = 64,
+                               fused_fallback_mode: str = "full",
                                fused_interpret: bool = False):
     """Persistent-sorted-layout coupling step, scanned ``n_inner`` times.
 
@@ -440,6 +441,7 @@ def make_persistent_multi_step(grid: Grid, cfg: IcebergsConfig,
                     fallback_cap=fused_fallback_cap,
                     fallback_strip_width=fused_fallback_strip_width,
                     presorted=True, cell_starts=cell_starts,
+                    fallback_mode=fused_fallback_mode,
                     interpret=fused_interpret)
             else:
                 ia_fn, fstats = make_ia_fn_fused(

@@ -515,6 +515,7 @@ def make_ia_fn_fused3(st, grid, cfg: IcebergsConfig, *,
                       deterministic: bool = True,
                       pt_via_sort_payloads: bool = True,
                       presorted: bool = False, cell_starts=None,
+                      fallback_mode: str = "full",
                       interpret: bool = False):
     """Fused interactive-force closure via the extraction kernel.
 
@@ -561,14 +562,26 @@ def make_ia_fn_fused3(st, grid, cfg: IcebergsConfig, *,
 
     def ia_fn(u1, v1):
         bn = _forces.eval_pair_ia_T(pd_n, cfg, u0_fix, v0_fix, u1, v1)
-        bf = _forces.eval_pair_ia(pd_f, cfg, u0_fix[sel_f],
-                                  v0_fix[sel_f], u1[sel_f], v1[sel_f])
-
-        def fold(x, f):
-            tab = jnp.concatenate(
-                [jnp.where(vrow_f, f, 0.), jnp.zeros((1,), f.dtype)])
-            return x + tab[code_f]
-        total = IA(*(fold(x, f) for x, f in zip(bn, bf)))
+        if fallback_mode == "off":
+            # MEASUREMENT ONLY: >=3-partner rows get ZERO interactive
+            # force (drops physics); isolates the fallback group's cost
+            total = IA(*bn)
+        else:
+            bf = _forces.eval_pair_ia(pd_f, cfg, u0_fix[sel_f],
+                                      v0_fix[sel_f], u1[sel_f],
+                                      v1[sel_f])
+            if fallback_mode == "build_only":
+                # MEASUREMENT ONLY: keep the fallback build + eval live
+                # but skip the per-field rank-table FOLD gathers
+                eps = 1e-38 * (bf[0][:1].sum() + bf[1][:1].sum())
+                total = IA(bn[0] + eps, *bn[1:])
+            else:
+                def fold(x, f):
+                    tab = jnp.concatenate(
+                        [jnp.where(vrow_f, f, 0.),
+                         jnp.zeros((1,), f.dtype)])
+                    return x + tab[code_f]
+                total = IA(*(fold(x, f) for x, f in zip(bn, bf)))
         if pd_b is not None:
             bb = _forces.eval_pair_ia_T(pd_b, cfg, u0_fix, v0_fix, u1, v1)
             total = IA(*(x + y for x, y in zip(total, bb)))

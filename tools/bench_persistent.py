@@ -181,6 +181,23 @@ def main():
             _ps.SPREAD_GATHERED = False
             _pi.INTERP_KERNEL = False
             _pi.INTERP_GATHERED = False
+    if which in ("p3pack_fboff", "p3pack_fbbuild"):
+        # fallback decomposition (MEASUREMENT ONLY, physics dropped for
+        # >=3-partner rows): off = no build/eval/fold (XLA DCEs the
+        # whole group); build = build+eval live, fold gathers skipped
+        from icebergs_tpu.ops import sorted as _srt
+        _spread.SLOT_SUM_METHOD = "pallas"
+        _srt.SORT_PACKED_PERMUTE = True
+        try:
+            run(which, make_persistent_multi_step(
+                grid, cfg, INNER, with_stats=True, with_thermo=True,
+                neighbor_mode="fused3", fused_block_n=BN,
+                fused_window=W, contact_cap=131072,
+                fused_fallback_cap=4096,
+                fused_fallback_mode=("off" if which == "p3pack_fboff"
+                                     else "build_only")))
+        finally:
+            _srt.SORT_PACKED_PERMUTE = False
     if which == "sortparts":
         # decompose the 74.6 ms re-sort (session-13 sortprobe): the
         # 4-operand key sort alone, and the packed-permute transport
