@@ -575,12 +575,27 @@ def make_ia_fn_fused3(st, grid, cfg: IcebergsConfig, *,
                 # but skip the per-field rank-table FOLD gathers
                 eps = 1e-38 * (bf[0][:1].sum() + bf[1][:1].sum())
                 total = IA(bn[0] + eps, *bn[1:])
-            else:
+            elif fallback_mode == "gather_fold":
+                # the round-3 rank-table fold: one (N,) gather per IA
+                # field per eval — measured ~89 ms/step at 1M (16
+                # gathers); kept for A/B only
                 def fold(x, f):
                     tab = jnp.concatenate(
                         [jnp.where(vrow_f, f, 0.),
                          jnp.zeros((1,), f.dtype)])
                     return x + tab[code_f]
+                total = IA(*(fold(x, f) for x, f in zip(bn, bf)))
+            else:
+                # scatter-add the ``fallback_cap`` compact rows back:
+                # sel_f rows are UNIQUE, so x[sel] + f is the identical
+                # single add the rank-table gather performed — bitwise
+                # equal — at the cost of one tiny (cap-row) scatter per
+                # field instead of a full (N,) gather
+                tgt = jnp.where(vrow_f, sel_f, st.capacity)
+
+                def fold(x, f):
+                    return x.at[tgt].add(jnp.where(vrow_f, f, 0.),
+                                         mode='drop')
                 total = IA(*(fold(x, f) for x, f in zip(bn, bf)))
         if pd_b is not None:
             bb = _forces.eval_pair_ia_T(pd_b, cfg, u0_fix, v0_fix, u1, v1)

@@ -181,6 +181,30 @@ def main():
             _ps.SPREAD_GATHERED = False
             _pi.INTERP_KERNEL = False
             _pi.INTERP_GATHERED = False
+    if which in ("p3tab", "p3pack_gfold"):
+        # p3tab: the round-4 candidate production mode — persistent
+        # packed-permute re-sort + single-gather TABLE interp +
+        # fallback cap 1024 + window 160 + scatter fold.
+        # p3pack_gfold: baseline p3pack with the old rank-table gather
+        # fold (A/B for the scatter fold, which is now the default).
+        from icebergs_tpu.ops import sorted as _srt
+        from icebergs_tpu.ops import pallas_interp as _pi
+        _spread.SLOT_SUM_METHOD = "pallas"
+        _srt.SORT_PACKED_PERMUTE = True
+        if which == "p3tab":
+            _pi.INTERP_TABLE = True
+            kw = dict(fused_window=160, fused_fallback_cap=1024)
+        else:
+            kw = dict(fused_window=W, fused_fallback_cap=4096,
+                      fused_fallback_mode="gather_fold")
+        try:
+            run(which, make_persistent_multi_step(
+                grid, cfg, INNER, with_stats=True, with_thermo=True,
+                neighbor_mode="fused3", fused_block_n=BN,
+                contact_cap=131072, **kw))
+        finally:
+            _srt.SORT_PACKED_PERMUTE = False
+            _pi.INTERP_TABLE = False
     if which in ("p3pack_fboff", "p3pack_fbbuild"):
         # fallback decomposition (MEASUREMENT ONLY, physics dropped for
         # >=3-partner rows): off = no build/eval/fold (XLA DCEs the
