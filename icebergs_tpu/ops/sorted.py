@@ -131,9 +131,37 @@ def sort_state_by_cell(st, grid: Grid, *, id_tiebreak: bool = True,
         remapped = jnp.where(bidx >= 0, inv[jnp.maximum(bidx, 0)], -1)
         new = new.replace(bond_idx=remapped.astype(jnp.int32))
 
-    cell_starts = jnp.searchsorted(sorted_key,
-                                   jnp.arange(ncells + 1, dtype=key.dtype))
-    return new, cell_starts.astype(jnp.int32)
+    cell_starts = starts_from_sorted_key(sorted_key, ncells)
+    return new, cell_starts
+
+
+# cell_starts construction: False = jnp.searchsorted (262k binary
+# searches over the 1M sorted keys); True = scatter-min of boundary
+# rows + reverse cummin.  Both exact (searchsorted-left semantics);
+# flip per TPU A/B.
+STARTS_VIA_SCATTER = False
+
+
+def starts_from_sorted_key(sorted_key, ncells: int):
+    """``searchsorted(sorted_key, arange(ncells+1))``, selectable
+    implementation (STARTS_VIA_SCATTER).  The scatter form writes each
+    present key's FIRST row into its slot and reverse-cummins absent
+    keys to the next present start — the exact searchsorted-left
+    value."""
+    if not STARTS_VIA_SCATTER:
+        return jnp.searchsorted(
+            sorted_key, jnp.arange(ncells + 1, dtype=sorted_key.dtype)
+        ).astype(jnp.int32)
+    N = sorted_key.shape[0]
+    first = jnp.concatenate([
+        jnp.ones((1,), bool),
+        sorted_key[1:] != sorted_key[:-1]])
+    idx = jnp.arange(N, dtype=jnp.int32)
+    tgt = jnp.where(first, sorted_key.astype(jnp.int32), ncells + 1)
+    starts = jnp.full((ncells + 2,), N, jnp.int32).at[tgt].min(
+        idx, mode='drop')
+    starts = jax.lax.cummin(starts[:ncells + 1], reverse=True)
+    return starts
 
 
 def uniform_state_fields(cfg: IcebergsConfig):

@@ -392,6 +392,8 @@ def main():
                    p3pack_nointerp=dict(with_interp=False))
         try:
             if which == "sortprobe":
+                _srt.STARTS_VIA_SCATTER = (
+                    os.environ.get("KID_STARTS_SCATTER", "0") == "1")
                 # standalone scanned re-sort (the only phase a
                 # leave-one-out can't isolate: skipping it would
                 # degrade the layout and so the downstream workload)
