@@ -87,7 +87,7 @@ def bench_1m_contacts():
     from icebergs_tpu.ops import pallas_prepass as _pp
     from icebergs_tpu.ops import pallas_spread as _ps
     from icebergs_tpu.ops import pallas_interp as _pi
-    mode = os.environ.get("KID_BENCH_CONTACT_MODE", "p3pack")
+    mode = os.environ.get("KID_BENCH_CONTACT_MODE", "p3tab")
     BN = int(os.environ.get("KID_BENCH_BN", 128))
     W = int(os.environ.get("KID_BENCH_W", 288))
     # gathered-window extraction kernel in every fused3 mode (module
@@ -95,14 +95,17 @@ def bench_1m_contacts():
     # 9.6 ms vs 25.1 ms manual at bn128_w288); KID_BENCH_GATHERED=0
     # restores the manual-DMA kernel for A/B
     force_gathered = os.environ.get("KID_BENCH_GATHERED", "1") == "1"
-    chain = [mode] + [m for m in ("p3pack", "p3gpack", "fused3p", "fused3",
-                                  "fused", "sorted") if m != mode]
+    chain = [mode] + [m for m in ("p3tab", "p3pack", "p3gpack", "fused3p",
+                                  "fused3", "fused", "sorted")
+                      if m != mode]
     # persistent sorted slab variants; p3pack = persistent + the
     # packed-permute re-sort backend (key-only 4-operand sort + packed
     # u32 row gathers: compiles in ~100 s where the ~50-operand variadic
-    # payload sort wedged the remote compiler for >40 min, and measured
-    # 428-436 ms/step vs fused3p's 555 at 1M)
-    PERSISTENT = ("p3", "p3g", "p3k", "p3pack", "p3gpack")
+    # payload sort wedged the remote compiler for >40 min).  p3tab =
+    # p3pack + the round-4 session-13..15 levers: single-gather TABLE
+    # interp, fallback cap 1024 (+ the bench's grow-on-dropped retry),
+    # window 160, scatter fold (427 -> ~242 ms/step at 1M same-window)
+    PERSISTENT = ("p3", "p3g", "p3k", "p3pack", "p3gpack", "p3tab")
     multi = out = None
     # The tunneled axon client has NO RPC timeout: a tunnel blip during
     # a long remote compile wedges the call forever (observed on every
@@ -137,9 +140,12 @@ def bench_1m_contacts():
 
     from icebergs_tpu.ops import sorted as _srt
     for m in chain:
-        fb = 16384 if m in ("fused", "sorted") else 4096
+        fb = (16384 if m in ("fused", "sorted")
+              else 1024 if m == "p3tab" else 4096)
+        W_m = 160 if m == "p3tab" else W
         try:
-            _srt.SORT_PACKED_PERMUTE = m in ("p3pack", "p3gpack")
+            _srt.SORT_PACKED_PERMUTE = m in ("p3pack", "p3gpack",
+                                             "p3tab")
             _spread.SLOT_SUM_METHOD = (
                 "pallas" if m in ("fused3p",) + PERSISTENT else "scatter")
             _pp.EXTRACT_PIPELINED = m == "p3k"
@@ -148,6 +154,7 @@ def bench_1m_contacts():
             _ps.SPREAD_GATHERED = m in ("p3g", "p3gpack")
             _pi.INTERP_GATHERED = m in ("p3g", "p3gpack")
             _pi.INTERP_KERNEL = m in ("p3k", "p3g", "p3gpack")
+            _pi.INTERP_TABLE = m == "p3tab"
             factory = make_persistent_multi_step if m in PERSISTENT \
                 else make_multi_step
             kw = ({"neighbor_mode": "fused3"}
@@ -155,7 +162,7 @@ def bench_1m_contacts():
                   else {"neighbor_mode": m})
             multi = factory(
                 grid, cfg, INNER, with_stats=True, with_thermo=True,
-                fused_block_n=BN, fused_window=W,
+                fused_block_n=BN, fused_window=W_m,
                 contact_cap=131072, fused_fallback_cap=fb, **kw)
             out = _run_abandonable(lambda mu=multi: mu(st, frc),
                                    compile_timeout)   # warmup/compile
@@ -174,7 +181,7 @@ def bench_1m_contacts():
                           'sys').stderr)
                 multi = factory(
                     grid, cfg, INNER, with_stats=True, with_thermo=True,
-                    fused_block_n=BN, fused_window=W,
+                    fused_block_n=BN, fused_window=W_m,
                     contact_cap=131072, fused_fallback_cap=fb, **kw)
                 out = _run_abandonable(lambda mu=multi: mu(st, frc),
                                        compile_timeout)

@@ -570,6 +570,12 @@ def make_ia_fn_fused3(st, grid, cfg: IcebergsConfig, *,
             bf = _forces.eval_pair_ia(pd_f, cfg, u0_fix[sel_f],
                                       v0_fix[sel_f], u1[sel_f],
                                       v1[sel_f])
+            # pin the fallback eval's rounding: its consumers (scatter
+            # vs rank-table) otherwise move XLA's fusion boundary and
+            # shift bf by ~1 ulp — and fallback MEMBERSHIP is
+            # layout-dependent (bad blocks follow tile geometry), so an
+            # unpinned wobble breaks cross-layout bitwise invariance
+            bf = jax.lax.optimization_barrier(bf)
             if fallback_mode == "build_only":
                 # MEASUREMENT ONLY: keep the fallback build + eval live
                 # but skip the per-field rank-table FOLD gathers
@@ -586,16 +592,21 @@ def make_ia_fn_fused3(st, grid, cfg: IcebergsConfig, *,
                     return x + tab[code_f]
                 total = IA(*(fold(x, f) for x, f in zip(bn, bf)))
             else:
-                # scatter-add the ``fallback_cap`` compact rows back:
-                # sel_f rows are UNIQUE, so x[sel] + f is the identical
-                # single add the rank-table gather performed — bitwise
-                # equal — at the cost of one tiny (cap-row) scatter per
-                # field instead of a full (N,) gather
+                # scatter the ``fallback_cap`` compact rows into a
+                # ZEROS delta, then add elementwise: one tiny (cap-row)
+                # scatter per field instead of a full (N,) rank-table
+                # gather (the gathers measured ~89 ms/step at 1M,
+                # session-14c).  The final ``x + delta`` keeps the same
+                # elementwise fusion shape as the gather fold on every
+                # device layout — scattering INTO x directly moved the
+                # fusion boundary and broke the 1-vs-4-device bitwise
+                # invariance (test_chksum_invariant_interactive_fused3)
                 tgt = jnp.where(vrow_f, sel_f, st.capacity)
 
                 def fold(x, f):
-                    return x.at[tgt].add(jnp.where(vrow_f, f, 0.),
-                                         mode='drop')
+                    delta = jnp.zeros_like(x).at[tgt].add(
+                        jnp.where(vrow_f, f, 0.), mode='drop')
+                    return x + delta
                 total = IA(*(fold(x, f) for x, f in zip(bn, bf)))
         if pd_b is not None:
             bb = _forces.eval_pair_ia_T(pd_b, cfg, u0_fix, v0_fix, u1, v1)
