@@ -315,6 +315,28 @@ def _fallback_group(st, bad_o, order, key_s, cell_starts, grid, cfg, *,
     return pd_f, sel_f, vrow_f, code_f, stats
 
 
+def _scatter_fold(sel_f, vrow_f, capacity):
+    """Fold a compact fallback-group result back into full-length IA
+    fields: scatter into a ZEROS delta + elementwise add — one tiny
+    (cap-row) scatter per field instead of a full (N,) rank-table
+    gather (the gathers measured ~5-6 ms each at 1M bergs on v5e;
+    16 of them made the old fold ~89 ms/step).  The ``x + delta`` add
+    keeps the gather fold's elementwise fusion shape (incl. its x+0.0
+    normalization) on every device layout.
+
+    Callers must pin the compact eval with ``optimization_barrier``
+    first: fallback membership follows tile geometry (bad blocks), so
+    an unpinned fusion wobble in the eval breaks cross-layout bitwise
+    invariance."""
+    tgt = jnp.where(vrow_f, sel_f, capacity)
+
+    def fold(x, f):
+        delta = jnp.zeros_like(x).at[tgt].add(
+            jnp.where(vrow_f, f, 0.), mode='drop')
+        return x + delta
+    return fold
+
+
 _TAKE_FIELDS = ("lon_old", "lat_old", "fl_k", "uvel_old", "vvel_old",
                 "thickness", "length", "width", "mass")
 
@@ -372,15 +394,13 @@ def make_ia_fn_fused2(st, grid, cfg: IcebergsConfig, *,
 
     u0_fix, v0_fix = st.uvel, st.vvel
 
+    fold = _scatter_fold(sel_f, vrow_f, st.capacity)
+
     def ia_fn(u1, v1):
         bn = _forces.eval_pair_ia_T(pd_n, cfg, u0_fix, v0_fix, u1, v1)
         bf = _forces.eval_pair_ia(pd_f, cfg, u0_fix[sel_f],
                                   v0_fix[sel_f], u1[sel_f], v1[sel_f])
-
-        def fold(x, f):
-            tab = jnp.concatenate(
-                [jnp.where(vrow_f, f, 0.), jnp.zeros((1,), f.dtype)])
-            return x + tab[code_f]
+        bf = jax.lax.optimization_barrier(bf)
         total = IA(*(fold(x, f) for x, f in zip(bn, bf)))
         if pd_b is not None:
             bb = _forces.eval_pair_ia_T(pd_b, cfg, u0_fix, v0_fix, u1, v1)
@@ -592,21 +612,10 @@ def make_ia_fn_fused3(st, grid, cfg: IcebergsConfig, *,
                     return x + tab[code_f]
                 total = IA(*(fold(x, f) for x, f in zip(bn, bf)))
             else:
-                # scatter the ``fallback_cap`` compact rows into a
-                # ZEROS delta, then add elementwise: one tiny (cap-row)
-                # scatter per field instead of a full (N,) rank-table
-                # gather (the gathers measured ~89 ms/step at 1M,
-                # session-14c).  The final ``x + delta`` keeps the same
-                # elementwise fusion shape as the gather fold on every
-                # device layout — scattering INTO x directly moved the
-                # fusion boundary and broke the 1-vs-4-device bitwise
-                # invariance (test_chksum_invariant_interactive_fused3)
-                tgt = jnp.where(vrow_f, sel_f, st.capacity)
-
-                def fold(x, f):
-                    delta = jnp.zeros_like(x).at[tgt].add(
-                        jnp.where(vrow_f, f, 0.), mode='drop')
-                    return x + delta
+                # production fold: see _scatter_fold (zeros-delta
+                # scatter + elementwise add; ~89 ms/step of rank-table
+                # gathers removed, session-14c)
+                fold = _scatter_fold(sel_f, vrow_f, st.capacity)
                 total = IA(*(fold(x, f) for x, f in zip(bn, bf)))
         if pd_b is not None:
             bb = _forces.eval_pair_ia_T(pd_b, cfg, u0_fix, v0_fix, u1, v1)
@@ -649,6 +658,7 @@ def make_ia_fn_fused_mts1(st, grid, cfg: IcebergsConfig, *,
         interpret=interpret)
 
     u0_fix, v0_fix = st.uvel, st.vvel
+    fold = _scatter_fold(sel_f, vrow_f, st.capacity)
 
     def refresh(s):
         pdn = _forces.refresh_pair_velocities(pd_n, s)
@@ -659,11 +669,7 @@ def make_ia_fn_fused_mts1(st, grid, cfg: IcebergsConfig, *,
             bf = _forces.eval_pair_ia(pdf, cfg, u0_fix[sel_f],
                                       v0_fix[sel_f], u1[sel_f],
                                       v1[sel_f])
-
-            def fold(x, f):
-                tab = jnp.concatenate(
-                    [jnp.where(vrow_f, f, 0.), jnp.zeros((1,), f.dtype)])
-                return x + tab[code_f]
+            bf = jax.lax.optimization_barrier(bf)
             return IA(*(fold(x, f) for x, f in zip(bn, bf)))
 
         return ia_fn

@@ -144,13 +144,21 @@ def main(sub_steps=60, inner=2, reps=2, vmem=True, block_n=1024):
           flush=True)
 
     # fallback chain mirrors bench.py's headline: if a Pallas kernel is
-    # rejected by this backend's toolchain, degrade (vmem -> scan,
-    # fused Part-1 -> tables) rather than losing the metric
-    attempts = [dict(mts_neighbor_mode="fused", **vmem_kw),
+    # rejected by this backend's toolchain, degrade (pallas spread ->
+    # scatter, vmem -> scan, fused Part-1 -> tables) rather than losing
+    # the metric.  The pallas segment-sum spreading replaced the
+    # round-2 slot scatters in the pair-contact headline (426 -> 86 ms
+    # at 1M) but the DEM bench had never been switched over.
+    from icebergs_tpu.ops import spread as _spread
+    attempts = [dict(mts_neighbor_mode="fused", spread="pallas",
+                     **vmem_kw),
+                dict(mts_neighbor_mode="fused", **vmem_kw),
                 dict(mts_neighbor_mode="fused"),
                 dict(mts_neighbor_mode="tables")]
     multi = s = None
     for kw in attempts:
+        kw = dict(kw)
+        _spread.SLOT_SUM_METHOD = kw.pop("spread", "scatter")
         try:
             multi = make_multi_step(grid, cfg, inner, with_thermo=True,
                                     **kw)
