@@ -108,6 +108,7 @@ def step_dynamics(st: BergState, grid: Grid, frc, cfg: IcebergsConfig,
 
 def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
               with_interactions: Optional[bool] = None,
+              with_spread: bool = True,
               with_calving: bool = False, jit: bool = True,
               max_per_cell: int = 16, neighbor_mode: str = "buckets",
               neighbor_window: str = "full",
@@ -264,7 +265,20 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
         # 6. spread mass + gridded fields (+ thermo's deferred melt
         # columns in the SAME slot-sum pass when reproducible)
         with jax.named_scope("kid_diagnostics"):
-            if with_thermo and defer and melt_diags.deferred_cols:
+            if not with_spread:
+                # MEASUREMENT ONLY (leave-one-out probes): coupler
+                # fields zeroed, deferred melt columns dropped
+                shp = (grid.nx + 2, grid.ny + 2)
+                z = jnp.zeros(shp, st.lon.dtype)
+                sp = SimpleNamespace(
+                    spread_mass=z, spread_area=z, spread_uvel=z,
+                    spread_vvel=z, ustar_iceberg=z, mass_on_ocean=z,
+                    u_iceberg=None, v_iceberg=None, mass=None,
+                    virtual_area=None, bergy_mass=None,
+                    fl_bits_mass=None, fl_bergy_bits_mass=None)
+                if melt_diags is not None:
+                    melt_diags = melt_diags._replace(deferred_cols=None)
+            elif with_thermo and defer and melt_diags.deferred_cols:
                 sp, melt_fields = _spread.create_gridded_icebergs_fields(
                     st, grid, frc, cfg, sort_ctx=sort_ctx,
                     extra_cell_cols=melt_diags.deferred_cols,

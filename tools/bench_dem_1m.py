@@ -156,12 +156,17 @@ def main(sub_steps=60, inner=2, reps=2, vmem=True, block_n=1024):
                 dict(mts_neighbor_mode="fused"),
                 dict(mts_neighbor_mode="tables")]
     multi = s = None
+    # leave-one-out probes (KID_DEM_PROBE=nospread|nothermo):
+    # measurement-only phase ablations for the outer-step budget
+    probe = os.environ.get("KID_DEM_PROBE", "")
+    probe_kw = dict(with_spread=False) if probe == "nospread" else {}
     for kw in attempts:
         kw = dict(kw)
         _spread.SLOT_SUM_METHOD = kw.pop("spread", "scatter")
         try:
-            multi = make_multi_step(grid, cfg, inner, with_thermo=True,
-                                    **kw)
+            multi = make_multi_step(grid, cfg, inner,
+                                    with_thermo=probe != "nothermo",
+                                    **probe_kw, **kw)
             s = multi(st, frc)
             _ = np.asarray(s.lon[:1].ravel())
             break
