@@ -193,7 +193,9 @@ def main():
         _srt.SORT_PACKED_PERMUTE = True
         if which == "p3tab":
             _pi.INTERP_TABLE = True
-            kw = dict(fused_window=160, fused_fallback_cap=1024)
+            kw = dict(fused_window=int(os.environ.get("KID_P3TAB_W",
+                                                      160)),
+                      fused_fallback_cap=1024)
         else:
             kw = dict(fused_window=W, fused_fallback_cap=4096,
                       fused_fallback_mode="gather_fold")
