@@ -182,12 +182,36 @@ def main(sub_steps=60, inner=2, reps=2, vmem=True, block_n=1024):
         s = multi(s, frc)
         _ = np.asarray(s.lon[:1].ravel())
     dt_wall = (time.perf_counter() - t0) / (reps * inner)
-    esps = n * sub_steps / dt_wall
+
+    # identity-scan dispatch floor with the identical call/sync shape
+    # (the tunneled runtime's per-dispatch cycle drifts 0.1-3.5 s
+    # between windows; at inner=2 an unsubtracted floor inflates the
+    # outer-step time by floor/2 — same honesty fix as bench.py)
+    import jax.numpy as jnp
+
+    @jax.jit
+    def null_multi(state):
+        def body(c, _):
+            return c.replace(uvel=c.uvel + 1e-30), None
+        o, _ = jax.lax.scan(body, state, None, length=inner)
+        return o
+
+    ns = null_multi(s)
+    _ = np.asarray(ns.lon[:1].ravel())
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        ns = null_multi(ns)
+        _ = np.asarray(ns.lon[:1].ravel())
+    floor = (time.perf_counter() - t0) / (reps * inner)
+    dt_dev = max(dt_wall - floor, 0.2 * dt_wall)
+    esps = n * sub_steps / dt_dev
     out = {
         "metric": "dem_1m_element_substeps_per_sec",
         "value": round(esps, 1),
         "unit": "element-substeps/s/chip",
-        "s_per_outer_step": round(dt_wall, 4),
+        "s_per_outer_step": round(dt_dev, 4),
+        "raw_s_per_outer_step": round(dt_wall, 4),
+        "dispatch_floor_s": round(floor, 4),
         "elements": n,
         "substeps": sub_steps,
     }
