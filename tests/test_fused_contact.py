@@ -232,8 +232,16 @@ def _state_by_id(st):
 
 
 def test_persistent_layout_matches_per_step_fused():
-    """make_persistent_multi_step == make_multi_step(fused) bitwise per
-    berg id (interactions + thermo + melt death over several steps)."""
+    """make_persistent_multi_step == make_multi_step(fused) per berg id
+    (interactions + thermo + melt death over several steps).
+
+    Equality is bitwise EXCEPT on exact-fallback rows: the two step
+    graphs surround the fallback eval with different consumers, and
+    since the scatter fold (round 4) the optimization barrier pins its
+    rounding only WITHIN each graph — across two different step
+    implementations the fallback rows may differ by ~1 ulp.  The
+    reference contract (parallel_reprod: same implementation, any
+    layout, bitwise) is asserted in tests/test_parallel.py."""
     import icebergs_tpu.model as model
     cfg, grid, st = _world(300, seed=11, cluster=True)
     frc = ibt.uniform_forcing(16, 16, uo=0.1, vo=0.05, ua=4.0,
@@ -249,7 +257,11 @@ def test_persistent_layout_matches_per_step_fused():
     assert int(ov_r) == 0 and int(ov_p) == 0
     a, b = _state_by_id(st_ref), _state_by_id(st_per)
     for f, va in a.items():
-        np.testing.assert_array_equal(va, b[f], err_msg=f)
+        if va.dtype.kind == "f":
+            np.testing.assert_allclose(va, b[f], rtol=5e-7, atol=1e-12,
+                                       err_msg=f)
+        else:
+            np.testing.assert_array_equal(va, b[f], err_msg=f)
 
 
 def test_persistent_fused3_pallas_matches_per_step():
