@@ -196,13 +196,16 @@ def main(sub_steps=60, inner=2, reps=2, vmem=True, block_n=1024):
         o, _ = jax.lax.scan(body, state, None, length=inner)
         return o
 
-    ns = null_multi(s)
-    _ = np.asarray(ns.lon[:1].ravel())
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        ns = null_multi(ns)
+    try:
+        ns = null_multi(s)
         _ = np.asarray(ns.lon[:1].ravel())
-    floor = (time.perf_counter() - t0) / (reps * inner)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            ns = null_multi(ns)
+            _ = np.asarray(ns.lon[:1].ravel())
+        floor = (time.perf_counter() - t0) / (reps * inner)
+    except Exception:               # never lose the metric to the probe
+        floor = 0.0
     dt_dev = max(dt_wall - floor, 0.2 * dt_wall)
     esps = n * sub_steps / dt_dev
     out = {
