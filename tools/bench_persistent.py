@@ -297,6 +297,26 @@ def main():
             s, _ = jax.lax.scan(body, s, None, length=INNER)
             return s, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)
 
+        @jax.jit
+        def gather_only(s):
+            # the pure (N, 128-lane) u32 row gather, packed ONCE
+            # outside the loop: transport - gather = pack/unpack cost
+            cols128 = []
+            for nm in ("lon", "lat", "uvel", "vvel"):
+                cols128 += [jax.lax.bitcast_convert_type(
+                    getattr(s, nm), jnp.uint32)] * 32
+            P0 = stack_cols(cols128[:128])
+
+            def body(c, _):
+                P = c
+                P = jnp.take(P, perm, axis=0)
+                return P, None
+            P, _ = jax.lax.scan(body, P0, None, length=INNER)
+            s = s.replace(uvel=s.uvel
+                          + 1e-38 * jax.lax.bitcast_convert_type(
+                              P[:1, 0], jnp.float32))
+            return s, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)
+
         class _W:
             def __init__(self, f):
                 self.f = f
@@ -305,6 +325,7 @@ def main():
                 return self.f(s if not isinstance(s, tuple) else s[0])
         run("sort_keys_only", _W(keys_only))
         run("sort_perm_only", _W(perm_only))
+        run("sort_gather_only", _W(gather_only))
     if which in ("p3pack_it", "p3pack_fb1024", "p3pack_itfb",
                  "p3pack_itfbw"):
         # candidate production combinations from the session-13 budget:
