@@ -181,7 +181,7 @@ def main():
             _ps.SPREAD_GATHERED = False
             _pi.INTERP_KERNEL = False
             _pi.INTERP_GATHERED = False
-    if which in ("p3tab", "p3pack_gfold"):
+    if which in ("p3tab", "p3tabk", "p3pack_gfold"):
         # p3tab: the round-4 candidate production mode — persistent
         # packed-permute re-sort + single-gather TABLE interp +
         # fallback cap 1024 + window 160 + scatter fold.
@@ -189,10 +189,12 @@ def main():
         # fold (A/B for the scatter fold, which is now the default).
         from icebergs_tpu.ops import sorted as _srt
         from icebergs_tpu.ops import pallas_interp as _pi
+        from icebergs_tpu.ops import pallas_pack as _pk
         _spread.SLOT_SUM_METHOD = "pallas"
         _srt.SORT_PACKED_PERMUTE = True
-        if which == "p3tab":
+        if which in ("p3tab", "p3tabk"):
             _pi.INTERP_TABLE = True
+            _pk.PACK_KERNEL = which == "p3tabk"
             kw = dict(fused_window=int(os.environ.get("KID_P3TAB_W",
                                                       160)),
                       fused_fallback_cap=1024)
@@ -207,6 +209,7 @@ def main():
         finally:
             _srt.SORT_PACKED_PERMUTE = False
             _pi.INTERP_TABLE = False
+            _pk.PACK_KERNEL = False
     if which in ("p3pack_fboff", "p3pack_fbbuild"):
         # fallback decomposition (MEASUREMENT ONLY, physics dropped for
         # >=3-partner rows): off = no build/eval/fold (XLA DCEs the
@@ -323,9 +326,60 @@ def main():
 
             def __call__(self, s, frc):
                 return self.f(s if not isinstance(s, tuple) else s[0])
+        @jax.jit
+        def perm_pad128(s):
+            # full transport, but the pack pads the COLUMN LIST to 128
+            # with zero columns before the transpose: probes whether
+            # XLA's (128, N) -> (N, 128) full-width transpose avoids
+            # the pathological 49->128 padded relayout (the pure gather
+            # is 6.8 ms; pack/unpack was ~45 of the 51.7 ms transport)
+            names = [f.name for f in dataclasses.fields(s)
+                     if hasattr(getattr(s, f.name), "ndim")
+                     and f.name not in uni]
+
+            def body(c, _):
+                s = c
+                e = jnp.sum(s.uvel[:8]) * 1e-38
+                s = s.replace(uvel=s.uvel + e)
+                lanes = []
+                cols = []
+                for nm in names:
+                    leaf = getattr(s, nm)
+                    sub = ([(None, leaf)] if leaf.ndim == 1 else
+                           [(b, leaf[:, b])
+                            for b in range(leaf.shape[1])])
+                    for b, col in sub:
+                        if col.dtype == jnp.bool_:
+                            lanes.append(col.astype(jnp.uint32))
+                        else:
+                            lanes.append(jax.lax.bitcast_convert_type(
+                                col, jnp.uint32))
+                        cols.append((nm, b, col.dtype))
+                z = jnp.zeros_like(lanes[0])
+                lanes128 = lanes + [z] * (128 - len(lanes))
+                Nn = lanes[0].shape[0]
+                P = jnp.concatenate(lanes128, axis=0).reshape(128, Nn).T
+                S = jnp.take(P, perm, axis=0)
+                new = {}
+                packs = {}
+                for k, (nm, b, dt) in enumerate(cols):
+                    col = S[:, k]
+                    col = (col > 0) if dt == jnp.bool_ else \
+                        jax.lax.bitcast_convert_type(col, dt)
+                    if b is None:
+                        new[nm] = col
+                    else:
+                        packs.setdefault(nm, {})[b] = col
+                for nm, cm in packs.items():
+                    new[nm] = stack_cols([cm[b] for b in range(len(cm))])
+                return s.replace(**new), None
+            s, _ = jax.lax.scan(body, s, None, length=INNER)
+            return s, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)
+
         run("sort_keys_only", _W(keys_only))
         run("sort_perm_only", _W(perm_only))
         run("sort_gather_only", _W(gather_only))
+        run("sort_perm_pad128", _W(perm_pad128))
     if which in ("p3pack_it", "p3pack_fb1024", "p3pack_itfb",
                  "p3pack_itfbw"):
         # candidate production combinations from the session-13 budget:
