@@ -87,7 +87,7 @@ def bench_1m_contacts():
     from icebergs_tpu.ops import pallas_prepass as _pp
     from icebergs_tpu.ops import pallas_spread as _ps
     from icebergs_tpu.ops import pallas_interp as _pi
-    mode = os.environ.get("KID_BENCH_CONTACT_MODE", "p3tab")
+    mode = os.environ.get("KID_BENCH_CONTACT_MODE", "p3tabk")
     BN = int(os.environ.get("KID_BENCH_BN", 128))
     W = int(os.environ.get("KID_BENCH_W", 288))
     # gathered-window extraction kernel in every fused3 mode (module
@@ -95,8 +95,8 @@ def bench_1m_contacts():
     # 9.6 ms vs 25.1 ms manual at bn128_w288); KID_BENCH_GATHERED=0
     # restores the manual-DMA kernel for A/B
     force_gathered = os.environ.get("KID_BENCH_GATHERED", "1") == "1"
-    chain = [mode] + [m for m in ("p3tab", "p3pack", "p3gpack", "fused3p",
-                                  "fused3", "fused", "sorted")
+    chain = [mode] + [m for m in ("p3tabk", "p3tab", "p3pack", "p3gpack",
+                                  "fused3p", "fused3", "fused", "sorted")
                       if m != mode]
     # persistent sorted slab variants; p3pack = persistent + the
     # packed-permute re-sort backend (key-only 4-operand sort + packed
@@ -104,8 +104,11 @@ def bench_1m_contacts():
     # payload sort wedged the remote compiler for >40 min).  p3tab =
     # p3pack + the round-4 session-13..15 levers: single-gather TABLE
     # interp, fallback cap 1024 (+ the bench's grow-on-dropped retry),
-    # window 160, scatter fold (427 -> ~242 ms/step at 1M same-window)
-    PERSISTENT = ("p3", "p3g", "p3k", "p3pack", "p3gpack", "p3tab")
+    # window 160, scatter fold.  p3tabk = p3tab + the Pallas
+    # block-transpose pack/unpack around the permute gather
+    # (427 -> 194 ms/step at 1M across the round's same-window A/Bs)
+    PERSISTENT = ("p3", "p3g", "p3k", "p3pack", "p3gpack", "p3tab",
+                  "p3tabk")
     multi = out = None
     # The tunneled axon client has NO RPC timeout: a tunnel blip during
     # a long remote compile wedges the call forever (observed on every
@@ -139,13 +142,15 @@ def bench_1m_contacts():
         return box["v"]
 
     from icebergs_tpu.ops import sorted as _srt
+    from icebergs_tpu.ops import pallas_pack as _pk
     for m in chain:
         fb = (16384 if m in ("fused", "sorted")
-              else 1024 if m == "p3tab" else 4096)
-        W_m = 160 if m == "p3tab" else W
+              else 1024 if m in ("p3tab", "p3tabk") else 4096)
+        W_m = 160 if m in ("p3tab", "p3tabk") else W
         try:
             _srt.SORT_PACKED_PERMUTE = m in ("p3pack", "p3gpack",
-                                             "p3tab")
+                                             "p3tab", "p3tabk")
+            _pk.PACK_KERNEL = m == "p3tabk"
             _spread.SLOT_SUM_METHOD = (
                 "pallas" if m in ("fused3p",) + PERSISTENT else "scatter")
             _pp.EXTRACT_PIPELINED = m == "p3k"
@@ -154,7 +159,7 @@ def bench_1m_contacts():
             _ps.SPREAD_GATHERED = m in ("p3g", "p3gpack")
             _pi.INTERP_GATHERED = m in ("p3g", "p3gpack")
             _pi.INTERP_KERNEL = m in ("p3k", "p3g", "p3gpack")
-            _pi.INTERP_TABLE = m == "p3tab"
+            _pi.INTERP_TABLE = m in ("p3tab", "p3tabk")
             factory = make_persistent_multi_step if m in PERSISTENT \
                 else make_multi_step
             kw = ({"neighbor_mode": "fused3"}
