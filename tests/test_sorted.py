@@ -146,3 +146,48 @@ def test_packed_permute_sort_bitwise():
         np.testing.assert_array_equal(
             np.asarray(va), np.asarray(getattr(b, f.name)),
             err_msg=f.name)
+
+
+def test_pack_kernel_permute_bitwise():
+    import dataclasses
+    """pallas_pack.PACK_KERNEL (block-transpose pack/unpack around the
+    permute gather) is pure u32 transport: the sorted state must be
+    BITWISE identical to the stack_cols path, bond tables included."""
+    from icebergs_tpu.ops import sorted as srt
+    from icebergs_tpu.ops import pallas_pack as pk
+    from icebergs_tpu.ops import forces
+    cfg, grid, frc, st = make_world()
+    st = forces.initialize_bonds_host(
+        st, cfg.replace(length_for_manually_initialize_bonds=1500.,
+                        iceberg_bonds_on=True))
+    srt.SORT_PACKED_PERMUTE = True
+    try:
+        a, sa = sort_state_by_cell(st, grid)
+        pk.PACK_KERNEL = True
+        b, sb = sort_state_by_cell(st, grid)
+    finally:
+        srt.SORT_PACKED_PERMUTE = False
+        pk.PACK_KERNEL = False
+    np.testing.assert_array_equal(np.asarray(sa), np.asarray(sb))
+    for f in dataclasses.fields(st):
+        va = getattr(a, f.name)
+        if not hasattr(va, "shape"):
+            continue
+        np.testing.assert_array_equal(
+            np.asarray(va), np.asarray(getattr(b, f.name)),
+            err_msg=f.name)
+
+
+def test_pack_kernel_roundtrip_fuzz():
+    """pack_rows_to_lanes / unpack_lanes_to_rows u32 round trip across
+    shapes (incl. non-multiple-of-8 row counts and odd N)."""
+    from icebergs_tpu.ops import pallas_pack as pk
+    rng = np.random.RandomState(0)
+    for C, N in ((49, 3000), (7, 130), (128, 1024), (1, 515), (64, 8)):
+        R = jnp.asarray(rng.randint(0, 2 ** 32, (C, N), dtype=np.uint32))
+        P = pk.pack_rows_to_lanes(R)
+        assert P.shape == (N, 128)
+        assert np.array_equal(np.asarray(P)[:, :C], np.asarray(R).T)
+        assert (np.asarray(P)[:, C:] == 0).all()
+        R2 = pk.unpack_lanes_to_rows(P, C)
+        np.testing.assert_array_equal(np.asarray(R2), np.asarray(R))
