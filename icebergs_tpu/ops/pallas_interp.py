@@ -381,14 +381,29 @@ def interp_to_bergs_table(st, grid: Grid, frc, cfg: IcebergsConfig):
     """
     assert cfg.coastal_drift == 0. and cfg.tidal_drift == 0.
     assert not cfg.mts
+    from . import pallas_pack as _pk
     ncells = grid.nx * grid.ny
     key = jnp.where(st.alive, st.jne * grid.nx + st.ine,
                     ncells).astype(jnp.int32)
     tbl = interp_cell_table(grid, frc, cfg)           # (S_NROWS, ncells)
-    tblT = jnp.concatenate(
-        [tbl, jnp.zeros((S_NROWS, 1), tbl.dtype)], axis=1).T
-    rows = tblT[key]                                  # (N, S_NROWS)
-    out = _env_rows_from_slots(lambda s: rows[:, s], st.xi, st.yj, cfg)
+    tbl = jnp.concatenate(
+        [tbl, jnp.zeros((S_NROWS, 1), tbl.dtype)], axis=1)
+    if _pk.PACK_KERNEL:
+        # same trick as the re-sort transport: the row gather itself is
+        # cheap, but XLA's (N, 56->128-lane-padded) result layout and
+        # per-column slicing are not — transpose via the Pallas block
+        # kernels and hand the env math contiguous (N,) rows.  u32
+        # transport, bitwise.
+        P = _pk.pack_rows_to_lanes(
+            jax.lax.bitcast_convert_type(tbl, jnp.uint32))
+        S = jnp.take(P, key, axis=0)                  # (N, 128) u32
+        rows56 = jax.lax.bitcast_convert_type(
+            _pk.unpack_lanes_to_rows(S, S_NROWS), tbl.dtype)
+        read = lambda s: rows56[s]
+    else:
+        rows = tbl.T[key]                             # (N, S_NROWS)
+        read = lambda s: rows[:, s]
+    out = _env_rows_from_slots(read, st.xi, st.yj, cfg)
     m25_pre = (out[13].astype(jnp.int32)
                + out[14].astype(jnp.int32) * 8192)
     st = st.replace(uo=out[0], vo=out[1], ui=out[2], vi=out[3],
