@@ -173,3 +173,24 @@ def test_interp_kernel_window_overflow_falls_back():
     out, m25 = pi.interp_to_bergs_sorted(st, grid, frc, cfg, cell_window=1,
                                          interpret=True)
     _assert_env_matches(ref, out, np.asarray(st.alive))
+
+
+def test_interp_table_pack_kernel_bitwise():
+    """interp_to_bergs_table under pallas_pack.PACK_KERNEL (packed
+    gather + block-transpose unpack) is bitwise equal to the plain
+    table path on alive rows."""
+    from icebergs_tpu.ops import pallas_pack as pk
+    st, grid, frc, cfg = _setup()
+    a, m25a = pi.interp_to_bergs_table(st, grid, frc, cfg)
+    pk.PACK_KERNEL = True
+    try:
+        b, m25b = pi.interp_to_bergs_table(st, grid, frc, cfg)
+    finally:
+        pk.PACK_KERNEL = False
+    alive = np.asarray(st.alive)
+    for f in ENV_FIELDS:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, f))[alive],
+            np.asarray(getattr(b, f))[alive], err_msg=f)
+    assert np.array_equal(np.asarray(m25a)[alive],
+                          np.asarray(m25b)[alive])
