@@ -197,7 +197,8 @@ def main():
             _pk.PACK_KERNEL = which == "p3tabk"
             kw = dict(fused_window=int(os.environ.get("KID_P3TAB_W",
                                                       160)),
-                      fused_fallback_cap=1024)
+                      fused_fallback_cap=int(os.environ.get(
+                          "KID_P3TAB_FB", 1024)))
         else:
             kw = dict(fused_window=W, fused_fallback_cap=4096,
                       fused_fallback_mode="gather_fold")
