@@ -135,10 +135,17 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
     from .ops import thermo as _thermo
     from .ops import spread as _spread
     from .ops import forces as _forces
+    from .ops import pallas_interp as _pinterp
 
     interactive = (cfg.interactive_icebergs_on
                    if with_interactions is None else with_interactions)
     nbr_radius = _forces.neighbor_radius(grid, cfg) if interactive else 1
+    # single-gather TABLE interp (opt-in via pallas_interp.INTERP_TABLE;
+    # MTS configs read ocean depth through the table's 25 quad-od rows)
+    use_interp_table = (
+        _pinterp.INTERP_TABLE and cfg.grid_is_regular
+        and cfg.coastal_drift == 0. and cfg.tidal_drift == 0.
+        and not (cfg.mts and cfg.A68_test))
 
     def step(st: BergState, frc, stored_ice=None, fl_key=None,
              current_year=0, current_yearday=0.):
@@ -156,8 +163,13 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
                 st, cell_starts = sort_state_by_cell(st, grid)
 
         # 1. interpolate fields to bergs
+        m25_pre = None
         with jax.named_scope("kid_interface"):
-            st = interp_to_bergs(st, grid, frc, cfg)
+            if use_interp_table:
+                st, m25_pre = _pinterp.interp_to_bergs_table(
+                    st, grid, frc, cfg)
+            else:
+                st = interp_to_bergs(st, grid, frc, cfg)
 
         # 2. dynamics (MTS dispatch mirrors icebergs_run 5426-5441)
         fstats = None
@@ -209,7 +221,8 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
                         ia_fn = _forces.make_ia_fn(st, nbr, cfg,
                                                    use_pallas=use_pallas,
                                                    contact_cap=contact_cap)
-                out = evolve_icebergs(st, grid, frc, cfg, ia_fn=ia_fn)
+                out = evolve_icebergs(st, grid, frc, cfg, ia_fn=ia_fn,
+                                      m25_pre=m25_pre)
                 st = out.state
 
         # 3b. footloose calving (icebergs_run steps 10-12,

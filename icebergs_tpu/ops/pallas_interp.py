@@ -69,7 +69,8 @@ S_M25L, S_M25H = 51, 52
 S_NROWS = 56          # padded to a sublane-tile multiple
 
 
-def interp_cell_table(grid: Grid, frc, cfg: IcebergsConfig):
+def interp_cell_table(grid: Grid, frc, cfg: IcebergsConfig,
+                      with_quad_od: bool = False):
     """(S_NROWS, ncells) per-cell slot table, interior cell-key order
     (key = jne*nx + ine).
 
@@ -77,6 +78,14 @@ def interp_cell_table(grid: Grid, frc, cfg: IcebergsConfig):
     computes from per-cell reads only (ddx/ddy) for a berg in that cell;
     the arithmetic is elementwise, so hoisting it from per-berg to
     per-cell is bitwise-neutral.
+
+    ``with_quad_od`` appends 25 rows: the 5x5 neighborhood of
+    ``ocean_depth + ssh`` (padded-array offsets -2..+2 around the cell)
+    that the MTS quadratic depth read (`quad_interp_from_agrid`)
+    touches — the node window starts at ``is_lo - i in {-2..0}`` and
+    spans 3 nodes, so every read lands in this neighborhood.  Used by
+    the TABLE interp path for MTS configs (rows 56..80; the Pallas
+    kernels keep the 56-row layout).
     """
     nx, ny = grid.nx, grid.ny
 
@@ -167,6 +176,15 @@ def interp_cell_table(grid: Grid, frc, cfg: IcebergsConfig):
 
     z = jnp.zeros_like(rows[0])
     rows = [z if r is None else r for r in rows]
+    if with_quad_od:
+        fldq = jnp.pad(grid.ocean_depth + frc.ssh, 2, mode='edge')
+        for dy in (-2, -1, 0, 1, 2):
+            for dx in (-2, -1, 0, 1, 2):
+                # padded-array read fld[(i+1)+dx, (j+1)+dy] per interior
+                # cell (i, j); the extra edge ring covers offsets the
+                # node-window clamp never selects
+                rows.append(fldq[3 + dx:3 + dx + nx,
+                                 3 + dy:3 + dy + ny].T.reshape(-1))
     return jnp.stack([r.astype(jnp.float32) for r in rows], axis=0)
 
 
@@ -363,6 +381,57 @@ def interp_sorted(tbl, key_s, xi, yj, grid: Grid, cfg: IcebergsConfig, *,
     return out, bad_row
 
 
+S_QOD = 56            # 25 quad-od rows when with_quad_od (56..80)
+
+
+def _quad_od_from_rows(read, key, xi, yj, grid: Grid,
+                       cfg: IcebergsConfig, dtype):
+    """MTS quadratic depth read from the 25-row od neighborhood.
+
+    Reproduces ``quad_interp_from_agrid`` (regular-grid path,
+    icebergs_framework.F90:7168-7255) with the local coordinate derived
+    from ``i + xi`` instead of the berg's stored lon/lat — equal in
+    exact arithmetic; differs by O(ulp(lon)/dlon) in f32 (the stored
+    coordinate carries km-scale magnitudes), so parity with the XLA
+    path is tolerance-level, not bitwise."""
+    nx, ny = grid.nx, grid.ny
+    i = key % nx
+    j = key // nx
+    mind = 0 if cfg.rev_mind else 1
+    par_i = (i + 1) % 2
+    par_j = (j + 1) % 2
+    is_lo = jnp.where(par_i == mind, jnp.where(xi >= 0.5, i, i - 2),
+                      i - 1)
+    js_lo = jnp.where(par_j == mind, jnp.where(yj >= 0.5, j, j - 2),
+                      j - 1)
+    is_lo = jnp.clip(is_lo, -1, nx - 2)
+    js_lo = jnp.clip(js_lo, -1, ny - 2)
+    dxo = is_lo - i                      # node-window start, in {-2..0}
+    dyo = js_lo - j
+
+    xloc = (i - is_lo).astype(dtype) + xi - 1.5
+    yloc = (j - js_lo).astype(dtype) + yj - 1.5
+    xb = (0.5 * xloc * (xloc - 1.), (1. + xloc) * (1. - xloc),
+          0.5 * xloc * (xloc + 1.))
+    yb = (0.5 * yloc * (yloc - 1.), (1. + yloc) * (1. - yloc),
+          0.5 * yloc * (yloc + 1.))
+
+    def coeff(basis, d, o):
+        # weight of neighborhood offset o: basis index a with d + a == o
+        c = jnp.zeros_like(basis[0])
+        for a in range(3):
+            c = c + jnp.where(d == o - a, basis[a], 0.)
+        return c
+
+    cx = [coeff(xb, dxo, o) for o in (-2, -1, 0, 1, 2)]
+    cy = [coeff(yb, dyo, o) for o in (-2, -1, 0, 1, 2)]
+    out = jnp.zeros_like(xi)
+    for oy in range(5):
+        for ox in range(5):
+            out = out + cx[ox] * cy[oy] * read(S_QOD + oy * 5 + ox)
+    return out
+
+
 def interp_to_bergs_table(st, grid: Grid, frc, cfg: IcebergsConfig):
     """Single-gather interface phase: the per-cell slot table
     (:func:`interp_cell_table`) is transposed to (ncells+1, 64 lanes)
@@ -380,14 +449,18 @@ def interp_to_bergs_table(st, grid: Grid, frc, cfg: IcebergsConfig):
     :func:`interp_to_bergs_sorted`.
     """
     assert cfg.coastal_drift == 0. and cfg.tidal_drift == 0.
-    assert not cfg.mts
+    # MTS configs read ocean depth through the quadratic A-grid stencil
+    # instead of the PCM row — served by 25 extra table rows (the
+    # A68_test analytic branch keeps the XLA path)
+    mts_quad = cfg.mts
+    assert not (cfg.mts and cfg.A68_test)
     from . import pallas_pack as _pk
     ncells = grid.nx * grid.ny
     key = jnp.where(st.alive, st.jne * grid.nx + st.ine,
                     ncells).astype(jnp.int32)
-    tbl = interp_cell_table(grid, frc, cfg)           # (S_NROWS, ncells)
+    tbl = interp_cell_table(grid, frc, cfg, with_quad_od=mts_quad)
     tbl = jnp.concatenate(
-        [tbl, jnp.zeros((S_NROWS, 1), tbl.dtype)], axis=1)
+        [tbl, jnp.zeros((tbl.shape[0], 1), tbl.dtype)], axis=1)
     if _pk.PACK_KERNEL:
         # same trick as the re-sort transport: the row gather itself is
         # cheap, but XLA's (N, 56->128-lane-padded) result layout and
@@ -397,19 +470,23 @@ def interp_to_bergs_table(st, grid: Grid, frc, cfg: IcebergsConfig):
         P = _pk.pack_rows_to_lanes(
             jax.lax.bitcast_convert_type(tbl, jnp.uint32))
         S = jnp.take(P, key, axis=0)                  # (N, 128) u32
-        rows56 = jax.lax.bitcast_convert_type(
-            _pk.unpack_lanes_to_rows(S, S_NROWS), tbl.dtype)
-        read = lambda s: rows56[s]
+        rowsC = jax.lax.bitcast_convert_type(
+            _pk.unpack_lanes_to_rows(S, tbl.shape[0]), tbl.dtype)
+        read = lambda s: rowsC[s]
     else:
-        rows = tbl.T[key]                             # (N, S_NROWS)
+        rows = tbl.T[key]                             # (N, NR)
         read = lambda s: rows[:, s]
     out = _env_rows_from_slots(read, st.xi, st.yj, cfg)
+    od = out[12]
+    if mts_quad:
+        od = _quad_od_from_rows(read, key, st.xi, st.yj, grid, cfg,
+                                st.lon.dtype)
     m25_pre = (out[13].astype(jnp.int32)
                + out[14].astype(jnp.int32) * 8192)
     st = st.replace(uo=out[0], vo=out[1], ui=out[2], vi=out[3],
                     ua=out[4], va=out[5], ssh_x=out[6], ssh_y=out[7],
                     sst=out[8], sss=out[9], cn=out[10], hi=out[11],
-                    od=out[12])
+                    od=od)
     return st, m25_pre
 
 

@@ -194,3 +194,47 @@ def test_interp_table_pack_kernel_bitwise():
             np.asarray(getattr(b, f))[alive], err_msg=f)
     assert np.array_equal(np.asarray(m25a)[alive],
                           np.asarray(m25b)[alive])
+
+
+def test_interp_table_mts_quad_od():
+    """MTS configs read ocean depth through the table's 25 quad-od rows:
+    env fields bitwise vs interp_flds; od within the documented
+    lon-derivation ulp (the table derives the local coordinate from
+    i + xi instead of the stored lon)."""
+    import icebergs_tpu as ibt
+    from icebergs_tpu.model import interp_to_bergs
+    cfg = ibt.IcebergsConfig(
+        grid_is_latlon=False, Lx=-1.0, use_f_plane=True, lat_ref=-55.0,
+        dt=600.0, mts=True, mts_sub_steps=10, explicit_inner_mts=True,
+        dem=True, interactive_icebergs_on=True,
+        iceberg_bonds_on=True).normalized(warn=False)
+    nx, ny, dxy = 48, 40, 7000.0
+    grid = ibt.make_uniform_grid(nx, ny, 0., 0., dxy, dxy,
+                                 grid_is_latlon=False)
+    rng = np.random.RandomState(0)
+    depth = 200. + 150. * np.sin(np.linspace(0, 5, nx + 2))[:, None] \
+        * np.cos(np.linspace(0, 4, ny + 2))[None, :]
+    grid = grid.replace(ocean_depth=jnp.asarray(depth, jnp.float32))
+    frc = ibt.uniform_forcing(nx, ny, uo=0.3, vo=0.1, ua=5.0, sst=-2.0,
+                              sss=34.0)
+    ssh = 0.5 * np.sin(np.linspace(0, 6, nx + 2))[:, None] \
+        * np.cos(np.linspace(0, 5, ny + 2))[None, :]
+    frc = frc.replace(ssh=jnp.asarray(ssh, jnp.float32))
+    st = ibt.create_bergs(4000, lon=rng.uniform(2 * dxy, (nx - 2) * dxy,
+                                                4000),
+                          lat=rng.uniform(2 * dxy, (ny - 2) * dxy, 4000),
+                          mass=850. * 200 * 3000 * 3000, thickness=200.,
+                          width=3000., length=3000., mass_scaling=1.0)
+    i, j, xi, yj = pos_to_cell(grid, st.lon, st.lat, -1.0)
+    st = st.replace(ine=i, jne=j, xi=xi, yj=yj)
+    ref = interp_to_bergs(st, grid, frc, cfg)
+    out, _ = pi.interp_to_bergs_table(st, grid, frc, cfg)
+    alive = np.asarray(st.alive)
+    for f in ("uo", "vo", "ui", "vi", "ua", "va", "ssh_x", "ssh_y",
+              "sst", "sss", "cn", "hi"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ref, f))[alive],
+            np.asarray(getattr(out, f))[alive], err_msg=f)
+    a = np.asarray(ref.od)[alive]
+    b = np.asarray(out.od)[alive]
+    np.testing.assert_allclose(a, b, rtol=2e-6, atol=1e-3)
