@@ -178,8 +178,8 @@ def prepare_forcing(grid: Grid, cfg: IcebergsConfig, frc: Forcing,
 def run_coupling_sequence(cfg: IcebergsConfig, grid: Grid, state: ModelState,
                           frc: Forcing, calving, calving_hflx, *,
                           nbr_radius: int, max_per_cell: int = 16,
-                          neighbor_mode: str = "buckets",
-                          fused_interpret: bool = False,
+                          neighbor_mode: str = None,
+                          fused_interpret: bool = None,
                           fused_kw: dict = None):
     """The full icebergs_run coupling sequence (icebergs.F90:5389-5679) as
     a pure function over (grid, cfg): calving buckets -> spawn -> interp ->
@@ -192,6 +192,9 @@ def run_coupling_sequence(cfg: IcebergsConfig, grid: Grid, state: ModelState,
     st = state.bergs
     calv = state.calving
     key = state.key
+    if neighbor_mode is None:
+        neighbor_mode = (cfg.resolved_contact_mode()
+                         if cfg.interactive_icebergs_on else "buckets")
     b0 = compute_budgets(st, calv)
 
     # 2-3. calving buckets -> new bergs
@@ -238,7 +241,8 @@ def run_coupling_sequence(cfg: IcebergsConfig, grid: Grid, state: ModelState,
                 # same kernel defaults as model.make_step so a config
                 # validated there behaves identically through this
                 # entry point; fused_kw overrides
-                kw = dict(block_n=128, window=288, fallback_cap=8192,
+                kw = dict(block_n=128, window=cfg.fused_window,
+                          fallback_cap=cfg.fused_fallback_cap,
                           fallback_strip_width=64)
                 kw.update(fused_kw or {})
                 ia_fn, fstats = mk(st, grid, cfg,
@@ -247,7 +251,10 @@ def run_coupling_sequence(cfg: IcebergsConfig, grid: Grid, state: ModelState,
                 # cell+id sorted slab: layout-invariant pair sums
                 from .ops.sorted import (sort_state_by_cell,
                                          strip_neighbor_tables)
-                st, cell_starts = sort_state_by_cell(st, grid)
+                st, cell_starts = sort_state_by_cell(
+                    st, grid, packed_permute=cfg.sort_packed_permute,
+                    pack_kernel=cfg.pack_kernel,
+                    starts_via_scatter=cfg.starts_via_scatter)
                 nbr = strip_neighbor_tables(st, grid, cfg, cell_starts,
                                             ncells_radius=nbr_radius)
             else:
@@ -276,7 +283,10 @@ def run_coupling_sequence(cfg: IcebergsConfig, grid: Grid, state: ModelState,
                 # sorted strips are layout-invariant
                 from .ops.sorted import (sort_state_by_cell,
                                          strip_neighbor_tables)
-                st, cs2 = sort_state_by_cell(st, grid)
+                st, cs2 = sort_state_by_cell(
+                    st, grid, packed_permute=cfg.sort_packed_permute,
+                    pack_kernel=cfg.pack_kernel,
+                    starts_via_scatter=cfg.starts_via_scatter)
                 nbr2 = strip_neighbor_tables(st, grid, cfg, cs2,
                                              ncells_radius=nbr_radius)
             else:
@@ -368,8 +378,8 @@ class IcebergsModel:
 
     def __init__(self, grid: Grid, cfg: IcebergsConfig, *,
                  max_per_cell: int = 16, jit: bool = True,
-                 neighbor_mode: str = "buckets",
-                 fused_interpret: bool = False, fused_kw: dict = None):
+                 neighbor_mode: str = None,
+                 fused_interpret: bool = None, fused_kw: dict = None):
         self.grid = grid
         self.cfg = cfg
         self.max_per_cell = max_per_cell

@@ -236,6 +236,44 @@ class IcebergsConfig:
     generate_test_icebergs: bool = False
     orig_read: bool = False
 
+    # --- TPU fast-lane backends (framework knobs; NOT reference namelist) ----
+    # Production defaults = the round-4 winning "p3tabk" bench
+    # configuration, promoted to the model/driver default (round-5,
+    # VERDICT r4 #3).  Every switch selects among BITWISE-equivalent
+    # implementations of the same reduction trees — changing them never
+    # changes results, only speed.  Step factories fall back down the
+    # chain automatically if a Pallas kernel fails to compile on the
+    # current backend (model.make_step / driver).
+    contact_mode: str = "auto"       # auto|fused3|fused|sorted|buckets:
+    #   "auto" -> the fused3 extraction-kernel search when the config is
+    #   eligible (legacy contact dispatch, interactions on, not MTS),
+    #   else the bucket-table search
+    sort_packed_permute: bool = True  # re-sort transport: key-only
+    #   4-operand sort + packed u32 row gathers (vs ~50-operand
+    #   variadic payload sort)
+    pack_kernel: bool = True         # Pallas block-transpose pack/unpack
+    #   around packed row gathers (XLA's padded-minor relayout runs at
+    #   ~20 GB/s; the kernels move the same bits at streaming bandwidth)
+    interp_mode: str = "table"       # table|kernel|xla: "table" = ONE
+    #   packed (N, <=128-lane) row gather of a per-cell slot table +
+    #   identical per-berg math (regular grids; falls back to "xla"
+    #   when the config is ineligible)
+    interp_gathered: bool = False    # "kernel" sub-switch (gathered
+    #   window materialization)
+    slot_sum_method: str = "pallas"  # spreading/melt slot-sum backend:
+    #   pallas|scatter|scatter_t|gather|gather_raw|gather_mm ("pallas" =
+    #   payload sort + MXU segment-sum kernel; non-eligible configs use
+    #   "scatter")
+    extract_impl: str = "gathered"   # contact extraction kernel window
+    #   feed: gathered|manual|pipelined
+    spread_impl: str = "manual"      # pallas spread kernel window feed:
+    #   manual|gathered|pipelined
+    starts_via_scatter: bool = False  # cell_starts: searchsorted vs
+    #   scatter-min + reverse cummin (measured a wash on v5e)
+    fused_window: int = 160          # extraction-kernel window rows
+    fused_fallback_cap: int = 1024   # exact-fallback compaction cap
+    #   (growable: driver/bench grow on overflow evidence and re-run)
+
     # --- debugging -----------------------------------------------------------------------------------
     debug: bool = False
     really_debug: bool = False
@@ -283,6 +321,29 @@ class IcebergsConfig:
     def n_max_bonds_shape(self) -> float:
         """Max bonds by packing shape: 6 hexagonal, 4 square."""
         return 6.0 if self.hexagonal_icebergs else 4.0
+
+    @property
+    def legacy_contact_dispatch(self) -> bool:
+        """True when the contact force uses the legacy all-pairs spring
+        (no MTS / contact_distance / separate contact spring) — the
+        regime the fused extraction-kernel search covers."""
+        return not (self.mts or self.contact_distance > 0.0
+                    or self.contact_spring_coef_eff != self.spring_coef)
+
+    @property
+    def slot_sum_method_eff(self) -> str:
+        """slot_sum_method with "pallas" mapped to its non-kernel
+        fallback for call sites below the kernel dispatch level."""
+        m = self.slot_sum_method
+        return "scatter" if m == "pallas" else m
+
+    def resolved_contact_mode(self) -> str:
+        """Map ``contact_mode="auto"`` to a concrete neighbor mode."""
+        if self.contact_mode != "auto":
+            return self.contact_mode
+        if self.interactive_icebergs_on and self.legacy_contact_dispatch:
+            return "fused3"
+        return "buckets"
 
     def replace(self, **kw) -> "IcebergsConfig":
         return dataclasses.replace(self, **kw)

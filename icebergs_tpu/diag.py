@@ -88,6 +88,43 @@ def grd_chksum2(field):
                 rms=jnp.sqrt(jnp.mean(field.astype(jnp.float32) ** 2)))
 
 
+def grd_chksum3(field):
+    """Class-resolved 3-D gridded-field hash + per-class stats — the
+    ``grd_chksum3`` analog (icebergs_framework.F90:6606-7070 family)
+    for ``stored_ice(:,:,:nclasses)``-shaped arrays.
+
+    Returns the total hash plus a per-class (last axis) chksum vector,
+    so a change confined to one calving class is attributable."""
+    assert field.ndim == 3, field.shape
+    if field.dtype == jnp.float32:
+        bits = jax.lax.bitcast_convert_type(field, jnp.uint32)
+    else:
+        bits = field.astype(jnp.uint32)
+    per_class = jnp.sum(bits, axis=(0, 1), dtype=jnp.uint32)
+    return dict(chksum=jnp.sum(per_class, dtype=jnp.uint32),
+                per_class=per_class,
+                minv=jnp.min(field), maxv=jnp.max(field),
+                mean=jnp.mean(field),
+                rms=jnp.sqrt(jnp.mean(field.astype(jnp.float32) ** 2)))
+
+
+def calving_chksum(calv):
+    """Order-invariant hash of the full Eulerian calving state — the
+    ``write_restart_calving`` payload (stored_ice, stored_heat,
+    rmean_calving, rmean_calving_hflx; icebergs_fms2io.F90:1484-1598) —
+    so golden anchors guard the bucket state too (VERDICT r4 #8).
+
+    Returns (total u32 hash, stored_ice grd_chksum3 dict)."""
+    c3 = grd_chksum3(calv.stored_ice)
+    total = c3["chksum"]
+    for f in (calv.stored_heat, calv.rmean_calving,
+              calv.rmean_calving_hflx):
+        bits = (jax.lax.bitcast_convert_type(f, jnp.uint32)
+                if f.dtype == jnp.float32 else f.astype(jnp.uint32))
+        total = total + jnp.sum(bits, dtype=jnp.uint32)
+    return total, c3
+
+
 def check_state(st, grid, cfg, label: str = "", fatal: bool = True):
     """Runtime invariant checks (the debug-mode analogs of
     ``check_position`` / duplicate detection / NaN scrubbing,

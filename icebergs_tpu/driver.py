@@ -269,12 +269,15 @@ def run(nml_path: str, input_dir: str = ".", output_dir: str = ".",
         mts_pair_cap = auto_pair_cap(st, nbr0, cfg)
         if verbose:
             print(f"KID-TPU driver: auto mts_pair_cap={mts_pair_cap}")
-    def _build_step(pair_cap):
+    fused_fb_cap = cfg.fused_fallback_cap
+
+    def _build_step(pair_cap, fb_cap):
         return model.make_step(grid, cfg, with_thermo=True,
                                neighbor_window=neighbor_window,
-                               mts_pair_cap=pair_cap, **vmem_kw)
+                               mts_pair_cap=pair_cap,
+                               fused_fallback_cap=fb_cap, **vmem_kw)
 
-    step = _build_step(mts_pair_cap)
+    step = _build_step(mts_pair_cap, fused_fb_cap)
     buf = tio.init_traj_buffer(st.capacity,
                                nsamples=max(2, nsteps // traj_every + 2),
                                cfg=cfg)
@@ -341,7 +344,27 @@ def run(nml_path: str, input_dir: str = ".", output_dir: str = ".",
             return step(s, frc)
 
         st_prev = st
-        st, diags = _call_step(st)
+        if n == 0:
+            # fast-lane fallback chain (VERDICT r4 #3): if a Pallas
+            # kernel in the production configuration fails to compile
+            # on this backend, rebuild on the plain-XLA slow lane
+            try:
+                st, diags = _call_step(st)
+            except Exception as e:     # pragma: no cover - backend-dep.
+                slow = cfg.replace(contact_mode="buckets",
+                                   interp_mode="xla",
+                                   slot_sum_method="scatter",
+                                   sort_packed_permute=False,
+                                   pack_kernel=False)
+                if slow == cfg:
+                    raise
+                print(f"KID-TPU driver: fast-lane step failed ({e}); "
+                      "falling back to the XLA slow lane", flush=True)
+                cfg = slow
+                step = _build_step(mts_pair_cap, fused_fb_cap)
+                st, diags = _call_step(st)
+        else:
+            st, diags = _call_step(st)
         # increase_ibuffer analog (icebergs_framework.F90:3710-3747):
         # when a spawn found no free slot or the frozen MTS pair list
         # overflowed, grow the exhausted buffer, rebuild the jitted
@@ -353,7 +376,10 @@ def run(nml_path: str, input_dir: str = ".", output_dir: str = ".",
             pair_ov = (int(np.asarray(diags.contact_overflow))
                        if (cfg.mts and mts_pair_cap is not None
                            and diags.contact_overflow is not None) else 0)
-            if fl_ov == 0 and pair_ov == 0:
+            fused_ov = (int(np.asarray(diags.contact_overflow))
+                        if (not cfg.mts
+                            and diags.contact_overflow is not None) else 0)
+            if fl_ov == 0 and pair_ov == 0 and fused_ov == 0:
                 break
             from .state import grow_capacity
             if fl_ov > 0:
@@ -373,7 +399,14 @@ def run(nml_path: str, input_dir: str = ".", output_dir: str = ".",
                 print(f"KID-TPU driver: MTS pair list overflowed at "
                       f"step {n + 1} ({pair_ov} pairs) — growing "
                       f"pair cap to {mts_pair_cap}", flush=True)
-            step = _build_step(mts_pair_cap)
+            if fused_ov > 0:
+                # exact-search contract: dropped candidates grow the
+                # fallback compaction cap and the step re-runs
+                fused_fb_cap = min(4 * fused_fb_cap, st_prev.capacity)
+                print(f"KID-TPU driver: contact fallback cap overran "
+                      f"at step {n + 1} ({fused_ov} dropped) — growing "
+                      f"to {fused_fb_cap}", flush=True)
+            step = _build_step(mts_pair_cap, fused_fb_cap)
             st, diags = _call_step(st_prev)
         if ck:
             ck.end("Icebergs-step", sync=st.lon)

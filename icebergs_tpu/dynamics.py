@@ -127,8 +127,26 @@ def _msk25_table(msk):
     return m25
 
 
+def _msk81_rows(msk):
+    """(9, nx+10, ny+10) int32 rows: row k, bit (dx+4) of cell (p, q) is
+    msk4[p+dx, q+(k-4)] > 0 on a 4-ring zero-padded mask — the 9x9
+    ocean/land neighborhood of an anchor cell as nine 9-bit integers
+    (each < 2^9, exact through an f32 table row).  Covers every offset
+    a 4-iteration walk can reach, so a walk seeded with these rows
+    needs NO mid-walk re-anchor gather."""
+    msk4 = jnp.pad(msk, 4)               # extra rings read as land
+    rows = []
+    for dy in range(-4, 5):
+        r = jnp.zeros(msk4.shape, jnp.int32)
+        for dx in range(-4, 5):
+            nb = jnp.roll(msk4, (-dx, -dy), (0, 1)) > 0.
+            r = r | (nb.astype(jnp.int32) << (dx + 4))
+        rows.append(r)
+    return jnp.stack(rows)
+
+
 def _walk4(grid: Grid, cfg: IcebergsConfig, lon, lat, i, j, fx, fy,
-           m25_tab, m25_pre=None):
+           m25_tab, m25_pre=None, m81_pre=None):
     """The 4-iteration masked land-bounce walk — the bitwise core of
     :func:`adjust_index_and_ground` (icebergs.F90:7941-8057) — on
     whatever row set it is given.  Returns
@@ -136,17 +154,33 @@ def _walk4(grid: Grid, cfg: IcebergsConfig, lon, lat, i, j, fx, fy,
 
     ``m25_pre``: the first anchor's packed mask, precomputed (the
     sorted-frame interp kernel extracts it for free at the same cell) —
-    skips one (N,) table gather; iteration 3's re-anchor still
-    gathers."""
+    skips one (N,) table gather; iteration 3's re-anchor still gathers.
+
+    ``m81_pre``: (9, N) packed 9x9 anchor rows (:func:`_msk81_rows`
+    values at the start cell, extracted for free by the table interp) —
+    the walk then runs GATHER-FREE: the same mask bits come from
+    elementwise row selects instead of the iteration-3 re-anchor
+    gather.  Bitwise-identical walk decisions (same underlying msk
+    cells; offsets never exceed +-4)."""
     dtype = lon.dtype
     bounced = jnp.zeros(lon.shape, bool)
 
-    m25 = m25_tab[i + 3, j + 3] if m25_pre is None else m25_pre
+    use81 = m81_pre is not None
+    if use81:
+        def bit81(oi_off, oj_off):
+            row = jnp.zeros_like(i)
+            for k in range(9):
+                row = jnp.where(oj_off == k - 4, m81_pre[k], row)
+            return ((row >> (oi_off + 4)) & 1) > 0
+        m25 = None
+    else:
+        m25 = m25_tab[i + 3, j + 3] if m25_pre is None else m25_pre
     oi = jnp.zeros_like(i)               # current offset from the anchor
     oj = jnp.zeros_like(j)
 
     for it in range(4):  # icount<4 walk (icebergs.F90:7941)
-        if it == 2:      # re-anchor: offsets would exceed +-2 otherwise
+        if it == 2 and not use81:
+            # re-anchor: offsets would exceed +-2 otherwise
             m25 = m25_tab[i + 3, j + 3]
             oi = jnp.zeros_like(i)
             oj = jnp.zeros_like(j)
@@ -161,7 +195,10 @@ def _walk4(grid: Grid, cfg: IcebergsConfig, lon, lat, i, j, fx, fy,
         ti = jnp.clip(i - move_w.astype(jnp.int32) + move_e.astype(jnp.int32),
                       0, grid.nx - 1)
         dix = ti - i                     # in {-1, 0, 1}
-        ocean_x = ((m25 >> ((oj + 2) * 5 + oi + dix + 2)) & 1) > 0
+        if use81:
+            ocean_x = bit81(oi + dix, oj)
+        else:
+            ocean_x = ((m25 >> ((oj + 2) * 5 + oi + dix + 2)) & 1) > 0
         stepped_x = (~in_cell) & (move_w | move_e)
         b_x = stepped_x & ((~ocean_x) | (ti == i))
         moved_x = stepped_x & ocean_x
@@ -175,7 +212,10 @@ def _walk4(grid: Grid, cfg: IcebergsConfig, lon, lat, i, j, fx, fy,
         tj = jnp.clip(j - move_s.astype(jnp.int32) + move_n.astype(jnp.int32),
                       0, grid.ny - 1)
         djy = tj - j
-        ocean_y = ((m25 >> ((oj + djy + 2) * 5 + oi + 2)) & 1) > 0
+        if use81:
+            ocean_y = bit81(oi, oj + djy)
+        else:
+            ocean_y = ((m25 >> ((oj + djy + 2) * 5 + oi + 2)) & 1) > 0
         stepped_y = (~in_cell) & (move_s | move_n)
         b_y = stepped_y & ((~ocean_y) | (tj == j))
         moved_y = stepped_y & ocean_y
@@ -218,7 +258,7 @@ WALK_COMPACT_CAP_FLOOR = 4096
 
 
 def _walk4_compact(grid: Grid, cfg: IcebergsConfig, lon, lat, i, j,
-                   fx, fy, m25_tab, m25_pre=None):
+                   fx, fy, m25_tab, m25_pre=None, m81_pre=None):
     """Mover-compacted :func:`_walk4`: bitwise identical outputs."""
     import jax
     N = lon.shape[0]
@@ -232,7 +272,8 @@ def _walk4_compact(grid: Grid, cfg: IcebergsConfig, lon, lat, i, j,
     n_mov = jnp.sum(mover.astype(jnp.int32))
 
     def dense(args):
-        return _walk4(grid, cfg, *args, m25_tab, m25_pre=m25_pre)
+        return _walk4(grid, cfg, *args, m25_tab, m25_pre=m25_pre,
+                      m81_pre=m81_pre)
 
     def compact(args):
         lon, lat, i, j, fx, fy = args
@@ -243,7 +284,9 @@ def _walk4_compact(grid: Grid, cfg: IcebergsConfig, lon, lat, i, j,
         sub = _walk4(grid, cfg, lon[sel], lat[sel], i[sel], j[sel],
                      fx[sel], fy[sel], m25_tab,
                      m25_pre=(None if m25_pre is None
-                              else m25_pre[sel]))
+                              else m25_pre[sel]),
+                     m81_pre=(None if m81_pre is None
+                              else m81_pre[:, sel]))
         code = jnp.minimum(jnp.where(granted, rank, cap), cap)
 
         def fold(orig, s):
@@ -280,22 +323,31 @@ def adjust_index_and_ground(grid: Grid, cfg: IcebergsConfig, lon, lat,
     At ``N >= WALK_COMPACT_MIN_N`` the walk runs on the compacted
     movers only (bitwise identical; dense fallback on cap overflow).
 
+    ``m25_pre`` may also be a tuple ``(m25, m81)`` (the table interp's
+    walk-anchor extraction): ``m81`` (9, N) then makes the whole walk
+    gather-free (see :func:`_walk4`).
+
     Returns (lon, lat, i, j, xi, yj, bounced).
     """
     if not cfg.grid_is_regular:
         return adjust_index_and_ground_curvilinear(grid, cfg, lon, lat,
                                                    i, j)
     dtype = lon.dtype
+    m81_pre = None
+    if isinstance(m25_pre, tuple):
+        m25_pre, m81_pre = m25_pre
 
     fx, fy = _frac_coords(grid, cfg, lon, lat)
     m25_tab = _msk25_table(grid.msk)
 
     if lon.ndim == 1 and lon.shape[0] >= WALK_COMPACT_MIN_N:
         lon, lat, i, j, fx, fy, bounced = _walk4_compact(
-            grid, cfg, lon, lat, i, j, fx, fy, m25_tab, m25_pre=m25_pre)
+            grid, cfg, lon, lat, i, j, fx, fy, m25_tab,
+            m25_pre=m25_pre, m81_pre=m81_pre)
     else:
         lon, lat, i, j, fx, fy, bounced = _walk4(
-            grid, cfg, lon, lat, i, j, fx, fy, m25_tab, m25_pre=m25_pre)
+            grid, cfg, lon, lat, i, j, fx, fy, m25_tab,
+            m25_pre=m25_pre, m81_pre=m81_pre)
 
     # final safety clamp (icebergs.F90:8058-8066)
     xi = fx - i.astype(dtype)

@@ -110,7 +110,8 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
               with_interactions: Optional[bool] = None,
               with_spread: bool = True,
               with_calving: bool = False, jit: bool = True,
-              max_per_cell: int = 16, neighbor_mode: str = "buckets",
+              max_per_cell: int = 16,
+              neighbor_mode: Optional[str] = None,
               neighbor_window: str = "full",
               use_pallas: bool = False, contact_cap: Optional[int] = None,
               mts_pair_cap: Optional[int] = None,
@@ -119,10 +120,11 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
               mts_vmem_deltas=None,
               mts_vmem_block_n: int = 512,
               mts_vmem_interpret: bool = False,
-              fused_block_n: int = 128, fused_window: int = 288,
-              fused_fallback_cap: int = 8192,
+              fused_block_n: int = 128,
+              fused_window: Optional[int] = None,
+              fused_fallback_cap: Optional[int] = None,
               fused_fallback_strip_width: int = 64,
-              fused_interpret: bool = False):
+              fused_interpret: bool = None):
     """Build the full jitted coupling step.
 
     Returns ``step(state, forcing[, calving_flux]) -> (state, StepDiags)``.
@@ -139,11 +141,20 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
 
     interactive = (cfg.interactive_icebergs_on
                    if with_interactions is None else with_interactions)
+    # fast-lane resolution from the config (production defaults =
+    # the p3tabk set; see IcebergsConfig's fast-lane section)
+    if neighbor_mode is None:
+        neighbor_mode = cfg.resolved_contact_mode() if interactive \
+            else "buckets"
+    if fused_window is None:
+        fused_window = cfg.fused_window
+    if fused_fallback_cap is None:
+        fused_fallback_cap = cfg.fused_fallback_cap
     nbr_radius = _forces.neighbor_radius(grid, cfg) if interactive else 1
-    # single-gather TABLE interp (opt-in via pallas_interp.INTERP_TABLE;
-    # MTS configs read ocean depth through the table's 25 quad-od rows)
+    # single-gather TABLE interp (cfg.interp_mode == "table"; MTS
+    # configs read ocean depth through the table's 25 quad-od rows)
     use_interp_table = (
-        _pinterp.INTERP_TABLE and cfg.grid_is_regular
+        cfg.interp_mode == "table" and cfg.grid_is_regular
         and cfg.coastal_drift == 0. and cfg.tidal_drift == 0.
         and not (cfg.mts and cfg.A68_test))
 
@@ -160,7 +171,10 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
         if interactive and neighbor_mode == "sorted":
             with jax.named_scope("kid_binning"):
                 from .ops.sorted import sort_state_by_cell
-                st, cell_starts = sort_state_by_cell(st, grid)
+                st, cell_starts = sort_state_by_cell(
+                    st, grid, packed_permute=cfg.sort_packed_permute,
+                    pack_kernel=cfg.pack_kernel,
+                    starts_via_scatter=cfg.starts_via_scatter)
 
         # 1. interpolate fields to bergs
         m25_pre = None
@@ -260,7 +274,7 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
         sort_ctx = None
         key_alive = None
         use_spread_kernel = (cfg.parallel_reprod
-                             and _spread.SLOT_SUM_METHOD == "pallas"
+                             and cfg.slot_sum_method == "pallas"
                              and not cfg.hexagonal_icebergs)
         if cfg.parallel_reprod:
             if use_spread_kernel:
@@ -388,14 +402,14 @@ def make_persistent_multi_step(grid: Grid, cfg: IcebergsConfig,
                                with_interp: bool = True,
                                with_ia: bool = True,
                                with_spread: bool = True,
-                               neighbor_mode: str = "fused",
+                               neighbor_mode: Optional[str] = None,
                                contact_cap: int = 65536,
                                fused_block_n: int = 128,
-                               fused_window: int = 288,
-                               fused_fallback_cap: int = 8192,
+                               fused_window: Optional[int] = None,
+                               fused_fallback_cap: Optional[int] = None,
                                fused_fallback_strip_width: int = 64,
                                fused_fallback_mode: str = "full",
-                               fused_interpret: bool = False):
+                               fused_interpret: bool = None):
     """Persistent-sorted-layout coupling step, scanned ``n_inner`` times.
 
     The particle slab is kept PHYSICALLY sorted by (cell, id) across
@@ -430,13 +444,21 @@ def make_persistent_multi_step(grid: Grid, cfg: IcebergsConfig,
     nx, ny = grid.nx, grid.ny
     ncells = nx * ny
     assert cfg.interactive_icebergs_on and not cfg.mts
+    if neighbor_mode is None:
+        neighbor_mode = cfg.resolved_contact_mode()
+        if neighbor_mode not in ("fused", "fused3"):
+            neighbor_mode = "fused3"
+    if fused_window is None:
+        fused_window = cfg.fused_window
+    if fused_fallback_cap is None:
+        fused_fallback_cap = cfg.fused_fallback_cap
     assert neighbor_mode in ("fused", "fused3")
 
     from .ops import pallas_interp as _pinterp
     _interp_ok = (cfg.grid_is_regular and not cfg.mts
                   and cfg.coastal_drift == 0. and cfg.tidal_drift == 0.)
-    use_interp_kernel = _pinterp.INTERP_KERNEL and _interp_ok
-    use_interp_table = _pinterp.INTERP_TABLE and _interp_ok
+    use_interp_kernel = cfg.interp_mode == "kernel" and _interp_ok
+    use_interp_table = cfg.interp_mode == "table" and _interp_ok
 
     def step(st: BergState, cell_starts, frc):
         m25_pre = None
@@ -485,7 +507,10 @@ def make_persistent_multi_step(grid: Grid, cfg: IcebergsConfig,
         # (row-uniform leaves under this cfg are skipped — identity)
         with jax.named_scope("kid_binning"):
             st, cell_starts = sort_state_by_cell(
-                st, grid, static_fields=_uniform_fields)
+                st, grid, static_fields=_uniform_fields,
+                packed_permute=cfg.sort_packed_permute,
+                pack_kernel=cfg.pack_kernel,
+                starts_via_scatter=cfg.starts_via_scatter)
             key_s = jnp.where(st.alive, st.jne * nx + st.ine,
                               ncells).astype(cell_starts.dtype)
             rank = (jnp.arange(st.capacity, dtype=jnp.int32)
@@ -495,7 +520,7 @@ def make_persistent_multi_step(grid: Grid, cfg: IcebergsConfig,
 
         melt_diags = None
         use_spread_kernel = (cfg.parallel_reprod
-                             and _spread.SLOT_SUM_METHOD == "pallas"
+                             and cfg.slot_sum_method == "pallas"
                              and not cfg.hexagonal_icebergs)
         defer = cfg.parallel_reprod and use_spread_kernel
         if with_thermo:
@@ -547,7 +572,10 @@ def make_persistent_multi_step(grid: Grid, cfg: IcebergsConfig,
     def multi(st: BergState, frc):
         zero = jnp.zeros((), jnp.int32)
         acc0 = jnp.zeros((grid.nx + 2, grid.ny + 2), st.lon.dtype)
-        st, cs = sort_state_by_cell(st, grid)
+        st, cs = sort_state_by_cell(
+            st, grid, packed_permute=cfg.sort_packed_permute,
+            pack_kernel=cfg.pack_kernel,
+            starts_via_scatter=cfg.starts_via_scatter)
 
         def body(carry, _):
             s, cs, ov, fb, acc = carry
@@ -569,10 +597,27 @@ def make_persistent_multi_step(grid: Grid, cfg: IcebergsConfig,
     return multi
 
 
+_PERSISTENT_KW = ("with_thermo", "with_spread", "neighbor_mode",
+                  "contact_cap", "fused_block_n", "fused_window",
+                  "fused_fallback_cap", "fused_fallback_strip_width",
+                  "fused_interpret")
+
+
 def make_multi_step(grid: Grid, cfg: IcebergsConfig, n_inner: int,
-                    with_stats: bool = False, **kw):
+                    with_stats: bool = False,
+                    persistent: Optional[bool] = None, **kw):
     """Jit a scan of ``n_inner`` coupling steps (fixed forcing) — one
     compiled program, no per-step dispatch.
+
+    ``persistent`` (default: auto) routes eligible configurations
+    through :func:`make_persistent_multi_step` — the production fast
+    lane, where ONE (cell, id) re-sort per step serves the contact
+    search, thermo and spreading (the bench's "p3tabk" mode).  Eligible
+    = interactive, non-MTS, non-footloose, fused-search neighbor mode,
+    full thermo+spread, no calving.  Physics is bitwise identical per
+    berg id; only the returned slab ORDER differs (sorted by cell).
+    Pass ``persistent=False`` to force the per-step path (slot order
+    preserved).
 
     ``with_stats=True`` returns ``(state, max_contact_overflow,
     max_contact_fallback)`` accumulated over the scan (0 when the
@@ -587,6 +632,24 @@ def make_multi_step(grid: Grid, cfg: IcebergsConfig, n_inner: int,
     state-only scan silently would (a state-only multi-step measured a
     step WITHOUT the coupler fields — not the reference's step).
     """
+    if persistent is None:
+        nm = kw.get("neighbor_mode")
+        nm = nm if nm is not None else (
+            cfg.resolved_contact_mode()
+            if cfg.interactive_icebergs_on else "buckets")
+        persistent = (
+            cfg.interactive_icebergs_on and not cfg.mts
+            and not cfg.footloose
+            and nm in ("fused", "fused3")
+            and kw.get("with_thermo", True)
+            and kw.get("with_spread", True)
+            and not kw.get("with_calving", False)
+            and kw.get("with_interactions") in (None, True)
+            and all(k in _PERSISTENT_KW for k in kw))
+    if persistent:
+        return make_persistent_multi_step(
+            grid, cfg, n_inner, with_stats,
+            **{k: v for k, v in kw.items() if k in _PERSISTENT_KW})
     step = make_step(grid, cfg, jit=False, **kw)
 
     @jax.jit

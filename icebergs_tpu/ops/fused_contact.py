@@ -415,6 +415,9 @@ def _origin_frame_groups_extract(st, grid, cfg: IcebergsConfig, *,
                                  fallback_strip_width, radius=1,
                                  pt_via_sort_payloads=False,
                                  presorted=False, cell_starts=None,
+                                 exclude_same_group=False,
+                                 use_c_crit_dist=False,
+                                 with_partner_slots=False,
                                  interpret=False):
     """Round-3 search: merged Pallas prepass + in-kernel partner-feature
     extraction (selection matmuls on the MXU).
@@ -426,13 +429,13 @@ def _origin_frame_groups_extract(st, grid, cfg: IcebergsConfig, *,
     anywhere: the feature matrix is a (16, N) transposed stack built
     from per-field sorted gathers (or sort payloads).
     """
-    from . import pallas_prepass as pp
     from .pallas_prepass import (contact_extract_sorted,
                                  contact_extract_sorted_p,
-                                 contact_extract_sorted_g, EX_CNT, EX_F1,
+                                 contact_extract_sorted_g, EX_CNT,
+                                 EX_VMIN, EX_VMAX, EX_F1,
                                  EX_F2, PT_NF, PT_NEVAL, PT_LON, PT_LAT,
                                  PT_U, PT_V, PT_AREA, PT_MASS, PT_RAD,
-                                 PT_ALIVE, PT_KEY, PT_FLK)
+                                 PT_ALIVE, PT_KEY, PT_GRP, PT_FLK)
 
     N = st.capacity
     nx, ny = grid.nx, grid.ny
@@ -448,8 +451,11 @@ def _origin_frame_groups_extract(st, grid, cfg: IcebergsConfig, *,
     # v, AREA, mass; engagement-only rows 8+ = rad, alive, key, fl_k
     feats = [st.lon_old, st.lat_old, st.uvel_old, st.vvel_old, A,
              st.mass, R, alive_f, key.astype(dtype), st.fl_k]
-    slots = (PT_LON, PT_LAT, PT_U, PT_V, PT_AREA, PT_MASS,
-             PT_RAD, PT_ALIVE, PT_KEY, PT_FLK)
+    slots = [PT_LON, PT_LAT, PT_U, PT_V, PT_AREA, PT_MASS,
+             PT_RAD, PT_ALIVE, PT_KEY, PT_FLK]
+    if exclude_same_group:
+        feats.append(st.conglom_id.astype(dtype))
+        slots.append(PT_GRP)
     if presorted:
         # persistent sorted layout: the slab is already physically
         # (cell, id)-ordered (ops/sorted.sort_state_by_cell), so the
@@ -488,43 +494,92 @@ def _origin_frame_groups_extract(st, grid, cfg: IcebergsConfig, *,
         rows[r] = f
     PT = jnp.stack(rows, axis=0)
 
-    extract = (contact_extract_sorted_g if pp.EXTRACT_GATHERED
-               else contact_extract_sorted_p if pp.EXTRACT_PIPELINED
+    extract = (contact_extract_sorted_g if cfg.extract_impl == "gathered"
+               else contact_extract_sorted_p
+               if cfg.extract_impl == "pipelined"
                else contact_extract_sorted)
     out, bad_block = extract(
         PT, key_s, cell_starts, grid, cfg, block_n=block_n,
-        window=window, radius=radius, interpret=interpret)
+        window=window, radius=radius,
+        exclude_same_group=exclude_same_group, interpret=interpret)
 
     cnt_s = out[EX_CNT].astype(jnp.int32)
     alive_s = key_s < ncells
     bad_s = (bad_block | (cnt_s > 2)) & alive_s
-    normal_s = (cnt_s > 0) & ~bad_block & (cnt_s <= 2) & alive_s
 
-    # origin-frame mapping: one (N,) gather per result row — 13 rows
-    # total (cnt/bad/normal + 2 x PT_NEVAL partner features); identity
-    # (zero gathers) when presorted
-    back = (lambda x: x) if inv is None else (lambda x: x[inv])
-    cnt_o = back(cnt_s)
-    bad_o = back(bad_s)
-    normal_o = back(normal_s)
+    p1_s = p2_s = None
+    if with_partner_slots:
+        # min/max engaged SORTED slots -> ORIGIN partner slots (the MTS
+        # convergence loop refreshes partner velocities through them)
+        i1 = jnp.clip(out[EX_VMIN], 0, N - 1).astype(jnp.int32)
+        i2 = jnp.clip(out[EX_VMAX], 0, N - 1).astype(jnp.int32)
+        p1_s = jnp.where(cnt_s >= 1,
+                         i1 if order is None else order[i1], 0)
+        p2_s = jnp.where(cnt_s >= 2,
+                         i2 if order is None else order[i2], 0)
+
+    # origin-frame mapping of the result rows: identity when presorted;
+    # with cfg.pack_kernel ONE packed u32 row gather through the Pallas
+    # block-transpose transport (the 13-16 separate (N,) inverse
+    # gathers measured ~5-6 ms EACH at 1M on v5e); per-row gathers
+    # otherwise
+    frows = [out[EX_F1 + k] for k in range(PT_NEVAL)] \
+        + [out[EX_F2 + k] for k in range(PT_NEVAL)]
+    if inv is None:
+        cnt_o, bad_o = cnt_s, bad_s
+        p1_o, p2_o = p1_s, p2_s
+        frows_o = frows
+    elif cfg.pack_kernel:
+        from . import pallas_pack as _pk
+        u32 = jnp.uint32
+        lanes = [cnt_s.astype(u32), bad_s.astype(u32)]
+        if with_partner_slots:
+            lanes += [p1_s.astype(u32), p2_s.astype(u32)]
+        lanes += [jax.lax.bitcast_convert_type(f, u32) for f in frows]
+        Rm = jnp.concatenate(lanes, axis=0).reshape(len(lanes), N)
+        Sm = jnp.take(_pk.pack_rows_to_lanes(Rm), inv, axis=0)
+        Ro = _pk.unpack_lanes_to_rows(Sm, len(lanes))
+        cnt_o = Ro[0].astype(jnp.int32)
+        bad_o = Ro[1] > 0
+        k0 = 2
+        if with_partner_slots:
+            p1_o = Ro[2].astype(jnp.int32)
+            p2_o = Ro[3].astype(jnp.int32)
+            k0 = 4
+        else:
+            p1_o = p2_o = None
+        frows_o = [jax.lax.bitcast_convert_type(Ro[k0 + k], dtype)
+                   for k in range(len(frows))]
+    else:
+        cnt_o = cnt_s[inv]
+        bad_o = bad_s[inv]
+        p1_o = None if p1_s is None else p1_s[inv]
+        p2_o = None if p2_s is None else p2_s[inv]
+        frows_o = [f[inv] for f in frows]
+
+    # alive in the origin frame IS st.alive (key < ncells <=> alive)
+    normal_o = (cnt_o > 0) & ~bad_o & st.alive
     m_n = jnp.stack([normal_o, normal_o & (cnt_o >= 2)], axis=0)
 
     names = ("lon2", "lat2", "u2", "v2", "A2g", "M2g")
     assert len(names) == PT_NEVAL
     partner_fields = {
-        nm: jnp.stack([back(out[EX_F1 + k]), back(out[EX_F2 + k])],
-                      axis=0)
+        nm: jnp.stack([frows_o[k], frows_o[PT_NEVAL + k]], axis=0)
         for k, nm in enumerate(names)}
+    other_T = (jnp.stack([p1_o, p2_o], axis=0)
+               if with_partner_slots else None)
 
     pd_n = _forces.precompute_pair_data_T(
-        st, cfg, None, m_n, bonded=False, use_c_crit_dist=False,
+        st, cfg, other_T, m_n, bonded=False,
+        use_c_crit_dist=use_c_crit_dist,
         partner_fields=partner_fields)
 
     pd_f, sel_f, vrow_f, code_f, stats = _fallback_group(
         st, bad_o, order, key_s, cell_starts, grid, cfg,
         fallback_cap=fallback_cap,
         fallback_strip_width=fallback_strip_width, radius=radius,
-        exclude_same_group=False, use_c_crit_dist=False)
+        exclude_same_group=exclude_same_group,
+        use_c_crit_dist=use_c_crit_dist)
     return pd_n, pd_f, sel_f, vrow_f, code_f, stats
 
 
@@ -630,6 +685,7 @@ def make_ia_fn_fused_mts1(st, grid, cfg: IcebergsConfig, *,
                           fallback_cap: int = 4096,
                           fallback_strip_width: int = 64,
                           radius: int = None,
+                          use_extract: bool = True,
                           interpret: bool = False):
     """Fused MTS Part-1 cross-conglomerate collision search (sortless).
 
@@ -650,12 +706,28 @@ def make_ia_fn_fused_mts1(st, grid, cfg: IcebergsConfig, *,
     if radius is None:
         radius = _forces.neighbor_radius(grid, cfg)
 
-    pd_n, pd_f, sel_f, vrow_f, code_f, stats = _origin_frame_groups(
-        st, grid, cfg, block_n=block_n, window=window,
-        fallback_cap=fallback_cap,
-        fallback_strip_width=fallback_strip_width, radius=radius,
-        exclude_same_group=True, use_c_crit_dist=False,
-        interpret=interpret)
+    if use_extract:
+        # round-5 port of the headline's extraction search to the MTS
+        # Part-1 group (VERDICT r4 #2): partner features come out of
+        # the kernel (no 9 per-field (2, N) partner gathers), results
+        # ride ONE packed inverse transport under cfg.pack_kernel, and
+        # partner SLOTS are extracted so the convergence loop's
+        # velocity refresh keeps its frozen-geometry contract
+        pd_n, pd_f, sel_f, vrow_f, code_f, stats = \
+            _origin_frame_groups_extract(
+                st, grid, cfg, block_n=block_n, window=window,
+                fallback_cap=fallback_cap,
+                fallback_strip_width=fallback_strip_width,
+                radius=radius, exclude_same_group=True,
+                use_c_crit_dist=False, with_partner_slots=True,
+                pt_via_sort_payloads=True, interpret=interpret)
+    else:
+        pd_n, pd_f, sel_f, vrow_f, code_f, stats = _origin_frame_groups(
+            st, grid, cfg, block_n=block_n, window=window,
+            fallback_cap=fallback_cap,
+            fallback_strip_width=fallback_strip_width, radius=radius,
+            exclude_same_group=True, use_c_crit_dist=False,
+            interpret=interpret)
 
     u0_fix, v0_fix = st.uvel, st.vvel
     fold = _scatter_fold(sel_f, vrow_f, st.capacity)

@@ -36,20 +36,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import IcebergsConfig
 from ..grid import Grid
+from .pallas_pack import _auto_interpret
 
-# route the persistent step's interface phase through the kernel
-# (regular-grid, non-MTS, no coastal/tidal drift configs only)
-INTERP_KERNEL = False
-# plain-XLA table path: ONE packed (N, 64-lane) row gather of the
-# per-cell slot table + the identical per-berg math — replaces ~56
-# separate (N,) grid-table gathers (the XLA interp's ~72 ms at 1M).
-# Works on any frame (gather by key), not just the sorted slab.
-INTERP_TABLE = False
-# materialize each block's cell-table window by a tile-granular XLA
-# gather and feed the kernel through the standard block pipeline
-# instead of Element-indexed window operands (same trade as
-# pallas_prepass.EXTRACT_GATHERED)
-INTERP_GATHERED = False
+# Interface-phase backend selection lives in IcebergsConfig
+# (``interp_mode``: "table" = the single-gather slot-table path,
+# production default; "kernel" = the Mosaic sorted-frame kernel;
+# "xla" = per-field grid-table gathers) and ``interp_gathered``
+# (kernel-mode window materialization, same trade as the extraction
+# kernel's "gathered" impl).  model.make_step resolves eligibility.
 
 # slot-row layout of the per-cell table
 # corners: field k in (cosc, sinc, uo, vo, ui, vi, ua, va), corner
@@ -66,7 +60,10 @@ S_NANX, S_NANY = 49, 50
 # the walk's 5x5 packed land-mask anchor (dynamics._msk25_table value at
 # this cell), split 13 lo + 12 hi bits so each row is f32-exact
 S_M25L, S_M25H = 51, 52
-S_NROWS = 56          # padded to a sublane-tile multiple
+# the walk's 9x9 packed anchor rows (dynamics._msk81_rows, 9 bits each,
+# f32-exact): with these the whole 4-iteration walk is gather-free
+S_M81 = 53            # rows 53..61
+S_NROWS = 64          # padded to a sublane-tile multiple
 
 
 def interp_cell_table(grid: Grid, frc, cfg: IcebergsConfig,
@@ -169,10 +166,14 @@ def interp_cell_table(grid: Grid, frc, cfg: IcebergsConfig,
     # walk anchor: m25_tab[(i+1)+2, (j+1)+2] per interior cell, split
     # into two <= 2^13 halves (25 packed bits exceed f32's 2^24 integer
     # range through the extraction matmul)
-    from ..dynamics import _msk25_table
+    from ..dynamics import _msk25_table, _msk81_rows
     m25 = _msk25_table(grid.msk)[3:nx + 3, 3:ny + 3].T.reshape(-1)
     rows[S_M25L] = (m25 & 0x1FFF).astype(jnp.float32)
     rows[S_M25H] = (m25 >> 13).astype(jnp.float32)
+    m81 = _msk81_rows(grid.msk)          # (9, nx+10, ny+10)
+    for k in range(9):
+        rows[S_M81 + k] = m81[k, 5:nx + 5, 5:ny + 5].T.reshape(
+            -1).astype(jnp.float32)
 
     z = jnp.zeros_like(rows[0])
     rows = [z if r is None else r for r in rows]
@@ -273,7 +274,7 @@ E_NOUT = 16           # 13 Env + 2 walk-anchor rows + 1 pad row
 
 def interp_sorted(tbl, key_s, xi, yj, grid: Grid, cfg: IcebergsConfig, *,
                   block_n: int = 128, cell_window: int = 384,
-                  interpret: bool = False, gathered: bool = None):
+                  interpret: bool = None, gathered: bool = None):
     """Env rows for a (cell, id)-sorted slab.
 
     tbl: (S_NROWS, ncells) from :func:`interp_cell_table`
@@ -287,6 +288,7 @@ def interp_sorted(tbl, key_s, xi, yj, grid: Grid, cfg: IcebergsConfig, *,
     Requires ``coastal_drift == tidal_drift == 0`` and the non-MTS
     ocean-depth read (PCM od+ssh); callers gate on that.
     """
+    interpret = _auto_interpret(interpret)
     from jax._src.pallas.core import Element as _Element
 
     assert cfg.coastal_drift == 0. and cfg.tidal_drift == 0.
@@ -319,7 +321,7 @@ def interp_sorted(tbl, key_s, xi, yj, grid: Grid, cfg: IcebergsConfig, *,
     bad = (c1 - w0 + 1) > CL
 
     if gathered is None:
-        gathered = INTERP_GATHERED
+        gathered = False
     if gathered:
         # tile-granular up-front window materialization (see
         # pallas_prepass.contact_extract_sorted_g): each block's
@@ -381,7 +383,7 @@ def interp_sorted(tbl, key_s, xi, yj, grid: Grid, cfg: IcebergsConfig, *,
     return out, bad_row
 
 
-S_QOD = 56            # 25 quad-od rows when with_quad_od (56..80)
+S_QOD = S_NROWS       # 25 quad-od rows when with_quad_od
 
 
 def _quad_od_from_rows(read, key, xi, yj, grid: Grid,
@@ -461,7 +463,7 @@ def interp_to_bergs_table(st, grid: Grid, frc, cfg: IcebergsConfig):
     tbl = interp_cell_table(grid, frc, cfg, with_quad_od=mts_quad)
     tbl = jnp.concatenate(
         [tbl, jnp.zeros((tbl.shape[0], 1), tbl.dtype)], axis=1)
-    if _pk.PACK_KERNEL:
+    if cfg.pack_kernel:
         # same trick as the re-sort transport: the row gather itself is
         # cheap, but XLA's (N, 56->128-lane-padded) result layout and
         # per-column slicing are not — transpose via the Pallas block
@@ -483,20 +485,25 @@ def interp_to_bergs_table(st, grid: Grid, frc, cfg: IcebergsConfig):
                                 st.lon.dtype)
     m25_pre = (out[13].astype(jnp.int32)
                + out[14].astype(jnp.int32) * 8192)
+    # 9x9 walk-anchor rows ride the same gather: the walk becomes
+    # gather-free (dynamics._walk4 m81 path; round-5 lever)
+    m81_pre = jnp.stack([read(S_M81 + k).astype(jnp.int32)
+                         for k in range(9)], axis=0)
     st = st.replace(uo=out[0], vo=out[1], ui=out[2], vi=out[3],
                     ua=out[4], va=out[5], ssh_x=out[6], ssh_y=out[7],
                     sst=out[8], sss=out[9], cn=out[10], hi=out[11],
                     od=od)
-    return st, m25_pre
+    return st, (m25_pre, m81_pre)
 
 
 def interp_to_bergs_sorted(st, grid: Grid, frc, cfg: IcebergsConfig, *,
                            block_n: int = 128, cell_window: int = 384,
-                           interpret: bool = False):
+                           interpret: bool = None):
     """Kernel-path twin of ``model.interp_to_bergs`` for the persistent
     sorted slab: bitwise-identical Env caching, with a full-XLA fallback
     under ``lax.cond`` when any block's cell span overflows the window
     (zero cost in the steady state)."""
+    interpret = _auto_interpret(interpret)
     from .interp import interp_flds
     from ..dynamics import _msk25_table
 
@@ -505,7 +512,8 @@ def interp_to_bergs_sorted(st, grid: Grid, frc, cfg: IcebergsConfig, *,
     tbl = interp_cell_table(grid, frc, cfg)
     rows, bad_row = interp_sorted(
         tbl, key_s, st.xi, st.yj, grid, cfg, block_n=block_n,
-        cell_window=cell_window, interpret=interpret)
+        cell_window=cell_window, interpret=interpret,
+        gathered=cfg.interp_gathered)
 
     def with_fallback(rows):
         env = interp_flds(grid, frc, cfg, st.lon, st.lat, st.ine, st.jne,

@@ -18,9 +18,6 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-# route _packed_permute_state's pack/unpack through the kernels
-PACK_KERNEL = False
-
 _BN = 512
 
 

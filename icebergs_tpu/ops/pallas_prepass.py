@@ -36,19 +36,15 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import IcebergsConfig
 from ..constants import PI_180
 from . import forces as _forces
+from .pallas_pack import _auto_interpret
 
-# pipeline the extraction kernel's window DMAs via Element-indexed
-# operands (contact_extract_sorted_p) instead of manual copy/wait
-EXTRACT_PIPELINED = False
-# materialize window strips by a tile-granular XLA gather up front and
-# feed the kernel through the standard block pipeline
-# (contact_extract_sorted_g); takes precedence over EXTRACT_PIPELINED.
-# DEFAULT ON: same-window floor-subtracted A/B on v5e (2026-08-20,
-# INNER=16 + null calibration) measured 9.6 ms vs 25.1 ms for the
-# manual-DMA kernel at bn128_w288 (1M bergs); the 2026-08-19 window
-# agreed directionally. Bit-identical outputs; costs one gathered
-# window buffer (~768 MB at 1M, bn128_w288).
-EXTRACT_GATHERED = True
+# Extraction-kernel window-feed selection lives in IcebergsConfig
+# (``extract_impl``): "gathered" (production default — materialize
+# window strips by a tile-granular XLA gather up front; same-window
+# floor-subtracted A/B on v5e measured 9.6 ms vs 25.1 ms for the
+# manual-DMA kernel at bn128_w288/1M, at the cost of one gathered
+# window buffer ~768 MB), "manual" (explicit copy/wait DMAs), or
+# "pipelined" (Element-indexed operands).  Bit-identical outputs.
 
 # packed feature columns: lon_old, lat_old, radius, fl_k, alive, key
 _F_LON, _F_LAT, _F_RAD, _F_FLK, _F_ALIVE, _F_KEY = range(6)
@@ -70,7 +66,7 @@ def _pack(st, grid, cfg):
 
 def contact_prepass_sorted(st_sorted, cell_starts, grid,
                            cfg: IcebergsConfig, *, block_n: int = 256,
-                           window: int = 512, interpret: bool = False,
+                           window: int = 512, interpret: bool = None,
                            P=None, key=None, radius: int = 1,
                            exclude_same_group: bool = False):
     """Engaged-contact search on a cell-sorted state.
@@ -93,6 +89,7 @@ def contact_prepass_sorted(st_sorted, cell_starts, grid,
     berg's own — the MTS Part-1 cross-conglomerate collision search
     (interactive_force's conglomerate filter, icebergs.F90:565-607).
     """
+    interpret = _auto_interpret(interpret)
     N = st_sorted.capacity if st_sorted is not None else P.shape[0]
     BN, W = block_n, window
     nblocks = -(-N // BN)            # ceil: last block zero-padded
@@ -272,7 +269,7 @@ EX_NOUT = 24
 
 def contact_extract_sorted(PT, key_s, cell_starts, grid,
                            cfg: IcebergsConfig, *, block_n: int = 256,
-                           window: int = 512, interpret: bool = False,
+                           window: int = 512, interpret: bool = None,
                            radius: int = 1,
                            exclude_same_group: bool = False):
     """Contact search + in-kernel partner-feature extraction.
@@ -296,6 +293,7 @@ def contact_extract_sorted(PT, key_s, cell_starts, grid,
     rows of slop ahead of each strip carry keys below the strip's cell
     range and are killed by the existing key-range mask.
     """
+    interpret = _auto_interpret(interpret)
     N = PT.shape[1]
     BN = block_n
     # +128 lane-aligned start slop, rounded up to a lane-tile multiple
@@ -457,7 +455,7 @@ def contact_extract_sorted(PT, key_s, cell_starts, grid,
 
 def contact_extract_sorted_p(PT, key_s, cell_starts, grid,
                              cfg: IcebergsConfig, *, block_n: int = 128,
-                             window: int = 288, interpret: bool = False,
+                             window: int = 288, interpret: bool = None,
                              radius: int = 1,
                              exclude_same_group: bool = False):
     """Auto-pipelined twin of :func:`contact_extract_sorted`.
@@ -468,6 +466,7 @@ def contact_extract_sorted_p(PT, key_s, cell_starts, grid,
     instead of the manual copy/wait (which exposed the full HBM latency
     of ~100 KB per block, ~7.8k blocks at 1M bergs).
     """
+    interpret = _auto_interpret(interpret)
     from jax._src.pallas.core import Element as _Element
 
     N = PT.shape[1]
@@ -619,7 +618,7 @@ def contact_extract_sorted_p(PT, key_s, cell_starts, grid,
 
 def contact_extract_sorted_g(PT, key_s, cell_starts, grid,
                              cfg: IcebergsConfig, *, block_n: int = 128,
-                             window: int = 288, interpret: bool = False,
+                             window: int = 288, interpret: bool = None,
                              radius: int = 1,
                              exclude_same_group: bool = False):
     """Gathered-window twin of :func:`contact_extract_sorted`.
@@ -635,6 +634,7 @@ def contact_extract_sorted_g(PT, key_s, cell_starts, grid,
     per-block latency stall).  Costs one (nblocks, nstrips*WL) * PT_NF
     f32 intermediate in HBM (~768 MB at 1M bergs, BN=128, W=288).
     """
+    interpret = _auto_interpret(interpret)
     N = PT.shape[1]
     BN = block_n
     WL = -(-(window + 128) // 128) * 128
@@ -646,8 +646,11 @@ def contact_extract_sorted_g(PT, key_s, cell_starts, grid,
     nstrips = 2 * radius + 1
     dtype = PT.dtype
 
+    # pad to a whole number of 128-lane tiles (Npad itself need not be
+    # 128-aligned when BN < 128 — small test capacities)
+    NT = -(-(Npad + WL) // 128) * 128
     PTpad = jnp.concatenate(
-        [PT, jnp.zeros((PT_NF, Npad - N + WL), dtype)], axis=1)
+        [PT, jnp.zeros((PT_NF, NT - N), dtype)], axis=1)
     key = jnp.concatenate(
         [key_s, jnp.full((Npad - N,), ncells, key_s.dtype)])
     c0 = key[::BN]
@@ -665,9 +668,9 @@ def contact_extract_sorted_g(PT, key_s, cell_starts, grid,
     bad = span_bad | win_bad
 
     # tile-granular window materialization: tile t of strip (b, s) is
-    # lane-tile ws128[b, s] + t of PTpad.  max index = Npad/128 + ntw - 1
-    # = T - 1 by construction (cell_starts <= N <= Npad), no clamp needed.
-    T = (Npad + WL) // 128
+    # lane-tile ws128[b, s] + t of PTpad.  max index <= N/128 + ntw - 1
+    # <= T - 1 by construction (cell_starts <= N), no clamp needed.
+    T = NT // 128
     PTr = PTpad.reshape(PT_NF, T, 128)
     tidx = (ws128.astype(jnp.int32)[:, :, None]
             + jnp.arange(ntw, dtype=jnp.int32))          # (nb, ns, ntw)

@@ -26,7 +26,7 @@ cell-sorted payload rows with 0/1 selection matmuls on the MXU (the
 
 NOTE the summation association differs from the slot backends' pairwise
 tree: results are deterministic and layout-invariant but not bitwise
-equal to SLOT_SUM_METHOD="scatter"/"gather"/"scatter_t" runs.
+equal to slot_sum_method="scatter"/"gather"/"scatter_t" runs.
 """
 
 from __future__ import annotations
@@ -35,15 +35,13 @@ import jax
 import jax.numpy as jnp
 
 from ..config import IcebergsConfig
+from .pallas_pack import _auto_interpret
 
-# pipeline the window DMA via an Element-indexed operand
-# (segment_spread_sums_p) instead of the manual copy/wait
-SPREAD_PIPELINED = False
-# materialize each cell block's sorted-row window by a tile-granular
-# XLA gather up front and feed the kernel through the standard block
-# pipeline (segment_spread_sums_g); takes precedence over
-# SPREAD_PIPELINED
-SPREAD_GATHERED = False
+# Spread-kernel window-feed selection lives in IcebergsConfig
+# (``spread_impl``): "manual" (production default — explicit copy/wait
+# DMAs; the pipelined/gathered variants lost their same-window A/Bs),
+# "gathered" (tile-granular up-front window gather), or "pipelined"
+# (Element-indexed window operands).  Bit-identical outputs.
 
 # payload-row indices in the sorted stack (values set in build_rows)
 R_KEY = 0          # cell key as f32 (exact below 2^24 cells)
@@ -267,11 +265,12 @@ def segment_spread_sums(rows_s, cell_starts, tbl, cfg:
 
 def segment_spread_sums_p(rows_s, cell_starts, tbl, cfg: IcebergsConfig,
                           n_extra: int, *, cell_block: int = 128,
-                          window: int = None, interpret: bool = False):
+                          window: int = None, interpret: bool = None):
     """Auto-pipelined twin of :func:`segment_spread_sums` (same sums
     bit-for-bit): the sorted-row window rides a ``pl.Element``-indexed
     input operand so the pipeline emitter double-buffers the DMA across
     cell blocks instead of the manual copy/wait."""
+    interpret = _auto_interpret(interpret)
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     from jax._src.pallas.core import Element as _Element
@@ -370,7 +369,7 @@ def segment_spread_sums_p(rows_s, cell_starts, tbl, cfg: IcebergsConfig,
 
 def segment_spread_sums_g(rows_s, cell_starts, tbl, cfg: IcebergsConfig,
                           n_extra: int, *, cell_block: int = 128,
-                          window: int = None, interpret: bool = False):
+                          window: int = None, interpret: bool = None):
     """Gathered-window twin of :func:`segment_spread_sums` (same sums
     bit-for-bit): every cell block's sorted-row window is materialized
     UP FRONT by one tile-granular XLA gather (128-aligned starts make
@@ -379,6 +378,7 @@ def segment_spread_sums_g(rows_s, cell_starts, tbl, cfg: IcebergsConfig,
     per-block DMA latency stall, no Element-indexed operands.  Costs an
     (Rpad, nblocks, WL) f32 intermediate in HBM (~1.2 GB at 1M bergs,
     cb=128)."""
+    interpret = _auto_interpret(interpret)
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -566,7 +566,7 @@ def sort_rows(key, st, rows):
 def spread_cell_sums(st, grid, frc, cfg: IcebergsConfig, extra_cols,
                      *, key_alive=None, presorted: bool = False,
                      cell_starts=None, cell_block: int = 128,
-                     window: int = None, interpret: bool = False):
+                     window: int = None, interpret: bool = None):
     """End-to-end kernel path: build rows -> payload sort -> kernel.
 
     ``presorted=True``: the state slab is already physically (cell, id)
@@ -580,6 +580,7 @@ def spread_cell_sums(st, grid, frc, cfg: IcebergsConfig, extra_cols,
     checks nbad and falls back (lax.cond) for overflowing runs using
     key_s/rows_s (already sorted — no extra gathers).
     """
+    interpret = _auto_interpret(interpret)
     ncells = grid.nx * grid.ny
     key, rows = build_rows(st, grid, frc, cfg, extra_cols,
                            key_alive=key_alive)
@@ -598,8 +599,8 @@ def spread_cell_sums(st, grid, frc, cfg: IcebergsConfig, extra_cols,
             key_s, jnp.arange(ncells + 1, dtype=key_s.dtype)).astype(
             jnp.int32)
     tbl = cell_tables(grid)
-    seg = (segment_spread_sums_g if SPREAD_GATHERED
-           else segment_spread_sums_p if SPREAD_PIPELINED
+    seg = (segment_spread_sums_g if cfg.spread_impl == "gathered"
+           else segment_spread_sums_p if cfg.spread_impl == "pipelined"
            else segment_spread_sums)
     S, bad = seg(
         rows_s, starts, tbl, cfg, len(extra_cols or []),

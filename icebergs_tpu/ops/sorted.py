@@ -26,7 +26,9 @@ from ..grid import Grid
 from .forces import NeighborTables
 
 
-# Re-sort backend for sort_state_by_cell's id_tiebreak path:
+# Re-sort transport selection (``packed_permute`` argument of
+# :func:`sort_state_by_cell`; production default = True via
+# ``IcebergsConfig.sort_packed_permute``):
 #   False - one variadic lax.sort carrying every leaf as a payload
 #           (~0.5 ms/column at 1M; ~50 columns -> ~45 ms, and a
 #           50+-operand sort program for the compiler to chew);
@@ -36,7 +38,6 @@ from .forces import NeighborTables
 #           row gather moves up to 128 columns for the price of 14
 #           (~16 ms measured for a packed (N, 14) row gather at 1M).
 # Bitwise identical either way (same comparator, u32 bit transport).
-SORT_PACKED_PERMUTE = False
 
 
 def stack_cols(cols):
@@ -80,7 +81,10 @@ def permute_tree_rows(tree, order):
 
 
 def sort_state_by_cell(st, grid: Grid, *, id_tiebreak: bool = True,
-                       via_payloads: bool = None, static_fields=()):
+                       via_payloads: bool = None, static_fields=(),
+                       packed_permute: bool = False,
+                       pack_kernel: bool = False,
+                       starts_via_scatter: bool = False):
     """Reorder every state leaf by (cell key, id) — dead bergs last.
 
     Returns (sorted_state, cell_starts) where cell_starts[(j*nx+i)] is the
@@ -109,10 +113,13 @@ def sort_state_by_cell(st, grid: Grid, *, id_tiebreak: bool = True,
     if via_payloads is None:
         via_payloads = id_tiebreak
     if via_payloads and id_tiebreak:
-        impl = (_packed_permute_state if SORT_PACKED_PERMUTE
-                else _payload_sort_state)
-        new, sorted_key, order = impl(
-            st, key, static_fields=static_fields, dead_key=ncells)
+        if packed_permute:
+            new, sorted_key, order = _packed_permute_state(
+                st, key, static_fields=static_fields, dead_key=ncells,
+                pack_kernel=pack_kernel)
+        else:
+            new, sorted_key, order = _payload_sort_state(
+                st, key, static_fields=static_fields, dead_key=ncells)
         inv = jnp.zeros_like(order).at[order].set(
             jnp.arange(order.shape[0], dtype=order.dtype))
     else:
@@ -131,24 +138,19 @@ def sort_state_by_cell(st, grid: Grid, *, id_tiebreak: bool = True,
         remapped = jnp.where(bidx >= 0, inv[jnp.maximum(bidx, 0)], -1)
         new = new.replace(bond_idx=remapped.astype(jnp.int32))
 
-    cell_starts = starts_from_sorted_key(sorted_key, ncells)
+    cell_starts = starts_from_sorted_key(sorted_key, ncells,
+                                         via_scatter=starts_via_scatter)
     return new, cell_starts
 
 
-# cell_starts construction: False = jnp.searchsorted (262k binary
-# searches over the 1M sorted keys); True = scatter-min of boundary
-# rows + reverse cummin.  Both exact (searchsorted-left semantics);
-# flip per TPU A/B.
-STARTS_VIA_SCATTER = False
-
-
-def starts_from_sorted_key(sorted_key, ncells: int):
+def starts_from_sorted_key(sorted_key, ncells: int, *,
+                           via_scatter: bool = False):
     """``searchsorted(sorted_key, arange(ncells+1))``, selectable
-    implementation (STARTS_VIA_SCATTER).  The scatter form writes each
-    present key's FIRST row into its slot and reverse-cummins absent
-    keys to the next present start — the exact searchsorted-left
-    value."""
-    if not STARTS_VIA_SCATTER:
+    implementation: False = 262k binary searches over the sorted keys;
+    True = scatter-min of each present key's FIRST row into its slot +
+    reverse cummin filling absent keys — the exact searchsorted-left
+    value either way (measured a wash on v5e)."""
+    if not via_scatter:
         return jnp.searchsorted(
             sorted_key, jnp.arange(ncells + 1, dtype=sorted_key.dtype)
         ).astype(jnp.int32)
@@ -246,7 +248,8 @@ def _payload_sort_state(st, key, static_fields=(), dead_key=None):
     return st.replace(**new_fields), sorted_key, order
 
 
-def _packed_permute_state(st, key, static_fields=(), dead_key=None):
+def _packed_permute_state(st, key, static_fields=(), dead_key=None,
+                          pack_kernel: bool = False):
     """`_payload_sort_state` semantics via key-only sort + packed gather.
 
     Sorts ``(key, id_cnt, id_ij, iota)`` (4 operands), then reorders all
@@ -294,7 +297,7 @@ def _packed_permute_state(st, key, static_fields=(), dead_key=None):
     for lo in range(0, len(lanes), 128):
         grp = lanes[lo:lo + 128]
         C = len(grp)
-        if _pk.PACK_KERNEL:
+        if pack_kernel:
             # Pallas block-transpose pack/unpack: XLA's padded-minor
             # relayout around the gather runs at ~20 GB/s (~45 of the
             # 51.7 ms transport at 1M; the gather itself is 6.8 ms)

@@ -202,15 +202,17 @@ def make_sort_ctx(st, grid, alive=None):
     return order, key_s, rank
 
 
-# slot-sum backend: "gather" (transposed gather blocks) or "scatter"
-# (round-2 design).  For cells with occupancy <= K both produce
-# BITWISE-identical sums (same tree, same slot positions); they differ
-# only in how denser cells accumulate.  In-situ A/B at 1M bergs on v5e:
-# scatter 108 ms vs gather 170 ms — the gather's while_loop overflow
-# pass forces the (N, 9F) contrib (128-lane padded, 512 MB) to
-# materialize instead of fusing into the update stream, so scatter
-# stays the default.
-SLOT_SUM_METHOD = "scatter"
+# Slot-sum backend selection lives in IcebergsConfig
+# (``slot_sum_method``; production default "pallas" = payload sort +
+# MXU segment-sum kernel, dispatched in create_gridded_icebergs_fields;
+# the per-call ``method`` argument below takes the non-pallas value,
+# cfg.slot_sum_method_eff).  For cells with occupancy <= K every
+# backend produces BITWISE-identical sums (same tree, same slot
+# positions); they differ only in how denser cells accumulate.
+# In-situ A/B at 1M bergs on v5e: scatter 108 ms vs gather 170 ms —
+# the gather's while_loop overflow pass forces the (N, 9F) contrib
+# (128-lane padded, 512 MB) to materialize instead of fusing into the
+# update stream, so scatter is the non-pallas default.
 
 
 def _cell_slot_sums_gather(key_s, contribT, ncells, K):
@@ -446,7 +448,8 @@ def _cell_slot_sums(key_s, rank, contrib, ncells, K):
 
 
 def scatter9_slots(grid, st, w, I_frac, value_list, alive, K: int = 16,
-                   sort_ctx=None, extra_value_list=None):
+                   sort_ctx=None, extra_value_list=None,
+                   method: str = "scatter"):
     """Layout-invariant 9-point scatter: the reference's 9-slot
     ``mass_on_ocean(i,j,1:9)`` buffers (calculate_mass_on_ocean,
     icebergs.F90:4970-5013).
@@ -473,15 +476,15 @@ def scatter9_slots(grid, st, w, I_frac, value_list, alive, K: int = 16,
     # order=None: rows are already physically (cell, id)-sorted (the
     # persistent layout) — skip the permutation gathers
     FX = len(extra_value_list) if extra_value_list else 0
-    if SLOT_SUM_METHOD in ("gather_raw", "gather_mm"):
+    if method in ("gather_raw", "gather_mm"):
         # raw-row block gathers with the 9-weight product fused into the
         # reduction: no (9F, N) contribution matrix, no slot buffer
         scale_v = jnp.where(alive, I_frac, 0.)
         w9s = w * scale_v[None, :]                # (9, N)
         S = _slot_sums_raw(order, key_s, w9s, list(value_list),
                            list(extra_value_list or []), ncells, K,
-                           mm=(SLOT_SUM_METHOD == "gather_mm"))
-    elif SLOT_SUM_METHOD == "scatter_t":
+                           mm=(method == "gather_mm"))
+    elif method == "scatter_t":
         # ORIGINAL-frame transposed build: every berg owns a unique
         # (cell, rank) slot, so the column scatter needs no sorted rows —
         # no per-column permutation gathers at all
@@ -498,7 +501,7 @@ def scatter9_slots(grid, st, w, I_frac, value_list, alive, K: int = 16,
         else:
             key_o, rank_o = key_s, rank
         S = _cell_slot_sums_scatter_t(key_o, rank_o, contribT, ncells, K)
-    elif SLOT_SUM_METHOD == "gather":
+    elif method == "gather":
         # transposed build: (9F, N) with the long dim minor, so neither
         # the contributions nor the gathered slot blocks ever tile-pad
         # (an (N, 9F<=128) f32 slab is 512 MB at 1M bergs)
@@ -563,7 +566,7 @@ def sum_slots(out9):
 
 
 def scatter_cell_deterministic(grid, st, value_list, alive, K: int = 16,
-                               sort_ctx=None):
+                               sort_ctx=None, method: str = "scatter"):
     """Layout-invariant owning-cell scatter (no spreading): fixed-tree
     per-cell sums in (cell, id) order.  The deterministic counterpart of
     ``.at[I, J].add`` for the per-cell diagnostics/melt fields."""
@@ -572,13 +575,13 @@ def scatter_cell_deterministic(grid, st, value_list, alive, K: int = 16,
     N = st.capacity
     order, key_s, rank = (sort_ctx if sort_ctx is not None
                           else make_sort_ctx(st, grid, alive))
-    if SLOT_SUM_METHOD in ("gather_raw", "gather_mm"):
+    if method in ("gather_raw", "gather_mm"):
         # plain owning-cell columns reduce by tree in both modes —
         # bitwise identical to the gather/scatter backends
         S = _slot_sums_raw(order, key_s, None, [], list(value_list),
                            ncells, K, mm=False)
         dtype = value_list[0].dtype
-    elif SLOT_SUM_METHOD == "scatter_t":
+    elif method == "scatter_t":
         valsT = jnp.stack(value_list, axis=0)
         if order is not None:
             key_o, rank_o = _origin_frame_ranks(st, grid, order, key_s,
@@ -587,7 +590,7 @@ def scatter_cell_deterministic(grid, st, value_list, alive, K: int = 16,
             key_o, rank_o = key_s, rank
         S = _cell_slot_sums_scatter_t(key_o, rank_o, valsT, ncells, K)
         dtype = valsT.dtype
-    elif SLOT_SUM_METHOD == "gather":
+    elif method == "gather":
         if order is not None:
             valsT = jnp.stack([v[order] for v in value_list], axis=0)
         else:
@@ -701,7 +704,8 @@ def calculate_mass_on_ocean(st, grid, frc, cfg: IcebergsConfig,
         out9 = scatter9_slots(grid, st, w, I_frac, value_list, alive,
                               K=cfg.reprod_max_per_cell,
                               sort_ctx=sort_ctx,
-                              extra_value_list=extra_value_list)
+                              extra_value_list=extra_value_list,
+                              method=cfg.slot_sum_method_eff)
         if extra_value_list:
             out9, extra_out = out9
         mass_on_ocean, area_on_ocean, U_on_ocean, V_on_ocean = \
@@ -787,12 +791,12 @@ def create_gridded_icebergs_fields(st, grid, frc, cfg: IcebergsConfig,
     thermo's deferred melt columns) folded into the same slot-sum pass;
     returns ``(diags, extra_fields)`` then.
 
-    ``SLOT_SUM_METHOD == "pallas"`` (rectangle spreading + reprod only):
+    ``cfg.slot_sum_method == "pallas"`` (rectangle spreading + reprod only):
     the whole pass runs as one payload sort + the pallas segment-sum
     kernel; ``sort_ctx`` is ignored and ``key_alive`` supplies the
     sort-key aliveness (pre-thermo, so rows that died during thermo
     keep their cell — _origin_frame_ranks' semantics)."""
-    use_kernel = (cfg.parallel_reprod and SLOT_SUM_METHOD == "pallas"
+    use_kernel = (cfg.parallel_reprod and cfg.slot_sum_method == "pallas"
                   and not cfg.hexagonal_icebergs)
     if use_kernel:
         nx, ny = grid.nx, grid.ny

@@ -585,7 +585,8 @@ def thermodynamics(st, grid, frc, cfg: IcebergsConfig, sort_ctx=None,
          fl_child_melt, melt_buoy_fl, melt_eros_fl, melt_conv_fl) = \
             scatter_cell_deterministic(grid, st, cols, alive,
                                        K=cfg.reprod_max_per_cell,
-                                       sort_ctx=sort_ctx)
+                                       sort_ctx=sort_ctx,
+                                       method=cfg.slot_sum_method_eff)
     else:
         vals = jnp.stack(cols, axis=-1)
         packed = jnp.zeros(shape + (len(cols),), dtype).at[I, J].add(vals)

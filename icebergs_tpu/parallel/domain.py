@@ -837,10 +837,10 @@ def make_sharded_step_2d(world: ShardedWorld2D, *, with_thermo=True,
             local_fn, mesh=mesh,
             in_specs=(P(AXIS, AXIS_Y), P(AXIS, AXIS_Y), P(AXIS, AXIS_Y)),
             out_specs=(P(AXIS, AXIS_Y), P(), P(), P(AXIS, AXIS_Y)),
-            # pallas_call (fused contact modes) lacks vma metadata;
-            # keep the type check on for the non-Pallas modes
-            check_vma=step_kw.get("neighbor_mode") not in ("fused",
-                                                           "fused3"),
+            # pallas_call lacks vma metadata; type-check only when the
+            # local step is Pallas-free (see _check_vma)
+            check_vma=_check_vma(world.cfg,
+                                 step_kw.get("neighbor_mode")),
         )
         return fn(world.grids, st, frc)
 
@@ -1094,18 +1094,54 @@ def make_sharded_run(world, *, neighbor_mode: str = "buckets",
                 fl_bits_src=(gridded if cfg.footloose else None),
                 fl_to_berg_kg=fl, flb_to_bergy_kg=fl),
                 rep, spec),
-            # pallas_call (fused contact modes) lacks vma metadata;
-            # keep the type check on for the non-Pallas modes
-            check_vma=neighbor_mode not in ("fused", "fused3"),
+            # pallas_call lacks vma metadata; type-check only when the
+            # local step is Pallas-free (see _check_vma)
+            check_vma=_check_vma(cfg, neighbor_mode),
         )
         return fn(world.grids, mstate, frc, calving, calving_hflx)
 
     return run
 
 
+
+def _check_vma(cfg, neighbor_mode):
+    """shard_map type-checking is only possible when the local step
+    contains no pallas_call (Pallas outputs lack vma metadata): off for
+    the fused contact modes and for any cfg whose fast-lane fields put
+    a Pallas kernel in the step (pack transport, pallas slot sums, the
+    interp kernel)."""
+    if neighbor_mode is None and cfg.interactive_icebergs_on:
+        neighbor_mode = cfg.resolved_contact_mode()
+    if neighbor_mode in ("fused", "fused3"):
+        return False
+    return not (cfg.pack_kernel or cfg.slot_sum_method == "pallas"
+                or cfg.interp_mode == "kernel")
+
+
 _GHOST_DYN_FIELDS = ("lon", "lat", "lon_old", "lat_old", "uvel", "vvel",
                      "uvel_old", "vvel_old", "axn_fast", "ayn_fast",
                      "bxn_fast", "byn_fast", "ang_vel", "ang_accel", "rot")
+
+
+def ring_transport(rows2, name, n, hops):
+    """K-hop bidirectional ring stack: (W, C) local rows -> the
+    (2*min(hops, n-1)+1, W, C)-stacked rows of this device and its
+    <=hops-distant ring neighbors, concatenated along axis 0 in a
+    fixed source order.  Per-device traffic is O(hops * W * C),
+    independent of the mesh size ``n`` — the property the scaling probe
+    (tests/test_ring_scaling.py) pins against the O(n) all_gather."""
+    outs = [rows2]
+    k = min(hops, n - 1)
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+    bwd = [(i, (i - 1) % n) for i in range(n)]
+    a = b = rows2
+    for _ in range(k):
+        a = jax.lax.ppermute(a, name, fwd)
+        outs.append(a)
+    for _ in range(k):
+        b = jax.lax.ppermute(b, name, bwd)
+        outs.append(b)
+    return jnp.concatenate(outs, axis=0)
 
 
 def make_sharded_mts_step(world, *,
@@ -1200,18 +1236,7 @@ def make_sharded_mts_step(world, *,
         ndev_y = mesh.shape[AXIS_Y] if is2d else 1
 
         def _ring(rows2, name, n):
-            outs = [rows2]
-            k = min(ghost_hops, n - 1)
-            fwd = [(i, (i + 1) % n) for i in range(n)]
-            bwd = [(i, (i - 1) % n) for i in range(n)]
-            a = b = rows2
-            for _ in range(k):
-                a = jax.lax.ppermute(a, name, fwd)
-                outs.append(a)
-            for _ in range(k):
-                b = jax.lax.ppermute(b, name, bwd)
-                outs.append(b)
-            return jnp.concatenate(outs, axis=0)
+            return ring_transport(rows2, name, n, ghost_hops)
 
         def transport(rows):
             """(W, C) shipped rows -> (S, C) source-stacked rows in a
@@ -1467,9 +1492,9 @@ def make_sharded_step(world: ShardedWorld, *, with_thermo=True,
             out_specs=(P(AXIS), P(), P(), P(AXIS)),
             # pallas_call (the fused contact search) does not annotate
             # varying-mesh-axes metadata yet; skip the vma type check
-            # only for the Pallas modes
-            check_vma=step_kw.get("neighbor_mode") not in ("fused",
-                                                           "fused3"),
+            # only when the local step is Pallas-free (see _check_vma)
+            check_vma=_check_vma(world.cfg,
+                                 step_kw.get("neighbor_mode")),
         )
         return fn(grids, st, frc)
 

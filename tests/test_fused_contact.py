@@ -14,7 +14,11 @@ from icebergs_tpu.ops.fused_contact import make_ia_fn_fused
 def _world(n, seed, cluster=False):
     cfg = ibt.IcebergsConfig(grid_is_latlon=False, Lx=-1.0,
                              use_f_plane=True, lat_ref=30., dt=60.,
-                             interactive_icebergs_on=True)
+                             interactive_icebergs_on=True,
+                             slot_sum_method="scatter",
+                             sort_packed_permute=False,
+                             pack_kernel=False, interp_mode="xla",
+                             extract_impl="manual")
     grid = ibt.make_uniform_grid(16, 16, 0., 0., 1000., 1000.,
                                  grid_is_latlon=False)
     rng = np.random.RandomState(seed)
@@ -195,7 +199,6 @@ def test_fused3_extract_gathered_matches_default():
     """contact_extract_sorted_g (tile-gathered windows, standard block
     pipeline) must be BITWISE equal to the default manual-DMA kernel —
     same body, exact tile-granular gather feeding it."""
-    from icebergs_tpu.ops import pallas_prepass as _pp
     from icebergs_tpu.ops.fused_contact import make_ia_fn_fused3
     for seed, cluster in ((9, False), (3, True)):
         cfg, grid, st = _world(400, seed=seed, cluster=cluster)
@@ -203,12 +206,9 @@ def test_fused3_extract_gathered_matches_default():
                   fallback_strip_width=140)
         ia_ref = make_ia_fn_fused3(st, grid, cfg, **kw)[0](
             st.uvel, st.vvel)
-        _pp.EXTRACT_GATHERED = True
-        try:
-            ia_fn, stats = make_ia_fn_fused3(st, grid, cfg, **kw)
-            ia = ia_fn(st.uvel, st.vvel)
-        finally:
-            _pp.EXTRACT_GATHERED = False
+        ia_fn, stats = make_ia_fn_fused3(
+            st, grid, cfg.replace(extract_impl="gathered"), **kw)
+        ia = ia_fn(st.uvel, st.vvel)
         assert int(stats.overflow) == 0
         alive = np.asarray(st.alive)
         for f in ("IA_x", "IA_y", "P11", "P12", "P22", "Pu_x", "Pu_y"):
@@ -249,9 +249,12 @@ def test_persistent_layout_matches_per_step_fused():
     kw = dict(fused_block_n=64, fused_window=512, fused_interpret=True,
               fused_fallback_strip_width=140)
     multi_ref = model.make_multi_step(grid, cfg, 4, with_stats=True,
+                                      persistent=False,
                                       neighbor_mode="fused", **kw)
     multi_per = model.make_persistent_multi_step(grid, cfg, 4,
-                                                 with_stats=True, **kw)
+                                                 with_stats=True,
+                                                 neighbor_mode="fused",
+                                                 **kw)
     st_ref, ov_r, fb_r, _acc = multi_ref(st, frc)
     st_per, ov_p, fb_p, _accp = multi_per(st, frc)
     assert int(ov_r) == 0 and int(ov_p) == 0
@@ -270,23 +273,19 @@ def test_persistent_fused3_pallas_matches_per_step():
     per berg id; coupler accumulators agree to tolerance (the spread
     kernel's MXU association differs from the slot tree)."""
     import icebergs_tpu.model as model
-    from icebergs_tpu.ops import spread as _sp
     cfg, grid, st = _world(300, seed=11, cluster=True)
     frc = ibt.uniform_forcing(16, 16, uo=0.1, vo=0.05, ua=4.0,
                               sst=6.0, sss=33.0)
     kw = dict(fused_block_n=64, fused_window=512, fused_interpret=True,
               fused_fallback_strip_width=140)
     multi_ref = model.make_multi_step(grid, cfg, 4, with_stats=True,
+                                      persistent=False,
                                       neighbor_mode="fused3", **kw)
     st_ref, ov_r, fb_r, acc_r = multi_ref(st, frc)
-    old = _sp.SLOT_SUM_METHOD
-    _sp.SLOT_SUM_METHOD = "pallas"
-    try:
-        multi_per = model.make_persistent_multi_step(
-            grid, cfg, 4, with_stats=True, neighbor_mode="fused3", **kw)
-        st_per, ov_p, fb_p, acc_p = multi_per(st, frc)
-    finally:
-        _sp.SLOT_SUM_METHOD = old
+    multi_per = model.make_persistent_multi_step(
+        grid, cfg.replace(slot_sum_method="pallas"), 4,
+        with_stats=True, neighbor_mode="fused3", **kw)
+    st_per, ov_p, fb_p, acc_p = multi_per(st, frc)
     assert int(ov_r) == 0 and int(ov_p) == 0
     a, b = _state_by_id(st_ref), _state_by_id(st_per)
     for f, va in a.items():
@@ -414,31 +413,22 @@ def test_persistent_all_kernels_matches_per_step():
     (the interp kernel's interpret-mode body FMA-contracts on CPU; on
     TPU it is bitwise — see tests/test_pallas_interp.py)."""
     import icebergs_tpu.model as model
-    from icebergs_tpu.ops import spread as _sp
-    from icebergs_tpu.ops import pallas_prepass as _pp
-    from icebergs_tpu.ops import pallas_spread as _ps
-    from icebergs_tpu.ops import pallas_interp as _pi
     cfg, grid, st = _world(300, seed=11, cluster=True)
     frc = ibt.uniform_forcing(16, 16, uo=0.1, vo=0.05, ua=4.0,
                               sst=6.0, sss=33.0)
     kw = dict(fused_block_n=64, fused_window=512, fused_interpret=True,
               fused_fallback_strip_width=140)
     multi_ref = model.make_multi_step(grid, cfg, 4, with_stats=True,
+                                      persistent=False,
                                       neighbor_mode="fused3", **kw)
     st_ref, ov_r, fb_r, acc_r = multi_ref(st, frc)
-    olds = (_sp.SLOT_SUM_METHOD, _pp.EXTRACT_PIPELINED,
-            _ps.SPREAD_PIPELINED, _pi.INTERP_KERNEL)
-    _sp.SLOT_SUM_METHOD = "pallas"
-    _pp.EXTRACT_PIPELINED = True
-    _ps.SPREAD_PIPELINED = True
-    _pi.INTERP_KERNEL = True
-    try:
-        multi_per = model.make_persistent_multi_step(
-            grid, cfg, 4, with_stats=True, neighbor_mode="fused3", **kw)
-        st_per, ov_p, fb_p, acc_p = multi_per(st, frc)
-    finally:
-        (_sp.SLOT_SUM_METHOD, _pp.EXTRACT_PIPELINED,
-         _ps.SPREAD_PIPELINED, _pi.INTERP_KERNEL) = olds
+    multi_per = model.make_persistent_multi_step(
+        grid, cfg.replace(slot_sum_method="pallas",
+                          extract_impl="pipelined",
+                          spread_impl="pipelined",
+                          interp_mode="kernel"),
+        4, with_stats=True, neighbor_mode="fused3", **kw)
+    st_per, ov_p, fb_p, acc_p = multi_per(st, frc)
     assert int(ov_r) == 0 and int(ov_p) == 0
     a, b = _state_by_id(st_ref), _state_by_id(st_per)
     for f, va in a.items():
@@ -457,36 +447,23 @@ def test_persistent_gpack_matches_per_step():
     except the interp kernel's interpret-mode FMA contraction on CPU
     (<= 2-ulp; bitwise on TPU, see tests/test_pallas_interp.py)."""
     import icebergs_tpu.model as model
-    from icebergs_tpu.ops import sorted as _srt
-    from icebergs_tpu.ops import spread as _sp
-    from icebergs_tpu.ops import pallas_prepass as _pp
-    from icebergs_tpu.ops import pallas_spread as _ps
-    from icebergs_tpu.ops import pallas_interp as _pi
     cfg, grid, st = _world(300, seed=11, cluster=True)
     frc = ibt.uniform_forcing(16, 16, uo=0.1, vo=0.05, ua=4.0,
                               sst=6.0, sss=33.0)
     kw = dict(fused_block_n=64, fused_window=512, fused_interpret=True,
               fused_fallback_strip_width=140)
     multi_ref = model.make_multi_step(grid, cfg, 4, with_stats=True,
+                                      persistent=False,
                                       neighbor_mode="fused3", **kw)
     st_ref, ov_r, fb_r, acc_r = multi_ref(st, frc)
-    olds = (_srt.SORT_PACKED_PERMUTE, _sp.SLOT_SUM_METHOD,
-            _pp.EXTRACT_GATHERED, _ps.SPREAD_GATHERED,
-            _pi.INTERP_KERNEL, _pi.INTERP_GATHERED)
-    _srt.SORT_PACKED_PERMUTE = True
-    _sp.SLOT_SUM_METHOD = "pallas"
-    _pp.EXTRACT_GATHERED = True
-    _ps.SPREAD_GATHERED = True
-    _pi.INTERP_KERNEL = True
-    _pi.INTERP_GATHERED = True
-    try:
-        multi_per = model.make_persistent_multi_step(
-            grid, cfg, 4, with_stats=True, neighbor_mode="fused3", **kw)
-        st_per, ov_p, fb_p, acc_p = multi_per(st, frc)
-    finally:
-        (_srt.SORT_PACKED_PERMUTE, _sp.SLOT_SUM_METHOD,
-         _pp.EXTRACT_GATHERED, _ps.SPREAD_GATHERED,
-         _pi.INTERP_KERNEL, _pi.INTERP_GATHERED) = olds
+    multi_per = model.make_persistent_multi_step(
+        grid, cfg.replace(sort_packed_permute=True,
+                          slot_sum_method="pallas",
+                          extract_impl="gathered",
+                          spread_impl="gathered",
+                          interp_mode="kernel", interp_gathered=True),
+        4, with_stats=True, neighbor_mode="fused3", **kw)
+    st_per, ov_p, fb_p, acc_p = multi_per(st, frc)
     assert int(ov_r) == 0 and int(ov_p) == 0
     a, b = _state_by_id(st_ref), _state_by_id(st_per)
     for f, va in a.items():

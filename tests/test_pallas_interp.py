@@ -97,13 +97,16 @@ def test_interp_table_vs_xla(latlon, ob):
     st, grid, frc, cfg = _setup(latlon=latlon)
     cfg = cfg.replace(old_bug_bilin=ob)
     ref = interp_to_bergs(st, grid, frc, cfg)
-    out, m25 = pi.interp_to_bergs_table(st, grid, frc, cfg)
+    out, (m25, m81) = pi.interp_to_bergs_table(st, grid, frc, cfg)
     _assert_env_matches(ref, out, np.asarray(st.alive))
-    from icebergs_tpu.dynamics import _msk25_table
+    from icebergs_tpu.dynamics import _msk25_table, _msk81_rows
     ref25 = np.asarray(_msk25_table(grid.msk))[np.asarray(st.ine) + 3,
                                                np.asarray(st.jne) + 3]
     alive = np.asarray(st.alive)
     assert np.array_equal(np.asarray(m25)[alive], ref25[alive])
+    ref81 = np.asarray(_msk81_rows(grid.msk))[
+        :, np.asarray(st.ine) + 5, np.asarray(st.jne) + 5]
+    assert np.array_equal(np.asarray(m81)[:, alive], ref81[:, alive])
 
 
 def test_interp_table_unsorted_frame():
@@ -124,19 +127,16 @@ def test_interp_table_unsorted_frame():
 
 
 def test_interp_kernel_gathered_matches_element():
-    """INTERP_GATHERED (tile-gathered windows through the standard block
+    """cfg.interp_gathered (tile-gathered windows through the standard block
     pipeline) must be bitwise-identical to the Element-indexed window
     path — same kernel body, exact tile-granular gather feeding it."""
     for latlon in (False, True):
         st, grid, frc, cfg = _setup(latlon=latlon)
         ref, m25_ref = pi.interp_to_bergs_sorted(st, grid, frc, cfg,
                                                  interpret=True)
-        pi.INTERP_GATHERED = True
-        try:
-            out, m25 = pi.interp_to_bergs_sorted(st, grid, frc, cfg,
-                                                 interpret=True)
-        finally:
-            pi.INTERP_GATHERED = False
+        out, m25 = pi.interp_to_bergs_sorted(
+            st, grid, frc, cfg.replace(interp_gathered=True),
+            interpret=True)
         alive = np.asarray(st.alive)
         for f in ENV_FIELDS:
             np.testing.assert_array_equal(
@@ -176,17 +176,14 @@ def test_interp_kernel_window_overflow_falls_back():
 
 
 def test_interp_table_pack_kernel_bitwise():
-    """interp_to_bergs_table under pallas_pack.PACK_KERNEL (packed
+    """interp_to_bergs_table under cfg.pack_kernel (packed
     gather + block-transpose unpack) is bitwise equal to the plain
     table path on alive rows."""
-    from icebergs_tpu.ops import pallas_pack as pk
     st, grid, frc, cfg = _setup()
-    a, m25a = pi.interp_to_bergs_table(st, grid, frc, cfg)
-    pk.PACK_KERNEL = True
-    try:
-        b, m25b = pi.interp_to_bergs_table(st, grid, frc, cfg)
-    finally:
-        pk.PACK_KERNEL = False
+    a, (m25a, m81a) = pi.interp_to_bergs_table(
+        st, grid, frc, cfg.replace(pack_kernel=False))
+    b, (m25b, m81b) = pi.interp_to_bergs_table(
+        st, grid, frc, cfg.replace(pack_kernel=True))
     alive = np.asarray(st.alive)
     for f in ENV_FIELDS:
         np.testing.assert_array_equal(
@@ -194,6 +191,8 @@ def test_interp_table_pack_kernel_bitwise():
             np.asarray(getattr(b, f))[alive], err_msg=f)
     assert np.array_equal(np.asarray(m25a)[alive],
                           np.asarray(m25b)[alive])
+    assert np.array_equal(np.asarray(m81a)[:, alive],
+                          np.asarray(m81b)[:, alive])
 
 
 def test_interp_table_mts_quad_od():

@@ -5,6 +5,11 @@ The kernel computes the same per-cell sums with a different (sequential,
 reference-id-order) association, so comparisons are tolerance-based; the
 window-overflow fallback shares the kernel's product definitions and is
 exercised by shrinking the window.
+
+The backend switch is ``cfg.slot_sum_method`` (an IcebergsConfig
+fast-lane field since round 5); only the kernel-geometry knob
+``sp.PALLAS_SPREAD_WINDOW`` remains module-level (tests shrink it to
+force the overflow fallback).
 """
 
 import numpy as np
@@ -21,7 +26,8 @@ DXY = 2000.0
 
 def _world(n=3000, seed=1):
     cfg = ibt.IcebergsConfig(grid_is_latlon=False, Lx=-1.,
-                             use_f_plane=True, lat_ref=45., dt=600.)
+                             use_f_plane=True, lat_ref=45., dt=600.,
+                             slot_sum_method="scatter")
     grid = ibt.make_uniform_grid(NX, NY, 0., 0., DXY, DXY,
                                  grid_is_latlon=False)
     frc = ibt.uniform_forcing(NX, NY, uo=.3, vo=.1, ua=5., sst=4.,
@@ -42,10 +48,10 @@ def _world(n=3000, seed=1):
 
 
 @pytest.fixture(autouse=True)
-def _restore_method():
-    m, w = sp.SLOT_SUM_METHOD, sp.PALLAS_SPREAD_WINDOW
+def _restore_window():
+    w = sp.PALLAS_SPREAD_WINDOW
     yield
-    sp.SLOT_SUM_METHOD, sp.PALLAS_SPREAD_WINDOW = m, w
+    sp.PALLAS_SPREAD_WINDOW = w
 
 
 @pytest.mark.parametrize("old_spreading", [False, True])
@@ -54,12 +60,11 @@ def test_pallas_spread_matches_scatter(old_spreading):
     cfg = cfg.replace(use_old_spreading=old_spreading)
     extras = [st.mass * 0.5, st.width * 2.,
               jnp.asarray(rng.rand(st.capacity), jnp.float32)]
-    sp.SLOT_SUM_METHOD = "scatter"
     dref, eref = sp.create_gridded_icebergs_fields(
         st, grid, frc, cfg, extra_cell_cols=extras)
-    sp.SLOT_SUM_METHOD = "pallas"
     dk, ek = sp.create_gridded_icebergs_fields(
-        st, grid, frc, cfg, extra_cell_cols=extras)
+        st, grid, frc, cfg.replace(slot_sum_method="pallas"),
+        extra_cell_cols=extras)
     for f in dref._fields:
         a, b = np.asarray(getattr(dref, f)), np.asarray(getattr(dk, f))
         rel = np.max(np.abs(a - b)) / max(np.max(np.abs(a)), 1e-30)
@@ -74,18 +79,14 @@ def test_pallas_spread_gathered_matches_default():
     """segment_spread_sums_g (tile-gathered windows, standard block
     pipeline) must be BITWISE equal to the manual-DMA kernel: same body,
     exact tile-granular gather feeding it."""
-    from icebergs_tpu.ops import pallas_spread as ps
     cfg, grid, frc, st, rng = _world()
+    cfg = cfg.replace(slot_sum_method="pallas")
     extras = [st.mass * 0.5, st.width * 2.]
-    sp.SLOT_SUM_METHOD = "pallas"
     dref, eref = sp.create_gridded_icebergs_fields(
         st, grid, frc, cfg, extra_cell_cols=extras)
-    ps.SPREAD_GATHERED = True
-    try:
-        dg, eg = sp.create_gridded_icebergs_fields(
-            st, grid, frc, cfg, extra_cell_cols=extras)
-    finally:
-        ps.SPREAD_GATHERED = False
+    dg, eg = sp.create_gridded_icebergs_fields(
+        st, grid, frc, cfg.replace(spread_impl="gathered"),
+        extra_cell_cols=extras)
     for f in dref._fields:
         np.testing.assert_array_equal(
             np.asarray(getattr(dref, f)), np.asarray(getattr(dg, f)),
@@ -100,27 +101,26 @@ def test_pallas_spread_window_overflow_fallback():
     to the (exact, deterministic) scatter_t fallback — nothing silently
     dropped."""
     cfg, grid, frc, st, rng = _world()
+    cfgp = cfg.replace(slot_sum_method="pallas")
     extras = [st.mass * 0.5]
-    sp.SLOT_SUM_METHOD = "pallas"
     sp.PALLAS_SPREAD_WINDOW = 128      # every block overflows
     df, ef = sp.create_gridded_icebergs_fields(
-        st, grid, frc, cfg, extra_cell_cols=extras)
+        st, grid, frc, cfgp, extra_cell_cols=extras)
     sp.PALLAS_SPREAD_WINDOW = 4096
     dk, ek = sp.create_gridded_icebergs_fields(
-        st, grid, frc, cfg, extra_cell_cols=extras)
+        st, grid, frc, cfgp, extra_cell_cols=extras)
     # same totals either way (fallback is exact)
     for f in ("mass_on_ocean", "spread_mass", "mass"):
         a, b = np.asarray(getattr(df, f)), np.asarray(getattr(dk, f))
         rel = np.max(np.abs(a - b)) / max(np.max(np.abs(a)), 1e-30)
         assert rel < 1e-5, (f, rel)
     # extras ride the fallback's tree bitwise
-    sp.SLOT_SUM_METHOD = "scatter_t"
     dt_, et_ = sp.create_gridded_icebergs_fields(
-        st, grid, frc, cfg, extra_cell_cols=extras)
+        st, grid, frc, cfg.replace(slot_sum_method="scatter_t"),
+        extra_cell_cols=extras)
     sp.PALLAS_SPREAD_WINDOW = 128
-    sp.SLOT_SUM_METHOD = "pallas"
     df2, ef2 = sp.create_gridded_icebergs_fields(
-        st, grid, frc, cfg, extra_cell_cols=extras)
+        st, grid, frc, cfgp, extra_cell_cols=extras)
     assert np.array_equal(np.asarray(et_[0]), np.asarray(ef2[0]))
 
 
@@ -128,8 +128,8 @@ def test_pallas_spread_mass_conservation():
     """Total spread mass equals the per-berg mass total (interior bergs,
     full mask): the kernel drops nothing."""
     cfg, grid, frc, st, _ = _world()
-    sp.SLOT_SUM_METHOD = "pallas"
-    d = sp.create_gridded_icebergs_fields(st, grid, frc, cfg)
+    d = sp.create_gridded_icebergs_fields(
+        st, grid, frc, cfg.replace(slot_sum_method="pallas"))
     total = float(jnp.sum(d.mass_on_ocean))
     from icebergs_tpu.ops.spread import berg_spread_mass
     expect = float(jnp.sum(jnp.where(st.alive,
@@ -148,10 +148,9 @@ def test_pallas_spread_key_alive_deaths_keep_cell():
     post[7] = False                     # "died in thermo"
     st2 = st.replace(alive=jnp.asarray(post))
     melt_col = jnp.asarray(rng.rand(st.capacity), jnp.float32)
-    sp.SLOT_SUM_METHOD = "pallas"
     d, ef = sp.create_gridded_icebergs_fields(
-        st2, grid, frc, cfg, extra_cell_cols=[melt_col],
-        key_alive=jnp.asarray(key_alive))
+        st2, grid, frc, cfg.replace(slot_sum_method="pallas"),
+        extra_cell_cols=[melt_col], key_alive=jnp.asarray(key_alive))
     i7 = int(np.asarray(st.ine)[7]) + 1
     j7 = int(np.asarray(st.jne)[7]) + 1
     # the dead row's melt column value is included in its cell
@@ -162,7 +161,6 @@ def test_pallas_spread_key_alive_deaths_keep_cell():
     expect = float(melt_col[7]) + sum(float(melt_col[k]) for k in others)
     assert abs(cell_sum - expect) <= 1e-5 * max(abs(expect), 1.)
     # but its MASS does not spread (value rows masked by current alive)
-    sp.SLOT_SUM_METHOD = "scatter"
     dref = sp.create_gridded_icebergs_fields(st2, grid, frc, cfg)
     rel = np.max(np.abs(np.asarray(d.mass_on_ocean)
                         - np.asarray(dref.mass_on_ocean))) \
@@ -171,7 +169,7 @@ def test_pallas_spread_key_alive_deaths_keep_cell():
 
 
 def test_pallas_spread_full_step():
-    """The production step with SLOT_SUM_METHOD='pallas' (skips
+    """The production step with slot_sum_method='pallas' (skips
     make_sort_ctx, pins pre-thermo key_alive, routes thermo's 14
     deferred melt columns through the kernel) matches the scatter step's
     coupler fields and state."""
@@ -180,8 +178,8 @@ def test_pallas_spread_full_step():
     cfg = cfg.replace(interactive_icebergs_on=False)
 
     def run(method):
-        sp.SLOT_SUM_METHOD = method
-        step = make_step(grid, cfg, with_thermo=True)
+        step = make_step(grid, cfg.replace(slot_sum_method=method),
+                         with_thermo=True)
         return step(st, frc)
 
     st_ref, d_ref = run("scatter")

@@ -199,20 +199,15 @@ def test_slot_sum_gather_matches_scatter_bitwise():
             st.uvel, st.vvel]
     I_frac = jnp.ones_like(st.mass)
 
-    def run():
-        o9 = sp.scatter9_slots(grid, st, w, I_frac, vals, st.alive, K=16)
+    def run(method):
+        o9 = sp.scatter9_slots(grid, st, w, I_frac, vals, st.alive,
+                               K=16, method=method)
         oc = sp.scatter_cell_deterministic(grid, st, vals[:2], st.alive,
-                                           K=16)
+                                           K=16, method=method)
         return [np.asarray(x) for x in sp.sum_slots(o9) + oc]
 
-    orig = sp.SLOT_SUM_METHOD
-    try:
-        sp.SLOT_SUM_METHOD = "scatter"
-        a = run()
-        sp.SLOT_SUM_METHOD = "gather"
-        b = run()
-    finally:
-        sp.SLOT_SUM_METHOD = orig
+    a = run("scatter")
+    b = run("gather")
     for k, (x, y) in enumerate(zip(a, b)):
         np.testing.assert_array_equal(x, y, err_msg=str(k))
 
@@ -238,17 +233,12 @@ def test_slot_backends_full_step_with_melt_death():
     from icebergs_tpu.grid import pos_to_cell as p2c
     i, j, xi, yj = p2c(grid, st.lon, st.lat, -1.0)
     st = st.replace(ine=i, jne=j, xi=xi, yj=yj)
-    step = model.make_step(grid, cfg, with_thermo=True, jit=False)
-
     outs = {}
-    orig = sp.SLOT_SUM_METHOD
-    try:
-        for m in ("scatter", "gather", "scatter_t"):
-            sp.SLOT_SUM_METHOD = m
-            s2, d = step(st, frc)
-            outs[m] = (s2, d)
-    finally:
-        sp.SLOT_SUM_METHOD = orig
+    for m in ("scatter", "gather", "scatter_t"):
+        step = model.make_step(grid, cfg.replace(slot_sum_method=m),
+                               with_thermo=True, jit=False)
+        s2, d = step(st, frc)
+        outs[m] = (s2, d)
     s0, d0 = outs["scatter"]
     assert int(jnp.sum(s0.alive)) < 50, "a berg must die in this step"
     for m in ("gather", "scatter_t"):

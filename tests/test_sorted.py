@@ -121,7 +121,7 @@ def test_payload_sort_static_fields_bitwise():
 
 
 def test_packed_permute_sort_bitwise():
-    """SORT_PACKED_PERMUTE (key-only sort + packed u32 row gathers) is
+    """packed_permute (key-only sort + packed u32 row gathers) is
     bitwise identical to the variadic payload sort, with bonds ON (so
     the (N, B) bond columns and the bond-slot remap are exercised and
     the lane count crosses one 128-lane pack)."""
@@ -133,11 +133,7 @@ def test_packed_permute_sort_bitwise():
         st, cfg.replace(length_for_manually_initialize_bonds=1500.,
                         iceberg_bonds_on=True))
     a, sa = sort_state_by_cell(st, grid)
-    srt.SORT_PACKED_PERMUTE = True
-    try:
-        b, sb = sort_state_by_cell(st, grid)
-    finally:
-        srt.SORT_PACKED_PERMUTE = False
+    b, sb = sort_state_by_cell(st, grid, packed_permute=True)
     np.testing.assert_array_equal(np.asarray(sa), np.asarray(sb))
     for f in dataclasses.fields(st):
         va = getattr(a, f.name)
@@ -150,7 +146,7 @@ def test_packed_permute_sort_bitwise():
 
 def test_pack_kernel_permute_bitwise():
     import dataclasses
-    """pallas_pack.PACK_KERNEL (block-transpose pack/unpack around the
+    """pack_kernel (block-transpose pack/unpack around the
     permute gather) is pure u32 transport: the sorted state must be
     BITWISE identical to the stack_cols path, bond tables included."""
     from icebergs_tpu.ops import sorted as srt
@@ -160,14 +156,9 @@ def test_pack_kernel_permute_bitwise():
     st = forces.initialize_bonds_host(
         st, cfg.replace(length_for_manually_initialize_bonds=1500.,
                         iceberg_bonds_on=True))
-    srt.SORT_PACKED_PERMUTE = True
-    try:
-        a, sa = sort_state_by_cell(st, grid)
-        pk.PACK_KERNEL = True
-        b, sb = sort_state_by_cell(st, grid)
-    finally:
-        srt.SORT_PACKED_PERMUTE = False
-        pk.PACK_KERNEL = False
+    a, sa = sort_state_by_cell(st, grid, packed_permute=True)
+    b, sb = sort_state_by_cell(st, grid, packed_permute=True,
+                               pack_kernel=True)
     np.testing.assert_array_equal(np.asarray(sa), np.asarray(sb))
     for f in dataclasses.fields(st):
         va = getattr(a, f.name)

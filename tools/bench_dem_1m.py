@@ -149,9 +149,6 @@ def main(sub_steps=60, inner=2, reps=2, vmem=True, block_n=1024):
     # the metric.  The pallas segment-sum spreading replaced the
     # round-2 slot scatters in the pair-contact headline (426 -> 86 ms
     # at 1M) but the DEM bench had never been switched over.
-    from icebergs_tpu.ops import spread as _spread
-    from icebergs_tpu.ops import pallas_interp as _pi
-    from icebergs_tpu.ops import pallas_pack as _pk
     attempts = [dict(mts_neighbor_mode="fused", spread="pallas",
                      interp_table=True, **vmem_kw),
                 dict(mts_neighbor_mode="fused", spread="pallas",
@@ -166,12 +163,12 @@ def main(sub_steps=60, inner=2, reps=2, vmem=True, block_n=1024):
     probe_kw = dict(with_spread=False) if probe == "nospread" else {}
     for kw in attempts:
         kw = dict(kw)
-        _spread.SLOT_SUM_METHOD = kw.pop("spread", "scatter")
         it = kw.pop("interp_table", False)
-        _pi.INTERP_TABLE = it
-        _pk.PACK_KERNEL = it
+        mcfg = cfg.replace(slot_sum_method=kw.pop("spread", "scatter"),
+                           interp_mode="table" if it else "xla",
+                           pack_kernel=it)
         try:
-            multi = make_multi_step(grid, cfg, inner,
+            multi = make_multi_step(grid, mcfg, inner,
                                     with_thermo=probe != "nothermo",
                                     **probe_kw, **kw)
             s = multi(st, frc)

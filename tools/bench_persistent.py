@@ -37,11 +37,19 @@ def main():
     # windows; the null calibration in run() subtracts the residue
     INNER = int(os.environ.get("KID_P3_INNER", 24))
 
+    # base = the SLOW set (scatter slots, variadic payload sort, XLA
+    # interp); each mode block opts into its fast-lane fields explicitly
+    # via cfg.replace (the flags used to be module globals)
     cfg = ibt.IcebergsConfig(
         grid_is_latlon=False, Lx=-1.0, use_f_plane=True, lat_ref=45.0,
         dt=600.0, Runge_not_Verlet=False,
         interactive_icebergs_on=True,
-        use_new_predictive_corrective=True, allow_bergs_to_roll=True)
+        use_new_predictive_corrective=True, allow_bergs_to_roll=True,
+        slot_sum_method="scatter", sort_packed_permute=False,
+        pack_kernel=False, interp_mode="xla", extract_impl="gathered",
+        spread_impl="manual")
+    c_pal = cfg.replace(slot_sum_method="pallas")
+    c_pack = c_pal.replace(sort_packed_permute=True)
 
     grid = ibt.make_uniform_grid(NX, NY, 0., 0., DXY, DXY,
                                  grid_is_latlon=False)
@@ -99,31 +107,31 @@ def main():
               f"dropped={int(np.asarray(out[1]))} "
               f"fallback={int(np.asarray(out[2]))}", flush=True)
 
-    from icebergs_tpu.ops import spread as _spread
     if which in ("fused2", "both"):
         run("fused2_per_step", make_multi_step(
             grid, cfg, INNER, with_stats=True, with_thermo=True,
+            persistent=False,
             neighbor_mode="fused", fused_block_n=BN, fused_window=W,
             contact_cap=131072, fused_fallback_cap=16384))
     if which in ("persistent", "both"):
         run("persistent", make_persistent_multi_step(
             grid, cfg, INNER, with_stats=True, with_thermo=True,
+            neighbor_mode="fused",
             fused_block_n=BN, fused_window=W,
             contact_cap=131072, fused_fallback_cap=16384))
     if which in ("fused3p", "p3", "both3"):
         # the headline config: per-step fused3 search + pallas spreading
-        _spread.SLOT_SUM_METHOD = "pallas"
         run("fused3p_per_step", make_multi_step(
-            grid, cfg, INNER, with_stats=True, with_thermo=True,
+            grid, c_pal, INNER, with_stats=True, with_thermo=True,
+            persistent=False,
             neighbor_mode="fused3", fused_block_n=BN, fused_window=W,
             contact_cap=131072, fused_fallback_cap=4096))
     if which in ("persistent3", "p3", "both3"):
         # persistent sorted slab: one variadic re-sort per step serves the
         # fused3 presorted search (no payload sort, no inv gathers) AND
         # the presorted pallas spread kernel
-        _spread.SLOT_SUM_METHOD = "pallas"
         run("persistent3", make_persistent_multi_step(
-            grid, cfg, INNER, with_stats=True, with_thermo=True,
+            grid, c_pal, INNER, with_stats=True, with_thermo=True,
             neighbor_mode="fused3", fused_block_n=BN, fused_window=W,
             contact_cap=131072, fused_fallback_cap=4096))
     if which in ("persistent3pack", "p3pack"):
@@ -132,69 +140,43 @@ def main():
         # the ~50-operand variadic payload sort — both a runtime A/B and
         # a compile-time probe (the giant payload-sort program is the
         # prime suspect in persistent3's >40-min remote compiles)
-        from icebergs_tpu.ops import sorted as _srt
-        _spread.SLOT_SUM_METHOD = "pallas"
-        _srt.SORT_PACKED_PERMUTE = True
-        try:
-            run("persistent3pack", make_persistent_multi_step(
-                grid, cfg, INNER, with_stats=True, with_thermo=True,
-                neighbor_mode="fused3", fused_block_n=BN, fused_window=W,
-                contact_cap=131072, fused_fallback_cap=4096))
-        finally:
-            _srt.SORT_PACKED_PERMUTE = False
+        run("persistent3pack", make_persistent_multi_step(
+            grid, c_pack, INNER, with_stats=True, with_thermo=True,
+            neighbor_mode="fused3", fused_block_n=BN, fused_window=W,
+            contact_cap=131072, fused_fallback_cap=4096))
     if which in ("persistent3k", "p3k"):
         # + every round-3 session-6 kernel: pipelined extraction,
         # pipelined spreading, sorted-frame interp kernel
-        from icebergs_tpu.ops import pallas_prepass as _pp
-        from icebergs_tpu.ops import pallas_spread as _ps
-        from icebergs_tpu.ops import pallas_interp as _pi
-        _spread.SLOT_SUM_METHOD = "pallas"
-        _pp.EXTRACT_PIPELINED = True
-        _ps.SPREAD_PIPELINED = True
-        _pi.INTERP_KERNEL = True
         run("persistent3k", make_persistent_multi_step(
-            grid, cfg, INNER, with_stats=True, with_thermo=True,
+            grid, c_pal.replace(extract_impl="pipelined",
+                                spread_impl="pipelined",
+                                interp_mode="kernel"),
+            INNER, with_stats=True, with_thermo=True,
             neighbor_mode="fused3", fused_block_n=BN, fused_window=W,
             contact_cap=131072, fused_fallback_cap=4096))
     if which in ("persistent3gpack", "p3gpack"):
         # packed-permute re-sort + ALL gathered-window kernels: the
         # expected production combination if the session-10 kernel A/Bs
         # confirm the gathered variants (extraction already defaulted)
-        from icebergs_tpu.ops import sorted as _srt
-        from icebergs_tpu.ops import pallas_prepass as _pp
-        from icebergs_tpu.ops import pallas_spread as _ps
-        from icebergs_tpu.ops import pallas_interp as _pi
-        _spread.SLOT_SUM_METHOD = "pallas"
-        _srt.SORT_PACKED_PERMUTE = True
-        _pp.EXTRACT_GATHERED = True
-        _ps.SPREAD_GATHERED = True
-        _pi.INTERP_KERNEL = True
-        _pi.INTERP_GATHERED = True
-        try:
-            run("persistent3gpack", make_persistent_multi_step(
-                grid, cfg, INNER, with_stats=True, with_thermo=True,
-                neighbor_mode="fused3", fused_block_n=BN,
-                fused_window=W, contact_cap=131072,
-                fused_fallback_cap=4096))
-        finally:
-            _srt.SORT_PACKED_PERMUTE = False
-            _ps.SPREAD_GATHERED = False
-            _pi.INTERP_KERNEL = False
-            _pi.INTERP_GATHERED = False
+        run("persistent3gpack", make_persistent_multi_step(
+            grid, c_pack.replace(extract_impl="gathered",
+                                 spread_impl="gathered",
+                                 interp_mode="kernel",
+                                 interp_gathered=True),
+            INNER, with_stats=True, with_thermo=True,
+            neighbor_mode="fused3", fused_block_n=BN,
+            fused_window=W, contact_cap=131072,
+            fused_fallback_cap=4096))
     if which in ("p3tab", "p3tabk", "p3pack_gfold"):
         # p3tab: the round-4 candidate production mode — persistent
         # packed-permute re-sort + single-gather TABLE interp +
         # fallback cap 1024 + window 160 + scatter fold.
         # p3pack_gfold: baseline p3pack with the old rank-table gather
         # fold (A/B for the scatter fold, which is now the default).
-        from icebergs_tpu.ops import sorted as _srt
-        from icebergs_tpu.ops import pallas_interp as _pi
-        from icebergs_tpu.ops import pallas_pack as _pk
-        _spread.SLOT_SUM_METHOD = "pallas"
-        _srt.SORT_PACKED_PERMUTE = True
+        c2 = c_pack
         if which in ("p3tab", "p3tabk"):
-            _pi.INTERP_TABLE = True
-            _pk.PACK_KERNEL = which == "p3tabk"
+            c2 = c_pack.replace(interp_mode="table",
+                                pack_kernel=which == "p3tabk")
             kw = dict(fused_window=int(os.environ.get("KID_P3TAB_W",
                                                       160)),
                       fused_fallback_cap=int(os.environ.get(
@@ -202,32 +184,21 @@ def main():
         else:
             kw = dict(fused_window=W, fused_fallback_cap=4096,
                       fused_fallback_mode="gather_fold")
-        try:
-            run(which, make_persistent_multi_step(
-                grid, cfg, INNER, with_stats=True, with_thermo=True,
-                neighbor_mode="fused3", fused_block_n=BN,
-                contact_cap=131072, **kw))
-        finally:
-            _srt.SORT_PACKED_PERMUTE = False
-            _pi.INTERP_TABLE = False
-            _pk.PACK_KERNEL = False
+        run(which, make_persistent_multi_step(
+            grid, c2, INNER, with_stats=True, with_thermo=True,
+            neighbor_mode="fused3", fused_block_n=BN,
+            contact_cap=131072, **kw))
     if which in ("p3pack_fboff", "p3pack_fbbuild"):
         # fallback decomposition (MEASUREMENT ONLY, physics dropped for
         # >=3-partner rows): off = no build/eval/fold (XLA DCEs the
         # whole group); build = build+eval live, fold gathers skipped
-        from icebergs_tpu.ops import sorted as _srt
-        _spread.SLOT_SUM_METHOD = "pallas"
-        _srt.SORT_PACKED_PERMUTE = True
-        try:
-            run(which, make_persistent_multi_step(
-                grid, cfg, INNER, with_stats=True, with_thermo=True,
-                neighbor_mode="fused3", fused_block_n=BN,
-                fused_window=W, contact_cap=131072,
-                fused_fallback_cap=4096,
-                fused_fallback_mode=("off" if which == "p3pack_fboff"
-                                     else "build_only")))
-        finally:
-            _srt.SORT_PACKED_PERMUTE = False
+        run(which, make_persistent_multi_step(
+            grid, c_pack, INNER, with_stats=True, with_thermo=True,
+            neighbor_mode="fused3", fused_block_n=BN,
+            fused_window=W, contact_cap=131072,
+            fused_fallback_cap=4096,
+            fused_fallback_mode=("off" if which == "p3pack_fboff"
+                                 else "build_only")))
     if which == "sortparts":
         # decompose the 74.6 ms re-sort (session-13 sortprobe): the
         # 4-operand key sort alone, and the packed-permute transport
@@ -391,23 +362,15 @@ def main():
         #            488 rows actually needing it; bench.py grows the
         #            cap on dropped>0 so smaller defaults stay exact)
         #   itfb   - both; itfbw - both + window 160
-        from icebergs_tpu.ops import sorted as _srt
-        from icebergs_tpu.ops import pallas_interp as _pi
-        _spread.SLOT_SUM_METHOD = "pallas"
-        _srt.SORT_PACKED_PERMUTE = True
         fb = 4096 if which == "p3pack_it" else 1024
         W2 = 160 if which == "p3pack_itfbw" else W
-        if which != "p3pack_fb1024":
-            _pi.INTERP_TABLE = True
-        try:
-            run(which, make_persistent_multi_step(
-                grid, cfg, INNER, with_stats=True, with_thermo=True,
-                neighbor_mode="fused3", fused_block_n=BN,
-                fused_window=W2, contact_cap=131072,
-                fused_fallback_cap=fb))
-        finally:
-            _srt.SORT_PACKED_PERMUTE = False
-            _pi.INTERP_TABLE = False
+        c2 = c_pack if which == "p3pack_fb1024" \
+            else c_pack.replace(interp_mode="table")
+        run(which, make_persistent_multi_step(
+            grid, c2, INNER, with_stats=True, with_thermo=True,
+            neighbor_mode="fused3", fused_block_n=BN,
+            fused_window=W2, contact_cap=131072,
+            fused_fallback_cap=fb))
     if which in ("p3pack_fb8", "p3pack_1eval", "p3pack_w160"):
         # contact-chain drill-down (all same-window vs p3pack):
         #   fb8   - fallback machinery shrunk 512x (cap 4096 -> 8):
@@ -415,63 +378,44 @@ def main():
         #   1eval - use_new_predictive_corrective=False: one pair eval
         #           instead of the predictor+corrector pair
         #   w160  - extraction kernel window 288 -> 160
-        from icebergs_tpu.ops import sorted as _srt
-        _spread.SLOT_SUM_METHOD = "pallas"
-        _srt.SORT_PACKED_PERMUTE = True
         kw = dict(fused_fallback_cap=4096)
-        cfg2 = cfg
+        cfg2 = c_pack
         W2 = W
         if which == "p3pack_fb8":
             kw = dict(fused_fallback_cap=8)
         elif which == "p3pack_1eval":
-            cfg2 = cfg.replace(use_new_predictive_corrective=False)
+            cfg2 = c_pack.replace(use_new_predictive_corrective=False)
         elif which == "p3pack_w160":
             W2 = 160
-        try:
-            run(which, make_persistent_multi_step(
-                grid, cfg2, INNER, with_stats=True, with_thermo=True,
-                neighbor_mode="fused3", fused_block_n=BN,
-                fused_window=W2, contact_cap=131072, **kw))
-        finally:
-            _srt.SORT_PACKED_PERMUTE = False
+        run(which, make_persistent_multi_step(
+            grid, cfg2, INNER, with_stats=True, with_thermo=True,
+            neighbor_mode="fused3", fused_block_n=BN,
+            fused_window=W2, contact_cap=131072, **kw))
     if which == "p3pack_ik":
         # p3pack + the sorted-frame interp KERNEL alone (manual-DMA
         # variant, no gathered windows anywhere): isolates the interp
         # lever from the gathered-kernel regression seen in p3gpack
-        from icebergs_tpu.ops import sorted as _srt
-        from icebergs_tpu.ops import pallas_interp as _pi
-        _spread.SLOT_SUM_METHOD = "pallas"
-        _srt.SORT_PACKED_PERMUTE = True
-        _pi.INTERP_KERNEL = True
-        try:
-            run("p3pack_ik", make_persistent_multi_step(
-                grid, cfg, INNER, with_stats=True, with_thermo=True,
-                neighbor_mode="fused3", fused_block_n=BN,
-                fused_window=W, contact_cap=131072,
-                fused_fallback_cap=4096))
-        finally:
-            _srt.SORT_PACKED_PERMUTE = False
-            _pi.INTERP_KERNEL = False
+        run("p3pack_ik", make_persistent_multi_step(
+            grid, c_pack.replace(interp_mode="kernel"),
+            INNER, with_stats=True, with_thermo=True,
+            neighbor_mode="fused3", fused_block_n=BN,
+            fused_window=W, contact_cap=131072,
+            fused_fallback_cap=4096))
     if which.startswith("p3pack_no") or which == "sortprobe":
         # leave-one-out phase budget in the FULL-step frame: the
         # standalone per-phase profiler (tools/profile_persistent.py)
         # wedges the remote compiler, but whole-step programs of this
         # exact shape compile in 100-280 s — so each phase's cost is
         # (full p3pack) - (p3pack without it), all same-window
-        from icebergs_tpu.ops import sorted as _srt
-        from icebergs_tpu.ops import pallas_prepass as _pp
-        from icebergs_tpu.ops import pallas_interp as _pi
-        _spread.SLOT_SUM_METHOD = "pallas"
-        _srt.SORT_PACKED_PERMUTE = True
-        _pp.EXTRACT_GATHERED = True
         loo = dict(p3pack_noia=dict(with_ia=False),
                    p3pack_nothermo=dict(with_thermo=False),
                    p3pack_nospread=dict(with_spread=False),
                    p3pack_nointerp=dict(with_interp=False))
-        try:
+        if True:
             if which == "sortprobe":
-                _srt.STARTS_VIA_SCATTER = (
-                    os.environ.get("KID_STARTS_SCATTER", "0") == "1")
+                c_probe = c_pack.replace(
+                    starts_via_scatter=os.environ.get(
+                        "KID_STARTS_SCATTER", "0") == "1")
                 # standalone scanned re-sort (the only phase a
                 # leave-one-out can't isolate: skipping it would
                 # degrade the layout and so the downstream workload)
@@ -489,10 +433,16 @@ def main():
                         s = s.replace(lon=s.lon + e,
                                       uvel=s.uvel + e)
                         return sort_state_by_cell(
-                            s, grid, static_fields=uni), None
+                            s, grid, static_fields=uni,
+                            packed_permute=True,
+                            starts_via_scatter=c_probe.
+                            starts_via_scatter), None
                     (s, cs), _ = jax.lax.scan(
                         body, sort_state_by_cell(
-                            s, grid, static_fields=uni), None,
+                            s, grid, static_fields=uni,
+                            packed_permute=True,
+                            starts_via_scatter=c_probe.
+                            starts_via_scatter), None,
                         length=INNER)
                     return s, jnp.zeros((), jnp.int32), \
                         jnp.zeros((), jnp.int32)
@@ -505,33 +455,22 @@ def main():
                 run("sortprobe", _W())
             else:
                 run(which, make_persistent_multi_step(
-                    grid, cfg, INNER, with_stats=True,
+                    grid, c_pack, INNER, with_stats=True,
                     neighbor_mode="fused3", fused_block_n=BN,
                     fused_window=W, contact_cap=131072,
                     fused_fallback_cap=4096, **loo[which]))
-        finally:
-            _srt.SORT_PACKED_PERMUTE = False
     if which in ("persistent3g", "p3g"):
         # + the session-7 GATHERED kernels: tile-granular up-front
         # window gathers + standard block pipeline in all three kernels
-        from icebergs_tpu.ops import pallas_prepass as _pp
-        from icebergs_tpu.ops import pallas_spread as _ps
-        from icebergs_tpu.ops import pallas_interp as _pi
-        _spread.SLOT_SUM_METHOD = "pallas"
-        _pp.EXTRACT_GATHERED = True
-        _ps.SPREAD_GATHERED = True
-        _pi.INTERP_KERNEL = True
-        _pi.INTERP_GATHERED = True
-        try:
-            run("persistent3g", make_persistent_multi_step(
-                grid, cfg, INNER, with_stats=True, with_thermo=True,
-                neighbor_mode="fused3", fused_block_n=BN,
-                fused_window=W, contact_cap=131072,
-                fused_fallback_cap=4096))
-        finally:
-            _ps.SPREAD_GATHERED = False
-            _pi.INTERP_KERNEL = False
-            _pi.INTERP_GATHERED = False
+        run("persistent3g", make_persistent_multi_step(
+            grid, c_pal.replace(extract_impl="gathered",
+                                spread_impl="gathered",
+                                interp_mode="kernel",
+                                interp_gathered=True),
+            INNER, with_stats=True, with_thermo=True,
+            neighbor_mode="fused3", fused_block_n=BN,
+            fused_window=W, contact_cap=131072,
+            fused_fallback_cap=4096))
 
 
 if __name__ == "__main__":

@@ -186,11 +186,8 @@ def main():
                                                 + m25.astype(s.dtype)))
 
     def f_interp_gathered(s):
-        pin.INTERP_GATHERED = True
-        try:
-            s2, m25 = pin.interp_to_bergs_sorted(s, grid, frc, cfg)
-        finally:
-            pin.INTERP_GATHERED = False
+        s2, m25 = pin.interp_to_bergs_sorted(
+            s, grid, frc, cfg.replace(interp_gathered=True))
         return s.replace(uvel=s.uvel + 1e-30 * (s2.uo
                                                 + m25.astype(s.dtype)))
 

@@ -357,18 +357,12 @@ def main():
 
     def _full_step(mode, fb, spread_method="scatter"):
         def f(s):
-            orig = _spread.SLOT_SUM_METHOD
-            _spread.SLOT_SUM_METHOD = spread_method
-            try:
-                step = model.make_step(grid, cfg, with_thermo=True,
-                                       neighbor_mode=mode,
-                                       fused_block_n=128,
-                                       fused_window=288,
-                                       contact_cap=131072,
-                                       fused_fallback_cap=fb)
-                s2, d = step(s, frc)
-            finally:
-                _spread.SLOT_SUM_METHOD = orig
+            step = model.make_step(
+                grid, cfg.replace(slot_sum_method=spread_method),
+                with_thermo=True, neighbor_mode=mode,
+                fused_block_n=128, fused_window=288,
+                contact_cap=131072, fused_fallback_cap=fb)
+            s2, d = step(s, frc)
             # keep the coupler fields alive (a state-only consumer lets
             # XLA dead-code the whole spreading/diagnostic subgraph)
             acc = (d.spread_mass + d.spread_area + d.ustar_iceberg
@@ -382,13 +376,8 @@ def main():
 
     def _spread_method(m):
         def f(s):
-            orig = _spread.SLOT_SUM_METHOD
-            _spread.SLOT_SUM_METHOD = m
-            try:
-                sp = _spread.create_gridded_icebergs_fields(s, grid, frc,
-                                                            cfg)
-            finally:
-                _spread.SLOT_SUM_METHOD = orig
+            sp = _spread.create_gridded_icebergs_fields(
+                s, grid, frc, cfg.replace(slot_sum_method=m))
             return s.replace(lon=s.lon + 1e-12 * sp.spread_mass[0, 0])
         return f
 
@@ -401,14 +390,10 @@ def main():
     def f_spread_pallas_x21(s):
         # kernel path with 21 extra pass-through columns (the deferred
         # melt load of the production step)
-        orig = _spread.SLOT_SUM_METHOD
-        _spread.SLOT_SUM_METHOD = "pallas"
-        try:
-            extras = [s.mass * (0.01 * k) for k in range(14)]
-            sp, ef = _spread.create_gridded_icebergs_fields(
-                s, grid, frc, cfg, extra_cell_cols=extras)
-        finally:
-            _spread.SLOT_SUM_METHOD = orig
+        extras = [s.mass * (0.01 * k) for k in range(14)]
+        sp, ef = _spread.create_gridded_icebergs_fields(
+            s, grid, frc, cfg.replace(slot_sum_method="pallas"),
+            extra_cell_cols=extras)
         acc = sp.spread_mass[0, 0]
         for f in ef:
             acc = acc + f[0, 0]
@@ -470,12 +455,8 @@ def main():
 
     def f_spread_scatter(s):
         from icebergs_tpu.ops import spread as _sp
-        old = _sp.SLOT_SUM_METHOD
-        _sp.SLOT_SUM_METHOD = "scatter"
-        try:
-            sp = _sp.create_gridded_icebergs_fields(s, grid, frc, cfg)
-        finally:
-            _sp.SLOT_SUM_METHOD = old
+        sp = _sp.create_gridded_icebergs_fields(
+            s, grid, frc, cfg.replace(slot_sum_method="scatter"))
         return s.replace(lon=s.lon + 1e-12 * sp.spread_mass[0, 0])
 
     def f_scatter9_only(s):
@@ -504,24 +485,20 @@ def main():
         # make_persistent_multi_step is its own jitted scan: time it
         # like bench.py (the INNER-step program includes ONE entry sort
         # of an already-sorted slab, ~15 ms/INNER overhead)
-        orig = _spread.SLOT_SUM_METHOD
-        _spread.SLOT_SUM_METHOD = spread_method
-        try:
-            multi = model.make_persistent_multi_step(
-                grid, cfg, INNER, with_stats=True, with_thermo=True,
-                neighbor_mode="fused3", fused_block_n=128,
-                fused_window=288, contact_cap=131072,
-                fused_fallback_cap=4096)
-            out = multi(st, frc)
+        multi = model.make_persistent_multi_step(
+            grid, cfg.replace(slot_sum_method=spread_method), INNER,
+            with_stats=True, with_thermo=True,
+            neighbor_mode="fused3", fused_block_n=128,
+            fused_window=288, contact_cap=131072,
+            fused_fallback_cap=4096)
+        out = multi(st, frc)
+        _ = np.asarray(out[3]).ravel()[:1]
+        t0 = time.perf_counter()
+        reps = 2
+        for _ in range(reps):
+            out = multi(out[0], frc)
             _ = np.asarray(out[3]).ravel()[:1]
-            t0 = time.perf_counter()
-            reps = 2
-            for _ in range(reps):
-                out = multi(out[0], frc)
-                _ = np.asarray(out[3]).ravel()[:1]
-            return (time.perf_counter() - t0) / (reps * INNER)
-        finally:
-            _spread.SLOT_SUM_METHOD = orig
+        return (time.perf_counter() - t0) / (reps * INNER)
 
     for pname, meth in (("step_fused3p", "scatter"),
                         ("step_fused3p_pallas", "pallas")):
