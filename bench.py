@@ -236,23 +236,41 @@ def bench_1m_contacts():
     N_WINDOWS = int(os.environ.get("KID_BENCH_WINDOWS", 3))
     GAP = float(os.environ.get("KID_BENCH_WINDOW_GAP", 45.0))
     reps = 2
-    windows = []
-    for w in range(N_WINDOWS):
-        if w:
-            time.sleep(GAP)
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = multi(out[0], frc)
-            _sync(out)
-        raw = (time.perf_counter() - t0) / (reps * INNER)
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            nout = null_multi(nout)
-            _sync(nout)
-        floor = (time.perf_counter() - t0) / (reps * INNER)
-        # sanity clamp: never credit more than 80% of raw to floor
-        windows.append((raw, floor, max(raw - floor, 0.2 * raw)))
-    dropped = int(np.asarray(out[1]))
+    for _grow in range(3):
+        windows = []
+        for w in range(N_WINDOWS):
+            if w:
+                time.sleep(GAP)
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = multi(out[0], frc)
+                _sync(out)
+            raw = (time.perf_counter() - t0) / (reps * INNER)
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                nout = null_multi(nout)
+                _sync(nout)
+            floor = (time.perf_counter() - t0) / (reps * INNER)
+            # sanity clamp: never credit more than 80% of raw to floor
+            windows.append((raw, floor, max(raw - floor, 0.2 * raw)))
+        dropped = int(np.asarray(out[1]))
+        if dropped == 0:
+            break
+        # exactness contract: the swirl's density wanders over the
+        # longer 3-window run, so a cap that survived warmup can still
+        # overrun mid-measurement — grow on evidence and REMEASURE
+        # (the round-5 session-1 run read dropped=201 at fb=1024)
+        fb = min(4 * fb, NBERGS)
+        print(f"bench: fallback cap overran during measurement "
+              f"(dropped={dropped}); growing to {fb} and re-measuring",
+              file=__import__('sys').stderr)
+        multi = factory(
+            grid, mode_cfg(m, fb, W_m), INNER, with_stats=True,
+            with_thermo=True, fused_block_n=BN, fused_window=W_m,
+            contact_cap=131072, fused_fallback_cap=fb, **kw)
+        out = _run_abandonable(lambda mu=multi: mu(st, frc),
+                               compile_timeout)
+        _sync(out)
     fallback = int(np.asarray(out[2]))
     devs = sorted(wn[2] for wn in windows)
     dt_dev = devs[len(devs) // 2] if len(devs) % 2 else \

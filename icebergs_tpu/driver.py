@@ -270,11 +270,13 @@ def run(nml_path: str, input_dir: str = ".", output_dir: str = ".",
         if verbose:
             print(f"KID-TPU driver: auto mts_pair_cap={mts_pair_cap}")
     fused_fb_cap = cfg.fused_fallback_cap
+    mts_nbr_mode = [None]        # None -> make_step's production default
 
     def _build_step(pair_cap, fb_cap):
         return model.make_step(grid, cfg, with_thermo=True,
                                neighbor_window=neighbor_window,
                                mts_pair_cap=pair_cap,
+                               mts_neighbor_mode=mts_nbr_mode[0],
                                fused_fallback_cap=fb_cap, **vmem_kw)
 
     step = _build_step(mts_pair_cap, fused_fb_cap)
@@ -356,8 +358,9 @@ def run(nml_path: str, input_dir: str = ".", output_dir: str = ".",
                                    slot_sum_method="scatter",
                                    sort_packed_permute=False,
                                    pack_kernel=False)
-                if slow == cfg:
+                if slow == cfg and mts_nbr_mode[0] == "tables":
                     raise
+                mts_nbr_mode[0] = "tables"
                 print(f"KID-TPU driver: fast-lane step failed ({e}); "
                       "falling back to the XLA slow lane", flush=True)
                 cfg = slow

@@ -115,7 +115,7 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
               neighbor_window: str = "full",
               use_pallas: bool = False, contact_cap: Optional[int] = None,
               mts_pair_cap: Optional[int] = None,
-              mts_neighbor_mode: str = "tables",
+              mts_neighbor_mode: Optional[str] = None,
               mts_substep_kernel: str = "scan",
               mts_vmem_deltas=None,
               mts_vmem_block_n: int = 512,
@@ -150,13 +150,22 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
         fused_window = cfg.fused_window
     if fused_fallback_cap is None:
         fused_fallback_cap = cfg.fused_fallback_cap
+    if mts_neighbor_mode is None:
+        # production default: the Part-1 collision group rides the
+        # extraction-kernel search (round-5; bitwise vs "tables")
+        mts_neighbor_mode = "fused" if cfg.mts else "tables"
     nbr_radius = _forces.neighbor_radius(grid, cfg) if interactive else 1
-    # single-gather TABLE interp (cfg.interp_mode == "table"; MTS
-    # configs read ocean depth through the table's 25 quad-od rows)
+    # single-gather TABLE interp (cfg.interp_mode == "table").  The
+    # per-cell slot table and the per-berg math are grid-shape
+    # independent (they mirror interp_flds' cell-local reads), so
+    # lat-lon AND curvilinear grids ride it; only the MTS quad-od rows
+    # assume the regular-grid quadratic stencil (and the driver's
+    # A68_test analytic branch keeps the XLA path)
     use_interp_table = (
-        cfg.interp_mode == "table" and cfg.grid_is_regular
+        cfg.interp_mode == "table"
         and cfg.coastal_drift == 0. and cfg.tidal_drift == 0.
-        and not (cfg.mts and cfg.A68_test))
+        and not (cfg.mts and (cfg.A68_test
+                              or not cfg.grid_is_regular)))
 
     def step(st: BergState, frc, stored_ice=None, fl_key=None,
              current_year=0, current_yearday=0.):
@@ -455,9 +464,10 @@ def make_persistent_multi_step(grid: Grid, cfg: IcebergsConfig,
     assert neighbor_mode in ("fused", "fused3")
 
     from .ops import pallas_interp as _pinterp
-    _interp_ok = (cfg.grid_is_regular and not cfg.mts
+    _interp_ok = (not cfg.mts
                   and cfg.coastal_drift == 0. and cfg.tidal_drift == 0.)
-    use_interp_kernel = cfg.interp_mode == "kernel" and _interp_ok
+    use_interp_kernel = (cfg.interp_mode == "kernel" and _interp_ok
+                         and cfg.grid_is_regular)
     use_interp_table = cfg.interp_mode == "table" and _interp_ok
 
     def step(st: BergState, cell_starts, frc):

@@ -355,7 +355,7 @@ def make_ia_fn_fused2(st, grid, cfg: IcebergsConfig, *,
                       contact_cap: int = None, fallback_cap: int = 4096,
                       fallback_strip_width: int = 64,
                       deterministic: bool = True,
-                      interpret: bool = False):
+                      interpret: bool = None):
     """Sortless fused interactive-force closure (original slot order).
 
     The state is NEVER physically reordered: the Pallas search runs on a
@@ -591,7 +591,7 @@ def make_ia_fn_fused3(st, grid, cfg: IcebergsConfig, *,
                       pt_via_sort_payloads: bool = True,
                       presorted: bool = False, cell_starts=None,
                       fallback_mode: str = "full",
-                      interpret: bool = False):
+                      interpret: bool = None):
     """Fused interactive-force closure via the extraction kernel.
 
     ``presorted=True``: the state is already physically (cell, id)
@@ -686,7 +686,7 @@ def make_ia_fn_fused_mts1(st, grid, cfg: IcebergsConfig, *,
                           fallback_strip_width: int = 64,
                           radius: int = None,
                           use_extract: bool = True,
-                          interpret: bool = False):
+                          interpret: bool = None):
     """Fused MTS Part-1 cross-conglomerate collision search (sortless).
 
     The Part-1 slow-force group (accel_mts mts_part=1 -> the
@@ -753,7 +753,7 @@ def make_ia_fn_fused(ss, cell_starts, grid, cfg: IcebergsConfig, *,
                      block_n: int = 256, window: int = 512,
                      contact_cap: int = None, fallback_cap: int = 4096,
                      fallback_strip_width: int = 64,
-                     interpret: bool = False):
+                     interpret: bool = None):
     """Interactive-force closure over a cell-sorted state.
 
     Returns ``(ia_fn, stats)``.  Legacy dispatch only (no mts /

@@ -161,6 +161,11 @@ def main(sub_steps=60, inner=2, reps=2, vmem=True, block_n=1024):
     # measurement-only phase ablations for the outer-step budget
     probe = os.environ.get("KID_DEM_PROBE", "")
     probe_kw = dict(with_spread=False) if probe == "nospread" else {}
+    if probe == "nopart1":
+        # MEASUREMENT ONLY: skip the Part-1 slow solve + half-kick
+        # (skip_first_outer_mts_step) — isolates the Part-1 search +
+        # eval cost from interp/part3/bookkeeping
+        cfg = cfg.replace(skip_first_outer_mts_step=True)
     for kw in attempts:
         kw = dict(kw)
         it = kw.pop("interp_table", False)

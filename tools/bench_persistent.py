@@ -401,6 +401,26 @@ def main():
             neighbor_mode="fused3", fused_block_n=BN,
             fused_window=W, contact_cap=131072,
             fused_fallback_cap=4096))
+    if which.startswith("p3tabk_no"):
+        # leave-one-out budget in the PRODUCTION (p3tabk) frame:
+        # table interp + pack kernels + window 160 + fb 2048
+        c_tabk = c_pack.replace(interp_mode="table", pack_kernel=True)
+        loo = dict(p3tabk_noia=dict(with_ia=False),
+                   p3tabk_nothermo=dict(with_thermo=False),
+                   p3tabk_nospread=dict(with_spread=False),
+                   p3tabk_nointerp=dict(with_interp=False))
+        run(which, make_persistent_multi_step(
+            grid, c_tabk, INNER, with_stats=True,
+            neighbor_mode="fused3", fused_block_n=BN,
+            fused_window=160, contact_cap=131072,
+            fused_fallback_cap=2048, **loo[which]))
+    if which == "p3tabk_full":
+        c_tabk = c_pack.replace(interp_mode="table", pack_kernel=True)
+        run(which, make_persistent_multi_step(
+            grid, c_tabk, INNER, with_stats=True, with_thermo=True,
+            neighbor_mode="fused3", fused_block_n=BN,
+            fused_window=160, contact_cap=131072,
+            fused_fallback_cap=2048))
     if which.startswith("p3pack_no") or which == "sortprobe":
         # leave-one-out phase budget in the FULL-step frame: the
         # standalone per-phase profiler (tools/profile_persistent.py)
