@@ -270,6 +270,12 @@ class IcebergsConfig:
     #   manual|gathered|pipelined
     starts_via_scatter: bool = False  # cell_starts: searchsorted vs
     #   scatter-min + reverse cummin (measured a wash on v5e)
+    contact_epilogue: bool = False   # run the velocity-independent pair
+    #   precompute (geometry/spring/projections) INSIDE the extraction
+    #   kernel instead of the XLA chain.  Engagement is then decided by
+    #   the kernel's own f32 rounding (~1 ulp from the XLA chain at the
+    #   r == crit boundary), so flipping this regenerates goldens;
+    #   cross-layout invariance is preserved (same kernel, any layout)
     fused_window: int = 160          # extraction-kernel window rows
     fused_fallback_cap: int = 1024   # exact-fallback compaction cap
     #   (growable: driver/bench grow on overflow evidence and re-run)

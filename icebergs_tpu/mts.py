@@ -44,6 +44,11 @@ class MtsDiags(NamedTuple):
     # for those paths tripped a jax executable-cache buffer-count
     # mismatch on repeat driver runs in one process
     pair_overflow: Optional[jnp.ndarray] = None
+    # Part-1 force-convergence iterations actually run this outer step
+    # (0 when force_convergence is off) — at 1M bergs each iteration
+    # costs a full slow-physics pass + partner-velocity refresh, so
+    # this is the DEM outer step's dominant knob
+    conv_iters: jnp.ndarray = jnp.zeros((), jnp.int32)
 
 
 def _slow_accel_mts(st, cfg: IcebergsConfig, ia_fn):
@@ -635,6 +640,7 @@ def evolve_icebergs_mts(st, grid: Grid, frc, cfg: IcebergsConfig,
     def part1_once(s):
         return _slow_accel_mts(s, cfg, part1_refresh(s))
 
+    conv_iters = jnp.zeros((), jnp.int32)
     if not cfg.skip_first_outer_mts_step:
         if cfg.force_convergence:
             # fixed-point iteration on V_{n+1} until the velocity-change
@@ -666,7 +672,7 @@ def evolve_icebergs_mts(st, grid: Grid, frc, cfg: IcebergsConfig,
                               vvel_old=sel(vp, s.vvel_old))
                 return (s, it + 1, done2)
 
-            st, _, _ = jax.lax.while_loop(
+            st, conv_iters, _ = jax.lax.while_loop(
                 cond, body, (st, jnp.asarray(0), jnp.asarray(False)))
         else:
             ax, ay, axn, ayn, bxn, byn, _ = part1_once(st)
@@ -721,7 +727,8 @@ def evolve_icebergs_mts(st, grid: Grid, frc, cfg: IcebergsConfig,
                         ine=jnp.where(moving, i, st.ine),
                         jne=jnp.where(moving, j, st.jne),
                         xi=sel(xi, st.xi), yj=sel(yj, st.yj))
-        return st, MtsDiags(broken_bonds=broken_total)
+        return st, MtsDiags(broken_bonds=broken_total,
+                            conv_iters=conv_iters)
 
     dtf = cfg.dt / max(cfg.n_sub_steps, 1)
     dtf_2 = 0.5 * dtf
@@ -881,5 +888,6 @@ def evolve_icebergs_mts(st, grid: Grid, frc, cfg: IcebergsConfig,
                     jne=jnp.where(moving, j, st.jne),
                     xi=sel(xi, st.xi), yj=sel(yj, st.yj))
     return st, MtsDiags(broken_bonds=broken_total,
+                        conv_iters=conv_iters,
                         skin_dropped=skin_dropped,
                         pair_overflow=pair_overflow)

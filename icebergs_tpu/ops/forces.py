@@ -323,12 +323,38 @@ def precompute_pair_data(st, cfg: IcebergsConfig, other, mask, *,
                     u2=u2, v2=v2, other=other)
 
 
-def refresh_pair_velocities(pd: PairData, st) -> PairData:
+def refresh_pair_velocities(pd: PairData, st,
+                            pack_kernel: bool = False) -> PairData:
     """Regather partner *_old velocities into frozen pair geometry.
 
     The MTS Part-1 convergence loop (icebergs.F90:6663-6743) iterates on
     velocities with positions FROZEN, so the pair search, projections and
-    spring terms precompute once per outer step; only u2/v2 move."""
+    spring terms precompute once per outer step; only u2/v2 move.
+
+    ``pack_kernel`` (production, (2, N) partner tables): ONE packed
+    2-lane u32 row gather through the Pallas block-transpose transport
+    instead of two full-length per-field gathers — the convergence
+    loop runs this EVERY iteration, so at 1M bergs the two ~2M-lookup
+    gathers (~10+ ms each) are the loop's dominant cost.  Bitwise (u32
+    transport)."""
+    if pack_kernel and pd.other is not None and pd.other.ndim == 2 \
+            and pd.other.shape[0] <= 4:
+        import jax
+        from . import pallas_pack as _pk
+        M, N = pd.other.shape
+        u32 = jnp.uint32
+        R = jnp.concatenate(
+            [jax.lax.bitcast_convert_type(st.uvel_old, u32),
+             jax.lax.bitcast_convert_type(st.vvel_old, u32)],
+            axis=0).reshape(2, st.uvel_old.shape[0])
+        P = _pk.pack_rows_to_lanes(R)
+        S = jnp.take(P, pd.other.reshape(-1), axis=0)   # (M*N, 128)
+        Ro = _pk.unpack_lanes_to_rows(S, 2)
+        u2 = jax.lax.bitcast_convert_type(Ro[0], st.uvel_old.dtype
+                                          ).reshape(M, N)
+        v2 = jax.lax.bitcast_convert_type(Ro[1], st.vvel_old.dtype
+                                          ).reshape(M, N)
+        return pd._replace(u2=u2, v2=v2)
     return pd._replace(u2=st.uvel_old[pd.other], v2=st.vvel_old[pd.other])
 
 

@@ -418,6 +418,7 @@ def _origin_frame_groups_extract(st, grid, cfg: IcebergsConfig, *,
                                  exclude_same_group=False,
                                  use_c_crit_dist=False,
                                  with_partner_slots=False,
+                                 epilogue=False,
                                  interpret=False):
     """Round-3 search: merged Pallas prepass + in-kernel partner-feature
     extraction (selection matmuls on the MXU).
@@ -433,9 +434,11 @@ def _origin_frame_groups_extract(st, grid, cfg: IcebergsConfig, *,
                                  contact_extract_sorted_p,
                                  contact_extract_sorted_g, EX_CNT,
                                  EX_VMIN, EX_VMAX, EX_F1,
-                                 EX_F2, PT_NF, PT_NEVAL, PT_LON, PT_LAT,
+                                 EX_F2, EX_IAX, EX_IAY, EX_EPI_NP,
+                                 PT_NF, PT_NEVAL, PT_LON, PT_LAT,
                                  PT_U, PT_V, PT_AREA, PT_MASS, PT_RAD,
                                  PT_ALIVE, PT_KEY, PT_GRP, PT_FLK)
+    import math as _math
 
     N = st.capacity
     nx, ny = grid.nx, grid.ny
@@ -498,10 +501,16 @@ def _origin_frame_groups_extract(st, grid, cfg: IcebergsConfig, *,
                else contact_extract_sorted_p
                if cfg.extract_impl == "pipelined"
                else contact_extract_sorted)
+    ekw = {}
+    if epilogue:
+        assert cfg.extract_impl == "gathered", \
+            "contact_epilogue needs the gathered extraction kernel"
+        ekw = dict(epilogue=True)
     out, bad_block = extract(
         PT, key_s, cell_starts, grid, cfg, block_n=block_n,
         window=window, radius=radius,
-        exclude_same_group=exclude_same_group, interpret=interpret)
+        exclude_same_group=exclude_same_group, interpret=interpret,
+        **ekw)
 
     cnt_s = out[EX_CNT].astype(jnp.int32)
     alive_s = key_s < ncells
@@ -523,8 +532,13 @@ def _origin_frame_groups_extract(st, grid, cfg: IcebergsConfig, *,
     # block-transpose transport (the 13-16 separate (N,) inverse
     # gathers measured ~5-6 ms EACH at 1M on v5e); per-row gathers
     # otherwise
-    frows = [out[EX_F1 + k] for k in range(PT_NEVAL)] \
-        + [out[EX_F2 + k] for k in range(PT_NEVAL)]
+    if epilogue:
+        frows = [out[EX_F1 + k] for k in range(EX_EPI_NP)] \
+            + [out[EX_F2 + k] for k in range(EX_EPI_NP)] \
+            + [out[EX_IAX], out[EX_IAY]]
+    else:
+        frows = [out[EX_F1 + k] for k in range(PT_NEVAL)] \
+            + [out[EX_F2 + k] for k in range(PT_NEVAL)]
     if inv is None:
         cnt_o, bad_o = cnt_s, bad_s
         p1_o, p2_o = p1_s, p2_s
@@ -560,19 +574,47 @@ def _origin_frame_groups_extract(st, grid, cfg: IcebergsConfig, *,
     # alive in the origin frame IS st.alive (key < ncells <=> alive)
     normal_o = (cnt_o > 0) & ~bad_o & st.alive
     m_n = jnp.stack([normal_o, normal_o & (cnt_o >= 2)], axis=0)
-
-    names = ("lon2", "lat2", "u2", "v2", "A2g", "M2g")
-    assert len(names) == PT_NEVAL
-    partner_fields = {
-        nm: jnp.stack([frows_o[k], frows_o[PT_NEVAL + k]], axis=0)
-        for k, nm in enumerate(names)}
     other_T = (jnp.stack([p1_o, p2_o], axis=0)
                if with_partner_slots else None)
 
-    pd_n = _forces.precompute_pair_data_T(
-        st, cfg, other_T, m_n, bonded=False,
-        use_c_crit_dist=use_c_crit_dist,
-        partner_fields=partner_fields)
+    if epilogue:
+        # the kernel already ran the velocity-independent precompute
+        # (geometry, exact engagement, spring sums, projections, mass
+        # ratio): assemble PairData directly — no XLA pd chain at all
+        assert not use_c_crit_dist
+        def prow(k):
+            return jnp.stack([frows_o[k], frows_o[EX_EPI_NP + k]],
+                             axis=0)
+        u2, v2 = prow(0), prow(1)
+        P11, P12, P22 = prow(2), prow(3), prow(4)
+        mm, ex = prow(5), prow(6)
+        spring = cfg.contact_spring_coef_eff
+        if cfg.critical_interaction_damping_on:
+            rad_d = 2. * _math.sqrt(spring)
+            tan_d = (2. * _math.sqrt(spring) / 4.
+                     if cfg.tang_crit_int_damp_on
+                     else cfg.tangental_damping_coef)
+        else:
+            rad_d = cfg.radial_damping_coef
+            tan_d = cfg.tangental_damping_coef
+        pd_n = _forces.PairData(
+            active=m_n & (ex > 0.5),
+            IA_x=jnp.where(normal_o, frows_o[2 * EX_EPI_NP], 0.),
+            IA_y=jnp.where(normal_o, frows_o[2 * EX_EPI_NP + 1], 0.),
+            P11=P11, P12=P12, P22=P22,
+            crad=rad_d * mm, ctan=tan_d * mm,
+            u2=u2, v2=v2, other=other_T)
+    else:
+        names = ("lon2", "lat2", "u2", "v2", "A2g", "M2g")
+        assert len(names) == PT_NEVAL
+        partner_fields = {
+            nm: jnp.stack([frows_o[k], frows_o[PT_NEVAL + k]], axis=0)
+            for k, nm in enumerate(names)}
+
+        pd_n = _forces.precompute_pair_data_T(
+            st, cfg, other_T, m_n, bonded=False,
+            use_c_crit_dist=use_c_crit_dist,
+            partner_fields=partner_fields)
 
     pd_f, sel_f, vrow_f, code_f, stats = _fallback_group(
         st, bad_o, order, key_s, cell_starts, grid, cfg,
@@ -619,6 +661,8 @@ def make_ia_fn_fused3(st, grid, cfg: IcebergsConfig, *,
         fallback_strip_width=fallback_strip_width,
         pt_via_sort_payloads=pt_via_sort_payloads,
         presorted=presorted, cell_starts=cell_starts,
+        epilogue=(cfg.contact_epilogue
+                  and cfg.extract_impl == "gathered"),
         interpret=interpret)
 
     pd_b = None
@@ -733,7 +777,8 @@ def make_ia_fn_fused_mts1(st, grid, cfg: IcebergsConfig, *,
     fold = _scatter_fold(sel_f, vrow_f, st.capacity)
 
     def refresh(s):
-        pdn = _forces.refresh_pair_velocities(pd_n, s)
+        pdn = _forces.refresh_pair_velocities(
+            pd_n, s, pack_kernel=cfg.pack_kernel)
         pdf = _forces.refresh_pair_velocities(pd_f, s)
 
         def ia_fn(u1, v1):

@@ -265,6 +265,12 @@ EX_CNT, EX_VMIN, EX_VMAX = 0, 1, 2
 EX_F1 = 4                     # rows 4..9: partner-1 eval features
 EX_F2 = 12                    # rows 12..17: partner-2 eval features
 EX_NOUT = 24
+# epilogue-mode rows (contact_extract_sorted_g(epilogue=True)): the
+# velocity-independent pair precompute runs IN the kernel, so rows
+# F1/F2 carry (u, v, P11, P12, P22, mm, exact) per partner and the
+# spring-accel sums come out pre-reduced
+EX_IAX, EX_IAY = 3, 20
+EX_EPI_NP = 7                 # per-partner epilogue rows
 
 
 def contact_extract_sorted(PT, key_s, cell_starts, grid,
@@ -620,7 +626,8 @@ def contact_extract_sorted_g(PT, key_s, cell_starts, grid,
                              cfg: IcebergsConfig, *, block_n: int = 128,
                              window: int = 288, interpret: bool = None,
                              radius: int = 1,
-                             exclude_same_group: bool = False):
+                             exclude_same_group: bool = False,
+                             epilogue: bool = False):
     """Gathered-window twin of :func:`contact_extract_sorted`.
 
     Same outputs bit-for-bit.  Instead of in-kernel window DMAs (manual
@@ -685,6 +692,10 @@ def contact_extract_sorted_g(PT, key_s, cell_starts, grid,
     if cfg.grid_is_latlon:
         rearth = float(cfg.Rearth)
     BIG = float(2 * N)
+    if epilogue:
+        # legacy non-bonded contact group scalars (the XLA
+        # precompute's spring/damping constants)
+        spring = float(cfg.contact_spring_coef_eff)
 
     def kernel(ws_ref, clo_ref, chi_ref, self_ref, win_ref, out_ref):
         b = pl.program_id(0)
@@ -706,6 +717,11 @@ def contact_extract_sorted_g(PT, key_s, cell_starts, grid,
         vmax = jnp.full((1, BN), -1., dtype)
         f1 = jnp.zeros((8, BN), dtype)
         f2 = jnp.zeros((8, BN), dtype)
+        if epilogue:
+            iax = jnp.zeros((1, BN), dtype)
+            iay = jnp.zeros((1, BN), dtype)
+            d1 = jnp.zeros((5, BN), dtype)    # P11 P12 P22 mm exact
+            d2 = jnp.zeros((5, BN), dtype)
 
         for s in range(nstrips):
             w0 = ws_ref[b * nstrips + s] * 128
@@ -764,13 +780,58 @@ def contact_extract_sorted_g(PT, key_s, cell_starts, grid,
             take2 = lmax > vmax
             f1 = jnp.where(take1, f1s, f1)
             f2 = jnp.where(take2, f2s, f2)
+
+            if epilogue:
+                # the velocity-independent pair precompute, in-kernel
+                # (precompute_pair_data_T's geometry chain): exact
+                # engagement (r < crit, the sqrt-based test the XLA
+                # re-mask applies), spring-accel sums over ALL exact
+                # pairs, damping projections + mass ratio + exactness
+                # per selected partner
+                r = jnp.sqrt(r2)
+                rsafe = jnp.where(r2 > 0., r, 1.)
+                exact = valid & (r2 > 0.) & (r < crit)
+                exf = jnp.where(exact, 1., 0.).astype(dtype)
+                M1 = jnp.maximum(rows[PT_MASS:PT_MASS + 1, :], 1e-30)
+                M2 = winT[:, PT_MASS:PT_MASS + 1]
+                mmat = jnp.minimum(M1, M2) / M1               # (WL, BN)
+                aspr = spring * mmat * (crit - r)
+                iax = iax + jnp.sum(
+                    jnp.where(exact, aspr * (rx / rsafe), 0.),
+                    axis=0, keepdims=True)
+                iay = iay + jnp.sum(
+                    jnp.where(exact, aspr * (ry / rsafe), 0.),
+                    axis=0, keepdims=True)
+                rs2 = rsafe * rsafe
+                P11c = (rx * rx) / rs2
+                P12c = (rx * ry) / rs2
+                P22c = (ry * ry) / rs2
+                ds = [P11c, P12c, P22c, mmat, exf]
+                d1s = jnp.concatenate(
+                    [jnp.sum(e1 * m, axis=0, keepdims=True)
+                     for m in ds], axis=0)                    # (5, BN)
+                d2s = jnp.concatenate(
+                    [jnp.sum(e2 * m, axis=0, keepdims=True)
+                     for m in ds], axis=0)
+                d1 = jnp.where(take1, d1s, d1)
+                d2 = jnp.where(take2, d2s, d2)
+
             vmin = jnp.minimum(vmin, lmin)
             vmax = jnp.maximum(vmax, lmax)
 
         pad = jnp.zeros((1, BN), dtype)
-        out_ref[...] = jnp.concatenate(
-            [cnt, vmin, vmax, pad, f1, f2,
-             jnp.zeros((EX_NOUT - 20, BN), dtype)], axis=0)
+        if epilogue:
+            # rows: cnt vmin vmax IAX | u v P11 P12 P22 mm ex pad |
+            #       u v P11 P12 P22 mm ex pad | IAY zeros
+            out_ref[...] = jnp.concatenate(
+                [cnt, vmin, vmax, iax,
+                 f1[PT_U:PT_V + 1, :], d1, pad,
+                 f2[PT_U:PT_V + 1, :], d2, pad,
+                 iay, jnp.zeros((EX_NOUT - 21, BN), dtype)], axis=0)
+        else:
+            out_ref[...] = jnp.concatenate(
+                [cnt, vmin, vmax, pad, f1, f2,
+                 jnp.zeros((EX_NOUT - 20, BN), dtype)], axis=0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,

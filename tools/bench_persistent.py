@@ -414,6 +414,17 @@ def main():
             neighbor_mode="fused3", fused_block_n=BN,
             fused_window=160, contact_cap=131072,
             fused_fallback_cap=2048, **loo[which]))
+    if which == "p3tabke":
+        # p3tabk + the in-kernel pair epilogue (contact_epilogue):
+        # geometry/spring/projections computed in the extraction
+        # kernel, PairData assembled without the XLA pd chain
+        c2 = c_pack.replace(interp_mode="table", pack_kernel=True,
+                            contact_epilogue=True)
+        run(which, make_persistent_multi_step(
+            grid, c2, INNER, with_stats=True, with_thermo=True,
+            neighbor_mode="fused3", fused_block_n=BN,
+            fused_window=160, contact_cap=131072,
+            fused_fallback_cap=2048))
     if which == "p3tabk_full":
         c_tabk = c_pack.replace(interp_mode="table", pack_kernel=True)
         run(which, make_persistent_multi_step(
@@ -455,12 +466,16 @@ def main():
                         return sort_state_by_cell(
                             s, grid, static_fields=uni,
                             packed_permute=True,
+                            pack_kernel=os.environ.get(
+                                "KID_SORT_PACKK", "1") == "1",
                             starts_via_scatter=c_probe.
                             starts_via_scatter), None
                     (s, cs), _ = jax.lax.scan(
                         body, sort_state_by_cell(
                             s, grid, static_fields=uni,
                             packed_permute=True,
+                            pack_kernel=os.environ.get(
+                                "KID_SORT_PACKK", "1") == "1",
                             starts_via_scatter=c_probe.
                             starts_via_scatter), None,
                         length=INNER)
