@@ -337,8 +337,7 @@ def refresh_pair_velocities(pd: PairData, st,
     loop runs this EVERY iteration, so at 1M bergs the two ~2M-lookup
     gathers (~10+ ms each) are the loop's dominant cost.  Bitwise (u32
     transport)."""
-    if pack_kernel and pd.other is not None and pd.other.ndim == 2 \
-            and pd.other.shape[0] <= 4:
+    if pack_kernel and pd.other is not None and pd.other.ndim == 2:
         import jax
         from . import pallas_pack as _pk
         M, N = pd.other.shape

@@ -779,7 +779,11 @@ def make_ia_fn_fused_mts1(st, grid, cfg: IcebergsConfig, *,
     def refresh(s):
         pdn = _forces.refresh_pair_velocities(
             pd_n, s, pack_kernel=cfg.pack_kernel)
-        pdf = _forces.refresh_pair_velocities(pd_f, s)
+        # the fallback strips are (cap, (2r+1)*W) — >1M lookups per
+        # field at the production sizes, refreshed EVERY convergence
+        # iteration: same packed transport
+        pdf = _forces.refresh_pair_velocities(
+            pd_f, s, pack_kernel=cfg.pack_kernel)
 
         def ia_fn(u1, v1):
             bn = _forces.eval_pair_ia_T(pdn, cfg, u0_fix, v0_fix, u1, v1)
