@@ -160,8 +160,11 @@ def bench_1m_contacts():
             fused_window=W_m, fused_fallback_cap=fb)
 
     for m in chain:
+        # p3tab(k): 2048 — the swirl's steady-state fallback population
+        # at 1M is ~1.2k (session-1 grew a 1024 cap mid-measure, paying
+        # a recompile; 2048 holds with headroom at ~+2 ms)
         fb = (16384 if m in ("fused", "sorted")
-              else 1024 if m in ("p3tab", "p3tabk") else 4096)
+              else 2048 if m in ("p3tab", "p3tabk") else 4096)
         W_m = 160 if m in ("p3tab", "p3tabk") else W
         try:
             mcfg = mode_cfg(m, fb, W_m)

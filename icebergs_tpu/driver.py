@@ -382,6 +382,8 @@ def run(nml_path: str, input_dir: str = ".", output_dir: str = ".",
             fused_ov = (int(np.asarray(diags.contact_overflow))
                         if (not cfg.mts
                             and diags.contact_overflow is not None) else 0)
+            fused_ov += (int(np.asarray(diags.p1_overflow))
+                         if diags.p1_overflow is not None else 0)
             if fl_ov == 0 and pair_ov == 0 and fused_ov == 0:
                 break
             from .state import grow_capacity

@@ -36,6 +36,7 @@ class StepDiags(NamedTuple):
     total_mass: jnp.ndarray          # sum alive mass*mass_scaling (kg)
     contact_overflow: Optional[jnp.ndarray] = None  # fused-path cap drops
     contact_fallback: Optional[jnp.ndarray] = None  # bergs on exact fallback
+    p1_overflow: Optional[jnp.ndarray] = None  # MTS Part-1 fallback drops
     nbergs_calved_fl: Optional[jnp.ndarray] = None  # footloose children
     fl_spawn_overflow: Optional[jnp.ndarray] = None  # slots exhausted
     # interval-budget scalars (diag.IntervalBudget / report_full_budget):
@@ -197,6 +198,7 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
         # 2. dynamics (MTS dispatch mirrors icebergs_run 5426-5441)
         fstats = None
         mts_pair_ov = None
+        mts_p1_ov = None
         with jax.named_scope("kid_momentum"):
             if cfg.mts:
                 from .mts import evolve_icebergs_mts
@@ -204,10 +206,12 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
                     st, grid, frc, cfg, pair_cap=mts_pair_cap,
                     contact_cap=contact_cap, max_per_cell=max_per_cell,
                     neighbor_mode=mts_neighbor_mode,
+                    fused_kw={"fallback_cap": fused_fallback_cap},
                     substep_kernel=mts_substep_kernel,
                     vmem_deltas=mts_vmem_deltas,
                     vmem_block_n=mts_vmem_block_n,
                     vmem_interpret=mts_vmem_interpret)
+                mts_p1_ov = mts_d.p1_overflow
                 from .dynamics import EvolveOut
                 out = EvolveOut(st, jnp.zeros((), jnp.int32),
                                 jnp.zeros((), jnp.int32))
@@ -347,6 +351,7 @@ def make_step(grid: Grid, cfg: IcebergsConfig, *, with_thermo: bool = True,
             contact_overflow=(fstats.overflow if fstats is not None
                               else mts_pair_ov),
             contact_fallback=(fstats.n_fallback if fstats else None),
+            p1_overflow=mts_p1_ov,
             nbergs_calved_fl=(fl_diag.nbergs_calved_fl
                               if fl_diag else None),
             fl_spawn_overflow=(fl_diag.spawn_overflow
@@ -672,6 +677,10 @@ def make_multi_step(grid: Grid, cfg: IcebergsConfig, n_inner: int,
             s, d = step(s, frc)
             if d.contact_overflow is not None:
                 ov = jnp.maximum(ov, d.contact_overflow)
+            if d.p1_overflow is not None:
+                # MTS Part-1 fallback drops count as overflow too: the
+                # exactness contract covers the collision group
+                ov = jnp.maximum(ov, d.p1_overflow)
             if d.contact_fallback is not None:
                 fb = jnp.maximum(fb, d.contact_fallback)
             for f in (d.spread_mass, d.spread_area, d.ustar_iceberg,

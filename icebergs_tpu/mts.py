@@ -49,6 +49,9 @@ class MtsDiags(NamedTuple):
     # costs a full slow-physics pass + partner-velocity refresh, so
     # this is the DEM outer step's dominant knob
     conv_iters: jnp.ndarray = jnp.zeros((), jnp.int32)
+    # Part-1 fused-search fallback overflow (dropped/truncated exact-
+    # fallback candidates); None on the tables path
+    p1_overflow: Optional[jnp.ndarray] = None
 
 
 def _slow_accel_mts(st, cfg: IcebergsConfig, ia_fn):
@@ -623,15 +626,25 @@ def evolve_icebergs_mts(st, grid: Grid, frc, cfg: IcebergsConfig,
     # ---- PART 1: slow forces --------------------------------------------
     # pair search + geometry precompute ONCE (positions are frozen during
     # the convergence loop; only *_old velocities iterate)
+    p1_overflow = None
     if neighbor_mode == "fused":
         # Pallas strip search + cap-free (N, 2) eval for the
-        # cross-conglomerate collision group — no (N, M) candidate slab
+        # cross-conglomerate collision group — no (N, M) candidate slab.
+        # The exact-fallback compaction cap defaults to the config's
+        # growable fused_fallback_cap (the (cap, strips*W) fallback slab
+        # is re-evaluated EVERY convergence iteration, so oversizing it
+        # costs Part-1 time); its overflow counter is surfaced as
+        # MtsDiags.p1_overflow so callers grow on evidence instead of
+        # silently dropping pairs
         from .ops.fused_contact import make_ia_fn_fused_mts1
+        fkw = dict(fallback_cap=cfg.fused_fallback_cap)
+        fkw.update(fused_kw or {})
         part1_refresh, _p1stats = make_ia_fn_fused_mts1(
             st, grid, cfg,
             radius=(ncells_radius if ncells_radius is not None
                     else _forces.neighbor_radius(grid, cfg)),
-            **(fused_kw or {}))
+            **fkw)
+        p1_overflow = _p1stats.overflow
     else:
         part1_refresh = _forces.make_ia_fn(st, nbr, cfg, mts_part=1,
                                            contact_cap=contact_cap,
@@ -728,7 +741,8 @@ def evolve_icebergs_mts(st, grid: Grid, frc, cfg: IcebergsConfig,
                         jne=jnp.where(moving, j, st.jne),
                         xi=sel(xi, st.xi), yj=sel(yj, st.yj))
         return st, MtsDiags(broken_bonds=broken_total,
-                            conv_iters=conv_iters)
+                            conv_iters=conv_iters,
+                            p1_overflow=p1_overflow)
 
     dtf = cfg.dt / max(cfg.n_sub_steps, 1)
     dtf_2 = 0.5 * dtf
@@ -889,5 +903,6 @@ def evolve_icebergs_mts(st, grid: Grid, frc, cfg: IcebergsConfig,
                     xi=sel(xi, st.xi), yj=sel(yj, st.yj))
     return st, MtsDiags(broken_bonds=broken_total,
                         conv_iters=conv_iters,
+                        p1_overflow=p1_overflow,
                         skin_dropped=skin_dropped,
                         pair_overflow=pair_overflow)

@@ -776,14 +776,21 @@ def make_ia_fn_fused_mts1(st, grid, cfg: IcebergsConfig, *,
     u0_fix, v0_fix = st.uvel, st.vvel
     fold = _scatter_fold(sel_f, vrow_f, st.capacity)
 
+    # packed refresh only on a real TPU backend: in interpret mode the
+    # pack kernels inside the convergence while_loop lower to nested
+    # scans whose CPU compile/runtime explodes (observed: minutes per
+    # MTS test)
+    from .pallas_pack import _auto_interpret as _ai
+    pack_refresh = cfg.pack_kernel and not _ai(interpret)
+
     def refresh(s):
         pdn = _forces.refresh_pair_velocities(
-            pd_n, s, pack_kernel=cfg.pack_kernel)
+            pd_n, s, pack_kernel=pack_refresh)
         # the fallback strips are (cap, (2r+1)*W) — >1M lookups per
         # field at the production sizes, refreshed EVERY convergence
         # iteration: same packed transport
         pdf = _forces.refresh_pair_velocities(
-            pd_f, s, pack_kernel=cfg.pack_kernel)
+            pd_f, s, pack_kernel=pack_refresh)
 
         def ia_fn(u1, v1):
             bn = _forces.eval_pair_ia_T(pdn, cfg, u0_fix, v0_fix, u1, v1)

@@ -173,11 +173,29 @@ def main(sub_steps=60, inner=2, reps=2, vmem=True, block_n=1024):
                            interp_mode="table" if it else "xla",
                            pack_kernel=it)
         try:
-            multi = make_multi_step(grid, mcfg, inner,
+            multi = make_multi_step(grid, mcfg, inner, with_stats=True,
                                     with_thermo=probe != "nothermo",
                                     **probe_kw, **kw)
-            s = multi(st, frc)
+            out = multi(st, frc)
+            s = out[0]
             _ = np.asarray(s.lon[:1].ravel())
+            # exactness: grow the Part-1 fallback cap on drop evidence
+            for _g in range(3):
+                drops = int(np.asarray(out[1]))
+                if drops == 0:
+                    break
+                fb2 = min(4 * mcfg.fused_fallback_cap, st.capacity)
+                print(f"# dem_1m: P1 fallback overran (drops={drops}); "
+                      f"growing cap to {fb2}", file=sys.stderr,
+                      flush=True)
+                mcfg = mcfg.replace(fused_fallback_cap=fb2)
+                multi = make_multi_step(grid, mcfg, inner,
+                                        with_stats=True,
+                                        with_thermo=probe != "nothermo",
+                                        **probe_kw, **kw)
+                out = multi(st, frc)
+                s = out[0]
+                _ = np.asarray(s.lon[:1].ravel())
             break
         except Exception as e:      # pragma: no cover - hw-dependent
             print(f"# dem_1m: config {kw.get('mts_neighbor_mode')}"
@@ -188,9 +206,14 @@ def main(sub_steps=60, inner=2, reps=2, vmem=True, block_n=1024):
         raise RuntimeError("no dem_1m config compiled")
     t0 = time.perf_counter()
     for _ in range(reps):
-        s = multi(s, frc)
+        out = multi(s, frc)
+        s = out[0]
         _ = np.asarray(s.lon[:1].ravel())
     dt_wall = (time.perf_counter() - t0) / (reps * inner)
+    drops_final = int(np.asarray(out[1]))
+    if drops_final:
+        print(f"# dem_1m: WARNING drops={drops_final} in the measured "
+              "window (inexact run)", file=sys.stderr, flush=True)
 
     # identity-scan dispatch floor with the identical call/sync shape
     # (the tunneled runtime's per-dispatch cycle drifts 0.1-3.5 s
