@@ -106,7 +106,7 @@ def run(nml_path: str, input_dir: str = ".", output_dir: str = ".",
         capacity: int = 4096, verbose: bool = True,
         neighbor_window: str = "auto", mts_pair_cap: int = None,
         dtype: str = "float32", substep_kernel: str = "auto",
-        clocks: bool = False):
+        clocks: bool = False, cfg_overrides: dict = None):
     """Main loop (driver/icebergs_driver.F90:339-444).
 
     ``dtype="float64"`` runs the whole model in double precision (the
@@ -133,6 +133,8 @@ def run(nml_path: str, input_dir: str = ".", output_dir: str = ".",
         raise SystemExit(f"icebergs_tpu.driver: namelist not found: "
                          f"{nml_path}")
     cfg, drv = config_from_namelist(nml_path)
+    if cfg_overrides:
+        cfg = cfg.replace(**cfg_overrides)
     # transient A68 hindcast (driver:254-272, 368-385): hourly GFDL
     # forcing files from data_dir, 30-min or 1-hr steps
     a68_data = None

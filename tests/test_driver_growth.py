@@ -90,3 +90,66 @@ def test_driver_grows_capacity_on_fl_spawn_overflow(tmp_path, capsys):
     assert st2.capacity > 5
     ks = np.asarray(st2.fl_k)[np.asarray(st2.alive)]
     assert (ks < 0.).sum() == 4        # the children carry fl_k=-1/-2
+
+
+FUSED_NML = """
+&icebergs_driver_nml
+  ni=16
+  nj=16
+  ibdt=60.0
+  ibhrs=1
+  nmax=2
+  gridres=1000.0
+/
+
+&icebergs_nml
+  grid_is_latlon=.false.
+  Lx=-1.
+  use_f_plane=.true.
+  lat_ref=0.
+  Runge_not_Verlet=.false.
+  interactive_icebergs_on=.true.
+  spring_coef=1.e-6
+  allow_bergs_to_roll=.false.
+  set_melt_rates_to_zero=.true.
+  ignore_traj=.true.
+/
+"""
+
+
+def test_driver_grows_fused_fallback_cap_on_overflow(tmp_path, capsys):
+    """A contact cluster larger than the fused fallback cap must grow
+    the cap and RE-RUN the step (exact-search contract; round-5
+    driver chain for cfg.fused_fallback_cap)."""
+    nml = tmp_path / "input.nml"
+    nml.write_text(FUSED_NML)
+
+    cfg = ibt.IcebergsConfig(grid_is_latlon=False, Lx=-1.,
+                             interactive_icebergs_on=True)
+    rng = np.random.RandomState(0)
+    n = 40
+    # dense knot: everyone within everyone's interaction radius ->
+    # every berg has >= 3 engaged contacts -> all are fallback rows
+    lon = 7700. + rng.uniform(-150., 150., n)
+    lat = 7700. + rng.uniform(-150., 150., n)
+    st = ibt.create_bergs(64, lon=lon, lat=lat, thickness=40.,
+                          width=400., length=400.,
+                          mass=850. * 40. * 400. * 400.,
+                          mass_scaling=1.,
+                          id_cnt=np.arange(n) + 1)
+    grid = ibt.make_uniform_grid(16, 16, 0., 0., 1000., 1000.,
+                                 grid_is_latlon=False)
+    i, j, xi, yj = pos_to_cell(grid, st.lon, st.lat, -1.0)
+    st = st.replace(ine=i, jne=j, xi=xi, yj=yj)
+    rio.write_restart_bergs(str(tmp_path / "icebergs.res.nc"), st, cfg)
+
+    # shrink the default cap below the 40-row fallback population
+    st2 = drv.run(str(nml), input_dir=str(tmp_path),
+                  output_dir=str(tmp_path / "out"), capacity=64,
+                  verbose=False,
+                  cfg_overrides={"fused_fallback_cap": 8})
+
+    text = capsys.readouterr().out
+    assert "contact fallback cap overran" in text, text[-2000:]
+    assert int(np.asarray(st2.count())) == n
+    assert np.isfinite(np.asarray(st2.lon)[np.asarray(st2.alive)]).all()
