@@ -169,9 +169,16 @@ def main(sub_steps=60, inner=2, reps=2, vmem=True, block_n=1024):
     for kw in attempts:
         kw = dict(kw)
         it = kw.pop("interp_table", False)
+        # fallback cap 65536: the 1M world has ~32k Part-1 fallback rows
+        # (elements with >= 3 cross-conglomerate partners at cd=4 km —
+        # measured by the round-5 drop counter; the old 4096 cap was
+        # silently dropping ~28k of them).  Starting at the known-exact
+        # size avoids the grow ladder's compile-per-step; growth on
+        # evidence still guards it.
         mcfg = cfg.replace(slot_sum_method=kw.pop("spread", "scatter"),
                            interp_mode="table" if it else "xla",
-                           pack_kernel=it)
+                           pack_kernel=it,
+                           fused_fallback_cap=65536)
         try:
             multi = make_multi_step(grid, mcfg, inner, with_stats=True,
                                     with_thermo=probe != "nothermo",
